@@ -1,0 +1,114 @@
+"""Text-analysis column functions for the LLM-data-pipeline surface
+(driver north star; SURVEY.md §2.11): language-ID heuristic, quality scoring,
+token counting, shingling, fingerprinting.
+
+All pure built-in expressions (regexp/split/transform/aggregate) — they run
+JVM-side inside codegen and are oracle-checkable in DuckDB. Patterns are kept
+to the regex subset Java and RE2 interpret identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# stopword markers per language for the n-gram language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " y "],
+    "de": [" der ", " und ", " die "],
+}
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, and single
+    punctuation marks each count as one token."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """Total occurrences of the given marker substrings."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = F.lit(0)
+    for m in markers:
+        # non-overlapping occurrence count of a literal: regexp_count on the
+        # escaped literal (markers are plain ascii words with spaces)
+        out = out + F.regexp_count(padded, F.lit(m))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic stopword-marker language heuristic: argmax of marker
+    hits, ties broken by language-code order, 'und' when no marker fires."""
+    hits = {lang: marker_hits(text, ms) for lang, ms in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # later langs win only on strict >
+        h = hits[lang]
+        cond = h > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, h).otherwise(best_n)
+    return best
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def upper_ratio(text: Column) -> Column:
+    n = F.length(text)
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    return F.when(n > 0, upper / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are english stopwords."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    stops = F.lit(0) + F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "and", "of", "to", "in"))
+    )
+    return F.when(F.size(words) > 0, stops / F.size(words)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs and prose-
+    like stopword density, penalizes punctuation soup."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return (length_term + stop_term + punct_term) / F.lit(3.0)
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Distinct character k-gram shingles of a document."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (space-joined)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+    )
+
+
+def fingerprint(text: Column, k: int = 8) -> Column:
+    """Document fingerprint: lexicographic min of md5(shingle) — a winnowing-
+    style rolling-hash selection that is stable under content reordering of
+    untouched regions."""
+    return F.array_min(F.transform(char_shingles(text, k), F.md5))

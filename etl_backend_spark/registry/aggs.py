@@ -1,0 +1,329 @@
+"""Registry: aggregations, windows, set ops (SURVEY.md §2.4, §2.5 + free
+Spark extensions the reference lacks).
+
+Double-valued aggregates are rounded identically on both engine sides —
+order-of-accumulation differs between Spark partial aggregation and DuckDB,
+so raw float sums are not hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import aggregates, windows
+from ..sources.catalog import Catalog
+from . import register
+
+
+@register(
+    "agg_count_filtered",
+    oracle="""
+    SELECT count(*) AS cnt FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    """,
+)
+def q_agg_count_filtered(spark, sf_dir):
+    """COUNT(*) under predicate (reference src/routes/ads.ts:155)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return aggregates.count_filtered(
+        li, F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+
+
+@register(
+    "agg_relation_count",
+    oracle="""
+    SELECT c_custkey, coalesce(n.n_orders, 0) AS n_orders
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) n
+      ON c_custkey = n.o_custkey
+    """,
+)
+def q_agg_relation_count(spark, sf_dir):
+    """Per-row related-entity count `_count:{favorites}`
+    (reference src/routes/ads.ts:150-153): pre-aggregate then join back —
+    the shuffle carries one row per group, not the fact rows."""
+    cat = Catalog(spark, sf_dir)
+    out = aggregates.relation_count(
+        cat.table("customer"), cat.table("orders"), "c_custkey", "o_custkey",
+        alias="n_orders",
+    )
+    return out.select("c_custkey", "n_orders")
+
+
+@register(
+    "agg_multi_count",
+    oracle="""
+    SELECT (SELECT count(*) FROM customer) AS n_customers,
+           (SELECT count(*) FROM orders) AS n_orders,
+           (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS n_open_orders,
+           (SELECT count(*) FROM part) AS n_parts
+    """,
+)
+def q_agg_multi_count(spark, sf_dir):
+    """Dashboard multi-aggregate — the reference runs 4 parallel COUNT plans
+    (src/routes/admin.ts:135-147); here the orders counts share one pass via
+    conditional aggregation and the independent tables cross-join their
+    1-row aggregates."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.table("customer").agg(F.count(F.lit(1)).alias("n_customers"))
+    orders = aggregates.multi_count(
+        cat.table("orders"),
+        {"n_orders": None, "n_open_orders": F.col("o_orderstatus") == "O"},
+    )
+    parts = cat.table("part").agg(F.count(F.lit(1)).alias("n_parts"))
+    return cust.crossJoin(orders).crossJoin(parts).select(
+        "n_customers", "n_orders", "n_open_orders", "n_parts"
+    )
+
+
+@register(
+    "agg_sum_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_sum_group(spark, sf_dir):
+    """TPC-H Q1-shape grouped aggregate — sum/avg are absent in the reference
+    (SURVEY.md §2.4) but free in Spark; partial aggregation makes the shuffle
+    one row per (partition, group) at any scale."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_minmax_group",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_minmax_group(spark, sf_dir):
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    """Exact distinct aggregate (absent in reference; two-phase in Spark)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_partkey")).alias("n_parts")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (absent in reference)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE cross-tab totals (absent in reference)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: HLL estimate is engine-specific
+def q_agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL) — the sketch path for 100 TB cardinality;
+    estimates are engine-specific so this gets the rows-only check."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx")
+    )
+
+
+# ---------------------------------------------------------------- §2.5 windows
+
+@register(
+    "window_latest_per_group",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type FROM (
+      SELECT event_id, user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_window_latest_per_group(spark, sf_dir):
+    """Top-1 per group by recency — last message per conversation
+    (reference src/routes/chat.ts:43-47,108-111); tie-break on event_id."""
+    ev = Catalog(spark, sf_dir).table("events")
+    out = windows.latest_per_group(
+        ev, "user_id", [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("event_id", "user_id", "ts", "event_type")
+
+
+@register(
+    "window_rank_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q_window_rank_topk(spark, sf_dir):
+    """Top-3 per group via rank() (extension; reference has only top-1)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    out = windows.rank_topk(
+        o, "o_custkey", [F.col("o_totalprice").desc(), F.col("o_orderkey").desc()], 3
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta_us
+    FROM events
+    """,
+)
+def q_window_lag_delta(spark, sf_dir):
+    """lag() inter-event gap, microsecond-exact (extension)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    out = windows.lag_delta_us(ev, "user_id", "ts", "event_id")
+    return out.select("event_id", "user_id", "delta_us")
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+    FROM events
+    """,
+)
+def q_window_running_sum(spark, sf_dir):
+    """Cumulative-sum frame (rowsBetween unboundedPreceding→current)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    out = windows.running_sum(ev, "user_id", "ts", "event_id", "value")
+    return out.select(
+        "event_id", "user_id", F.round(F.col("running_sum"), 4).alias("running_sum")
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0
+    """,
+)
+def q_set_union(spark, sf_dir):
+    """UNION (distinct) — absent in reference, free in Spark."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        cat.table("orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    a = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        cat.table("orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+    """,
+)
+def q_set_except(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    a = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        cat.table("orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.subtract(b)

@@ -1,0 +1,186 @@
+"""Registry: write/mutation operators as pure post-state queries
+(SURVEY.md §2.8). The actual rewrite-and-swap machinery lives in
+``etl_backend_spark.etl.writes``; here each mutation's *semantics* (the
+post-state relation) is expressed as a DataFrame so the DuckDB oracle can
+check it without either engine mutating shared files.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row, functions as F
+
+from ..sources.catalog import SCHEMAS, Catalog
+from . import register
+
+
+@register(
+    "etl_append",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n FROM (
+      SELECT o_orderstatus FROM orders
+      UNION ALL
+      SELECT * FROM (VALUES ('O'), ('O'), ('X')) v(o_orderstatus)
+    ) GROUP BY o_orderstatus
+    """,
+)
+def q_etl_append(spark, sf_dir):
+    """Insert rows — `ad.create`/`message.create`
+    (reference src/routes/ads.ts:53-74, src/routes/chat.ts:186-202):
+    append = unionByName of a literal-rows DataFrame."""
+    o = Catalog(spark, sf_dir).table("orders").select("o_orderstatus")
+    new = spark.createDataFrame(
+        [Row(o_orderstatus="O"), Row(o_orderstatus="O"), Row(o_orderstatus="X")]
+    )
+    return o.unionByName(new).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "etl_update",
+    oracle="""
+    SELECT status, count(*) AS n FROM (
+      SELECT CASE WHEN o_totalprice > 400000.0 THEN 'deleted'
+                  ELSE o_orderstatus END AS status
+      FROM orders
+    ) GROUP BY status
+    """,
+)
+def q_etl_update(spark, sf_dir):
+    """Predicate-targeted column update — soft delete
+    (reference src/routes/ads.ts:259-262): conditional rewrite of one column."""
+    o = Catalog(spark, sf_dir).table("orders")
+    status = (
+        F.when(F.col("o_totalprice") > 400000.0, "deleted")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status")
+    )
+    return o.select(status).groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "etl_update_dynamic",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 'CONSTRUCTION'
+                ELSE c_mktsegment END AS c_mktsegment,
+           round(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END, 2)
+             AS c_acctbal
+    FROM customer
+    """,
+)
+def q_etl_update_dynamic(spark, sf_dir):
+    """Partial update of present fields only — conditional spread
+    `...(name && {name})` (reference src/routes/auth.ts:142-157): a fold of
+    per-field when() rewrites."""
+    c = Catalog(spark, sf_dir).table("customer")
+    updates = {
+        "c_mktsegment": F.when(
+            F.col("c_mktsegment") == "BUILDING", "CONSTRUCTION"
+        ).otherwise(F.col("c_mktsegment")),
+        "c_acctbal": F.round(
+            F.when(F.col("c_acctbal") < 0, 0.0).otherwise(F.col("c_acctbal")), 2
+        ),
+    }
+    out = c
+    for name, expr in updates.items():
+        out = out.withColumn(name, expr)
+    return out.select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "etl_delete",
+    oracle="""
+    SELECT count(*) AS n_remaining FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q_etl_delete(spark, sf_dir):
+    """Hard delete via anti-join (reference src/routes/admin.ts:113-116):
+    post-state = lineitems not referenced by the deleted-order key set."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    deleted = cat.table("orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    remaining = li.join(
+        deleted, li["l_orderkey"] == deleted["o_orderkey"], "left_anti"
+    )
+    return remaining.agg(F.count(F.lit(1)).alias("n_remaining"))
+
+
+@register(
+    "etl_upsert",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT * FROM (VALUES (5, 'ATLANTIS'), (0, 'AFRICA-DUP')) v(r_regionkey, r_name)
+    WHERE r_regionkey NOT IN (SELECT r_regionkey FROM region)
+    """,
+)
+def q_etl_upsert(spark, sf_dir):
+    """Insert-if-absent upsert — `user.upsert({update:{}, create:{...}})`
+    (reference prisma/seed.ts:11-21): anti-join the incoming batch against
+    existing keys, then unionByName. MERGE without a transactional format."""
+    region = Catalog(spark, sf_dir).table("region")
+    incoming = spark.createDataFrame(
+        [(5, "ATLANTIS"), (0, "AFRICA-DUP")], SCHEMAS["region"]
+    )
+    fresh = incoming.join(
+        region.select("r_regionkey"),
+        on="r_regionkey",
+        how="left_anti",
+    )
+    return region.unionByName(fresh)
+
+
+@register(
+    "etl_cascade_delete",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0)
+    SELECT
+      (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM del))
+        AS n_customers,
+      (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM del))
+        AS n_orders,
+      (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del)))
+        AS n_lineitems
+    """,
+)
+def q_etl_cascade_delete(spark, sf_dir):
+    """FK cascade delete — `onDelete: Cascade` User→Ad→Favorite/Message
+    (reference prisma/schema.prisma:49,65-66; migration.sql:115-139): ordered
+    anti-join deletes down the FK tree."""
+    cat = Catalog(spark, sf_dir)
+    cust, orders, li = cat.table("customer"), cat.table("orders"), cat.table("lineitem")
+    del_keys = cust.filter(F.col("c_custkey") % 100 == 0).select("c_custkey")
+    cust2 = cust.join(del_keys, on="c_custkey", how="left_anti")
+    orders_deleted = orders.join(
+        del_keys, orders["o_custkey"] == del_keys["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    orders2 = orders.join(
+        del_keys, orders["o_custkey"] == del_keys["c_custkey"], "left_anti"
+    )
+    li2 = li.join(
+        orders_deleted, li["l_orderkey"] == orders_deleted["o_orderkey"], "left_anti"
+    )
+    return (
+        cust2.agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(orders2.agg(F.count(F.lit(1)).alias("n_orders")))
+        .crossJoin(li2.agg(F.count(F.lit(1)).alias("n_lineitems")))
+    )
+
+
+@register(
+    "etl_touch_parent",
+    oracle="""
+    SELECT user_id, max(ts) AS updated_at FROM events GROUP BY user_id
+    """,
+)
+def q_etl_touch_parent(spark, sf_dir):
+    """Dependent parent-timestamp refresh after child insert —
+    `conversation.updatedAt = max(message.createdAt)`
+    (reference src/routes/chat.ts:205-208, src/websocket.ts:65-68)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.groupBy("user_id").agg(F.max("ts").alias("updated_at"))

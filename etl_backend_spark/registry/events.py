@@ -1,0 +1,109 @@
+"""Registry: event-time / streaming-semantics queries, expressed in batch so
+the DuckDB oracle can check them (SURVEY.md §2.9 + the watermark/window
+extensions the reference lacks). The live Structured Streaming pipelines in
+``etl_backend_spark.streaming`` share these transformations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Catalog
+from . import register
+
+
+@register(
+    "stream_window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def q_stream_window_tumbling(spark, sf_dir):
+    """Tumbling event-time window agg — the event-time reasoning the
+    reference lacks entirely (SURVEY.md §2.9); in streaming mode the same
+    expression runs under withWatermark."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "stream_window_sliding",
+    oracle="""
+    SELECT window_start, count(*) AS n FROM (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE FROM events
+    ) GROUP BY window_start
+    """,
+)
+def q_stream_window_sliding(spark, sf_dir):
+    """Sliding window (10 min length, 5 min slide): every event lands in
+    exactly two overlapping windows — the oracle enumerates both starts."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessionize(spark, sf_dir):
+    """Session windows (30-min gap) — ``session_window`` in Spark; the oracle
+    replicates the gap semantics with a gaps-and-islands window chain.
+    Spark merges an event into a session iff its ts is strictly within gap of
+    the previous event; the oracle's `>= INTERVAL` new-session test matches.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@register(
+    "stream_agg_touch",
+    oracle="""
+    SELECT user_id, max(ts) AS updated_at, count(*) AS n_messages
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_agg_touch(spark, sf_dir):
+    """Running max(ts) per key — `Conversation.updatedAt` maintenance
+    (reference src/websocket.ts:65-68, src/routes/chat.ts:205-208); in
+    streaming mode this is outputMode('update') on the same groupBy."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.groupBy("user_id").agg(
+        F.max("ts").alias("updated_at"), F.count(F.lit(1)).alias("n_messages")
+    )

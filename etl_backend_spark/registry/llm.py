@@ -1,0 +1,312 @@
+"""Registry: LLM-data-pipeline extensions (SURVEY.md §2.11 / driver north
+star) — dedup, text analysis, similarity search over the ``documents`` and
+``embeddings`` tables.
+
+Oracle-checkable operators use only portable primitives (md5/sha256, regexp,
+list lambdas, double arithmetic in identical accumulation order). Seeded/
+sketch-based variants (MinHash, SimHash, LSH) register without an oracle and
+get the rows-only check; their recall is pytest-checked against the exact
+versions instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..sources.catalog import Catalog
+from . import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: group on sha256(text), keep min doc_id.
+    Partial agg on the hash → one shuffle row per distinct document at 100 TB."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                              i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5: shingle → explode →
+    self-join on shingle → |∩| / (|A|+|B|−|∩|).
+
+    This is the exact-counting baseline the MinHash sketch approximates; the
+    shingle join is the same band-bucket join shape LSH uses, so its cost
+    model (pairs sharing a shingle) matches the scale path.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = (
+        d.select("doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("__da"), F.col("n_sh").alias("n_sh_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("__db"), F.col("n_sh").alias("n_sh_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("__da"))
+        .join(sb, F.col("doc_b") == F.col("__db"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars2,
+           len(string_split_regex(trim(text), '\\s+')) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_tokens,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                      AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per-document text statistics: char/word/BPE-ish-token counts and
+    punctuation ratio — all built-in regexp expressions, no UDFs."""
+    d = Catalog(spark, sf_dir).table("documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars2"),
+        T.word_count(t).alias("n_words"),
+        T.bpe_ish_token_count(t).cast("long").alias("n_tokens"),
+        F.round(T.punct_ratio(t), 4).alias("punct_ratio"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle="""
+    WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM documents),
+    h AS (
+      SELECT doc_id,
+        len(regexp_extract_all(pt, ' the ')) + len(regexp_extract_all(pt, ' and '))
+          + len(regexp_extract_all(pt, ' of ')) AS h_en,
+        len(regexp_extract_all(pt, ' le ')) + len(regexp_extract_all(pt, ' la '))
+          + len(regexp_extract_all(pt, ' et ')) AS h_fr,
+        len(regexp_extract_all(pt, ' el ')) + len(regexp_extract_all(pt, ' los '))
+          + len(regexp_extract_all(pt, ' y ')) AS h_es,
+        len(regexp_extract_all(pt, ' der ')) + len(regexp_extract_all(pt, ' und '))
+          + len(regexp_extract_all(pt, ' die ')) AS h_de
+      FROM p
+    )
+    SELECT doc_id,
+      CASE
+        WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+        WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+        WHEN h_es >= h_fr THEN 'es'
+        ELSE 'fr'
+      END AS lang_pred
+    FROM h
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: argmax of per-language stopword-marker hits,
+    ties broken by language-code order (de < en < es < fr), 'und' if none."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             least(length(text) / 500.0, 1.0) AS length_term,
+             CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                  THEN least(4.0 *
+                    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                    / len(string_split_regex(lower(trim(text)), '\\s+')), 1.0)
+                  ELSE 0.0 END AS stop_term,
+             1.0 - least(5.0 * CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       AS DOUBLE) / length(text) ELSE 0.0 END, 1.0) AS punct_term
+      FROM documents
+    )
+    SELECT doc_id, round((length_term + stop_term + punct_term) / 3.0, 4)
+             AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Composite document-quality heuristic (length / stopword density /
+    punctuation soup) — the filter stage of a pretraining pipeline."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 7, 1)),
+               i -> text[i:i+7])),
+             s -> md5(s))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: min md5 over char-8-gram
+    shingles (rolling-hash selection, stable under distant edits)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.select("doc_id", T.fingerprint(F.col("text"), 8).alias("fingerprint"))
+
+
+@register(
+    "embed_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+             AS l2_norm,
+           round(list_sum(embedding::DOUBLE[]), 4) AS comp_sum
+    FROM embeddings
+    """,
+)
+def q_embed_norms(spark, sf_dir):
+    """Embedding-column hygiene: L2 norm and component sum per vector, via
+    built-in higher-order functions in float64."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    v = V.as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(V.norm(v), 4).alias("l2_norm"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("comp_sum"),
+    )
+
+
+@register(
+    "sim_topk_brute",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def q_sim_topk_brute(spark, sf_dir):
+    """Brute-force cosine top-k=10 for a query set (vec_id<5): broadcast the
+    queries against the corpus, score with built-in array math, take top-k
+    per query with a window. The exact baseline the LSH/IVF paths are
+    recall-checked against. Ordering uses the rounded score (+vec_id tie) so
+    ranking is stable across engines' float accumulation."""
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    queries = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), V.as_double(F.col("embedding")).alias("qv"))
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+@register(
+    "sim_pairs_threshold",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 100 AND b.vec_id < 100
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def q_sim_pairs_threshold(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3) within a bounded id range —
+    the exact all-pairs baseline for embedding dedup."""
+    e = Catalog(spark, sf_dir).table("embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("vec_a"), V.as_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), V.as_double(F.col("embedding")).alias("vb"))
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )

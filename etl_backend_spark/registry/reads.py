@@ -1,0 +1,646 @@
+"""Registry: scans, filters, projections, joins, sorts/pagination, scalar fns
+(SURVEY.md §2.1–§2.3, §2.6, §2.7) + the flagship search query (§3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import scalars
+from ..operators import filters, joins, pagination, scans
+from ..plans.query_builder import SearchParams, ads_search, ads_search_total
+from ..sources.catalog import Catalog
+from . import register
+
+# ---------------------------------------------------------------- flagship
+
+_FLAGSHIP = SearchParams(
+    status="O", min_price=1000.0, max_price=150000.0,
+    sort_by="newest", page=2, limit=20,
+)
+
+
+@register(
+    "ads_search",
+    oracle="""
+    WITH filtered AS (
+      SELECT * FROM orders
+      WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000.0 AND 150000.0
+    ), counts AS (
+      SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
+           f.o_orderdate, f.o_orderpriority, c.c_name, c.c_mktsegment,
+           coalesce(n.n_items, 0) AS n_items
+    FROM filtered f
+    JOIN customer c ON f.o_custkey = c.c_custkey
+    LEFT JOIN counts n ON f.o_orderkey = n.l_orderkey
+    ORDER BY f.o_orderdate DESC, f.o_orderkey DESC
+    LIMIT 20 OFFSET 20
+    """,
+)
+def q_ads_search(spark, sf_dir):
+    """Flagship: GET /api/ads (reference src/routes/ads.ts:84-171) — dynamic
+    predicates + n:1 join + relation count + sort + offset page."""
+    return ads_search(Catalog(spark, sf_dir), _FLAGSHIP)
+
+
+@register(
+    "ads_search_total",
+    oracle="""
+    SELECT count(*) AS total,
+           CAST(ceil(count(*) / 20.0) AS BIGINT) AS total_pages
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000.0 AND 150000.0
+    """,
+)
+def q_ads_search_total(spark, sf_dir):
+    """Sibling count plan + page math (reference src/routes/ads.ts:155,164)."""
+    return ads_search_total(Catalog(spark, sf_dir), _FLAGSHIP)
+
+
+# ---------------------------------------------------------------- §2.1 scans
+
+@register(
+    "scan_filtered",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def q_scan_filtered(spark, sf_dir):
+    """Filtered scan (reference src/routes/ads.ts:135-154). Predicates reach
+    the parquet reader as PushedFilters; projection prunes ReadSchema."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return scans.scan_filtered(
+        li,
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.to_timestamp(F.lit("2000-01-01"))),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+
+@register("scan_full_sorted", oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_name")
+def q_scan_full_sorted(spark, sf_dir):
+    """Full scan + order — categories by name (reference src/routes/ads.ts:273-277)."""
+    return Catalog(spark, sf_dir).table("region").orderBy("r_name")
+
+
+@register("lookup_pk", oracle="SELECT * FROM orders WHERE o_orderkey = 7777 LIMIT 1")
+def q_lookup_pk(spark, sf_dir):
+    """Point lookup by PK (reference src/routes/ads.ts:178-195); parquet
+    min/max skipping plays the b-tree's role."""
+    return scans.lookup_pk(Catalog(spark, sf_dir).table("orders"), "o_orderkey", 7777)
+
+
+@register(
+    "lookup_unique_composite",
+    oracle="SELECT * FROM lineitem WHERE l_orderkey = 7777 AND l_linenumber = 1",
+)
+def q_lookup_unique_composite(spark, sf_dir):
+    """Composite unique-key lookup (reference src/routes/favorites.ts:109-117)."""
+    return scans.lookup_unique_composite(
+        Catalog(spark, sf_dir).table("lineitem"),
+        {"l_orderkey": 7777, "l_linenumber": 1},
+    )
+
+
+@register(
+    "source_json",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events
+    """,
+)
+def q_source_json(spark, sf_dir):
+    """JSON ingestion — `JSON.parse` of WS payloads (reference
+    src/websocket.ts:40) as ``from_json`` with a declared schema."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id", F.from_json(F.col("props"), "k INT").getField("k").alias("k")
+    )
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status2, o_orderpriority AS priority2
+    FROM orders
+    """,
+)
+def q_sink_json_roundtrip(spark, sf_dir):
+    """JSON emission + re-parse is the identity — `res.json`/`JSON.stringify`
+    (reference src/routes/ads.ts:158-166, src/websocket.ts:73-83)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    js = F.to_json(F.struct("o_orderstatus", "o_orderpriority"))
+    parsed = F.from_json(js, "o_orderstatus STRING, o_orderpriority STRING")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("o_orderstatus").alias("status2"),
+        parsed.getField("o_orderpriority").alias("priority2"),
+    )
+
+
+@register(
+    "source_files_filter",
+    oracle="""
+    SELECT p_partkey, path FROM (
+      SELECT p_partkey,
+             '/uploads/ads/' || CAST(p_partkey AS VARCHAR) ||
+             CASE WHEN p_partkey % 4 = 0 THEN '.jpg'
+                  WHEN p_partkey % 4 = 1 THEN '.png'
+                  WHEN p_partkey % 4 = 2 THEN '.gif'
+                  ELSE '.webp' END AS path
+      FROM part
+    ) WHERE regexp_matches(lower(path), '\\.(jpeg|jpg|png|webp)$')
+    """,
+)
+def q_source_files_filter(spark, sf_dir):
+    """Binary-file intake path filtering — multer's extension allow-list
+    (reference src/routes/ads.ts:12-39) over a synthetic path column."""
+    p = Catalog(spark, sf_dir).table("part")
+    ext = (
+        F.when(F.col("p_partkey") % 4 == 0, ".jpg")
+        .when(F.col("p_partkey") % 4 == 1, ".png")
+        .when(F.col("p_partkey") % 4 == 2, ".gif")
+        .otherwise(".webp")
+    )
+    path = F.concat(
+        F.lit("/uploads/ads/"), F.col("p_partkey").cast("string"), ext
+    )
+    return (
+        p.select("p_partkey", path.alias("path"))
+        .filter(scalars.ext_allowed(F.col("path")))
+    )
+
+
+@register(
+    "raw_sql",
+    oracle="SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def q_raw_sql(spark, sf_dir):
+    """Raw SQL passthrough — `$executeRawUnsafe` (reference src/routes/setup.ts:12-15)."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+# ----------------------------------------------------- §2.2 projections/filters
+
+@register("project_columns", oracle="SELECT c_custkey, c_name FROM customer")
+def q_project_columns(spark, sf_dir):
+    """Column projection (reference src/routes/ads.ts:141-148)."""
+    return Catalog(spark, sf_dir).table("customer").select("c_custkey", "c_name")
+
+
+@register(
+    "project_exclude",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    """,
+)
+def q_project_exclude(spark, sf_dir):
+    """Column exclusion — strip `password` before respond
+    (reference src/routes/auth.ts:101)."""
+    return Catalog(spark, sf_dir).table("orders").drop("o_orderpriority")
+
+
+@register(
+    "project_nested",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(c_name := c_name, c_mktsegment := c_mktsegment))
+             AS customer
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_project_nested(spark, sf_dir):
+    """Nested projection of a joined entity — `include:{user:{select:...}}`
+    yields a struct-valued column (reference src/routes/ads.ts:140-153);
+    JSON-serialized for engine-portable hashing."""
+    cat = Catalog(spark, sf_dir)
+    o, c = cat.table("orders"), cat.table("customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "o_orderkey",
+            F.to_json(F.struct("c_name", "c_mktsegment")).alias("customer"),
+        )
+    )
+
+
+@register(
+    "filter_eq",
+    oracle="SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linestatus = 'F'",
+)
+def q_filter_eq(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.filter(filters.eq("l_linestatus", "F")).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "filter_neq",
+    oracle="SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'",
+)
+def q_filter_neq(spark, sf_dir):
+    """`status: { not: 'deleted' }` (reference src/routes/ads.ts:218)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.filter(filters.neq("o_orderstatus", "F")).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_extendedprice BETWEEN 1000.0 AND 2000.0
+    """,
+)
+def q_filter_range(spark, sf_dir):
+    """`price: {gte, lte}` (reference src/routes/ads.ts:115-119)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.filter(filters.range_pred("l_extendedprice", 1000.0, 2000.0)).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "filter_contains_ci",
+    oracle="""
+    SELECT p_partkey, p_name FROM part WHERE contains(lower(p_name), 'red')
+    """,
+)
+def q_filter_contains_ci(spark, sf_dir):
+    """ILIKE '%s%' (reference src/routes/ads.ts:104-109)."""
+    p = Catalog(spark, sf_dir).table("part")
+    return p.filter(filters.ci_contains("p_name", "RED")).select("p_partkey", "p_name")
+
+
+@register(
+    "filter_or",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE contains(lower(p_name), 'red') OR contains(lower(p_type), 'economy')
+    """,
+)
+def q_filter_or(spark, sf_dir):
+    """`OR:[{title contains},{description contains}]`
+    (reference src/routes/ads.ts:105-108)."""
+    p = Catalog(spark, sf_dir).table("part")
+    return p.filter(
+        filters.any_of(
+            filters.ci_contains("p_name", "red"),
+            filters.ci_contains("p_type", "ECONOMY"),
+        )
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "filter_dynamic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice BETWEEN 50000.0 AND 300000.0
+      AND contains(lower(o_orderpriority), 'high')
+    """,
+)
+def q_filter_dynamic(spark, sf_dir):
+    """Runtime-assembled predicate list folded with AND — the reference's
+    query-builder IR (src/routes/ads.ts:99-123)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    preds = [
+        filters.eq("o_orderstatus", "O"),
+        filters.range_pred("o_totalprice", 50000.0, 300000.0),
+        filters.ci_contains("o_orderpriority", "HIGH"),
+    ]
+    return filters.apply(o, preds).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_post_join",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus <> 'F' AND c_mktsegment = 'BUILDING'
+    """,
+)
+def q_filter_post_join(spark, sf_dir):
+    """The reference's one client-side post-join filter
+    (src/routes/favorites.ts:95) — expressed after the join here; Catalyst
+    pushes it below the join for free."""
+    cat = Catalog(spark, sf_dir)
+    o, c = cat.table("orders"), cat.table("customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter((F.col("o_orderstatus") != "F") & (F.col("c_mktsegment") == "BUILDING"))
+        .select("o_orderkey", "o_orderstatus", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------- §2.3 joins
+
+@register(
+    "join_lookup_n1",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_join_lookup_n1(spark, sf_dir):
+    """n:1 FK lookup join, broadcast (reference src/routes/ads.ts:140-149)."""
+    cat = Catalog(spark, sf_dir)
+    out = joins.lookup_n1(
+        cat.table("lineitem"), cat.table("part"), "l_partkey", "p_partkey",
+        how="inner",
+    )
+    return out.select("l_orderkey", "l_linenumber", "p_name", "p_brand")
+
+
+@register(
+    "join_two_hop",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderdate, c_name
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_two_hop(spark, sf_dir):
+    """Join through a junction — Favorite→Ad→User
+    (reference src/routes/favorites.ts:74-92)."""
+    cat = Catalog(spark, sf_dir)
+    li, o, c = cat.table("lineitem"), cat.table("orders"), cat.table("customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "c_name")
+    )
+
+
+@register(
+    "join_self_roles",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, count(*) AS n
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+    """,
+)
+def q_join_self_roles(spark, sf_dir):
+    """Same dimension under two roles — Conversation's user1/user2 → User
+    (reference src/routes/chat.ts:93-107); TPC-H Q7 shape over testdata. The
+    nation dim joins broadcast (never shuffles the fact side)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    s, o, c = cat.table("supplier"), cat.table("orders"), cat.table("customer")
+    n1 = cat.tbl("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.tbl("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_1n_nested",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+             AS items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def q_join_1n_nested(spark, sf_dir):
+    """1:N nested collect — `include:{messages:[...]}`
+    (reference src/routes/chat.ts:108-111); the child list is gathered with
+    collect_list after a groupBy, serialized sorted for engine-portable
+    hashing."""
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    nested = joins.nested_1n(
+        o, li, "o_orderkey", "l_orderkey",
+        F.col("l_linenumber").cast("string"), out_col="items_arr",
+    )
+    return nested.filter(F.col("items_arr").isNotNull()).select(
+        "o_orderkey", F.array_join("items_arr", ",").alias("items")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """Existence check → left semi (reference src/routes/favorites.ts:105-122)."""
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return joins.semi(c, o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """Non-existence guard → left anti (reference src/routes/favorites.ts:23-41)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer")
+    o = cat.table("orders").filter(F.col("o_totalprice") > 400000.0)
+    return joins.anti(c, o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "exists_flag",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+    FROM customer
+    """,
+)
+def q_exists_flag(spark, sf_dir):
+    """null→bool exists flag — `{isFavorite: !!favorite}`
+    (reference src/routes/favorites.ts:118)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer")
+    keys = cat.table("orders").select(F.col("o_custkey").alias("__k")).distinct()
+    return (
+        c.join(keys, c["c_custkey"] == keys["__k"], "left")
+        .select("c_custkey", scalars.exists_flag(F.col("__k")).alias("has_orders"))
+    )
+
+
+# ------------------------------------------------- §2.6 sorts/limits/pagination
+
+@register(
+    "sort_multi_option",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
+    """,
+)
+def q_sort_multi_option(spark, sf_dir):
+    """Runtime-selected sort (reference src/routes/ads.ts:126-132), price_high
+    variant; executes as TakeOrderedAndProject, never a global sort."""
+    o = Catalog(spark, sf_dir).table("orders")
+    order = pagination.sort_spec("price_high", tie_break="o_orderkey")
+    return pagination.top_k(o.select("o_orderkey", "o_totalprice"), order, 100)
+
+
+@register(
+    "paginate_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20 OFFSET 40
+    """,
+)
+def q_paginate_offset(spark, sf_dir):
+    """Offset/limit page 3 (reference src/routes/ads.ts:93-97,137-139)."""
+    o = Catalog(spark, sf_dir).table("orders").select("o_orderkey", "o_orderdate")
+    order = pagination.sort_spec("newest", tie_break="o_orderkey")
+    return pagination.paginate_offset(o, order, page=3, limit=20)
+
+
+@register(
+    "keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def q_keyset_page(spark, sf_dir):
+    """Keyset pagination — the deep-pagination scale path (absent in the
+    reference; the predicate prunes at the scan)."""
+    o = Catalog(spark, sf_dir).table("orders").select("o_orderkey", "o_totalprice")
+    return pagination.keyset_page(o, "o_orderkey", 5000, limit=50)
+
+
+@register(
+    "sort_asc_stream",
+    oracle="""
+    SELECT event_id, ts, event_type FROM events
+    WHERE user_id = 7 ORDER BY ts ASC, event_id ASC
+    """,
+)
+def q_sort_asc_stream(spark, sf_dir):
+    """Chronological ascending sort — messages of one conversation
+    (reference src/routes/chat.ts:145)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.filter(F.col("user_id") == 7)
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .select("event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+    """,
+)
+def q_topk_global(spark, sf_dir):
+    """Global top-k (absent in reference; TakeOrderedAndProject)."""
+    o = Catalog(spark, sf_dir).table("orders").select("o_orderkey", "o_totalprice")
+    return pagination.top_k(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey").desc()], 10
+    )
+
+
+# ---------------------------------------------------------------- §2.7 scalars
+
+@register(
+    "fn_scalars_combo",
+    oracle="""
+    SELECT p_partkey,
+           CAST(CAST(p_partkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) AS price_roundtrip,
+           least(p_size, CAST(p_partkey % 50 AS INTEGER)) AS pair_lo,
+           greatest(p_size, CAST(p_partkey % 50 AS INTEGER)) AS pair_hi,
+           CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           regexp_matches(p_type, 'ECONOMY|SMALL') AS is_cheap_class
+    FROM part
+    """,
+)
+def q_fn_scalars_combo(spark, sf_dir):
+    """Scalar-function surface in one pass: casts (parseFloat/parseInt,
+    reference src/routes/ads.ts:57,97), least/greatest canonical pair
+    (src/routes/chat.ts:18), ceil page math (src/routes/ads.ts:164),
+    concat_ws filename building (src/routes/ads.ts:21), rlike allow-list
+    (src/routes/ads.ts:30-32)."""
+    p = Catalog(spark, sf_dir).table("part")
+    mod = (F.col("p_partkey") % 50).cast("int")
+    return p.select(
+        "p_partkey",
+        F.col("p_partkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("p_retailprice").cast("string").cast("double").alias("price_roundtrip"),
+        F.least(F.col("p_size"), mod).alias("pair_lo"),
+        F.greatest(F.col("p_size"), mod).alias("pair_hi"),
+        F.ceil(F.col("p_retailprice") / 100.0).alias("price_bucket"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_type").rlike("ECONOMY|SMALL").alias("is_cheap_class"),
+    )
+
+
+@register(
+    "fn_least_pair",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(l_partkey, l_suppkey) AS pair_lo,
+           greatest(l_partkey, l_suppkey) AS pair_hi
+    FROM lineitem
+    """,
+)
+def q_fn_least_pair(spark, sf_dir):
+    """Canonical unordered-pair ordering — `[a,b].sort()` before conversation
+    lookup (reference src/routes/chat.ts:18)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    lo, hi = scalars.canonical_pair(F.col("l_partkey"), F.col("l_suppkey"))
+    return li.select(
+        "l_orderkey", "l_linenumber", lo.alias("pair_lo"), hi.alias("pair_hi")
+    )
+
+
+@register(
+    "fn_array_build",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(
+             list_transform(string_split(p_name, ' '), w -> '/uploads/ads/' || w),
+             ',') AS paths
+    FROM part
+    """,
+)
+def q_fn_array_build(spark, sf_dir):
+    """Array build + transform — `files.map(f => '/uploads/ads/'+f.filename)`
+    (reference src/routes/ads.ts:51); serialized for hashing."""
+    p = Catalog(spark, sf_dir).table("part")
+    arr = scalars.build_upload_paths(F.split(F.col("p_name"), " "))
+    return p.select("p_partkey", F.array_join(arr, ",").alias("paths"))

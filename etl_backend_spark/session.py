@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Scale stance: these settings are chosen so the same logical plans run
+unchanged from ``local[32]`` tests to a 1000-executor cluster over ~100 TB:
+
+- **AQE on** (coalesce + skew join): runtime re-planning replaces manual
+  shuffle-partition tuning; skewed join keys (hot conversations, hot users)
+  get split automatically.
+- **Broadcast threshold 64 MiB**: dimension tables (category/region/nation
+  class) never shuffle; fact-fact joins fall back to sort-merge.
+- **Arrow enabled**: every Python-side exchange (pandas UDFs, toPandas) is
+  columnar-batched, never row-at-a-time.
+- **UTC session timezone**: deterministic timestamp semantics across engines
+  (required for oracle parity with DuckDB).
+- **shuffle.partitions** defaults to 2×cores locally; on a real cluster set
+  ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (rule of thumb: ~2-3× total cores, with
+  AQE coalescing down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-backend-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as int64
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

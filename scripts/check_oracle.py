@@ -1,0 +1,122 @@
+"""Local emulation of the driver's correctness gate: run every registry query
+in Spark AND its oracle SQL in DuckDB over the same parquet dir; compare
+row count, schema shape, and order-insensitive values.
+
+Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from etl_backend_spark.registry import ORACLES, QUERIES  # noqa: E402
+from etl_backend_spark.session import get_spark  # noqa: E402
+from etl_backend_spark.sources.catalog import TABLES  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: columns sorted by name, rows sorted
+    by all columns (stringified for mixed/NaN safety)."""
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        key = df.astype(str).agg("|".join, axis=1)
+        df = df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    s, o = canon(sdf), canon(odf)
+    if len(s) != len(o):
+        return problems
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            a = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
+            b = pd.to_numeric(ov, errors="coerce").to_numpy(dtype=float)
+            both_nan = np.isnan(a) & np.isnan(b)
+            exact = (a == b) | both_nan
+            if not exact.all():
+                close = np.isclose(a, b, rtol=0, atol=1e-9) | both_nan
+                n_bad = int((~exact).sum())
+                if close.all():
+                    problems.append(
+                        f"col {c}: {n_bad} float values differ but within 1e-9 "
+                        "(WOULD FAIL exact hash)"
+                    )
+                else:
+                    i = int(np.argmax(~close))
+                    problems.append(
+                        f"col {c}: {n_bad} values differ, e.g. row {i}: "
+                        f"{a[i]!r} vs {b[i]!r}"
+                    )
+        else:
+            eq = (sv.astype(str) == ov.astype(str)) | (sv.isna() & ov.isna())
+            if not eq.all():
+                i = int(np.argmax(~eq.values))
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} values differ, e.g. row {i}: "
+                    f"{sv.iloc[i]!r} vs {ov.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duck_connect(sf_dir)
+    failed = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in ORACLES:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(ORACLES[name]).fetchdf()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failed)} failed: {failed}" if failed else "\nall OK")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
