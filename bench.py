@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Per query: one warm-up run (fills the session/page cache, triggers codegen),
+then median of 3 timed runs. The action is ``df.count()`` after a
+``cache-free`` plan build — we measure execution, not collect-to-driver
+serialization of wide rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_backend_spark.registry import QUERIES  # noqa: E402
+from etl_backend_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward shuffle/join-heavy
+# shapes where plan quality shows.
+HEADLINE = [
+    "ads_search",              # flagship: filter+join+count-join+sort+page
+    "agg_sum_group",           # TPC-H Q1 shape: wide grouped agg
+    "join_self_roles",         # multi-join + dual-role dim (Q7 shape)
+    "join_two_hop",            # fact-fact-dim chain
+    "agg_relation_count",      # pre-agg + join-back
+    "window_latest_per_group", # top-1 per key window
+    "stream_sessionize",       # session_window gaps-and-islands
+    "dedup_exact",             # hash groupBy dedup
+    "dedup_ngram_jaccard",     # shingle explode + self-join (LSH cost shape)
+    "sim_topk_brute",          # broadcast cosine top-k
+    "text_stats",              # regexp-heavy scalar pipeline
+    "paginate_offset",         # TakeOrderedAndProject
+]
+
+RUNS = 3
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    fn(spark, sf_dir).count()  # warm-up
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(time_query(QUERIES[name], spark, sf_dir), 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

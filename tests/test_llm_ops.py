@@ -1,0 +1,129 @@
+"""Tests for the LLM-data-pipeline surface: dedup invariants, text metrics,
+vector math — properties the DuckDB hash-compare can't express."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_backend_spark.functions import text as T
+from etl_backend_spark.functions import vectors as V
+
+
+def test_dedup_exact_keeps_one_per_hash(spark, cat):
+    d = cat.table("documents")
+    groups = d.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n")
+    )
+    n_docs = d.count()
+    n_groups = groups.count()
+    dup_rows = groups.select(F.sum(F.col("n") - 1).alias("s")).collect()[0].s
+    assert n_groups + dup_rows == n_docs
+
+
+def test_word_shingles_known_value(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    got = df.select(T.word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert sorted(got) == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_single_window(spark):
+    df = spark.createDataFrame([("one two",)], ["text"])
+    got = df.select(T.word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert got == ["one two"]
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    sh = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y")], ["doc_id", "shingle"]
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert inter[0].n == 2  # |∩| = 2, sizes 2 → jaccard = 2/(2+2-2) = 1
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        ("the cat and the dog of war", "en"),
+        ("le chat et la mer", "fr"),
+        ("el perro y los gatos", "es"),
+        ("der hund und die katze", "de"),
+        ("zzzz qqqq", "und"),
+    ]
+    df = spark.createDataFrame(rows, ["text", "expect"])
+    got = df.select("expect", T.lang_id(F.col("text")).alias("pred")).collect()
+    for r in got:
+        assert r.pred == r.expect, r
+
+
+def test_quality_score_bounds(cat):
+    d = cat.table("documents")
+    bad = d.select(T.quality_score(F.col("text")).alias("q")).filter(
+        (F.col("q") < 0) | (F.col("q") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame([("Hello, world 42!",)], ["text"])
+    n = df.select(T.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0].n
+    # Hello , world 42 !  -> 5
+    assert n == 5
+
+
+def test_cosine_self_is_one_and_symmetry(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [3.0, 2.0, 1.0])], ["a", "b"])
+    row = df.select(
+        V.cosine(F.col("a"), F.col("a")).alias("self"),
+        V.cosine(F.col("a"), F.col("b")).alias("ab"),
+        V.cosine(F.col("b"), F.col("a")).alias("ba"),
+        V.dot(F.col("a"), F.col("b")).alias("dot"),
+        V.norm(F.col("a")).alias("na"),
+    ).collect()[0]
+    assert math.isclose(row.self, 1.0, rel_tol=1e-12)
+    assert math.isclose(row.ab, row.ba, rel_tol=1e-12)
+    assert math.isclose(row.dot, 10.0, rel_tol=1e-12)
+    assert math.isclose(row.na, math.sqrt(14.0), rel_tol=1e-12)
+
+
+def test_l2_normalize_unit_norm(cat):
+    e = cat.table("embeddings").limit(20)
+    norms = e.select(
+        V.norm(V.l2_normalize(V.as_double(F.col("embedding")))).alias("n")
+    ).collect()
+    for r in norms:
+        assert math.isclose(r.n, 1.0, rel_tol=1e-9)
+
+
+def test_sim_topk_brute_recall_is_exact(spark, cat):
+    """Brute-force top-k must equal a python-side exact computation."""
+    import numpy as np
+
+    e = cat.table("embeddings")
+    pdf = e.toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for _, r in pdf.iterrows()}
+    qid = 0
+    qv = vecs[qid]
+    sims = {
+        vid: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        for vid, v in vecs.items()
+        if vid != qid
+    }
+    expect = sorted(sims, key=lambda k: (-round(sims[k], 6), k))[:5]
+
+    from etl_backend_spark.registry import QUERIES
+
+    got = (
+        QUERIES["sim_topk_brute"](spark, "/root/testdata/sf0.001")
+        .filter(F.col("q_id") == qid)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [r.vec_id for r in got] == expect

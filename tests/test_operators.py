@@ -1,0 +1,197 @@
+"""Unit tests for the operator library at sf0.001 (semantic invariants the
+oracle gate can't express: pagination disjointness/exhaustiveness, upsert
+idempotence, soft-delete visibility, dedup keep-first, plan-shape checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_backend_spark.operators import aggregates, filters, joins, pagination, windows
+from etl_backend_spark.plans.query_builder import SearchParams, ads_search, ads_search_total
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- pagination
+
+def test_pages_disjoint_and_exhaustive(cat):
+    """Walking all pages yields each filtered row exactly once (reference
+    pagination contract, src/routes/ads.ts:93-97)."""
+    o = cat.table("orders").filter(F.col("o_orderstatus") == "O")
+    total = o.count()
+    order = pagination.sort_spec("newest", tie_break="o_orderkey")
+    limit = 100
+    seen: set[int] = []
+    seen = []
+    page = 1
+    while True:
+        rows = pagination.paginate_offset(o, order, page, limit).collect()
+        if not rows:
+            break
+        seen.extend(r.o_orderkey for r in rows)
+        page += 1
+        assert page < 100, "runaway pagination"
+    assert len(seen) == total
+    assert len(set(seen)) == total  # disjoint
+
+
+def test_page_is_prefix_window_of_sort(cat):
+    o = cat.table("orders")
+    order = pagination.sort_spec("price_high", tie_break="o_orderkey")
+    p1 = pagination.paginate_offset(o, order, 1, 10).collect()
+    top = pagination.top_k(o, order, 10).collect()
+    assert [r.o_orderkey for r in p1] == [r.o_orderkey for r in top]
+
+
+def test_keyset_equals_offset_deep_page(cat):
+    """Keyset pagination returns the same rows as offset pagination when
+    cursor = last key of the previous page."""
+    o = cat.table("orders").select("o_orderkey")
+    order = [F.col("o_orderkey").asc()]
+    first = pagination.paginate_offset(o, order, 1, 50).collect()
+    cursor = first[-1].o_orderkey
+    via_offset = [r.o_orderkey for r in pagination.paginate_offset(o, order, 2, 50).collect()]
+    via_keyset = [r.o_orderkey for r in pagination.keyset_page(o, "o_orderkey", cursor, 50).collect()]
+    assert via_offset == via_keyset
+
+
+# ---------------------------------------------------------------- flagship
+
+def test_flagship_total_matches_filter_count(cat):
+    p = SearchParams(status="O", min_price=1000.0, max_price=150000.0)
+    total_row = ads_search_total(cat, p).collect()[0]
+    manual = (
+        cat.table("orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_totalprice").between(1000.0, 150000.0)
+        )
+        .count()
+    )
+    assert total_row.total == manual
+    assert total_row.total_pages == -(-manual // 20)
+
+
+def test_flagship_page_size_and_sort(cat):
+    p = SearchParams(status="O", sort_by="price_low", page=1, limit=15)
+    rows = ads_search(cat, p).collect()
+    assert len(rows) == 15
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices)
+
+
+# ---------------------------------------------------------------- joins
+
+def test_lookup_n1_broadcast_plan(cat):
+    """The n:1 dim join must plan as a broadcast hash join at any scale."""
+    out = joins.lookup_n1(
+        cat.table("lineitem"), cat.table("part"), "l_partkey", "p_partkey"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_partition_universe(cat):
+    """semi(P) ∪ anti(P) == parent, disjoint."""
+    c = cat.table("customer")
+    o = cat.table("orders")
+    on = c["c_custkey"] == o["o_custkey"]
+    n_semi = joins.semi(c, o, on).count()
+    n_anti = joins.anti(c, o, on).count()
+    assert n_semi + n_anti == c.count()
+
+
+def test_nested_1n_matches_child_counts(cat):
+    o, li = cat.table("orders"), cat.table("lineitem")
+    nested = joins.nested_1n(
+        o, li, "o_orderkey", "l_orderkey", F.col("l_linenumber"), out_col="items"
+    )
+    got = nested.select(
+        "o_orderkey", F.coalesce(F.size("items"), F.lit(0)).alias("n")
+    )
+    expect = aggregates.relation_count(o, li, "o_orderkey", "l_orderkey", alias="n")
+    diff = (
+        got.alias("g")
+        .join(expect.alias("e"), "o_orderkey")
+        .filter(F.col("g.n") != F.col("e.n"))
+        .count()
+    )
+    assert diff == 0
+
+
+# ---------------------------------------------------------------- aggregates
+
+def test_relation_count_zero_for_childless(spark, cat):
+    parent = spark.range(3).select(F.col("id").alias("pk"))
+    child = spark.range(1).select(F.lit(0).alias("fk"))
+    out = aggregates.relation_count(parent, child, "pk", "fk", alias="n")
+    got = {r.pk: r.n for r in out.collect()}
+    assert got == {0: 1, 1: 0, 2: 0}
+
+
+def test_multi_count_single_pass(cat):
+    o = cat.table("orders")
+    row = aggregates.multi_count(
+        o, {"n": None, "n_open": F.col("o_orderstatus") == "O"}
+    ).collect()[0]
+    assert row.n == o.count()
+    assert row.n_open == o.filter(F.col("o_orderstatus") == "O").count()
+
+
+# ---------------------------------------------------------------- windows
+
+def test_latest_per_group_is_argmax(cat):
+    ev = cat.table("events")
+    latest = windows.latest_per_group(
+        ev, "user_id", [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    # one row per user, and its ts is that user's max ts
+    per_user = latest.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert per_user == 0
+    joined = (
+        latest.select("user_id", "ts")
+        .join(
+            ev.groupBy("user_id").agg(F.max("ts").alias("mx")),
+            "user_id",
+        )
+        .filter(F.col("ts") != F.col("mx"))
+    )
+    assert joined.count() == 0
+
+
+# ---------------------------------------------------------------- filters
+
+def test_dynamic_filter_fold_equals_chained(cat):
+    li = cat.table("lineitem")
+    preds = [
+        filters.eq("l_linestatus", "F"),
+        filters.range_pred("l_quantity", 10.0, None),
+    ]
+    a = filters.apply(li, preds).count()
+    b = li.filter(F.col("l_linestatus") == "F").filter(F.col("l_quantity") >= 10.0).count()
+    assert a == b
+
+
+def test_empty_predicate_list_is_identity(cat):
+    li = cat.table("lineitem")
+    assert filters.apply(li, []).count() == li.count()
+
+
+def test_ci_contains_matches_ilike_semantics(cat):
+    p = cat.table("part")
+    a = p.filter(filters.ci_contains("p_name", "GREEN")).count()
+    b = p.filter(F.lower(F.col("p_name")).like("%green%")).count()
+    assert a == b
+
+
+# ---------------------------------------------------------------- plan shape
+
+def test_filter_pushdown_reaches_scan(cat):
+    df = cat.table("lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_reaches_scan(cat):
+    df = cat.table("lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
