@@ -1,0 +1,227 @@
+"""Deterministic sketch hashing for near-dup detection at scale: MinHash
+signatures, SimHash, and sign-pattern embedding buckets.
+
+Everything is built from ``md5`` + bit arithmetic so the SAME algorithm is
+expressible in both Spark (built-in Columns, JVM-side) and the DuckDB oracle
+— the sketches are deterministic, not seeded-random, which makes the LSH
+paths hash-checkable rather than rows-only.
+
+Scale notes
+-----------
+- MinHash-LSH (Broder '97 / MMDS ch.3): n=16 components, 8 bands x 2 rows →
+  candidate-pair s-curve threshold ~(1/8)^(1/2) ≈ 0.35. Candidates come from
+  an equi-join on (band, band_key) — shuffle on the band key, never an
+  all-pairs comparison; at 100 TB the band join is the only quadratic-risk
+  stage and its fan-out is bounded by bucket sizes.
+- SimHash (Charikar '02; Manku et al. WWW'07 chunk trick): 32-bit fingerprint
+  split into 4 bands of 8 bits; hamming-≤3 pairs must share ≥1 exact band, so
+  candidate generation is again an equi-join.
+- Sign-bucket ANN: an IVF-style coarse quantizer — bucket = sign pattern of
+  the first 8 embedding dims; a query probes its own bucket plus all
+  hamming-1 neighbors (9 equi-join keys). Recall is bounded but deterministic;
+  the brute-force scorer (``sim_topk_brute``) is the recall oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MINHASH_N = 16
+MINHASH_BANDS = 8
+MINHASH_ROWS = 2  # per band
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIGN_BUCKET_BITS = 8
+
+
+# ------------------------------------------------------------------ MinHash
+
+def minhash_signature(shingles: Column, n: int = MINHASH_N) -> Column:
+    """n-component MinHash signature of a distinct-shingle array.
+
+    Component i = min over shingles of the first 16 hex chars of
+    md5("{i}:" + shingle); lexicographic min over lowercase hex equals
+    numeric min over the 64-bit prefix, identically in Spark and DuckDB.
+    """
+    def component(prefix: str) -> Column:
+        # NB: the lambda must take exactly ONE parameter — a second parameter
+        # makes PySpark pass the array index into it instead of the closure.
+        return F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 16),
+            )
+        )
+
+    return F.array(*[component(f"{i}:") for i in range(n)])
+
+
+def minhash_bands(sig: Column, bands: int = MINHASH_BANDS,
+                  rows: int = MINHASH_ROWS) -> Column:
+    """Array of per-band bucket keys: band b's key is the concatenation of its
+    `rows` signature components. posexplode → (band, key) join keys."""
+    keys = []
+    for b in range(bands):
+        parts = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+        keys.append(F.concat(*parts))
+    return F.array(*keys)
+
+
+def minhash_est_jaccard(sig_a: Column, sig_b: Column,
+                        n: int = MINHASH_N) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature components."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                            lambda v: v))
+    return agree / F.lit(float(n))
+
+
+def minhash_oracle_sql(shingle_cte: str, threshold: float,
+                       n: int = MINHASH_N, bands: int = MINHASH_BANDS,
+                       rows: int = MINHASH_ROWS) -> str:
+    """DuckDB SQL implementing the identical MinHash-LSH pipeline.
+
+    ``shingle_cte`` must define ``sh(doc_id, shingle)`` (distinct rows).
+    """
+    sig_cols = ",\n        ".join(
+        f"min(substr(md5('{i}:' || shingle), 1, 16)) AS s{i}" for i in range(n)
+    )
+    band_keys = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b, expr=" || ".join(f"s{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+    WITH {shingle_cte},
+    sig AS (
+      SELECT doc_id, {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b AS band, CASE b {band_keys} END AS key
+      FROM sig CROSS JOIN generate_series(0, {bands - 1}) t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(({agree}) / {float(n)}, 4) AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ({agree}) / {float(n)} >= {threshold}
+    """
+
+
+# ------------------------------------------------------------------ SimHash
+
+def md5_prefix_long(c: Column, hex_chars: int = 8) -> Column:
+    """First `hex_chars` hex chars of md5 as a non-negative long."""
+    return F.conv(F.substring(F.md5(c), 1, hex_chars), 16, 10).cast("long")
+
+
+def simhash_votes(h: Column, bits: int = SIMHASH_BITS) -> list[Column]:
+    """Per-bit ±1 vote terms of one token hash (to be summed per doc)."""
+    return [
+        F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1 for k in range(bits)
+    ]
+
+
+def simhash_from_votes(vote_cols: list[Column]) -> Column:
+    """Fold summed per-bit votes into the fingerprint (bit k set iff ≥0)."""
+    terms = [
+        F.when(v >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        for k, v in enumerate(vote_cols)
+    ]
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def simhash_band_keys(simhash: Column, bands: int = SIMHASH_BANDS,
+                      bits: int = SIMHASH_BITS) -> Column:
+    """Array of band keys: contiguous (bits/bands)-bit chunks (Manku et al.:
+    hamming-≤(bands-1) pairs share at least one exact chunk)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[F.shiftright(simhash, b * width).bitwiseAND(F.lit(mask)) for b in range(bands)]
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_oracle_sql(words_cte: str, max_hamming: int,
+                       bits: int = SIMHASH_BITS,
+                       bands: int = SIMHASH_BANDS) -> str:
+    """DuckDB SQL for the identical SimHash pipeline. ``words_cte`` must
+    define ``words(doc_id, w)`` (distinct rows)."""
+    hexpoly = (
+        "list_sum(list_transform(generate_series(1, 8), "
+        "i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) "
+        "* (1::BIGINT << (4 * (8 - i)))))"
+    )
+    votes = ",\n        ".join(
+        f"sum(2 * ((h >> {k}) & 1) - 1) AS v{k}" for k in range(bits)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN v{k} >= 0 THEN (1::BIGINT << {k}) ELSE 0::BIGINT END)"
+        for k in range(bits)
+    )
+    width = bits // bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH {words_cte},
+    h AS (SELECT doc_id, {hexpoly} AS h FROM words),
+    votes AS (
+      SELECT doc_id, {votes}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {fold} AS simhash FROM votes),
+    bands AS (
+      SELECT doc_id, simhash, b AS band,
+             (simhash >> ({width} * b)) & {mask} AS key
+      FROM sig CROSS JOIN generate_series(0, {bands - 1}) t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+# ------------------------------------------------------- sign-bucket ANN
+
+def sign_bucket(vec: Column, bits: int = SIGN_BUCKET_BITS) -> Column:
+    """IVF-style coarse bucket: bit j set iff component j ≥ 0."""
+    terms = [
+        F.when(F.element_at(vec, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(bits)
+    ]
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def probe_buckets(bucket: Column, bits: int = SIGN_BUCKET_BITS) -> Column:
+    """Own bucket + every hamming-≤2 neighbor (multi-probe LSH): 37 of 256
+    buckets for 8 bits, ~14% of the corpus scored per query. For sign-plane
+    LSH with neighbor similarity ~cos 0.6 (bit-agreement p ≈ 0.7), expected
+    single-neighbor recall ≈ Σ_{k≤2} C(8,k) p^(8-k) (1-p)^k ≈ 0.56."""
+    h1 = [bucket.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+    h2 = [
+        bucket.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+        for i in range(bits)
+        for j in range(i + 1, bits)
+    ]
+    return F.array(bucket, *h1, *h2)

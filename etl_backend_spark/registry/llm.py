@@ -13,10 +13,26 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
 from ..sources.catalog import Catalog
 from . import register
+
+# DuckDB CTE mirroring functions.text.word_shingles(text, 3) row-wise
+_SHINGLE_CTE = """sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                              i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    )"""
+
+_WORDS_CTE = """words AS (
+      SELECT DISTINCT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    )"""
 
 
 @register(
@@ -309,4 +325,156 @@ def q_sim_pairs_threshold(spark, sf_dir):
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.3)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@register("dedup_minhash_lsh", oracle=H.minhash_oracle_sql(_SHINGLE_CTE, 0.5))
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (16 components, 8 bands x 2): shingle →
+    deterministic md5 minhash signature → band-bucket equi-join → estimated
+    Jaccard ≥ 0.5. The scale path for ``dedup_ngram_jaccard``: candidate
+    generation is a shuffle on band keys, never an all-pairs join."""
+    d = Catalog(spark, sf_dir).table("documents")
+    sig = d.select(
+        "doc_id",
+        H.minhash_signature(T.word_shingles(F.col("text"), 3)).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(H.minhash_bands(F.col("sig"))).alias("band", "key"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("__da"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("__db"), F.col("sig").alias("sig_b"))
+    est = H.minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("__da"))
+        .join(sb, F.col("doc_b") == F.col("__db"))
+        .filter(est >= 0.5)
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+@register("dedup_simhash", oracle=H.simhash_oracle_sql(_WORDS_CTE, 3))
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 32-bit fingerprint from per-word md5 bit votes,
+    4-band chunk candidate generation (hamming-≤3 pairs share ≥1 exact 8-bit
+    chunk), then exact hamming filter — equi-joins only, no all-pairs."""
+    d = Catalog(spark, sf_dir).table("documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("w"),
+    )
+    hashed = words.select("doc_id", H.md5_prefix_long(F.col("w")).alias("h"))
+    vote_aggs = [
+        F.sum(v).alias(f"v{k}") for k, v in enumerate(H.simhash_votes(F.col("h")))
+    ]
+    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
+    sig = votes.select(
+        "doc_id",
+        H.simhash_from_votes(
+            [F.col(f"v{k}") for k in range(H.SIMHASH_BITS)]
+        ).alias("simhash"),
+    )
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(H.simhash_band_keys(F.col("simhash"))).alias("band", "key"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter(H.hamming(F.col("ha"), F.col("hb")) <= 3)
+        .select("doc_a", "doc_b", H.hamming(F.col("ha"), F.col("hb")).alias("hamming"))
+    )
+
+
+@register(
+    "sim_topk_lsh",
+    oracle="""
+    WITH bkt AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> CASE WHEN embedding[j] >= 0 THEN (1::BIGINT << (j - 1))
+                         ELSE 0::BIGINT END)) AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv,
+             unnest(list_concat(
+               list_prepend(bucket,
+                 list_transform(generate_series(0, 7), j -> xor(bucket, 1::BIGINT << j))),
+               flatten(list_transform(generate_series(0, 6),
+                 i -> list_transform(generate_series(i + 1, 7),
+                   j -> xor(bucket, (1::BIGINT << i) | (1::BIGINT << j)))))))
+               AS probe
+      FROM bkt WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, c.vec_id,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+      FROM q JOIN bkt c ON c.bucket = q.probe AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def q_sim_topk_lsh(spark, sf_dir):
+    """ANN top-k via sign-bucket multi-probe LSH: corpus keyed by the sign
+    pattern of its first 8 dims; each query probes its bucket + all hamming-1
+    neighbors (9 equi-join keys), scores only candidates, window top-k.
+    Deterministic (hence oracle-checkable); recall vs ``sim_topk_brute`` is
+    pytest-checked. At 100 TB the probe join shuffles only by bucket key."""
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    bkt = e.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("v"),
+        H.sign_bucket(V.as_double(F.col("embedding"))).alias("bucket"),
+    )
+    queries = (
+        bkt.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.explode(H.probe_buckets(F.col("bucket"))).alias("probe"),
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(bkt, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id", "vec_id",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cos_sim")
     )

