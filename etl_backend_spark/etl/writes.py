@@ -1,0 +1,170 @@
+"""Mutations as deterministic parquet rewrite-and-swap (SURVEY.md §2.8).
+
+The reference's writes are Prisma row mutations (`create`/`update`/`delete`/
+`upsert`, e.g. reference src/routes/ads.ts:53-74, 259-262;
+src/routes/favorites.ts:36-62; prisma/seed.ts:11-21). Over immutable parquet
+(no transactional table format dependency) each becomes:
+
+    read current state → pure DataFrame transform → write to a versioned
+    directory → atomically repoint a `_CURRENT` pointer file.
+
+- **Append** avoids the rewrite entirely: new row-files land beside existing
+  ones in the same version directory (cheap at any scale).
+- **Update/delete/upsert** rewrite — at 100 TB you'd partition the table and
+  rewrite only affected partitions (`partition_filter` narrows the rewrite
+  set); the unaffected partitions are carried forward by reference (their
+  files are re-listed, not re-written, when `copy_unchanged=False`... plain
+  parquet has no manifest, so here carried forward = rewritten; a manifest
+  (Delta/Iceberg) removes that cost and is the first thing to adopt on a real
+  deployment).
+- **Pointer swap** (`_CURRENT` containing the live version name, written via
+  temp-file + `os.replace`) gives readers an atomic cutover and natural
+  time-travel (old versions remain until vacuumed).
+
+Idempotence: `upsert` (insert-if-absent, matching the reference's empty
+`update:{}` upserts) run twice ≡ run once — pytest-enforced.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetTableStore:
+    """A directory of versioned parquet tables with atomic pointer swap.
+
+    Layout:  root/<table>/_CURRENT           → text file: live version id
+             root/<table>/v-<uuid>/*.parquet → immutable version directories
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------ plumbing
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _current_file(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_CURRENT")
+
+    def _current_version(self, name: str) -> str:
+        with open(self._current_file(name)) as f:
+            return f.read().strip()
+
+    def _version_dir(self, name: str, version: str) -> str:
+        return os.path.join(self._tdir(name), version)
+
+    def _write_version(self, name: str, df: DataFrame) -> str:
+        version = f"v-{uuid.uuid4().hex}"
+        df.write.mode("errorifexists").parquet(self._version_dir(name, version))
+        return version
+
+    def _swap(self, name: str, version: str) -> None:
+        """Atomic pointer cutover: temp file + rename (POSIX atomic)."""
+        cur = self._current_file(name)
+        tmp = cur + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, cur)
+
+    # ------------------------------------------------------------- surface
+
+    def create(self, name: str, df: DataFrame) -> None:
+        os.makedirs(self._tdir(name), exist_ok=True)
+        self._swap(name, self._write_version(name, df))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            self._version_dir(name, self._current_version(name))
+        )
+
+    def append(self, name: str, rows: DataFrame) -> None:
+        """`create` — reference src/routes/ads.ts:53-74. New files land in
+        the live version directory; no rewrite of existing data."""
+        rows.write.mode("append").parquet(
+            self._version_dir(name, self._current_version(name))
+        )
+
+    def update(self, name: str, assignments: dict[str, Column],
+               where: Column) -> None:
+        """Predicate-targeted column update — soft delete
+        `update({where, data:{status:'deleted'}})` (reference
+        src/routes/ads.ts:259-262). Unmatched rows pass through unchanged."""
+        df = self.read(name)
+        for col, value in assignments.items():
+            df = df.withColumn(col, F.when(where, value).otherwise(F.col(col)))
+        self._swap(name, self._write_version(name, df))
+
+    def delete(self, name: str, where: Column) -> None:
+        """Hard delete (reference src/routes/admin.ts:113-116)."""
+        df = self.read(name).filter(~where)
+        self._swap(name, self._write_version(name, df))
+
+    def delete_by_keys(self, name: str, keys: DataFrame, on: list[str]) -> None:
+        """Multi-key delete via anti-join (cascade building block,
+        reference migration.sql:115-139)."""
+        df = self.read(name).join(keys, on=on, how="left_anti")
+        self._swap(name, self._write_version(name, df))
+
+    def upsert(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
+        """Insert-if-absent — `upsert({update:{}, create:{...}})` semantics
+        (reference prisma/seed.ts:11-21): anti-join incoming against existing
+        keys, append only the fresh rows. Running twice is a no-op."""
+        existing = self.read(name)
+        fresh = incoming.join(existing.select(*keys), on=keys, how="left_anti")
+        merged = existing.unionByName(fresh)
+        self._swap(name, self._write_version(name, merged))
+
+    def vacuum(self, name: str) -> int:
+        """Drop all non-live version directories; returns count removed."""
+        live = self._current_version(name)
+        removed = 0
+        for entry in os.listdir(self._tdir(name)):
+            if entry.startswith("v-") and entry != live:
+                shutil.rmtree(self._version_dir(name, entry))
+                removed += 1
+        return removed
+
+
+def cascade_delete_user(store: ParquetTableStore, customer_keys: DataFrame) -> None:
+    """FK cascade — deleting users removes their orders and those orders'
+    lineitems (reference prisma/schema.prisma:49,65-66 `onDelete: Cascade`,
+    played out over the testdata FK tree customer→orders→lineitem)."""
+    orders = store.read("orders")
+    doomed_orders = orders.join(
+        customer_keys,
+        orders["o_custkey"] == customer_keys["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    store.delete_by_keys("lineitem", doomed_orders.withColumnRenamed(
+        "o_orderkey", "l_orderkey"), ["l_orderkey"])
+    store.delete_by_keys("orders", customer_keys.withColumnRenamed(
+        "c_custkey", "o_custkey"), ["o_custkey"])
+    store.delete_by_keys("customer", customer_keys, ["c_custkey"])
+
+
+def touch_parent(store: ParquetTableStore, parent: str, child: str,
+                 parent_key: str, child_key: str, ts_col: str,
+                 updated_col: str = "updated_at") -> None:
+    """Dependent parent-timestamp refresh — `conversation.updatedAt =
+    max(message.createdAt)` (reference src/routes/chat.ts:205-208) done as
+    one batch job instead of the reference's two untransacted writes."""
+    children = store.read(child)
+    maxes = children.groupBy(F.col(child_key).alias("__k")).agg(
+        F.max(ts_col).alias("__ts")
+    )
+    parent_df = store.read(parent)
+    joined = parent_df.join(
+        maxes, parent_df[parent_key] == maxes["__k"], "left"
+    ).withColumn(
+        updated_col,
+        F.coalesce(F.col("__ts"), F.col(updated_col) if updated_col in parent_df.columns else F.lit(None).cast("timestamp")),
+    ).drop("__k", "__ts")
+    store._swap(parent, store._write_version(parent, joined))

@@ -1,0 +1,77 @@
+"""Registry: multimodal binary-column operators and the auth UDF surface
+(SURVEY.md §2.7 fn_bcrypt/fn_jwt, §2.11 multimodal_cols)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import auth
+from ..multimodal import media as M
+from ..sources.catalog import Catalog
+from . import register
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             CASE WHEN p_partkey % 3 = 0 THEN 'image'
+                  WHEN p_partkey % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             unhex(repeat(sha256(CAST(p_partkey AS VARCHAR)), 8)) AS content
+      FROM part
+    )
+    SELECT media_id, kind, octet_length(content)::BIGINT AS n_bytes,
+           substr(hex(content), 1, 8) AS magic_hex,
+           kind IN ('image', 'audio', 'video') AS kind_ok,
+           octet_length(content) <= 5242880 AS size_ok
+    FROM m
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata pass over a synthesized media table: payload
+    size, magic prefix, multer-style gates (reference src/routes/ads.ts:28-39)
+    — all built-ins, the binary column never crosses into Python."""
+    p = Catalog(spark, sf_dir).table("part")
+    media = M.synthesize_media(p, "p_partkey", "p_partkey")
+    return M.media_meta(media)
+
+
+@register("multimodal_decode")  # rows-only: decode features are Python-side
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode of the binary column (stub decoder —
+    container has no image libs; the plumbing is the production shape).
+    Emits fixed-width float features ready for the sim_topk_* ANN path."""
+    p = Catalog(spark, sf_dir).table("part")
+    media = M.synthesize_media(p, "p_partkey", "p_partkey")
+    decoded = M.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height", "channels",
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+    )
+
+
+@register("fn_auth_roundtrip")  # rows-only: crypto is engine-specific
+def q_fn_auth_roundtrip(spark, sf_dir):
+    """The reference's UDF surface (bcrypt/jwt, src/routes/auth.ts:30,51-55)
+    as Arrow-batched pandas UDFs: hash→verify and sign→verify round-trips
+    must both hold for every row."""
+    c = Catalog(spark, sf_dir).table("customer").limit(200)
+    pw = F.concat(F.lit("pw-"), F.col("c_custkey").cast("string"))
+    salt = F.sha2(F.col("c_name"), 256).substr(1, 16)
+    secret = F.lit("engine-secret")
+    out = c.select(
+        "c_custkey",
+        auth.hash_password(pw, salt).alias("hashed"),
+        auth.sign_token(F.col("c_custkey").cast("string"), secret).alias("token"),
+    )
+    return out.select(
+        "c_custkey",
+        auth.verify_password(pw, F.col("hashed")).alias("pw_ok"),
+        (auth.verify_token(F.col("token"), secret)
+         == F.col("c_custkey").cast("string")).alias("token_ok"),
+        auth.verify_token(F.col("token"), F.lit("wrong-secret")).isNull()
+        .alias("reject_ok"),
+    )

@@ -1,0 +1,176 @@
+"""Structured Streaming pipelines reproducing the reference's WebSocket chat
+dataflow (reference src/websocket.ts:13-105; SURVEY.md §2.9), plus the
+event-time machinery the reference lacks (watermarks, windows).
+
+Mapping:
+
+- ``ws.on('message') → JSON.parse → message.create``
+  (src/websocket.ts:38-63) → file/any source ``readStream`` → ``from_json``
+  with a declared schema → validity filter → parquet append sink.
+- ``Conversation.updatedAt`` maintenance (src/websocket.ts:65-68) →
+  streaming ``groupBy(key).agg(max(ts))`` in update mode.
+- keyed delivery to online receivers via the in-memory ``clients`` map
+  (src/websocket.ts:11,71-77) → ``applyInPandasWithState`` keyed by user:
+  presence events flip per-key state; message events emit routed/queued
+  decisions against the current state.
+
+Scale notes: streaming aggs shuffle once per micro-batch on the group key;
+state is partitioned by key across executors (RocksDB-backed state store on a
+real cluster). Watermarks bound state size — without them per-key state grows
+unboundedly at 100 TB/day event volumes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Wire schema of a chat event — the reference's WS payload
+# {type, conversationId, content, receiverId} (src/websocket.ts:40-43),
+# mapped onto the events-table vocabulary.
+EVENT_WIRE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+ROUTED_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_delivered", LongType()),
+        StructField("n_queued", LongType()),
+        StructField("online", StringType()),
+    ]
+)
+
+
+def read_json_stream(spark: SparkSession, source_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source ingestion of newline-JSON chat events with a DECLARED
+    schema (never inferred — reference parses into a fixed shape,
+    src/websocket.ts:40-43)."""
+    reader = spark.readStream.schema(EVENT_WIRE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def validate_events(stream: DataFrame) -> DataFrame:
+    """Per-event validation — the reference rejects events without required
+    fields before insert (src/websocket.ts:44-58)."""
+    return stream.filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+
+
+def append_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """`message.create` as an append-mode parquet sink
+    (reference src/websocket.ts:59-63)."""
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def conversation_touch(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Running max(ts) + message count per key — `Conversation.updatedAt`
+    maintenance (reference src/websocket.ts:65-68) as an update-mode
+    streaming agg; the watermark bounds late data and state size."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("updated_at"), F.count(F.lit(1)).alias("n_messages"))
+    )
+
+
+def windowed_counts(stream: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window counts — the event-time extension the
+    reference lacks entirely (SURVEY.md §2.9)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def _route_messages(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Stateful presence routing for one user key.
+
+    State: (online: bool, delivered: long, queued: long). 'login'/'logout'
+    events flip presence (the reference's clients-map add/remove,
+    src/websocket.ts:33,94-99); every other event is a message delivered iff
+    the user is online at processing time (src/websocket.ts:71-77)."""
+    if state.exists:
+        online, delivered, queued = state.get
+    else:
+        online, delivered, queued = False, 0, 0
+    for pdf in pdfs:
+        # process in event order within the batch for deterministic flips
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et in pdf["event_type"]:
+            if et == "login":
+                online = True
+            elif et == "logout":
+                online = False
+            elif online:
+                delivered += 1
+            else:
+                queued += 1
+    state.update((online, delivered, queued))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_delivered": [delivered],
+            "n_queued": [queued],
+            "online": ["online" if online else "offline"],
+        }
+    )
+
+
+def presence_routing(stream: DataFrame) -> DataFrame:
+    """Keyed delivery against per-user presence state — the reference's
+    in-memory ``Map<userId, ws>`` (src/websocket.ts:11) as
+    ``applyInPandasWithState`` keyed state, partitioned across executors."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _route_messages,
+            outputStructType=ROUTED_SCHEMA,
+            stateStructType="online boolean, delivered long, queued long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(writer, query_name: str = "q"):
+    """Drain all currently-available input and stop (test/batch-catchup
+    trigger; production uses a continuous processingTime trigger)."""
+    q = writer.trigger(availableNow=True).queryName(query_name).start()
+    q.awaitTermination()
+    return q

@@ -1,0 +1,109 @@
+"""Tests for the parquet rewrite-and-swap mutation layer: post-state
+correctness, upsert idempotence, cascade integrity, vacuum, atomic pointer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_backend_spark.etl.writes import ParquetTableStore, cascade_delete_user, touch_parent
+from etl_backend_spark.sources.catalog import Catalog
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    cat = Catalog(spark, SF_DIR)
+    s = ParquetTableStore(spark, str(tmp_path / "store"))
+    for t in ("region", "customer", "orders", "lineitem"):
+        s.create(t, cat.table(t))
+    return s
+
+
+def test_append_adds_rows_without_rewrite(store, spark):
+    before = store.read("region").count()
+    ver_dir_before = store._version_dir("region", store._current_version("region"))
+    new = spark.createDataFrame([(98, "NARNIA")], store.read("region").schema)
+    store.append("region", new)
+    assert store.read("region").count() == before + 1
+    # same version dir — append is file-add, not a rewrite
+    assert store._current_version("region") is not None
+    assert ver_dir_before == store._version_dir("region", store._current_version("region"))
+
+
+def test_update_soft_delete(store):
+    store.update(
+        "orders",
+        {"o_orderstatus": F.lit("deleted")},
+        F.col("o_totalprice") > 400000.0,
+    )
+    out = store.read("orders")
+    assert out.filter((F.col("o_totalprice") > 400000.0)
+                      & (F.col("o_orderstatus") != "deleted")).count() == 0
+    assert out.filter((F.col("o_totalprice") <= 400000.0)
+                      & (F.col("o_orderstatus") == "deleted")).count() == 0
+
+
+def test_delete_removes_only_matching(store):
+    before = store.read("orders")
+    n_f = before.filter(F.col("o_orderstatus") == "F").count()
+    n = before.count()
+    store.delete("orders", F.col("o_orderstatus") == "F")
+    after = store.read("orders")
+    assert after.count() == n - n_f
+    assert after.filter(F.col("o_orderstatus") == "F").count() == 0
+
+
+def test_upsert_idempotent(store, spark):
+    incoming = spark.createDataFrame(
+        [(0, "AFRICA-DUP"), (55, "ATLANTIS")], store.read("region").schema
+    )
+    base = store.read("region").count()
+    store.upsert("region", incoming, ["r_regionkey"])
+    once = store.read("region").count()
+    assert once == base + 1  # key 0 exists already, only 55 inserted
+    store.upsert("region", incoming, ["r_regionkey"])
+    assert store.read("region").count() == once  # run twice == run once
+    name = store.read("region").filter(F.col("r_regionkey") == 0).collect()[0].r_name
+    assert name != "AFRICA-DUP"  # existing row untouched (empty update:{})
+
+
+def test_cascade_delete_referential_integrity(store, spark):
+    doomed = store.read("customer").filter(F.col("c_custkey") % 100 == 0).select("c_custkey")
+    cascade_delete_user(store, doomed)
+    cust = store.read("customer")
+    orders = store.read("orders")
+    li = store.read("lineitem")
+    assert cust.join(doomed, "c_custkey", "left_semi").count() == 0
+    # no orphan orders or lineitems
+    orphans_o = orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+    assert orphans_o.count() == 0
+    orphans_l = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+    assert orphans_l.count() == 0
+
+
+def test_touch_parent_sets_max_child_ts(store, spark):
+    touch_parent(store, "orders", "lineitem", "o_orderkey", "l_orderkey",
+                 "l_shipdate", updated_col="updated_at")
+    out = store.read("orders")
+    sample = (
+        out.join(
+            store.read("lineitem").groupBy("l_orderkey").agg(F.max("l_shipdate").alias("mx")),
+            out["o_orderkey"] == F.col("l_orderkey"),
+        )
+        .filter(F.col("updated_at") != F.col("mx"))
+    )
+    assert sample.count() == 0
+
+
+def test_vacuum_keeps_live_version(store):
+    store.delete("region", F.col("r_regionkey") == 0)   # creates new version
+    n = store.read("region").count()
+    removed = store.vacuum("region")
+    assert removed >= 1
+    assert store.read("region").count() == n  # live version intact
+    live = store._current_version("region")
+    versions = [e for e in os.listdir(store._tdir("region")) if e.startswith("v-")]
+    assert versions == [live]

@@ -1,0 +1,65 @@
+"""Tests for multimodal plumbing and the auth UDF surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_backend_spark.functions import auth
+from etl_backend_spark.multimodal import media as M
+
+
+def test_media_decode_deterministic_and_shaped(spark, cat):
+    media = M.synthesize_media(cat.table("part").limit(50), "p_partkey", "p_partkey")
+    a = M.decode_media(media).collect()
+    b = M.decode_media(media).collect()
+    assert sorted(r.media_id for r in a) == sorted(r.media_id for r in b)
+    by_id_a = {r.media_id: r for r in a}
+    by_id_b = {r.media_id: r for r in b}
+    for k in by_id_a:
+        ra, rb = by_id_a[k], by_id_b[k]
+        assert ra.features == rb.features  # decode is deterministic
+        assert len(ra.features) == M.FEATURE_DIM
+        assert 16 <= ra.width < 80 and 16 <= ra.height < 80
+        assert all(0.0 <= f < 1.0 for f in ra.features)
+
+
+def test_media_meta_gates(spark, cat):
+    media = M.synthesize_media(cat.table("part").limit(50), "p_partkey", "p_partkey")
+    meta = M.media_meta(media).collect()
+    for r in meta:
+        assert r.kind_ok and r.size_ok
+        assert r.n_bytes == 256  # 64-hex sha2 x 8 reps = 512 hex chars = 256 bytes
+        assert len(r.magic_hex) == 8
+
+
+def test_password_roundtrip_and_reject(spark):
+    df = spark.createDataFrame(
+        [("s3cret", "saltsalt"), ("other", "saltsalt")], ["pw", "salt"]
+    )
+    hashed = df.select("pw", auth.hash_password("pw", "salt").alias("h"))
+    ok = hashed.select(auth.verify_password("pw", F.col("h")).alias("v")).collect()
+    assert all(r.v for r in ok)
+    bad = hashed.select(
+        auth.verify_password(F.lit("wrong"), F.col("h")).alias("v")
+    ).collect()
+    assert not any(r.v for r in bad)
+    garbage = hashed.select(
+        auth.verify_password("pw", F.lit("not-a-hash")).alias("v")
+    ).collect()
+    assert not any(r.v for r in garbage)
+
+
+def test_token_roundtrip_and_tamper(spark):
+    df = spark.createDataFrame([("42",), ("99",)], ["uid"])
+    t = df.select("uid", auth.sign_token("uid", F.lit("k1")).alias("tok"))
+    good = t.select(
+        "uid", auth.verify_token(F.col("tok"), F.lit("k1")).alias("got")
+    ).collect()
+    for r in good:
+        assert r.got == r.uid
+    wrong_key = t.select(auth.verify_token(F.col("tok"), F.lit("k2")).alias("got")).collect()
+    assert all(r.got is None for r in wrong_key)
+    tampered = t.select(
+        auth.verify_token(F.concat(F.col("tok"), F.lit("x")), F.lit("k1")).alias("got")
+    ).collect()
+    assert all(r.got is None for r in tampered)

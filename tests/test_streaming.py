@@ -1,0 +1,130 @@
+"""End-to-end Structured Streaming tests: feed the sf0.001 events table
+through the chat pipeline as newline-JSON files and check the streamed
+results equal the equivalent batch computation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_backend_spark.sources.catalog import Catalog
+from etl_backend_spark.streaming import chat_pipeline as cp
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_json_dir(spark, tmp_path_factory):
+    """Dump sf0.001 events as 3 newline-JSON files (3 arrival batches)."""
+    src = tmp_path_factory.mktemp("events_json")
+    ev = Catalog(spark, SF_DIR).table("events").orderBy("event_id")
+    rows = ev.collect()
+    for part in range(3):
+        with open(src / f"part-{part}.json", "w") as f:
+            for r in rows[part::3]:
+                d = r.asDict()
+                # microsecond-precision ISO — date_format's SSS would truncate
+                d["ts"] = d["ts"].isoformat() + "Z"
+                f.write(json.dumps(d) + "\n")
+    return str(src)
+
+
+def test_stream_ingest_appends_all_valid_rows(spark, tmp_path, event_json_dir):
+    out = str(tmp_path / "messages")
+    ckpt = str(tmp_path / "ckpt")
+    stream = cp.validate_events(cp.read_json_stream(spark, event_json_dir))
+    cp.run_available_now(cp.append_sink(stream, out, ckpt), "ingest")
+
+    got = spark.read.parquet(out)
+    expect = Catalog(spark, SF_DIR).table("events")
+    assert got.count() == expect.count()
+    assert got.select(F.sum("event_id").alias("s")).collect()[0].s == \
+        expect.select(F.sum("event_id").alias("s")).collect()[0].s
+
+
+def test_stream_touch_equals_batch_max(spark, tmp_path, event_json_dir):
+    stream = cp.conversation_touch(cp.read_json_stream(spark, event_json_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("touch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.updated_at, r.n_messages)
+        for r in spark.sql("SELECT * FROM touch").collect()
+    }
+    expect = {
+        r.user_id: (r.updated_at, r.n)
+        for r in Catalog(spark, SF_DIR)
+        .table("events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("updated_at"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_stream_windowed_counts_equal_batch(spark, tmp_path, event_json_dir):
+    stream = cp.windowed_counts(cp.read_json_stream(spark, event_json_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    expect = {
+        (r.window_start, r.event_type): r.n
+        for r in Catalog(spark, SF_DIR)
+        .table("events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_presence_routing_stateful(spark, tmp_path):
+    """login → 2 messages delivered → logout → 1 queued, second key offline
+    throughout."""
+    src = tmp_path / "presence_json"
+    src.mkdir()
+    events = [
+        (1, "2024-01-01T00:00:00.000Z", 7, "login", 0.0, "{}"),
+        (2, "2024-01-01T00:01:00.000Z", 7, "msg", 1.0, "{}"),
+        (3, "2024-01-01T00:02:00.000Z", 7, "msg", 1.0, "{}"),
+        (4, "2024-01-01T00:03:00.000Z", 7, "logout", 0.0, "{}"),
+        (5, "2024-01-01T00:04:00.000Z", 7, "msg", 1.0, "{}"),
+        (6, "2024-01-01T00:00:30.000Z", 9, "msg", 1.0, "{}"),
+    ]
+    with open(src / "batch.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(dict(zip(
+                ["event_id", "ts", "user_id", "event_type", "value", "props"], e
+            ))) + "\n")
+
+    stream = cp.presence_routing(cp.read_json_stream(spark, str(src)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("routed")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: r for r in spark.sql("SELECT * FROM routed").collect()}
+    assert got[7].n_delivered == 2
+    assert got[7].n_queued == 1
+    assert got[7].online == "offline"
+    assert got[9].n_delivered == 0
+    assert got[9].n_queued == 1
