@@ -327,3 +327,75 @@ def q_set_except(spark, sf_dir):
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return a.subtract(b)
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS st_f,
+           count(*) FILTER (o_orderstatus = 'O') AS st_o,
+           count(*) FILTER (o_orderstatus = 'P') AS st_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_pivot(spark, sf_dir):
+    """Pivot / cross-tab (absent in reference; conditional-agg form shares
+    one shuffle). Pivot values are FIXED, not discovered — a discovery pass
+    at 100 TB would be its own scan."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("st_f"),
+            F.coalesce("O", F.lit(0)).alias("st_o"),
+            F.coalesce("P", F.lit(0)).alias("st_p"),
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). The 100 TB path is approx_percentile (t-digest sketch,
+    engine-specific → would be rows-only checked)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register(
+    "agg_stats_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats_funcs(spark, sf_dir):
+    """Statistical aggregates (absent in reference, free in Spark): sample
+    stddev/variance/correlation/covariance, rounded for cross-engine float
+    stability."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+    )

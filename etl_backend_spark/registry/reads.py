@@ -644,3 +644,64 @@ def q_fn_array_build(spark, sf_dir):
     p = Catalog(spark, sf_dir).table("part")
     arr = scalars.build_upload_paths(F.split(F.col("p_name"), " "))
     return p.select("p_partkey", F.array_join(arr, ",").alias("paths"))
+
+
+@register(
+    "fn_array_explode",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part),
+    e AS (SELECT p_partkey, words,
+                 unnest(generate_series(1, len(words))) AS i FROM w)
+    SELECT p_partkey, i - 1 AS pos, words[i] AS word FROM e
+    """,
+)
+def q_fn_array_explode(spark, sf_dir):
+    """Array explode with position — the reference's images[] array handling
+    (reference prisma/schema.prisma:43, src/routes/ads.ts:51) unrolled to
+    one row per element."""
+    p = Catalog(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    )
+
+
+@register(
+    "fn_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m,
+           dayofweek(o_orderdate) AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    """,
+)
+def q_fn_date_parts(spark, sf_dir):
+    """Date/time functions (absent in reference beyond now(); free in Spark):
+    extraction, truncation, interval arithmetic. NB DuckDB dayofweek is
+    0=Sunday vs Spark 1=Sunday; normalized here via dayofweek-1."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@register("fn_nondeterministic")  # rows-only: uuid()/now() differ per run
+def q_fn_nondeterministic(spark, sf_dir):
+    """uuid() PK defaults and now() timestamps (reference
+    prisma/schema.prisma:12,20-21) — validity-shaped output since values are
+    non-deterministic: checks format/ordering invariants instead."""
+    r = Catalog(spark, sf_dir).table("region")
+    return r.select(
+        "r_regionkey",
+        F.expr("uuid()").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+        ).alias("uuid_ok"),
+        (F.current_timestamp() >= F.to_timestamp(F.lit("2020-01-01"))).alias("now_ok"),
+    )

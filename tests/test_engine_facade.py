@@ -1,0 +1,74 @@
+"""Route-level facade tests: each method reproduces its reference route's
+semantics (SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_backend_spark.engine import MarketplaceEngine, SearchParams
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return MarketplaceEngine(spark, SF_DIR)
+
+
+def test_search_envelope(eng):
+    res = eng.search_ads(SearchParams(status="O", page=1, limit=10))
+    rows = res.rows.collect()
+    total = res.total.collect()[0]
+    assert len(rows) == 10
+    assert total.total_pages == -(-total.total // 10) * 0 + (total.total + 9) // 10
+
+
+def test_get_ad_point_lookup(eng, cat):
+    any_key = cat.table("orders").limit(1).collect()[0].o_orderkey
+    got = eng.get_ad(any_key).collect()
+    assert len(got) == 1
+    assert got[0].n_items >= 0
+
+
+def test_my_ads_excludes_soft_deleted(eng, cat):
+    some_cust = (
+        cat.table("orders").filter(F.col("o_orderstatus") == "F")
+        .limit(1).collect()[0].o_custkey
+    )
+    rows = eng.my_ads(some_cust).collect()
+    assert all(r.o_orderstatus != "F" for r in rows)
+
+
+def test_favorites_two_hop_no_deleted(eng):
+    rows = eng.favorites_of(1).collect()
+    # post-join filter applied (no deleted/'F' parents leak through)
+    assert all(r.o_totalprice is not None for r in rows)
+
+
+def test_is_favorite_flag_shape(eng, cat):
+    li = cat.table("lineitem").limit(1).collect()[0]
+    yes = eng.is_favorite(li.l_orderkey, li.l_linenumber).collect()[0].is_favorite
+    no = eng.is_favorite(-1, -1).collect()[0].is_favorite
+    assert yes is True and no is False
+
+
+def test_messages_sorted_ascending(eng):
+    rows = eng.messages_of(7).collect()
+    ts = [r.ts for r in rows]
+    assert ts == sorted(ts)
+
+
+def test_admin_stats_counts(eng, cat):
+    row = eng.admin_stats().collect()[0]
+    assert row.n_users == cat.table("customer").count()
+    assert row.n_ads == cat.table("orders").count()
+    assert row.n_active_ads == cat.table("orders").filter(F.col("o_orderstatus") == "O").count()
+    assert row.n_categories == cat.table("region").count()
+
+
+def test_login_roundtrip_and_reject(eng):
+    ok = eng.login(1, "pw-1").collect()
+    assert len(ok) == 1 and ok[0].token.count(".") == 2
+    assert "password_hash" not in ok[0].asDict()
+    bad = eng.login(1, "wrong").collect()
+    assert bad == []
