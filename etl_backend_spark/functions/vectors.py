@@ -36,3 +36,32 @@ def cosine(a: Column, b: Column) -> Column:
 def l2_normalize(v: Column) -> Column:
     n = norm(v)
     return F.transform(v, lambda x: x / n)
+
+
+def cosine_scores_pandas(query_vec):
+    """Factory: Arrow-batched pandas UDF scoring a whole corpus column
+    against one query vector with numpy (SIMD/pairwise summation).
+
+    The expression-based ``cosine`` above is exactly portable to the DuckDB
+    oracle (sequential accumulation) but higher-order-function expressions
+    run interpreted, outside whole-stage codegen; this is the throughput
+    path for large corpora, at the cost of bit-exact oracle parity
+    (pairwise vs sequential float summation). Returns a Column.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf(DoubleType())
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim) float64
+        m = m.astype(np.float64, copy=False)
+        dots = m @ q
+        norms = np.linalg.norm(m, axis=1)
+        return pd.Series(dots / (norms * qn))
+
+    return score

@@ -85,9 +85,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     model (pairs sharing a shingle) matches the scale path.
     """
     d = Catalog(spark, sf_dir).table("documents")
-    sh = (
-        d.select("doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"))
-        .distinct()
+    # pandas-UDF shingler: ~6x over the expression form at sf0.1 (see
+    # functions.text.word_shingles_py); per-doc dedup replaces .distinct()
+    sh = d.select(
+        "doc_id", F.explode(T.word_shingles_py(3)(F.col("text"))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -337,7 +338,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     d = Catalog(spark, sf_dir).table("documents")
     sig = d.select(
         "doc_id",
-        H.minhash_signature(T.word_shingles(F.col("text"), 3)).alias("sig"),
+        H.minhash_signature(T.word_shingles_py(3)(F.col("text"))).alias("sig"),
     )
     bands = sig.select(
         "doc_id",
@@ -472,6 +473,42 @@ def q_sim_topk_lsh(spark, sf_dir):
             F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
         )
     )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+@register("sim_topk_pandas")  # rows-only: pairwise float summation differs
+def q_sim_topk_pandas(spark, sf_dir):
+    """Throughput variant of sim_topk_brute: numpy-vectorized cosine in an
+    Arrow-batched pandas UDF (matrix-vector product per batch) instead of
+    interpreted higher-order-function expressions. Same top-k semantics;
+    registered rows-only because pairwise summation's last-ulp differences
+    break bit-exact hashing. Recall equivalence is pytest-checked."""
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    qvecs = {
+        r.vec_id: r.embedding
+        for r in e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    }
+    per_query = []
+    for qid, qv in sorted(qvecs.items()):
+        scorer = V.cosine_scores_pandas(qv)
+        per_query.append(
+            corpus.filter(F.col("vec_id") != qid).select(
+                F.lit(qid).alias("q_id"),
+                "vec_id",
+                F.round(scorer(F.col("v")), 6).alias("cos_sim"),
+            )
+        )
+    scored = per_query[0]
+    for df in per_query[1:]:
+        scored = scored.unionByName(df)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -9,8 +9,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    # warehouse dir is a static conf — must be set at session build time
+    # (needed by the bucketed-table tests)
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        app_name="pytest", master="local[4]", shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

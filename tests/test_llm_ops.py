@@ -176,3 +176,23 @@ def test_sim_topk_lsh_recall_vs_brute(spark):
     for r in lsh:
         if (r.q_id, r.vec_id) in score:
             assert r.cos_sim == score[(r.q_id, r.vec_id)]
+
+
+def test_word_shingles_py_equals_expression(spark, cat):
+    """The pandas-UDF shingler and the expression shingler must produce the
+    same shingle SETS (the fast path can't drift from the oracle-mirrored
+    definition)."""
+    d = cat.table("documents").limit(100)
+    a = {
+        (r.doc_id, r.s)
+        for r in d.select(
+            "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("s")
+        ).distinct().collect()
+    }
+    b = {
+        (r.doc_id, r.s)
+        for r in d.select(
+            "doc_id", F.explode(T.word_shingles_py(3)(F.col("text"))).alias("s")
+        ).collect()
+    }
+    assert a == b

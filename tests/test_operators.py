@@ -195,3 +195,43 @@ def test_column_pruning_reaches_scan(cat):
     df = cat.table("lineitem").select("l_orderkey", "l_quantity")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_partition_pruning(spark, cat, tmp_path):
+    """Partitioned layout: an equality predicate on the partition column must
+    prune to one directory (the Ad(status) index analog)."""
+    from etl_backend_spark.sources import layout
+
+    path = str(tmp_path / "orders_by_status")
+    layout.write_partitioned(cat.table("orders"), path, ["o_orderstatus"])
+    df = layout.read_partitioned(spark, path).filter(F.col("o_orderstatus") == "O")
+    # physical check: only the matching partition's rows are read
+    assert df.count() == cat.table("orders").filter(F.col("o_orderstatus") == "O").count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_bucketed_join_elides_shuffle(spark, cat, tmp_path):
+    """Co-bucketed tables join with no Exchange on either side."""
+    from etl_backend_spark.sources import layout
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        layout.write_bucketed(
+            cat.table("orders").select("o_orderkey", "o_totalprice")
+            .withColumnRenamed("o_orderkey", "k"),
+            "b_orders", "k", 4,
+        )
+        layout.write_bucketed(
+            cat.table("lineitem").select("l_orderkey", "l_quantity")
+            .withColumnRenamed("l_orderkey", "k"),
+            "b_lineitem", "k", 4,
+        )
+        joined = layout.cobucketed_join(spark, "b_orders", "b_lineitem", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
