@@ -107,3 +107,67 @@ def q_stream_agg_touch(spark, sf_dir):
     return ev.groupBy("user_id").agg(
         F.max("ts").alias("updated_at"), F.count(F.lit(1)).alias("n_messages")
     )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, NULL::BIGINT AS rv, 1 AS side
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, event_id, 0
+      FROM events WHERE event_type = 'signup'
+    ), w AS (
+      SELECT *, last_value(rv IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts ASC, side ASC, rv ASC
+        ROWS UNBOUNDED PRECEDING) AS asof_signup
+      FROM u
+    )
+    SELECT event_id, user_id, ts, asof_signup FROM w WHERE side = 1
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join (absent in reference AND in stock Spark): each purchase
+    matched to the user's latest signup at-or-before it — union + running
+    last(ignorenulls), one shuffle, no inequality join."""
+    from ..operators import joins
+
+    ev = Catalog(spark, sf_dir).table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    return joins.asof_join(
+        purchases, signups, "user_id", "ts", "signup_id", out_col="asof_signup"
+    )
+
+
+@register(
+    "join_range_count",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, count(e.ts) AS n_errors_1h
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id AND e.event_type = 'error'
+     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def q_join_range_count(spark, sf_dir):
+    """Range join (absent in reference): errors within the hour before each
+    purchase, via the bucket-expansion equi-join (shuffle on (key, bucket),
+    never an all-pairs inequality join)."""
+    from ..operators import joins
+
+    ev = Catalog(spark, sf_dir).table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return joins.range_join_count(
+        purchases, errors, "user_id", "ts", "1 hour", out_col="n_errors_1h"
+    )
