@@ -1,3 +1,3 @@
-from . import aggregates, filters, joins, pagination, scans, windows
+from . import aggregates, filters, joins, pagination, scans, skew, windows
 
-__all__ = ["aggregates", "filters", "joins", "pagination", "scans", "windows"]
+__all__ = ["aggregates", "filters", "joins", "pagination", "scans", "skew", "windows"]

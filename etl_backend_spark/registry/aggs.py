@@ -399,3 +399,28 @@ def q_agg_stats_funcs(spark, sf_dir):
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
     )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_skew_salted(spark, sf_dir):
+    """Salted two-phase aggregation (operators/skew.py): identical result to
+    the plain groupBy — the point is the plan, which spreads any hot key
+    over 16 reducers before recombining (the oracle is the plain form)."""
+    from ..operators import skew
+
+    ev = Catalog(spark, sf_dir).table("events")
+    out = skew.salted_agg(
+        ev, ["user_id"], "event_id",
+        [("event_id", "count", "n"), ("value", "sum", "sum_value"),
+         ("ts", "max", "last_ts")],
+    )
+    return out.select(
+        "user_id", "n", F.round("sum_value", 4).alias("sum_value"), "last_ts"
+    )

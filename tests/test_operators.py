@@ -235,3 +235,37 @@ def test_bucketed_join_elides_shuffle(spark, cat, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_equals_plain(cat):
+    from etl_backend_spark.operators import skew
+
+    ev = cat.table("events")
+    salted = {
+        r.user_id: (r.n, round(r.s, 6), r.mx)
+        for r in skew.salted_agg(
+            ev, ["user_id"], "event_id",
+            [("event_id", "count", "n"), ("value", "sum", "s"), ("ts", "max", "mx")],
+        ).collect()
+    }
+    plain = {
+        r.user_id: (r.n, round(r.s, 6), r.mx)
+        for r in ev.groupBy("user_id").agg(
+            F.count("event_id").alias("n"), F.sum("value").alias("s"),
+            F.max("ts").alias("mx"),
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(cat):
+    from etl_backend_spark.operators import skew
+
+    li = cat.table("lineitem").select("l_orderkey", "l_partkey", "l_linenumber")
+    part = cat.table("part").select("p_partkey", "p_brand")
+    salted = skew.salted_join(li, part, "l_partkey", "p_partkey", "l_orderkey")
+    plain = li.join(part, li["l_partkey"] == part["p_partkey"])
+    assert salted.count() == plain.count()
+    a = {(r.l_orderkey, r.l_linenumber, r.p_brand) for r in salted.collect()}
+    b = {(r.l_orderkey, r.l_linenumber, r.p_brand) for r in plain.collect()}
+    assert a == b
