@@ -515,3 +515,60 @@ def q_sim_topk_pandas(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+@register("sim_topk_ivf")  # rows-only: KMeans centroids are seed-stable in
+# Spark but not reproducible in DuckDB SQL
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF coarse quantization via pyspark.ml KMeans (fixed seed): corpus
+    assigned to centroids once; each query probes the 2 nearest centroids'
+    inverted lists (equi-join on centroid id), scores candidates, window
+    top-k. The data-dependent counterpart of the data-oblivious sign-bucket
+    quantizer — better recall on clustered corpora; recall vs brute is
+    pytest-checked."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    corpus = e.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("v"),
+        array_to_vector(F.col("embedding")).alias("features"),
+    )
+    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features",
+                predictionCol="centroid")
+    model = km.fit(corpus.select("features"))
+    assigned = model.transform(corpus).select("vec_id", "v", "centroid")
+
+    centroids = model.clusterCenters()
+    queries = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    ).collect()
+
+    import numpy as np
+
+    rows = []
+    for r in queries:
+        qv = np.array(r.qv)
+        dists = [float(np.linalg.norm(qv - c)) for c in centroids]
+        probe2 = np.argsort(dists)[:2]
+        for cid in probe2:
+            rows.append((r.q_id, r.qv, int(cid)))
+    probes = spark.createDataFrame(rows, "q_id long, qv array<double>, centroid int")
+
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, on="centroid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cos_sim")
+    )

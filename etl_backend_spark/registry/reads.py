@@ -705,3 +705,24 @@ def q_fn_nondeterministic(spark, sf_dir):
         ).alias("uuid_ok"),
         (F.current_timestamp() >= F.to_timestamp(F.lit("2020-01-01"))).alias("now_ok"),
     )
+
+
+@register(
+    "fn_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status2, o_orderpriority AS priority2
+    FROM orders
+    """,
+)
+def q_fn_csv_roundtrip(spark, sf_dir):
+    """CSV emission + schema-declared re-parse is the identity (the CSV
+    source/sink surface; the file-level path is spark.read.csv with the same
+    declared schema — never inferSchema)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    line = F.to_csv(F.struct("o_orderstatus", "o_orderpriority"))
+    parsed = F.from_csv(line, "o_orderstatus STRING, o_orderpriority STRING")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("o_orderstatus").alias("status2"),
+        parsed.getField("o_orderpriority").alias("priority2"),
+    )

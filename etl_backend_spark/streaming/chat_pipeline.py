@@ -174,3 +174,23 @@ def run_available_now(writer, query_name: str = "q"):
     q = writer.trigger(availableNow=True).queryName(query_name).start()
     q.awaitTermination()
     return q
+
+
+def stream_into_store(stream: DataFrame, store, table: str,
+                      checkpoint_dir: str, touch_parent_cfg: dict | None = None):
+    """foreachBatch bridge into the mutation layer: each micro-batch appends
+    to a ``ParquetTableStore`` table and (optionally) refreshes the parent
+    timestamp in the same job — the reference's two untransacted writes
+    (message insert + conversation touch, src/routes/chat.ts:186-208) become
+    one atomic-per-batch unit."""
+    from ..etl import writes as W
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        store.append(table, batch_df)
+        if touch_parent_cfg:
+            W.touch_parent(store, **touch_parent_cfg)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -196,3 +196,27 @@ def test_word_shingles_py_equals_expression(spark, cat):
         ).collect()
     }
     assert a == b
+
+
+def test_sim_topk_ivf_recall_vs_brute(spark):
+    """IVF (KMeans-8, probe-2) recall vs brute-force top-10: scanning the 2
+    nearest of 8 clusters bounds recall by the cluster structure; require
+    ≥0.3 mean here (weak-neighbor dataset) and exact score agreement on
+    returned pairs."""
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    brute = QUERIES["sim_topk_brute"](spark, sf).collect()
+    ivf = QUERIES["sim_topk_ivf"](spark, sf).collect()
+    bq, score = {}, {}
+    for r in brute:
+        bq.setdefault(r.q_id, set()).add(r.vec_id)
+        score[(r.q_id, r.vec_id)] = r.cos_sim
+    recalls = [
+        len({r.vec_id for r in ivf if r.q_id == q} & ids) / len(ids)
+        for q, ids in bq.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    for r in ivf:
+        if (r.q_id, r.vec_id) in score:
+            assert r.cos_sim == score[(r.q_id, r.vec_id)]
