@@ -35,7 +35,10 @@ HEADLINE = [
     "stream_sessionize",       # session_window gaps-and-islands
     "dedup_exact",             # hash groupBy dedup
     "dedup_ngram_jaccard",     # shingle explode + self-join (LSH cost shape)
-    "sim_topk_brute",          # broadcast cosine top-k
+    "sim_topk_brute",          # broadcast cosine top-k (expression scorer)
+    "sim_topk_pandas",         # same, numpy Arrow-batch scorer (fast path)
+    "dedup_minhash_lsh",       # signature + band equi-join (LSH scale path)
+    "join_asof",               # union + running-last as-of join
     "text_stats",              # regexp-heavy scalar pipeline
     "paginate_offset",         # TakeOrderedAndProject
 ]
@@ -43,12 +46,20 @@ HEADLINE = [
 RUNS = 3
 
 
+def run_full(df) -> None:
+    """Force FULL evaluation of every output column. ``count()`` is wrong
+    here: Catalyst prunes projections the action doesn't need, so map-only
+    queries would time the scan, not the work. The noop sink computes every
+    row and discards it."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
-    fn(spark, sf_dir).count()  # warm-up
+    run_full(fn(spark, sf_dir))  # warm-up
     samples = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        run_full(fn(spark, sf_dir))
         samples.append(time.perf_counter() - t0)
     return statistics.median(samples)
 

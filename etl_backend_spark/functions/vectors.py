@@ -8,6 +8,9 @@ sequential accumulation.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -48,8 +51,6 @@ def cosine_scores_pandas(query_vec):
     path for large corpora, at the cost of bit-exact oracle parity
     (pairwise vs sequential float summation). Returns a Column.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
@@ -63,5 +64,26 @@ def cosine_scores_pandas(query_vec):
         dots = m @ q
         norms = np.linalg.norm(m, axis=1)
         return pd.Series(dots / (norms * qn))
+
+    return score
+
+
+def cosine_scores_multi_pandas(query_vecs: list[list[float]]):
+    """Single Arrow-batched pandas UDF scoring every corpus vector against
+    ALL queries at once: one (batch x dim) @ (dim x n_queries) matmul per
+    batch, one scan, one Python worker round — per-query UDFs pay the
+    scan + worker startup n_queries times. Returns array<double> of scores
+    in query order (posexplode downstream)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    qm = np.asarray(query_vecs, dtype=np.float64).T  # (dim, n_q)
+    qn = np.linalg.norm(qm, axis=0)                  # (n_q,)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        scores = (m @ qm) / (np.linalg.norm(m, axis=1)[:, None] * qn[None, :])
+        return pd.Series(list(scores))
 
     return score

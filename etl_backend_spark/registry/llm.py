@@ -329,7 +329,7 @@ def q_sim_pairs_threshold(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh", oracle=H.minhash_oracle_sql(_SHINGLE_CTE, 0.5))
+@register("dedup_minhash_lsh", oracle=H.minhash_oracle_sql_v2(_SHINGLE_CTE, 0.5))
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup candidates (16 components, 8 bands x 2): shingle →
     deterministic md5 minhash signature → band-bucket equi-join → estimated
@@ -337,12 +337,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     generation is a shuffle on band keys, never an all-pairs join."""
     d = Catalog(spark, sf_dir).table("documents")
     sig = d.select(
-        "doc_id",
-        H.minhash_signature(T.word_shingles_py(3)(F.col("text"))).alias("sig"),
+        "doc_id", H.minhash_sig_py(3)(F.col("text")).alias("sig")
     )
     bands = sig.select(
         "doc_id",
-        F.posexplode(H.minhash_bands(F.col("sig"))).alias("band", "key"),
+        F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
     )
     pairs = (
         bands.alias("a")
@@ -492,23 +491,22 @@ def q_sim_topk_pandas(spark, sf_dir):
 
     e = Catalog(spark, sf_dir).table("embeddings")
     corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    qvecs = {
-        r.vec_id: r.embedding
+    qrows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
         for r in e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    }
-    per_query = []
-    for qid, qv in sorted(qvecs.items()):
-        scorer = V.cosine_scores_pandas(qv)
-        per_query.append(
-            corpus.filter(F.col("vec_id") != qid).select(
-                F.lit(qid).alias("q_id"),
-                "vec_id",
-                F.round(scorer(F.col("v")), 6).alias("cos_sim"),
-            )
+    )
+    q_ids = [q for q, _ in qrows]
+    scorer = V.cosine_scores_multi_pandas([v for _, v in qrows])
+    id_map = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        corpus.select("vec_id", F.posexplode(scorer(F.col("v"))).alias("qi", "s"))
+        .select(
+            F.element_at(id_map, F.col("qi") + 1).alias("q_id"),
+            "vec_id",
+            F.round(F.col("s"), 6).alias("cos_sim"),
         )
-    scored = per_query[0]
-    for df in per_query[1:]:
-        scored = scored.unionByName(df)
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
