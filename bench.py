@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_topk_pandas",         # same, numpy Arrow-batch scorer (fast path)
     "dedup_minhash_lsh",       # signature + band equi-join (LSH scale path)
     "join_asof",               # union + running-last as-of join
+    "tpch_q3_shape",           # selective filter + 2-hop join + top-k
+    "tpch_q5_shape",           # 6-table star join, broadcast dims
     "text_stats",              # regexp-heavy scalar pipeline
     "paginate_offset",         # TakeOrderedAndProject
 ]

@@ -424,3 +424,87 @@ def q_agg_skew_salted(spark, sf_dir):
     return out.select(
         "user_id", "n", F.round("sum_value", 4).alias("sum_value"), "last_ts"
     )
+
+
+@register(
+    "tpch_q3_shape",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2001-06-01'
+      AND l_shipdate > TIMESTAMP '2001-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shape(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority): selective dim filter → two-hop
+    join → grouped revenue → top-10. The customer filter prunes before the
+    join; the final top-k is TakeOrderedAndProject, never a global sort."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = cat.table("orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("2001-06-01"))
+    )
+    li = cat.table("lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("2001-03-15"))
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                 F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_shape",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o_orderdate < TIMESTAMP '2001-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier revenue): 6-table star join with the
+    region/nation dims broadcast (never shuffling the fact side), plus the
+    co-location predicate c_nationkey = s_nationkey."""
+    cat = Catalog(spark, sf_dir)
+    c, o, li, s = (cat.table("customer"), cat.table("orders"),
+                   cat.table("lineitem"), cat.table("supplier"))
+    n, r = cat.tbl("nation"), cat.tbl("region")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("2001-01-01")))
+        )
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"])
+                 & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )

@@ -87,10 +87,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     d = Catalog(spark, sf_dir).table("documents")
     # pandas-UDF shingler: ~6x over the expression form at sf0.1 (see
     # functions.text.word_shingles_py); per-doc dedup replaces .distinct()
-    sh = d.select(
-        "doc_id", F.explode(T.word_shingles_py(3)(F.col("text"))).alias("shingle")
+    shingled = d.select(
+        "doc_id", T.word_shingles_py(3)(F.col("text")).alias("sh_arr")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = shingled.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    # |shingles| straight from the array — no groupBy-over-exploded-rows
+    # shuffle; the UDF already dedups per doc
+    sizes = shingled.select("doc_id", F.size("sh_arr").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
