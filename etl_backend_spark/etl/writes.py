@@ -10,13 +10,11 @@ src/routes/favorites.ts:36-62; prisma/seed.ts:11-21). Over immutable parquet
 
 - **Append** avoids the rewrite entirely: new row-files land beside existing
   ones in the same version directory (cheap at any scale).
-- **Update/delete/upsert** rewrite — at 100 TB you'd partition the table and
-  rewrite only affected partitions (`partition_filter` narrows the rewrite
-  set); the unaffected partitions are carried forward by reference (their
-  files are re-listed, not re-written, when `copy_unchanged=False`... plain
-  parquet has no manifest, so here carried forward = rewritten; a manifest
-  (Delta/Iceberg) removes that cost and is the first thing to adopt on a real
-  deployment).
+- **Update/delete/upsert** rewrite the base store; ``PartitionedTableStore``
+  narrows that to the affected partition directories and carries every other
+  partition into the new version via hard links (O(files) metadata, no data
+  movement) — the step before adopting a manifest format (Delta/Iceberg),
+  which would make the carry-forward a manifest entry instead of a link.
 - **Pointer swap** (`_CURRENT` containing the live version name, written via
   temp-file + `os.replace`) gives readers an atomic cutover and natural
   time-travel (old versions remain until vacuumed).
@@ -168,3 +166,65 @@ def touch_parent(store: ParquetTableStore, parent: str, child: str,
         F.coalesce(F.col("__ts"), F.col(updated_col) if updated_col in parent_df.columns else F.lit(None).cast("timestamp")),
     ).drop("__k", "__ts")
     store._swap(parent, store._write_version(parent, joined))
+
+
+class PartitionedTableStore(ParquetTableStore):
+    """Store variant with hive-partitioned versions: mutations that carry a
+    partition predicate rewrite ONLY the affected partition directories and
+    hard-link nothing else — the plain store's "rewrite everything" cost
+    becomes proportional to touched partitions (the step before adopting a
+    manifest format like Delta/Iceberg).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, partition_col: str):
+        super().__init__(spark, root)
+        self.partition_col = partition_col
+
+    def create(self, name: str, df: DataFrame) -> None:
+        os.makedirs(self._tdir(name), exist_ok=True)
+        version = f"v-{uuid.uuid4().hex}"
+        df.write.mode("errorifexists").partitionBy(self.partition_col).parquet(
+            self._version_dir(name, version)
+        )
+        self._swap(name, version)
+
+    def _partition_dirs(self, name: str) -> list[str]:
+        vdir = self._version_dir(name, self._current_version(name))
+        return [e for e in os.listdir(vdir) if e.startswith(f"{self.partition_col}=")]
+
+    def update_partitions(self, name: str, partition_values: list,
+                          assignments: dict[str, Column], where: Column) -> None:
+        """Rewrite only the named partitions; every other partition directory
+        is carried into the new version via filesystem hard links (O(files),
+        no data movement or re-encode)."""
+        cur = self._current_version(name)
+        cur_dir = self._version_dir(name, cur)
+        version = f"v-{uuid.uuid4().hex}"
+        new_dir = self._version_dir(name, version)
+        os.makedirs(new_dir)
+
+        affected = {f"{self.partition_col}={v}" for v in partition_values}
+        for entry in self._partition_dirs(name):
+            if entry in affected:
+                continue
+            src, dst = os.path.join(cur_dir, entry), os.path.join(new_dir, entry)
+            os.makedirs(dst)
+            for f in os.listdir(src):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+
+        for value in partition_values:
+            part_src = os.path.join(cur_dir, f"{self.partition_col}={value}")
+            if not os.path.isdir(part_src):
+                continue
+            df = self.spark.read.parquet(part_src)
+            for col, expr in assignments.items():
+                df = df.withColumn(col, F.when(where, expr).otherwise(F.col(col)))
+            df.write.mode("errorifexists").parquet(
+                os.path.join(new_dir, f"{self.partition_col}={value}")
+            )
+        self._swap(name, version)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.option("basePath", self._version_dir(
+            name, self._current_version(name)
+        )).parquet(self._version_dir(name, self._current_version(name)))

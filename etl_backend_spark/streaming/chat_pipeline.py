@@ -194,3 +194,56 @@ def stream_into_store(stream: DataFrame, store, table: str,
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       watermark: str = "1 hour",
+                       join_window: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each left event
+    matches right events of the same user within [left.ts - window, left.ts].
+    Both sides carry watermarks so the join state store evicts rows older
+    than watermark + window — without the time bound the state would grow
+    unboundedly (Spark rejects unbounded stream-stream joins in append
+    mode for exactly that reason)."""
+    l2 = left.withWatermark("ts", watermark).alias("l")
+    r2 = right.withWatermark("ts", watermark).alias("r")
+    return l2.join(
+        r2,
+        F.expr(
+            f"""l.user_id = r.user_id AND
+                r.ts BETWEEN l.ts - INTERVAL {join_window} AND l.ts"""
+        ),
+    ).select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
+def read_json_stream_permissive(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Ingestion variant that quarantines malformed records instead of
+    failing the stream: PERMISSIVE mode routes unparseable lines into
+    ``_corrupt_record`` (the reference's try/catch around JSON.parse,
+    src/websocket.ts:39-44, as a dataflow)."""
+    schema = StructType(
+        EVENT_WIRE_SCHEMA.fields + [StructField("_corrupt_record", StringType())]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(source_dir)
+    )
+
+
+def split_corrupt(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine) split of a permissive ingest."""
+    valid = stream.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    # Spark disallows projecting ONLY the corrupt column from a raw file scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — keep a parsed column beside it.
+    bad = stream.filter(F.col("_corrupt_record").isNotNull()).select(
+        "event_id", F.col("_corrupt_record").alias("raw")
+    )
+    return valid, bad

@@ -107,3 +107,45 @@ def test_vacuum_keeps_live_version(store):
     live = store._current_version("region")
     versions = [e for e in os.listdir(store._tdir("region")) if e.startswith("v-")]
     assert versions == [live]
+
+
+def test_partitioned_update_rewrites_only_affected(spark, tmp_path):
+    import os
+
+    from etl_backend_spark.etl.writes import PartitionedTableStore
+
+    cat = Catalog(spark, SF_DIR)
+    s = PartitionedTableStore(spark, str(tmp_path / "pstore"), "o_orderstatus")
+    s.create("orders", cat.table("orders"))
+    v0 = s._current_version("orders")
+    v0_dir = s._version_dir("orders", v0)
+    f_inode = {
+        f: os.stat(os.path.join(v0_dir, "o_orderstatus=F", f)).st_ino
+        for f in os.listdir(os.path.join(v0_dir, "o_orderstatus=F"))
+        if f.endswith(".parquet")
+    }
+
+    s.update_partitions(
+        "orders", ["O"], {"o_orderpriority": F.lit("5-LOW")},
+        F.col("o_totalprice") > 300000.0,
+    )
+    out = s.read("orders")
+    base = cat.table("orders")
+    # semantics: only status-O rows above the threshold changed
+    changed = out.filter((F.col("o_orderstatus") == "O")
+                         & (F.col("o_totalprice") > 300000.0)
+                         & (F.col("o_orderpriority") != "5-LOW"))
+    assert changed.count() == 0
+    untouched = out.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    orig = base.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    assert untouched.subtract(orig).count() == 0
+    assert out.count() == base.count()
+
+    # physical: the F partition's files are HARD LINKS of the old version
+    v1_dir = s._version_dir("orders", s._current_version("orders"))
+    for f, ino in f_inode.items():
+        assert os.stat(os.path.join(v1_dir, "o_orderstatus=F", f)).st_ino == ino

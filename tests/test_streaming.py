@@ -150,3 +150,55 @@ def test_stream_into_store_appends_per_batch(spark, tmp_path, event_json_dir):
     got = store.read("messages")
     expect = Catalog(spark, SF_DIR).table("events")
     assert got.count() == expect.count()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, event_json_dir):
+    """Windowed stream-stream join result == the equivalent batch range
+    join (purchases x signups within the preceding hour)."""
+    raw = cp.read_json_stream(spark, event_json_dir)
+    left = raw.filter(F.col("event_type") == "purchase")
+    right = cp.read_json_stream(spark, event_json_dir).filter(
+        F.col("event_type") == "signup"
+    )
+    joined = cp.stream_stream_join(left, right)
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.left_id, r.right_id) for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    ev = Catalog(spark, SF_DIR).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("l")
+    s = ev.filter(F.col("event_type") == "signup").alias("r")
+    expect = {
+        (r.lid, r.rid)
+        for r in p.join(
+            s,
+            F.expr("l.user_id = r.user_id AND "
+                   "r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts"),
+        ).select(F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid")).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_permissive_ingest_quarantines_corrupt(spark, tmp_path):
+    src = tmp_path / "dirty"
+    src.mkdir()
+    with open(src / "mixed.json", "w") as f:
+        f.write(json.dumps({"event_id": 1, "ts": "2024-01-01T00:00:00Z",
+                            "user_id": 5, "event_type": "click",
+                            "value": 1.0, "props": "{}"}) + "\n")
+        f.write("this is not json at all\n")
+        f.write('{"event_id": broken\n')
+    valid, bad = cp.split_corrupt(cp.read_json_stream_permissive(spark, str(src)))
+    for df, name in ((valid, "ok_rows"), (bad, "bad_rows")):
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    ok = spark.sql("SELECT * FROM ok_rows").collect()
+    quarantined = spark.sql("SELECT * FROM bad_rows").collect()
+    assert len(ok) == 1 and ok[0].event_id == 1
+    assert len(quarantined) == 2
