@@ -508,3 +508,64 @@ def q_tpch_q5_shape(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.round(revenue, 2).alias("revenue"))
     )
+
+
+@register(
+    "window_latest_maxby",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_window_latest_maxby(spark, sf_dir):
+    """Top-1-per-group via max_by (partial-aggregable, NO sort, no window
+    shuffle-and-sort) — the scale-preferred form of window_latest_per_group
+    when only the argmax row's columns are needed. Tie-broken on (ts,
+    event_id) struct ordering identically in both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("last_event_id"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): two independent
+    groupings in one shuffle pass."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+             AS quartile
+    FROM orders
+    """,
+)
+def q_window_ntile(spark, sf_dir):
+    """ntile quartiles over a total order (single-partition window — fine
+    for ranked reporting output, NOT for 100 TB fact tables; at scale use
+    approx percentiles to bucket instead)."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))

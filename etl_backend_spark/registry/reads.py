@@ -726,3 +726,117 @@ def q_fn_csv_roundtrip(spark, sf_dir):
         parsed.getField("o_orderstatus").alias("status2"),
         parsed.getField("o_orderpriority").alias("priority2"),
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS k, a.n_building, b.n_big
+    FROM (SELECT c_nationkey AS k, count(*) AS n_building FROM customer
+          WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) a
+    FULL OUTER JOIN
+         (SELECT c_nationkey AS k, count(*) AS n_big FROM customer
+          WHERE c_acctbal > 9000 GROUP BY c_nationkey) b
+      ON a.k = b.k
+    """,
+)
+def q_join_full_outer(spark, sf_dir):
+    """Full outer join of two aggregates (absent in reference; free in
+    Spark — SMJ with null-filling on both sides)."""
+    c = Catalog(spark, sf_dir).table("customer")
+    a = (c.filter(F.col("c_mktsegment") == "BUILDING")
+         .groupBy(F.col("c_nationkey").alias("ak"))
+         .agg(F.count(F.lit(1)).alias("n_building")))
+    b = (c.filter(F.col("c_acctbal") > 9000)
+         .groupBy(F.col("c_nationkey").alias("bk"))
+         .agg(F.count(F.lit(1)).alias("n_big")))
+    return (
+        a.join(b, a["ak"] == b["bk"], "full_outer")
+        .select(F.coalesce("ak", "bk").alias("k"), "n_building", "n_big")
+    )
+
+
+@register(
+    "fn_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_filled,
+           (CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL
+                 THEN 1 ELSE 0 END) AS was_nulled,
+           ifnull(NULL, c_custkey) AS pk_fallback
+    FROM customer
+    """,
+)
+def q_fn_null_handling(spark, sf_dir):
+    """NULL semantics surface: nullif / coalesce / null-test / ifnull —
+    three-valued logic identical across engines."""
+    c = Catalog(spark, sf_dir).table("customer")
+    nulled = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        nulled.alias("seg_or_null"),
+        F.coalesce(nulled, F.lit("DEFAULT")).alias("seg_filled"),
+        F.when(nulled.isNull(), 1).otherwise(0).alias("was_nulled"),
+        F.ifnull(F.lit(None).cast("long"), F.col("c_custkey")).alias("pk_fallback"),
+    )
+
+
+@register(
+    "fn_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4) AS abs_dev,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(pow(1.0 + l_tax, 2), 6) AS tax_sq,
+           CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+           round(greatest(l_discount, l_tax), 2) AS max_rate
+    FROM lineitem
+    """,
+)
+def q_fn_math_funcs(spark, sf_dir):
+    """Math-function surface (abs/sqrt/ln/pow/floor/greatest), rounded for
+    cross-engine float stability."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.floor(F.col("l_quantity") / 10.0).cast("long").alias("qty_decile"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+    )
+
+
+@register(
+    "fn_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           trim(p_name) AS name_trim,
+           substr(p_type, 1, 5) AS type_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           length(p_name) AS name_len,
+           strpos(p_type, 'BRUSHED') AS brushed_at,
+           reverse(p_brand) AS brand_rev
+    FROM part
+    """,
+)
+def q_fn_string_funcs(spark, sf_dir):
+    """String-function surface: case, trim, substring, replace, pad,
+    length, position, reverse."""
+    p = Catalog(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.trim("p_name").alias("name_trim"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.instr(F.col("p_type"), "BRUSHED").cast("long").alias("brushed_at"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
