@@ -1,3 +1,3 @@
-from . import writes
+from . import scd, writes
 
-__all__ = ["writes"]
+__all__ = ["scd", "writes"]

@@ -184,3 +184,56 @@ def q_etl_touch_parent(spark, sf_dir):
     (reference src/routes/chat.ts:205-208, src/websocket.ts:65-68)."""
     ev = Catalog(spark, sf_dir).table("events")
     return ev.groupBy("user_id").agg(F.max("ts").alias("updated_at"))
+
+
+@register(
+    "etl_scd2_merge",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '2020-01-01' AS valid_from,
+             NULL::TIMESTAMP AS valid_to, true AS is_current
+      FROM customer
+    ), inc AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'MACHINERY2'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    ), changed AS (
+      SELECT cur.c_custkey FROM cur JOIN inc USING (c_custkey)
+      WHERE cur.c_mktsegment IS DISTINCT FROM inc.c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2024-06-01' ELSE c.valid_to END AS valid_to,
+           ch.c_custkey IS NULL AS is_current
+    FROM cur c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT i.c_custkey, i.c_mktsegment,
+           TIMESTAMP '2024-06-01', NULL::TIMESTAMP, true
+    FROM inc i JOIN changed ch ON i.c_custkey = ch.c_custkey
+    """,
+)
+def q_etl_scd2_merge(spark, sf_dir):
+    """SCD Type-2 merge (history-preserving upsert — the warehouse form of
+    the reference's in-place profile update, src/routes/auth.ts:142-157):
+    changed keys get their old row closed out at the effective timestamp and
+    a new current row appended; unchanged rows carry through untouched."""
+    from ..etl.scd import scd2_merge
+
+    c = Catalog(spark, sf_dir).table("customer")
+    current = c.select(
+        "c_custkey", "c_mktsegment",
+        F.to_timestamp(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    incoming = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, "MACHINERY2")
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    return scd2_merge(
+        current, incoming, "c_custkey", ["c_mktsegment"],
+        F.to_timestamp(F.lit("2024-06-01")),
+    )

@@ -149,3 +149,40 @@ def test_partitioned_update_rewrites_only_affected(spark, tmp_path):
     v1_dir = s._version_dir("orders", s._current_version("orders"))
     for f, ino in f_inode.items():
         assert os.stat(os.path.join(v1_dir, "o_orderstatus=F", f)).st_ino == ino
+
+
+def test_scd2_merge_invariants(spark, cat):
+    """Per key: exactly one current row; history rows have valid_to set;
+    running the merge twice with the same batch adds no new versions."""
+    from etl_backend_spark.etl.scd import scd2_merge
+
+    c = cat.table("customer")
+    current = c.select(
+        "c_custkey", "c_mktsegment",
+        F.to_timestamp(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    incoming = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, "MACHINERY2")
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    ts = F.to_timestamp(F.lit("2024-06-01"))
+    once = scd2_merge(current, incoming, "c_custkey", ["c_mktsegment"], ts)
+
+    per_key_current = (
+        once.filter(F.col("is_current")).groupBy("c_custkey").count()
+        .filter(F.col("count") != 1)
+    )
+    assert per_key_current.count() == 0
+    assert once.filter(~F.col("is_current") & F.col("valid_to").isNull()).count() == 0
+
+    n_changed = c.filter((F.col("c_custkey") % 10 == 0)
+                         & (F.col("c_mktsegment") != "MACHINERY2")).count()
+    assert once.count() == c.count() + n_changed
+
+    # idempotence: same batch again changes nothing
+    twice = scd2_merge(once, incoming, "c_custkey", ["c_mktsegment"],
+                       F.to_timestamp(F.lit("2024-07-01")))
+    assert twice.count() == once.count()
