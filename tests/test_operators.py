@@ -269,3 +269,36 @@ def test_salted_join_equals_plain(cat):
     a = {(r.l_orderkey, r.l_linenumber, r.p_brand) for r in salted.collect()}
     b = {(r.l_orderkey, r.l_linenumber, r.p_brand) for r in plain.collect()}
     assert a == b
+
+
+def test_python_datasource_batch_deterministic(spark):
+    """Custom PySpark-4 Python DataSource: partitioned deterministic reads."""
+    from etl_backend_spark.sources.event_source import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("numRows", 500).option("numPartitions", 4).load())
+    assert df.count() == 500
+    assert df.select("event_id").distinct().count() == 500
+    a = sorted(r.event_id for r in df.filter(F.col("event_type") == "click").collect())
+    b = sorted(r.event_id for r in
+               spark.read.format("synthetic_events").option("numRows", 500)
+               .option("numPartitions", 2).load()
+               .filter(F.col("event_type") == "click").collect())
+    assert a == b  # partitioning never changes content
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_python_datasource_stream(spark, tmp_path):
+    from etl_backend_spark.sources.event_source import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (spark.readStream.format("synthetic_events")
+              .option("rowsPerBatch", 50).load())
+    q = (stream.writeStream.format("memory").queryName("synth")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM synth").collect()
+    assert len(got) >= 50
+    assert all(r.event_type in {"click", "view", "purchase", "signup", "error"}
+               for r in got)
