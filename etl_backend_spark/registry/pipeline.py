@@ -1,0 +1,194 @@
+"""Registry: training-data pipeline operators over ``documents`` — chunking,
+scrubbing, split assignment, shuffle ordering, sequence packing (driver north
+star; these are the stages between raw corpus and training batches).
+
+All deterministic and oracle-checked: sampling/splitting uses md5 hash
+buckets (reproducible at any scale and across engines — the correct way to
+split 100 TB anyway, since seeded RNG sampling is not stable across
+partitionings), and packing uses running-total windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Catalog
+from . import register
+
+
+@register(
+    "doc_chunk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), c AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0,
+               CAST(floor(greatest(len(words) - 1, 0) / 48.0) AS BIGINT))) AS chunk_idx
+      FROM w
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(words[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             AS chunk_text,
+           least(len(words) - chunk_idx * 48, 64) AS n_tokens
+    FROM c
+    """,
+)
+def q_doc_chunk(spark, sf_dir):
+    """Overlapping-window document chunking: 64-token windows with stride 48
+    (16-token overlap) — the context-window slicing stage of a pretraining
+    pipeline. Chunk starts are stride multiples below len (last index =
+    floor((len-1)/stride)); all array-slice built-ins, one explode, no
+    shuffle."""
+    d = Catalog(spark, sf_dir).table("documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    window, stride = 64, 48  # 16-token overlap = window - stride
+    # chunks start at multiples of stride while start < len:
+    # last chunk index = floor((len-1)/stride)
+    last_idx = F.floor(
+        F.greatest(F.size(words) - 1, F.lit(0)) / F.lit(float(stride))
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id", words.alias("words"),
+            F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id", "chunk_idx",
+            F.array_join(
+                F.slice(F.col("words"), F.col("chunk_idx") * stride + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("words") - F.col("chunk_idx") * stride, F.lit(window)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII-pattern scrubbing (emails, phone-shaped numbers, long digit runs
+    → placeholder tokens) — the redaction stage before training; pure
+    regexp_replace, patterns kept to the Java/RE2-common subset."""
+    d = Catalog(spark, sf_dir).table("documents")
+    out = F.regexp_replace(
+        F.col("text"),
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>",
+    )
+    out = F.regexp_replace(out, r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>")
+    out = F.regexp_replace(out, r"[0-9]{4,}", "<NUM>")
+    return d.select("doc_id", out.alias("scrubbed"))
+
+
+@register(
+    "split_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by md5 hash bucket
+    of the key — reproducible across runs, partitionings, and engines, which
+    seeded RNG sampling is NOT; the only correct way to hold out data at
+    100 TB (membership is a pure function of the key)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return d.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "shuffle_order",
+    oracle="""
+    SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+    """,
+)
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic global shuffle for training-order randomization:
+    ORDER BY md5(key) — reproducible, resumable (the order is a property of
+    the data, not of a run), and at scale it is a range-partitioned sort,
+    not a driver-side permutation."""
+    d = Catalog(spark, sf_dir).table("documents")
+    key = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "seq_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+             AS seq_id
+    FROM c
+    """,
+)
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing: documents greedily packed into 512-token training
+    sequences along the deterministic shuffle order, via a running-total
+    window (seq = floor(preceding-cumsum / budget)). The single-partition
+    window is the oracle-exact form; at 100 TB pack per shuffle-key range
+    partition instead (each range packs independently — same algorithm,
+    keyed window)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    t = d.select("doc_id", n_tokens.alias("n_tokens"), k.alias("k"))
+    w = (
+        Window.orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 512.0).cast("long").alias("seq_id"),
+    )

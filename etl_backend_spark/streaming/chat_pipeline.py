@@ -247,3 +247,13 @@ def split_corrupt(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
         "event_id", F.col("_corrupt_record").alias("raw")
     )
     return valid, bad
+
+
+def dedup_stream(stream: DataFrame, keys: list[str],
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: at-least-once sources (replayed
+    batches, reconnecting websocket clients) become exactly-once rows.
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state store to the
+    watermark horizon — a plain dropDuplicates would keep every key ever
+    seen (unbounded state at 100 TB/day)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -202,3 +202,27 @@ def test_permissive_ingest_quarantines_corrupt(spark, tmp_path):
     quarantined = spark.sql("SELECT * FROM bad_rows").collect()
     assert len(ok) == 1 and ok[0].event_id == 1
     assert len(quarantined) == 2
+
+
+def test_stream_dedup_removes_replays(spark, tmp_path):
+    """The same events delivered twice (source replay) come out once."""
+    src = tmp_path / "replay"
+    src.mkdir()
+    events = [
+        {"event_id": i, "ts": f"2024-01-01T00:0{i}:00Z", "user_id": 1,
+         "event_type": "msg", "value": 1.0, "props": "{}"}
+        for i in range(5)
+    ]
+    with open(src / "a.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    with open(src / "b.json", "w") as f:  # replay of the same payloads
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    deduped = cp.dedup_stream(cp.read_json_stream(spark, str(src)), ["event_id"])
+    q = (deduped.writeStream.format("memory").queryName("dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id FROM dedup").collect()
+    assert sorted(r.event_id for r in got) == [0, 1, 2, 3, 4]
