@@ -87,9 +87,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     d = Catalog(spark, sf_dir).table("documents")
     # pandas-UDF shingler: ~6x over the expression form at sf0.1 (see
     # functions.text.word_shingles_py); per-doc dedup replaces .distinct()
+    # persist: the shingler UDF otherwise re-evaluates in EVERY plan branch
+    # that references it (join a/b sides + both size lookups = 4x Arrow eval)
     shingled = d.select(
         "doc_id", T.word_shingles_py(3)(F.col("text")).alias("sh_arr")
-    )
+    ).persist()
     sh = shingled.select("doc_id", F.explode("sh_arr").alias("shingle"))
     # |shingles| straight from the array — no groupBy-over-exploded-rows
     # shuffle; the UDF already dedups per doc
@@ -341,7 +343,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     d = Catalog(spark, sf_dir).table("documents")
     sig = d.select(
         "doc_id", H.minhash_sig_py(3)(F.col("text")).alias("sig")
-    )
+    ).persist()  # shared by band explode + both est-join sides
     bands = sig.select(
         "doc_id",
         F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
