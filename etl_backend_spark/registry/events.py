@@ -171,3 +171,25 @@ def q_join_range_count(spark, sf_dir):
     return joins.range_join_count(
         purchases, errors, "user_id", "ts", "1 hour", out_col="n_errors_1h"
     )
+
+
+@register(
+    "events_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+    FROM events
+    """,
+)
+def q_events_zscore(spark, sf_dir):
+    """Per-key normalization (z-score of value within each user) via window
+    aggregates — one shuffle on the key. The grouped-map ``applyInPandas``
+    form of the same computation is pytest-asserted equal (the pandas path
+    is for per-group logic Spark expressions can't say; this one they can)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", "user_id", F.round(z, 4).alias("z"))

@@ -302,3 +302,34 @@ def test_python_datasource_stream(spark, tmp_path):
     assert len(got) >= 50
     assert all(r.event_type in {"click", "view", "purchase", "signup", "error"}
                for r in got)
+
+
+def test_apply_in_pandas_zscore_equals_window(spark, cat):
+    """Grouped-map applyInPandas == built-in window normalization (the UDF
+    escape hatch must agree with the expression path where both can express
+    the op)."""
+    import pandas as pd
+
+    ev = cat.table("events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "z": ((pdf["value"] - mu) / sd).round(4),
+        })
+
+    via_pandas = {
+        (r.event_id): r.z
+        for r in ev.groupBy("user_id")
+        .applyInPandas(zscore, schema="event_id long, user_id long, z double")
+        .collect()
+    }
+    from etl_backend_spark.registry import QUERIES
+    via_window = {
+        r.event_id: r.z
+        for r in QUERIES["events_zscore"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert via_pandas == via_window
