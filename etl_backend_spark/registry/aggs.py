@@ -569,3 +569,72 @@ def q_window_ntile(spark, sf_dir):
     o = Catalog(spark, sf_dir).table("orders")
     w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "tpch_q13_shape",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): left join with a
+    join-side residual predicate, then a double aggregation — the second
+    groupBy's input is already one row per customer, so the second shuffle
+    is tiny."""
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q18_shape",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON o_orderkey = lineitem.l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def q_tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate as a
+    semi-join key set, re-join to facts, top-k. The `big` key set is small
+    after the HAVING filter → broadcasts into both joins."""
+    cat = Catalog(spark, sf_dir)
+    li, o, c = cat.table("lineitem"), cat.table("orders"), cat.table("customer")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150).select(F.col("l_orderkey").alias("__bk"))
+    )
+    return (
+        o.join(big, o["o_orderkey"] == F.col("__bk"))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )

@@ -192,3 +192,24 @@ def q_seq_pack(spark, sf_dir):
         "doc_id", "n_tokens",
         F.floor((cum - F.col("n_tokens")) / 512.0).cast("long").alias("seq_id"),
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'),
+             '\\s+', ' ', 'g') AS norm_text
+    FROM documents
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase, strip punctuation to spaces,
+    collapse whitespace) — the cleanup pass before tokenization/dedup; all
+    regexp built-ins."""
+    d = Catalog(spark, sf_dir).table("documents")
+    out = F.lower(F.trim(F.col("text")))
+    out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return d.select("doc_id", out.alias("norm_text"))
