@@ -42,6 +42,9 @@ HEADLINE = [
     "tpch_q3_shape",           # selective filter + 2-hop join + top-k
     "tpch_q5_shape",           # 6-table star join, broadcast dims
     "text_stats",              # regexp-heavy scalar pipeline
+    "doc_chunk",               # overlapping-window chunking (explode)
+    "seq_pack",                # shuffle-order + cumsum packing
+    "split_assign",            # md5-bucket train/val/test
     "paginate_offset",         # TakeOrderedAndProject
 ]
 

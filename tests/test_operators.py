@@ -333,3 +333,28 @@ def test_apply_in_pandas_zscore_equals_window(spark, cat):
         for r in QUERIES["events_zscore"](spark, "/root/testdata/sf0.001").collect()
     }
     assert via_pandas == via_window
+
+
+def test_file_sink_roundtrips(spark, cat, tmp_path):
+    """sink surfaces: parquet/json/csv writes re-read to identical content
+    (reference res.json emission, src/routes/ads.ts:158-166, as file sinks)."""
+    src = cat.table("orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    expect = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2))
+              for r in src.collect()}
+
+    p_parq = str(tmp_path / "o_parquet")
+    src.write.parquet(p_parq)
+    got_p = spark.read.parquet(p_parq)
+
+    p_json = str(tmp_path / "o_json")
+    src.write.json(p_json)
+    got_j = spark.read.schema(src.schema).json(p_json)
+
+    p_csv = str(tmp_path / "o_csv")
+    src.write.option("header", True).csv(p_csv)
+    got_c = spark.read.schema(src.schema).option("header", True).csv(p_csv)
+
+    for got in (got_p, got_j, got_c):
+        rows = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2))
+                for r in got.collect()}
+        assert rows == expect
