@@ -840,3 +840,58 @@ def q_fn_string_funcs(spark, sf_dir):
         F.instr(F.col("p_type"), "BRUSHED").cast("long").alias("brushed_at"),
         F.reverse(F.col("p_brand")).alias("brand_rev"),
     )
+
+
+@register(
+    "sort_nulls_last",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+    FROM orders
+    ORDER BY pri ASC NULLS LAST, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_sort_nulls_last(spark, sf_dir):
+    """NULL ordering made explicit: Spark's default ASC is NULLS FIRST,
+    DuckDB/Postgres default is NULLS LAST — any sorted surface with nullable
+    keys must pin the null position (asc_nulls_last here) or engines
+    silently disagree."""
+    o = Catalog(spark, sf_dir).table("orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        o.select("o_orderkey", pri.alias("pri"))
+        .orderBy(F.col("pri").asc_nulls_last(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ') AS a,
+             string_split(p_type, ' ') AS b
+      FROM part
+    )
+    SELECT p_partkey,
+           coalesce(array_to_string(list_sort(list_distinct(list_cat(a, b))), ','),
+                    '') AS u,
+           coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS i,
+           coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+                      x -> NOT list_contains(b, x))), ','), '') AS d
+    FROM t
+    """,
+)
+def q_fn_array_setops(spark, sf_dir):
+    """Array set algebra (union/intersect/except) over word arrays —
+    serialized sorted so element order can't differ between engines."""
+    p = Catalog(spark, sf_dir).table("part")
+    a = F.split(F.col("p_name"), " ")
+    b = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("u"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("i"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("d"),
+    )

@@ -226,3 +226,32 @@ def test_stream_dedup_removes_replays(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT event_id FROM dedup").collect()
     assert sorted(r.event_id for r in got) == [0, 1, 2, 3, 4]
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Stop/restart with the same checkpoint: the second run processes ONLY
+    files that arrived after the first run — no duplicates, no loss."""
+    src = tmp_path / "arriving"
+    src.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(json.dumps({
+                    "event_id": i, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+                    "event_type": "msg", "value": 1.0, "props": "{}",
+                }) + "\n")
+
+    write_file("a.json", range(0, 10))
+    stream = cp.read_json_stream(spark, str(src))
+    cp.run_available_now(cp.append_sink(stream, out, ckpt), "resume1")
+    assert spark.read.parquet(out).count() == 10
+
+    write_file("b.json", range(10, 25))
+    stream2 = cp.read_json_stream(spark, str(src))
+    cp.run_available_now(cp.append_sink(stream2, out, ckpt), "resume2")
+    got = spark.read.parquet(out)
+    assert got.count() == 25
+    assert got.select("event_id").distinct().count() == 25  # exactly once
