@@ -1,3 +1,3 @@
-from . import scd, writes
+from . import manifest, scd, writes
 
-__all__ = ["scd", "writes"]
+__all__ = ["manifest", "scd", "writes"]

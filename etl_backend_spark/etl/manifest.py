@@ -1,0 +1,167 @@
+"""Manifest-based table format: Delta/Iceberg-style file-level commits over
+plain parquet — the scale answer for mutations that ``ParquetTableStore``
+(full rewrite) and ``PartitionedTableStore`` (partition rewrite + hard
+links) approximate.
+
+Layout:
+    root/<table>/data/f-<uuid>.parquet          immutable data files
+    root/<table>/manifest/m-<uuid>.json         file list + per-file stats
+    root/<table>/_CURRENT                       live manifest id (atomic swap)
+
+A manifest entry records, per data file: path, row count, and min/max of the
+configured stats columns. Mutations operate at FILE granularity:
+
+- ``append``      → write new files, commit = old list + new entries.
+- ``delete``      → only files whose [min,max] interval can contain matching
+                    rows are rewritten; all other entries carry over
+                    untouched (zero data movement — the manifest IS the
+                    carry-forward).
+- ``compact``     → bin-pack small files into target-size files; pure
+                    metadata swap plus the rewrite of the small files.
+- readers         → ``read`` loads the live file list; ``read_pruned``
+                    additionally skips files by manifest stats before Spark
+                    even sees them (manifest-level partition/zone pruning).
+
+Every commit is a new manifest + atomic pointer swap; old manifests remain
+readable (time travel) until vacuumed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ManifestTable:
+    def __init__(self, spark: SparkSession, root: str, name: str,
+                 stats_cols: list[str]):
+        self.spark = spark
+        self.dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.manifest_dir = os.path.join(self.dir, "manifest")
+        self.stats_cols = stats_cols
+
+    # ------------------------------------------------------------ plumbing
+
+    def _pointer(self) -> str:
+        return os.path.join(self.dir, "_CURRENT")
+
+    def _live_manifest(self) -> dict:
+        with open(self._pointer()) as f:
+            mid = f.read().strip()
+        with open(os.path.join(self.manifest_dir, mid)) as f:
+            return json.load(f)
+
+    def _commit(self, entries: list[dict]) -> None:
+        mid = f"m-{uuid.uuid4().hex}.json"
+        with open(os.path.join(self.manifest_dir, mid), "w") as f:
+            json.dump({"entries": entries}, f)
+        tmp = self._pointer() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(mid)
+        os.replace(tmp, self._pointer())
+
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Write df as data files and return manifest entries with stats."""
+        batch = f"b-{uuid.uuid4().hex}"
+        out = os.path.join(self.data_dir, batch)
+        df.write.mode("errorifexists").parquet(out)
+        entries = []
+        for fname in os.listdir(out):
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(out, fname)
+            part = self.spark.read.parquet(path)
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in self.stats_cols:
+                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+            row = part.agg(*aggs).collect()[0].asDict()
+            entries.append({
+                "path": path,
+                "rows": row["__n"],
+                "stats": {
+                    c: [row[f"min_{c}"], row[f"max_{c}"]] for c in self.stats_cols
+                },
+            })
+        return entries
+
+    # ------------------------------------------------------------- surface
+
+    def create(self, df: DataFrame) -> None:
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        self._commit(self._write_files(df))
+
+    def append(self, df: DataFrame) -> None:
+        live = self._live_manifest()["entries"]
+        self._commit(live + self._write_files(df))
+
+    def files(self) -> list[dict]:
+        return self._live_manifest()["entries"]
+
+    def read(self) -> DataFrame:
+        paths = [e["path"] for e in self.files()]
+        return self.spark.read.parquet(*paths)
+
+    def read_pruned(self, col: str, lo=None, hi=None) -> tuple[DataFrame, int]:
+        """Manifest-stats pruning: load only files whose [min,max] for `col`
+        intersects [lo, hi]. Returns (df, n_files_skipped). The residual
+        filter still applies Spark-side; the win is files never opened."""
+        keep, skipped = [], 0
+        for e in self.files():
+            mn, mx = e["stats"][col]
+            if (lo is not None and mx is not None and mx < lo) or (
+                hi is not None and mn is not None and mn > hi
+            ):
+                skipped += 1
+                continue
+            keep.append(e["path"])
+        if not keep:
+            return self.read().limit(0), skipped
+        return self.spark.read.parquet(*keep), skipped
+
+    def delete(self, where: Column, col: str, lo=None, hi=None) -> dict:
+        """File-granular delete: rewrite only files whose stats interval for
+        `col` can contain matching rows; every other manifest entry carries
+        over with zero I/O. Returns {'rewritten': n, 'carried': m}."""
+        touched, carried = [], []
+        for e in self.files():
+            mn, mx = e["stats"][col]
+            disjoint = (lo is not None and mx is not None and mx < lo) or (
+                hi is not None and mn is not None and mn > hi
+            )
+            (carried if disjoint else touched).append(e)
+        new_entries = list(carried)
+        for e in touched:
+            remaining = self.spark.read.parquet(e["path"]).filter(~where)
+            new_entries += self._write_files(remaining)
+        self._commit(new_entries)
+        return {"rewritten": len(touched), "carried": len(carried)}
+
+    def compact(self, target_rows: int = 100_000) -> dict:
+        """Small-file compaction: greedily bin files below target into
+        groups totalling ~target_rows, rewrite each group as one file; large
+        files carry over untouched. The 100 TB hygiene job that keeps scan
+        task counts sane after many streaming appends."""
+        small = [e for e in self.files() if e["rows"] < target_rows]
+        large = [e for e in self.files() if e["rows"] >= target_rows]
+        bins: list[list[dict]] = []
+        cur, cur_rows = [], 0
+        for e in sorted(small, key=lambda e: e["rows"]):
+            if cur_rows + e["rows"] > target_rows and cur:
+                bins.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(e)
+            cur_rows += e["rows"]
+        if cur:
+            bins.append(cur)
+        new_entries = list(large)
+        for group in bins:
+            merged = self.spark.read.parquet(*[e["path"] for e in group]).coalesce(1)
+            new_entries += self._write_files(merged)
+        self._commit(new_entries)
+        return {"compacted_files": len(small), "bins": len(bins)}

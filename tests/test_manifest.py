@@ -1,0 +1,61 @@
+"""Manifest table format: file-level commits, stats pruning, file-granular
+delete carry-forward, compaction, time-travel pointer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_backend_spark.etl.manifest import ManifestTable
+from etl_backend_spark.sources.catalog import Catalog
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def mtable(spark, tmp_path):
+    cat = Catalog(spark, SF_DIR)
+    t = ManifestTable(spark, str(tmp_path), "orders", ["o_orderkey", "o_totalprice"])
+    # create from key-ranged chunks so file stats intervals are disjoint
+    o = cat.table("orders")
+    t.create(o.filter(F.col("o_orderkey") <= 500).repartition(2))
+    t.append(o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000)).repartition(2))
+    t.append(o.filter(F.col("o_orderkey") > 1000).repartition(2))
+    return t, o
+
+
+def test_manifest_read_roundtrip(mtable):
+    t, o = mtable
+    assert t.read().count() == o.count()
+    assert sum(e["rows"] for e in t.files()) == o.count()
+
+
+def test_manifest_stats_pruning_skips_files(mtable):
+    t, o = mtable
+    df, skipped = t.read_pruned("o_orderkey", lo=1200, hi=None)
+    assert skipped >= 4  # both chunks of the first two key ranges
+    got = df.filter(F.col("o_orderkey") >= 1200).count()
+    assert got == o.filter(F.col("o_orderkey") >= 1200).count()
+
+
+def test_manifest_delete_carries_disjoint_files(mtable):
+    t, o = mtable
+    before_paths = {e["path"] for e in t.files()}
+    res = t.delete(F.col("o_orderkey").between(1, 100), "o_orderkey", lo=1, hi=100)
+    assert res["carried"] >= 4
+    assert res["rewritten"] >= 1
+    after = t.read()
+    assert after.filter(F.col("o_orderkey").between(1, 100)).count() == 0
+    expect = o.filter(~F.col("o_orderkey").between(1, 100)).count()
+    assert after.count() == expect
+    # carried files are the SAME physical files (no rewrite)
+    carried_after = {e["path"] for e in t.files()} & before_paths
+    assert len(carried_after) == res["carried"]
+
+
+def test_manifest_compaction_reduces_files(mtable):
+    t, o = mtable
+    n_before = len(t.files())
+    res = t.compact(target_rows=10_000)
+    assert res["compacted_files"] == n_before  # all our chunks are small
+    assert len(t.files()) < n_before
+    assert t.read().count() == o.count()  # content preserved
