@@ -24,3 +24,9 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def cat(spark):
     return Catalog(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def spark_session(spark):
+    """Alias for hypothesis tests (function-scoped health check suppressed)."""
+    return spark

@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): the reference's API contract must hold
+for ARBITRARY parameter combinations, not just the fixtures — pagination
+algebra, dynamic-predicate consistency, upsert idempotence."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_backend_spark.operators import pagination
+from etl_backend_spark.plans.query_builder import SearchParams, ads_search, ads_search_total
+from etl_backend_spark.sources.catalog import Catalog
+from tests.conftest import SF_DIR
+
+SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+params_st = st.builds(
+    SearchParams,
+    status=st.sampled_from(["O", "F", "P"]),
+    min_price=st.one_of(st.none(), st.floats(0, 200_000, allow_nan=False)),
+    max_price=st.one_of(st.none(), st.floats(200_000, 600_000, allow_nan=False)),
+    sort_by=st.sampled_from(["newest", "price_low", "price_high"]),
+    page=st.integers(1, 5),
+    limit=st.integers(1, 40),
+)
+
+
+@given(p=params_st)
+@SETTINGS
+def test_search_rows_satisfy_predicates_and_page_size(spark_session, p):
+    cat = Catalog(spark_session, SF_DIR)
+    rows = ads_search(cat, p).collect()
+    total = ads_search_total(cat, p).collect()[0].total
+    # page size: full page unless past the end
+    expected_n = max(min(p.limit, total - (p.page - 1) * p.limit), 0)
+    assert len(rows) == expected_n
+    for r in rows:
+        assert r.o_orderstatus == p.status
+        if p.min_price is not None:
+            assert r.o_totalprice >= p.min_price
+        if p.max_price is not None:
+            assert r.o_totalprice <= p.max_price
+    # sort contract
+    if p.sort_by == "price_low":
+        prices = [r.o_totalprice for r in rows]
+        assert prices == sorted(prices)
+    elif p.sort_by == "price_high":
+        prices = [r.o_totalprice for r in rows]
+        assert prices == sorted(prices, reverse=True)
+
+
+@given(page_a=st.integers(1, 4), page_b=st.integers(1, 4),
+       limit=st.integers(5, 50))
+@SETTINGS
+def test_distinct_pages_disjoint(spark_session, page_a, page_b, limit):
+    if page_a == page_b:
+        return
+    cat = Catalog(spark_session, SF_DIR)
+    o = cat.table("orders").select("o_orderkey")
+    order = [F.col("o_orderkey").asc()]
+    a = {r.o_orderkey for r in pagination.paginate_offset(o, order, page_a, limit).collect()}
+    b = {r.o_orderkey for r in pagination.paginate_offset(o, order, page_b, limit).collect()}
+    assert not (a & b)
+
+
+@given(keys=st.lists(st.integers(0, 30), max_size=8, unique=True))
+@SETTINGS
+def test_upsert_insert_if_absent_idempotent(spark_session, keys):
+    """Anti-join+union upsert: |result| == |existing| + |new keys|; applying
+    the same batch twice changes nothing (reference seed upsert semantics,
+    prisma/seed.ts:11-21)."""
+    existing = spark_session.range(0, 20).select(F.col("id").alias("k"))
+    incoming = spark_session.createDataFrame(
+        [(k,) for k in keys] or [(None,)], "k long"
+    ).filter(F.col("k").isNotNull())
+
+    def upsert(cur, inc):
+        fresh = inc.join(cur, on="k", how="left_anti")
+        return cur.unionByName(fresh)
+
+    once = upsert(existing, incoming)
+    n_new = len([k for k in keys if k >= 20])
+    assert once.count() == 20 + n_new
+    assert upsert(once, incoming).count() == once.count()
