@@ -213,3 +213,42 @@ def q_text_normalize(spark, sf_dir):
     out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
     out = F.regexp_replace(out, r"\s+", " ")
     return d.select("doc_id", out.alias("norm_text"))
+
+
+@register(
+    "udtf_sentences",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(generate_series(1, len(parts))) AS i, parts
+      FROM s
+    )
+    SELECT doc_id, i - 1 AS sent_idx, trim(parts[i]) AS sentence,
+           length(trim(parts[i])) AS n_chars
+    FROM e WHERE length(trim(parts[i])) > 0
+    """,
+)
+def q_udtf_sentences(spark, sf_dir):
+    """Python UDTF (PySpark 4 table function): one input doc → N sentence
+    rows with position and length. Deterministic, so fully oracle-checked;
+    the UDTF API is the row-generating escape hatch (vs scalar pandas UDFs)
+    for parse-like operators."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            idx = 0
+            for part in text.split(". "):
+                part = part.strip()
+                if part:
+                    yield idx, part, len(part)
+                idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql("""
+        SELECT d.doc_id, s.sent_idx, s.sentence, CAST(s.n_chars AS BIGINT) AS n_chars
+        FROM documents d, LATERAL sentence_split(d.text) s
+    """)
