@@ -39,3 +39,4 @@ from . import etl  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import media  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import aliases  # noqa: E402,F401
