@@ -1,3 +1,3 @@
-from . import manifest, scd, writes
+from . import incremental, manifest, scd, writes
 
-__all__ = ["manifest", "scd", "writes"]
+__all__ = ["incremental", "manifest", "scd", "writes"]

@@ -186,3 +186,39 @@ def test_scd2_merge_invariants(spark, cat):
     twice = scd2_merge(once, incoming, "c_custkey", ["c_mktsegment"],
                        F.to_timestamp(F.lit("2024-07-01")))
     assert twice.count() == once.count()
+
+
+def test_incremental_view_equals_full_recompute(spark, cat):
+    """Applying batches incrementally == aggregating everything at once,
+    for count/sum/min/max per key (the conversation-touch generalization)."""
+    from etl_backend_spark.etl.incremental import aggregate_state, merge_delta
+
+    ev = cat.table("events")
+    aggs = [("event_id", "count", "n"), ("value", "sum", "sv"),
+            ("ts", "min", "first_ts"), ("ts", "max", "last_ts")]
+
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    b1 = ev.filter(F.col("event_id") % 3 == 1)
+    b2 = ev.filter(F.col("event_id") % 3 == 2)
+
+    state = aggregate_state(b0, ["user_id"], aggs)
+    state = merge_delta(state, b1, ["user_id"], aggs)
+    state = merge_delta(state, b2, ["user_id"], aggs)
+
+    full = aggregate_state(ev, ["user_id"], aggs)
+    inc = {r.user_id: (r.n, round(r.sv, 6), r.first_ts, r.last_ts)
+           for r in state.collect()}
+    exp = {r.user_id: (r.n, round(r.sv, 6), r.first_ts, r.last_ts)
+           for r in full.collect()}
+    assert inc == exp
+
+
+def test_incremental_merge_handles_new_keys(spark):
+    from etl_backend_spark.etl.incremental import aggregate_state, merge_delta
+
+    base = spark.createDataFrame([(1, 10.0), (1, 20.0)], "k long, v double")
+    delta = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double")
+    aggs = [("v", "count", "n"), ("v", "sum", "s"), ("v", "max", "mx")]
+    state = merge_delta(aggregate_state(base, ["k"], aggs), delta, ["k"], aggs)
+    got = {r.k: (r.n, r.s, r.mx) for r in state.collect()}
+    assert got == {1: (3, 35.0, 20.0), 2: (1, 7.0, 7.0)}

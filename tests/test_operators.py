@@ -358,3 +358,21 @@ def test_file_sink_roundtrips(spark, cat, tmp_path):
         rows = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2))
                 for r in got.collect()}
         assert rows == expect
+
+
+def test_headline_plans_have_no_antipatterns(spark):
+    """Every headline query's physical plan is free of CartesianProduct and
+    row-at-a-time Python eval (the explain_audit.py gate as a regression
+    test)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import HEADLINE
+    from etl_backend_spark.registry import QUERIES
+
+    bad = {}
+    for name in HEADLINE:
+        plan = QUERIES[name](spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
