@@ -59,3 +59,25 @@ def test_manifest_compaction_reduces_files(mtable):
     assert res["compacted_files"] == n_before  # all our chunks are small
     assert len(t.files()) < n_before
     assert t.read().count() == o.count()  # content preserved
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-ordered layout: manifest stats prune files for range predicates on
+    EITHER interleaved column; a single-column sort only prunes its own."""
+    from etl_backend_spark.sources.layout import zorder_sort
+
+    cat = Catalog(spark, SF_DIR)
+    o = cat.table("orders")
+
+    zt = ManifestTable(spark, str(tmp_path), "z_orders", ["o_custkey", "o_orderkey"])
+    zt.create(zorder_sort(o, "o_custkey", "o_orderkey", n_files=8))
+
+    _, skipped_cust = zt.read_pruned("o_custkey", lo=None, hi=20)
+    _, skipped_order = zt.read_pruned("o_orderkey", lo=None, hi=200)
+    assert skipped_cust > 0
+    assert skipped_order > 0
+
+    # correctness: pruned read returns exactly the predicate's rows
+    df, _ = zt.read_pruned("o_custkey", lo=None, hi=20)
+    got = df.filter(F.col("o_custkey") <= 20).count()
+    assert got == o.filter(F.col("o_custkey") <= 20).count()
