@@ -638,3 +638,25 @@ def q_tpch_q18_shape(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "agg_incremental_view",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv, max(ts) AS mx
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_incremental_view(spark, sf_dir):
+    """Incrementally-maintained aggregate view (etl/incremental.py): three
+    delta batches merged into running state must equal the one-shot GROUP BY
+    (the oracle). Per-batch cost is O(delta + changed keys), never
+    O(history)."""
+    from ..etl.incremental import aggregate_state, merge_delta
+
+    ev = Catalog(spark, sf_dir).table("events")
+    aggs = [("event_id", "count", "n"), ("value", "sum", "sv"), ("ts", "max", "mx")]
+    state = aggregate_state(ev.filter(F.col("event_id") % 3 == 0), ["user_id"], aggs)
+    state = merge_delta(state, ev.filter(F.col("event_id") % 3 == 1), ["user_id"], aggs)
+    state = merge_delta(state, ev.filter(F.col("event_id") % 3 == 2), ["user_id"], aggs)
+    return state.select("user_id", "n", F.round("sv", 4).alias("sv"), "mx")
