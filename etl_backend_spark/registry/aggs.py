@@ -660,3 +660,34 @@ def q_agg_incremental_view(spark, sf_dir):
     state = merge_delta(state, ev.filter(F.col("event_id") % 3 == 1), ["user_id"], aggs)
     state = merge_delta(state, ev.filter(F.col("event_id") % 3 == 2), ["user_id"], aggs)
     return state.select("user_id", "n", F.round("sv", 4).alias("sv"), "mx")
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank / cume_dist /
+    first_value / nth_value over a total price order (reporting-output
+    scale, like window_ntile)."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )

@@ -895,3 +895,32 @@ def q_fn_array_setops(spark, sf_dir):
         F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("i"),
         F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("d"),
     )
+
+
+@register(
+    "fn_bit_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_partkey & l_suppkey)::BIGINT AS b_and,
+           (l_partkey | l_suppkey)::BIGINT AS b_or,
+           xor(l_partkey, l_suppkey)::BIGINT AS b_xor,
+           (l_partkey << 2)::BIGINT AS b_shl,
+           (l_partkey >> 1)::BIGINT AS b_shr,
+           bit_count(l_partkey)::BIGINT AS popcount
+    FROM lineitem
+    """,
+)
+def q_fn_bit_ops(spark, sf_dir):
+    """Bitwise-operator surface (the building blocks of the simhash and
+    bucket operators, exposed directly)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    a, b = F.col("l_partkey"), F.col("l_suppkey")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        a.bitwiseAND(b).alias("b_and"),
+        a.bitwiseOR(b).alias("b_or"),
+        a.bitwiseXOR(b).alias("b_xor"),
+        F.shiftleft(a, 2).alias("b_shl"),
+        F.shiftright(a, 1).alias("b_shr"),
+        F.bit_count(a).cast("long").alias("popcount"),
+    )

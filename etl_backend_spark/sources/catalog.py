@@ -189,3 +189,34 @@ class Catalog:
         surface (reference src/routes/setup.ts:12-15 `$executeRawUnsafe`)."""
         for name in TABLES:
             self.table(name).createOrReplaceTempView(name)
+
+
+def load_events_time_range(spark: SparkSession, sf_dir: str | None,
+                           lo: str | None = None,
+                           hi: str | None = None) -> DataFrame:
+    """Events scan with a time-range predicate that actually reaches parquet.
+
+    ``load_table`` converts the raw int64 nanos to a timestamp, so a filter
+    on the converted column is a post-scan residual (computed columns don't
+    push down). Here the bounds are converted to nanos and applied to the
+    RAW column first — the row-group min/max skipping then happens in the
+    reader, which at 100 TB is the difference between scanning a day and
+    scanning a decade."""
+    import datetime as _dt
+
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
+
+    def to_nanos(s: str) -> int:
+        t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000) * 1000
+
+    if lo is not None:
+        df = df.filter(F.col("ts") >= F.lit(to_nanos(lo)))
+    if hi is not None:
+        df = df.filter(F.col("ts") < F.lit(to_nanos(hi)))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
