@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..sources.catalog import Catalog
 from . import register
 
@@ -252,3 +253,69 @@ def q_udtf_sentences(spark, sf_dir):
         SELECT d.doc_id, s.sent_idx, s.sentence, CAST(s.n_chars AS BIGINT) AS n_chars
         FROM documents d, LATERAL sentence_split(d.text) s
     """)
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 < 90
+             THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(words) - 4, 1)),
+          i -> array_to_string(words[i:i+4], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    )
+    SELECT h.doc_id AS heldout_doc,
+           count(DISTINCT t.doc_id) AS n_train_sources,
+           count(*) AS n_shared_shingles
+    FROM sh h
+    JOIN sp hs ON hs.doc_id = h.doc_id AND hs.split = 'heldout'
+    JOIN sh t ON t.shingle = h.shingle AND t.doc_id <> h.doc_id
+    JOIN sp ts ON ts.doc_id = t.doc_id AND ts.split = 'train'
+    GROUP BY h.doc_id
+    """,
+)
+def q_contamination_check(spark, sf_dir):
+    """Eval-set contamination detection: held-out documents sharing exact
+    word-5-grams with any train document (the leakage audit every training
+    pipeline needs). Candidate generation is the same shingle equi-join as
+    the dedup family — shuffle on the shingle, never train x heldout
+    all-pairs."""
+    d = Catalog(spark, sf_dir).table("documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    sp = d.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("heldout").alias("split"),
+    )
+    sh = d.select(
+        "doc_id", F.explode(T.word_shingles_py(5)(F.col("text"))).alias("shingle")
+    )
+    heldout_sh = sh.join(
+        sp.filter(F.col("split") == "heldout"), on="doc_id", how="left_semi"
+    ).select(F.col("doc_id").alias("heldout_doc"), "shingle")
+    train_sh = sh.join(
+        sp.filter(F.col("split") == "train"), on="doc_id", how="left_semi"
+    ).select(F.col("doc_id").alias("train_doc"), "shingle")
+    hits = heldout_sh.join(
+        train_sh,
+        (heldout_sh["shingle"] == train_sh["shingle"])
+        & (F.col("heldout_doc") != F.col("train_doc")),
+    )
+    return hits.groupBy("heldout_doc").agg(
+        F.count_distinct("train_doc").alias("n_train_sources"),
+        F.count(F.lit(1)).alias("n_shared_shingles"),
+    )
