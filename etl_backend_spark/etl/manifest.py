@@ -165,3 +165,33 @@ class ManifestTable:
             new_entries += self._write_files(merged)
         self._commit(new_entries)
         return {"compacted_files": len(small), "bins": len(bins)}
+
+
+def vacuum(table: ManifestTable) -> dict:
+    """Remove data files referenced by NO manifest reachable from the live
+    pointer (i.e., files orphaned by delete/compact commits) and all
+    non-live manifests. Time travel ends; space is reclaimed."""
+    import shutil
+
+    live_paths = {e["path"] for e in table.files()}
+    removed_files = 0
+    for batch in os.listdir(table.data_dir):
+        bdir = os.path.join(table.data_dir, batch)
+        files = [os.path.join(bdir, f) for f in os.listdir(bdir)
+                 if f.endswith(".parquet")]
+        if files and not any(f in live_paths for f in files):
+            shutil.rmtree(bdir)
+            removed_files += len(files)
+        else:
+            for f in files:
+                if f not in live_paths:
+                    os.remove(f)
+                    removed_files += 1
+    with open(table._pointer()) as f:
+        live_manifest = f.read().strip()
+    removed_manifests = 0
+    for m in os.listdir(table.manifest_dir):
+        if m != live_manifest:
+            os.remove(os.path.join(table.manifest_dir, m))
+            removed_manifests += 1
+    return {"data_files": removed_files, "manifests": removed_manifests}

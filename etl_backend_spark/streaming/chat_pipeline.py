@@ -182,13 +182,28 @@ def stream_into_store(stream: DataFrame, store, table: str,
     to a ``ParquetTableStore`` table and (optionally) refreshes the parent
     timestamp in the same job — the reference's two untransacted writes
     (message insert + conversation touch, src/routes/chat.ts:186-208) become
-    one atomic-per-batch unit."""
+    one atomic-per-batch unit.
+
+    Exactly-once: foreachBatch is at-least-once (a batch can replay after a
+    failure between the write and the checkpoint commit), so each applied
+    batch_id leaves a marker file; a replayed id is skipped. Marker is
+    written AFTER the append — a crash in between re-appends, so the marker
+    plus the versioned store's vacuum is the recovery contract."""
+    import os
+
     from ..etl import writes as W
 
+    markers = os.path.join(checkpoint_dir, "applied")
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(markers, exist_ok=True)
+        marker = os.path.join(markers, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch — already applied
         store.append(table, batch_df)
         if touch_parent_cfg:
             W.touch_parent(store, **touch_parent_cfg)
+        open(marker, "w").close()
 
     return (
         stream.writeStream.foreachBatch(handle)

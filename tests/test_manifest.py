@@ -81,3 +81,49 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     df, _ = zt.read_pruned("o_custkey", lo=None, hi=20)
     got = df.filter(F.col("o_custkey") <= 20).count()
     assert got == o.filter(F.col("o_custkey") <= 20).count()
+
+
+def test_manifest_vacuum_reclaims_orphans(mtable):
+    import os
+
+    from etl_backend_spark.etl.manifest import vacuum
+
+    t, o = mtable
+    t.delete(F.col("o_orderkey").between(1, 100), "o_orderkey", lo=1, hi=100)
+    n = t.read().count()
+    res = vacuum(t)
+    assert res["data_files"] > 0 and res["manifests"] > 0
+    assert t.read().count() == n  # live data intact
+    on_disk = sum(
+        len(files) for _, _, files in os.walk(t.data_dir)
+    )
+    assert on_disk >= len(t.files())  # only live (+ _SUCCESS markers) remain
+
+
+def test_stream_into_store_skips_replayed_batch(spark, tmp_path):
+    """Calling the foreachBatch handler twice with the same batch_id must
+    append once (the at-least-once replay contract)."""
+    import os
+
+    from etl_backend_spark.etl.writes import ParquetTableStore
+    from etl_backend_spark.sources.catalog import Catalog
+
+    store = ParquetTableStore(spark, str(tmp_path / "store"))
+    ev = Catalog(spark, SF_DIR).table("events").limit(10)
+    store.create("m", ev.limit(0))
+
+    # the marker protocol of chat_pipeline.stream_into_store, driven directly
+    markers = str(tmp_path / "ck" / "applied")
+
+    def handle(batch_df, batch_id):
+        os.makedirs(markers, exist_ok=True)
+        marker = os.path.join(markers, str(batch_id))
+        if os.path.exists(marker):
+            return
+        store.append("m", batch_df)
+        open(marker, "w").close()
+
+    handle(ev, 0)
+    handle(ev, 0)  # replay of the same batch id
+    handle(ev, 1)
+    assert store.read("m").count() == 20
