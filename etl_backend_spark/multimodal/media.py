@@ -152,3 +152,97 @@ def media_meta(media: DataFrame) -> DataFrame:
         F.col("kind").isin("image", "audio", "video").alias("kind_ok"),
         (F.col("n_bytes") <= 5 * 1024 * 1024).alias("size_ok"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("scale", ArrayType(FloatType())),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def resize_batches(target_w: int, target_h: int):
+    """mapInPandas worker factory: aspect-preserving resize planning. The
+    pixel resample itself is the stubbed step (no PIL in this container);
+    dimension math, batch shape, and the scale metadata are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "out_w": [], "out_h": [], "scale": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _, _ = _fake_decode(bytes(content))
+                s = min(target_w / w, target_h / h)
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(int(w * s))
+                out["out_h"].append(int(h * s))
+                out["scale"].append(np.array([s, s], dtype=np.float32))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32,
+                 batch_size: int = 64) -> DataFrame:
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    return media.select("media_id", "content").mapInPandas(
+        resize_batches(target_w, target_h), schema=RESIZED_SCHEMA
+    )
+
+
+def frame_sample_batches(n_frames: int, duration_ms: int = 10_000):
+    """mapInPandas worker factory: uniform frame sampling of video payloads.
+    Frame extraction is stubbed (deterministic digest per sampled timestamp);
+    the sampling schedule, fan-out (one row per frame), and batch shape are
+    the production contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [],
+                   "frame_digest": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)
+                for i in range(n_frames):
+                    ts = (i * duration_ms) // max(n_frames - 1, 1)
+                    digest = hashlib.sha256(
+                        payload + ts.to_bytes(4, "little")
+                    ).hexdigest()[:16]
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_digest"].append(digest)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4,
+                 batch_size: int = 16) -> DataFrame:
+    """Video frame sampling: one input row fans out to n_frames rows. Batch
+    size is kept LOW — the Arrow batch carries payload x records AND the
+    output multiplies rows by n_frames."""
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    videos = media.filter(F.col("kind") == "video")
+    return videos.select("media_id", "content").mapInPandas(
+        frame_sample_batches(n_frames), schema=FRAMES_SCHEMA
+    )

@@ -63,3 +63,26 @@ def test_token_roundtrip_and_tamper(spark):
         auth.verify_token(F.concat(F.col("tok"), F.lit("x")), F.lit("k1")).alias("got")
     ).collect()
     assert all(r.got is None for r in tampered)
+
+
+def test_resize_preserves_aspect(spark, cat):
+    media = M.synthesize_media(cat.table("part").limit(40), "p_partkey", "p_partkey")
+    out = M.resize_media(media, 32, 32).collect()
+    assert len(out) == 40
+    for r in out:
+        assert max(r.out_w, r.out_h) <= 32
+        # aspect preserved within integer truncation
+        assert abs(r.out_w / r.width - r.out_h / r.height) < 0.1
+        assert r.scale[0] == r.scale[1]
+
+
+def test_frame_sample_fanout_deterministic(spark, cat):
+    media = M.synthesize_media(cat.table("part").limit(60), "p_partkey", "p_partkey")
+    n_videos = media.filter(F.col("kind") == "video").count()
+    a = M.frame_sample(media, n_frames=4).collect()
+    b = M.frame_sample(media, n_frames=4).collect()
+    assert len(a) == n_videos * 4
+    assert sorted((r.media_id, r.frame_idx, r.frame_digest) for r in a) == \
+        sorted((r.media_id, r.frame_idx, r.frame_digest) for r in b)
+    ts = sorted({r.frame_ts_ms for r in a})
+    assert ts == [0, 3333, 6666, 10000]
