@@ -75,3 +75,23 @@ def q_fn_auth_roundtrip(spark, sf_dir):
         auth.verify_token(F.col("token"), F.lit("wrong-secret")).isNull()
         .alias("reject_ok"),
     )
+
+
+@register("multimodal_resize")  # rows-only: Python-side dimension math
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize planning over the binary media column
+    (mapInPandas; stub resampler — see multimodal.media.resize_batches)."""
+    p = Catalog(spark, sf_dir).table("part").limit(500)
+    media = M.synthesize_media(p, "p_partkey", "p_partkey")
+    return M.resize_media(media, 32, 32).select(
+        "media_id", "width", "height", "out_w", "out_h"
+    )
+
+
+@register("multimodal_frames")  # rows-only: Python-side sampling
+def q_multimodal_frames(spark, sf_dir):
+    """Uniform video frame sampling: one video row fans out to 4 frame rows
+    with deterministic digests (mapInPandas; stub extractor)."""
+    p = Catalog(spark, sf_dir).table("part").limit(500)
+    media = M.synthesize_media(p, "p_partkey", "p_partkey")
+    return M.frame_sample(media, n_frames=4)
