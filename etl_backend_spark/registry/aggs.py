@@ -691,3 +691,17 @@ def q_window_distribution(spark, sf_dir):
         F.first("o_orderkey").over(wf).alias("cheapest_key"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
     )
+
+
+@register("agg_approx_quantile")  # rows-only: sketch estimates are
+# engine-specific (Spark Greenwald-Khanna vs DuckDB t-digest)
+def q_agg_approx_quantile(spark, sf_dir):
+    """approx_percentile — the sketch path for percentiles at 100 TB (exact
+    interpolated percentiles need a full sort per group; the sketch is
+    one-pass mergeable state). Estimates differ per engine → rows-only;
+    `agg_percentile` is the exact, oracle-checked counterpart."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_est"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_est"),
+    )

@@ -319,3 +319,32 @@ def q_contamination_check(spark, sf_dir):
         F.count_distinct("train_doc").alias("n_train_sources"),
         F.count(F.lit(1)).alias("n_shared_shingles"),
     )
+
+
+@register(
+    "sample_hash_fraction",
+    oracle="""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5('sample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 10000 AS bucket
+      FROM documents
+    ) WHERE bucket < 1500
+    """,
+)
+def q_sample_hash_fraction(spark, sf_dir):
+    """Deterministic 15% sample by hash threshold (basis-point buckets) —
+    reproducible across runs/partitionings/engines, stable under appends
+    (membership is a pure key function), unlike df.sample(seed=...) whose
+    output depends on partitioning. The sampling primitive for eval subsets
+    and ablations at 100 TB."""
+    d = Catalog(spark, sf_dir).table("documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 10000
+    )
+    return d.filter(bucket < 1500).select("doc_id")
