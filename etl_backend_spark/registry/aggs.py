@@ -64,7 +64,9 @@ def q_agg_multi_count(spark, sf_dir):
     """Dashboard multi-aggregate — the reference runs 4 parallel COUNT plans
     (src/routes/admin.ts:135-147); here the orders counts share one pass via
     conditional aggregation and the independent tables cross-join their
-    1-row aggregates."""
+    1-row aggregates. ``n_open_orders`` is a COUNT under predicate — the §2
+    ``agg_count_filtered`` computation, which also stays registered
+    standalone."""
     cat = Catalog(spark, sf_dir)
     cust = cat.table("customer").agg(F.count(F.lit(1)).alias("n_customers"))
     orders = aggregates.multi_count(

@@ -41,7 +41,11 @@ _FLAGSHIP = SearchParams(
 )
 def q_ads_search(spark, sf_dir):
     """Flagship: GET /api/ads (reference src/routes/ads.ts:84-171) — dynamic
-    predicates + n:1 join + relation count + sort + offset page."""
+    predicates + n:1 join + relation count + sort + offset page. The sort is
+    the runtime-selected multi-option spec (``pagination.sort_spec`` — §2
+    ``sort_multi_option``) and the page is offset pagination
+    (``pagination.paginate_offset`` machinery); both stay registered
+    standalone too."""
     return ads_search(Catalog(spark, sf_dir), _FLAGSHIP)
 
 
@@ -585,16 +589,24 @@ def q_topk_global(spark, sf_dir):
            greatest(p_size, CAST(p_partkey % 50 AS INTEGER)) AS pair_hi,
            CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
            concat_ws('-', p_brand, p_type) AS brand_type,
-           regexp_matches(p_type, 'ECONOMY|SMALL') AS is_cheap_class
+           regexp_matches(p_type, 'ECONOMY|SMALL') AS is_cheap_class,
+           array_to_string(
+             list_transform(string_split(p_name, ' '), w -> '/uploads/ads/' || w),
+             ',') AS paths
     FROM part
     """,
 )
 def q_fn_scalars_combo(spark, sf_dir):
     """Scalar-function surface in one pass: casts (parseFloat/parseInt,
-    reference src/routes/ads.ts:57,97), least/greatest canonical pair
-    (src/routes/chat.ts:18), ceil page math (src/routes/ads.ts:164),
-    concat_ws filename building (src/routes/ads.ts:21), rlike allow-list
-    (src/routes/ads.ts:30-32)."""
+    reference src/routes/ads.ts:57,97 — §2 ``fn_cast_double``/``fn_cast_int``),
+    least/greatest canonical pair (src/routes/chat.ts:18 — §2
+    ``fn_least_pair``), ceil page math (src/routes/ads.ts:164 — §2
+    ``fn_ceil``), concat_ws filename building (src/routes/ads.ts:21 — §2
+    ``fn_concat_name``), rlike allow-list (src/routes/ads.ts:30-32 — §2
+    ``fn_regex_match``), ci-substring via the combo's lower()+contains
+    building blocks (§2 ``fn_lower_contains``), and array build+transform of
+    upload paths (src/routes/ads.ts:51 — §2 ``fn_array_build``). Each §2 ID
+    also stays registered standalone (see ``aliases``/``fn_array_build``)."""
     p = Catalog(spark, sf_dir).table("part")
     mod = (F.col("p_partkey") % 50).cast("int")
     return p.select(
@@ -606,6 +618,9 @@ def q_fn_scalars_combo(spark, sf_dir):
         F.ceil(F.col("p_retailprice") / 100.0).alias("price_bucket"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
         F.col("p_type").rlike("ECONOMY|SMALL").alias("is_cheap_class"),
+        F.array_join(
+            scalars.build_upload_paths(F.split(F.col("p_name"), " ")), ","
+        ).alias("paths"),
     )
 
 
@@ -692,11 +707,15 @@ def q_fn_date_parts(spark, sf_dir):
     )
 
 
-@register("fn_nondeterministic")  # rows-only: uuid()/now() differ per run
+@register(
+    "fn_nondeterministic",
+    oracle="SELECT r_regionkey, true AS uuid_ok, true AS now_ok FROM region",
+)
 def q_fn_nondeterministic(spark, sf_dir):
     """uuid() PK defaults and now() timestamps (reference
-    prisma/schema.prisma:12,20-21) — validity-shaped output since values are
-    non-deterministic: checks format/ordering invariants instead."""
+    prisma/schema.prisma:12,20-21) — validity-shaped output since raw values
+    are non-deterministic; the format/ordering invariants themselves ARE
+    deterministic booleans, so the oracle checks them as constants."""
     r = Catalog(spark, sf_dir).table("region")
     return r.select(
         "r_regionkey",
