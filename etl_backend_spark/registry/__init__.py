@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "doc_fingerprint",
     "split_assign",
     "seq_pack",
+    "seq_pack_exact",
     "pii_scrub",
     "text_normalize",
     "shuffle_order",

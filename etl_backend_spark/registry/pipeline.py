@@ -163,6 +163,55 @@ def q_shuffle_order(spark, sf_dir):
              md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
       FROM documents
     ), c AS (
+      SELECT doc_id, n_tokens, substr(k, 1, 1) AS pack_range,
+             sum(n_tokens) OVER (PARTITION BY substr(k, 1, 1)
+                                 ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, pack_range,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing, scale-safe form: documents greedily packed into
+    512-token training sequences along the deterministic shuffle order,
+    WITHIN key ranges. The md5 shuffle key's first hex digit partitions the
+    corpus into 16 contiguous ranges of the global shuffle order; each range
+    packs independently with a keyed running-total window (a hash-exchange +
+    per-partition sort — never a single-partition global window), so at
+    100 TB every executor packs its own ranges and the only cross-range
+    effect is one possibly-underfull sequence per range boundary. A sequence
+    is identified by (pack_range, seq_id). ``seq_pack_exact`` keeps the
+    single-cursor global form for oracle-exact comparisons on small data."""
+    d = Catalog(spark, sf_dir).table("documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    t = d.select(
+        "doc_id", n_tokens.alias("n_tokens"), k.alias("k"),
+        F.substring(k, 1, 1).alias("pack_range"),
+    )
+    w = (
+        Window.partitionBy("pack_range")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id", "n_tokens", "pack_range",
+        F.floor((cum - F.col("n_tokens")) / 512.0).cast("long").alias("seq_id"),
+    )
+
+
+@register(
+    "seq_pack_exact",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), c AS (
       SELECT doc_id, n_tokens,
              sum(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
                AS cum
@@ -173,13 +222,11 @@ def q_shuffle_order(spark, sf_dir):
     FROM c
     """,
 )
-def q_seq_pack(spark, sf_dir):
-    """Sequence packing: documents greedily packed into 512-token training
-    sequences along the deterministic shuffle order, via a running-total
-    window (seq = floor(preceding-cumsum / budget)). The single-partition
-    window is the oracle-exact form; at 100 TB pack per shuffle-key range
-    partition instead (each range packs independently — same algorithm,
-    keyed window)."""
+def q_seq_pack_exact(spark, sf_dir):
+    """Sequence packing, single-cursor form: one global running-total window
+    (Exchange SinglePartition — one task walks the whole corpus). Kept for
+    oracle-exact global sequence ids on small data; ``seq_pack`` is the
+    registered scale path."""
     d = Catalog(spark, sf_dir).table("documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))

@@ -400,3 +400,33 @@ def test_events_time_range_pushdown(spark):
     a = sorted(r.event_id for r in fast.collect())
     b = sorted(r.event_id for r in slow.collect())
     assert a == b and len(a) > 0
+
+
+def test_seq_pack_has_no_single_partition_window(spark):
+    """The registered seq_pack packs within md5-key ranges (keyed window →
+    hash exchange); only seq_pack_exact is allowed the single-cursor global
+    window (Exchange SinglePartition)."""
+    from etl_backend_spark.registry import QUERIES
+
+    keyed = QUERIES["seq_pack"](spark, SF_DIR)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(pack_range" in plan
+
+    exact = QUERIES["seq_pack_exact"](spark, SF_DIR)
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in exact_plan
+
+    # range-local packing agrees with the global cursor within each range:
+    # every (pack_range, seq_id) sequence is <= budget except where a single
+    # document alone exceeds it
+    import collections
+
+    rows = keyed.collect()
+    totals = collections.defaultdict(int)
+    for r in rows:
+        totals[(r.pack_range, r.seq_id)] += r.n_tokens
+    # a sequence only exceeds the budget by at most one document's overhang
+    for (rng, seq), tot in totals.items():
+        docs = [r.n_tokens for r in rows if r.pack_range == rng and r.seq_id == seq]
+        assert tot - max(docs) < 512, (rng, seq, tot)
