@@ -32,8 +32,15 @@ import json
 import os
 import uuid
 
+from urllib.parse import urlparse
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's snapshot read and its
+    pointer swap; re-read the live manifest and retry the mutation."""
 
 
 class ManifestTable:
@@ -50,55 +57,82 @@ class ManifestTable:
     def _pointer(self) -> str:
         return os.path.join(self.dir, "_CURRENT")
 
-    def _live_manifest(self) -> dict:
+    def _live_id(self) -> str:
         with open(self._pointer()) as f:
-            mid = f.read().strip()
-        with open(os.path.join(self.manifest_dir, mid)) as f:
+            return f.read().strip()
+
+    def _live_manifest(self) -> dict:
+        with open(os.path.join(self.manifest_dir, self._live_id())) as f:
             return json.load(f)
 
-    def _commit(self, entries: list[dict]) -> None:
+    def _commit(self, entries: list[dict], parent: str | None) -> None:
+        """Atomic pointer swap with optimistic concurrency: `parent` is the
+        manifest id this commit was derived from (None = table creation).
+        A short-lived O_EXCL lock file serializes the check-and-swap, and
+        the swap fails with CommitConflict if _CURRENT no longer points at
+        `parent` — the classic lost-update (two writers both derived from
+        the same snapshot; the second must re-read and retry)."""
         mid = f"m-{uuid.uuid4().hex}.json"
         with open(os.path.join(self.manifest_dir, mid), "w") as f:
-            json.dump({"entries": entries}, f)
-        tmp = self._pointer() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(mid)
-        os.replace(tmp, self._pointer())
+            json.dump({"entries": entries, "parent": parent}, f)
+        lock = self._pointer() + ".lock"
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            live = self._live_id() if os.path.exists(self._pointer()) else None
+            if live != parent:
+                raise CommitConflict(
+                    f"_CURRENT moved from {parent!r} to {live!r} during commit"
+                )
+            tmp = self._pointer() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(mid)
+            os.replace(tmp, self._pointer())
+        finally:
+            os.close(fd)
+            os.remove(lock)
 
     def _write_files(self, df: DataFrame) -> list[dict]:
-        """Write df as data files and return manifest entries with stats."""
+        """Write df as data files and return manifest entries with stats.
+
+        Stats come from ONE Spark job over the whole batch directory grouped
+        by ``_metadata.file_path`` — not a per-file read/agg/collect loop,
+        which at scale (thousands of files per commit) is a driver-side
+        bottleneck of N sequential jobs."""
         batch = f"b-{uuid.uuid4().hex}"
         out = os.path.join(self.data_dir, batch)
         df.write.mode("errorifexists").parquet(out)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in self.stats_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        rows = (
+            self.spark.read.parquet(out)
+            .groupBy(F.col("_metadata.file_path").alias("__path"))
+            .agg(*aggs)
+            .collect()
+        )
         entries = []
-        for fname in os.listdir(out):
-            if not fname.endswith(".parquet"):
-                continue
-            path = os.path.join(out, fname)
-            part = self.spark.read.parquet(path)
-            aggs = [F.count(F.lit(1)).alias("__n")]
-            for c in self.stats_cols:
-                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-            row = part.agg(*aggs).collect()[0].asDict()
+        for row in rows:
+            r = row.asDict()
             entries.append({
-                "path": path,
-                "rows": row["__n"],
+                "path": urlparse(r["__path"]).path,
+                "rows": r["__n"],
                 "stats": {
-                    c: [row[f"min_{c}"], row[f"max_{c}"]] for c in self.stats_cols
+                    c: [r[f"min_{c}"], r[f"max_{c}"]] for c in self.stats_cols
                 },
             })
-        return entries
+        return sorted(entries, key=lambda e: e["path"])
 
     # ------------------------------------------------------------- surface
 
     def create(self, df: DataFrame) -> None:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
-        self._commit(self._write_files(df))
+        self._commit(self._write_files(df), parent=None)
 
     def append(self, df: DataFrame) -> None:
+        parent = self._live_id()
         live = self._live_manifest()["entries"]
-        self._commit(live + self._write_files(df))
+        self._commit(live + self._write_files(df), parent=parent)
 
     def files(self) -> list[dict]:
         return self._live_manifest()["entries"]
@@ -128,6 +162,7 @@ class ManifestTable:
         """File-granular delete: rewrite only files whose stats interval for
         `col` can contain matching rows; every other manifest entry carries
         over with zero I/O. Returns {'rewritten': n, 'carried': m}."""
+        parent = self._live_id()
         touched, carried = [], []
         for e in self.files():
             mn, mx = e["stats"][col]
@@ -136,10 +171,14 @@ class ManifestTable:
             )
             (carried if disjoint else touched).append(e)
         new_entries = list(carried)
-        for e in touched:
-            remaining = self.spark.read.parquet(e["path"]).filter(~where)
+        if touched:
+            # one rewrite job over all touched files, not one per file;
+            # SQL DELETE semantics — NULL-predicate rows are retained
+            remaining = self.spark.read.parquet(
+                *[e["path"] for e in touched]
+            ).filter(~F.coalesce(where, F.lit(False)))
             new_entries += self._write_files(remaining)
-        self._commit(new_entries)
+        self._commit(new_entries, parent=parent)
         return {"rewritten": len(touched), "carried": len(carried)}
 
     def compact(self, target_rows: int = 100_000) -> dict:
@@ -147,8 +186,10 @@ class ManifestTable:
         groups totalling ~target_rows, rewrite each group as one file; large
         files carry over untouched. The 100 TB hygiene job that keeps scan
         task counts sane after many streaming appends."""
-        small = [e for e in self.files() if e["rows"] < target_rows]
-        large = [e for e in self.files() if e["rows"] >= target_rows]
+        parent = self._live_id()
+        entries = self.files()
+        small = [e for e in entries if e["rows"] < target_rows]
+        large = [e for e in entries if e["rows"] >= target_rows]
         bins: list[list[dict]] = []
         cur, cur_rows = [], 0
         for e in sorted(small, key=lambda e: e["rows"]):
@@ -163,7 +204,7 @@ class ManifestTable:
         for group in bins:
             merged = self.spark.read.parquet(*[e["path"] for e in group]).coalesce(1)
             new_entries += self._write_files(merged)
-        self._commit(new_entries)
+        self._commit(new_entries, parent=parent)
         return {"compacted_files": len(small), "bins": len(bins)}
 
 

@@ -101,8 +101,10 @@ class ParquetTableStore:
         self._swap(name, self._write_version(name, df))
 
     def delete(self, name: str, where: Column) -> None:
-        """Hard delete (reference src/routes/admin.ts:113-116)."""
-        df = self.read(name).filter(~where)
+        """Hard delete (reference src/routes/admin.ts:113-116). SQL DELETE
+        semantics: only rows where the predicate is definitely TRUE are
+        removed — NULL-predicate rows are retained (hence the coalesce)."""
+        df = self.read(name).filter(~F.coalesce(where, F.lit(False)))
         self._swap(name, self._write_version(name, df))
 
     def delete_by_keys(self, name: str, keys: DataFrame, on: list[str]) -> None:
@@ -119,6 +121,25 @@ class ParquetTableStore:
         fresh = incoming.join(existing.select(*keys), on=keys, how="left_anti")
         merged = existing.unionByName(fresh)
         self._swap(name, self._write_version(name, merged))
+
+    def append_idempotent(self, name: str, rows: DataFrame, token: str) -> None:
+        """Replay-safe append for at-least-once producers (streaming
+        foreachBatch): stage the batch to a side directory, then move its
+        files into the live version dir under token-derived DETERMINISTIC
+        names. Re-running with the same token re-stages (overwrite) and
+        re-replaces the same destination files — a crash anywhere between
+        staging and the last rename leaves a state that replay repairs
+        instead of duplicating (plain ``append`` would re-add the batch)."""
+        vdir = self._version_dir(name, self._current_version(name))
+        staged = os.path.join(self._tdir(name), f"_stage-{token}")
+        rows.write.mode("overwrite").parquet(staged)
+        parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        for i, fname in enumerate(parts):
+            os.replace(
+                os.path.join(staged, fname),
+                os.path.join(vdir, f"b-{token}-{i:05d}.parquet"),
+            )
+        shutil.rmtree(staged)
 
     def vacuum(self, name: str) -> int:
         """Drop all non-live version directories; returns count removed."""

@@ -134,8 +134,14 @@ def range_join_count(left: DataFrame, right: DataFrame, key: str, ts: str,
         F.col(key).alias("__rk"), F.col(ts).alias("__rts"),
         bucket.alias("__rb"),
     )
-    l2 = left.withColumn("__b", bucket).withColumn(
-        "__probe", F.explode(F.array(F.col("__b"), F.col("__b") - 1))
+    # unique per-row id BEFORE the 2x probe explode so the regroup restores
+    # exactly one output row per input row, even for fully-duplicate rows
+    l2 = (
+        left.withColumn("__lid", F.monotonically_increasing_id())
+        .withColumn("__b", bucket)
+        .withColumn(
+            "__probe", F.explode(F.array(F.col("__b"), F.col("__b") - 1))
+        )
     )
     joined = l2.join(
         r2,
@@ -145,6 +151,7 @@ def range_join_count(left: DataFrame, right: DataFrame, key: str, ts: str,
         "left",
     )
     return (
-        joined.groupBy(*[F.col(c) for c in left.columns])
+        joined.groupBy(F.col("__lid"), *[F.col(c) for c in left.columns])
         .agg(F.count("__rts").alias(out_col))
+        .drop("__lid")
     )

@@ -129,10 +129,14 @@ def _route_messages(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         online, delivered, queued = state.get
     else:
         online, delivered, queued = False, 0, 0
-    for pdf in pdfs:
-        # process in event order within the batch for deterministic flips
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for et in pdf["event_type"]:
+    # applyInPandasWithState delivers a group's batch as MULTIPLE Arrow
+    # chunks in arbitrary relative order — concatenate first and sort ONCE
+    # so presence flips replay in global event order, not per-chunk order
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for et in batch["event_type"]:
             if et == "login":
                 online = True
             elif et == "logout":
@@ -185,10 +189,13 @@ def stream_into_store(stream: DataFrame, store, table: str,
     one atomic-per-batch unit.
 
     Exactly-once: foreachBatch is at-least-once (a batch can replay after a
-    failure between the write and the checkpoint commit), so each applied
-    batch_id leaves a marker file; a replayed id is skipped. Marker is
-    written AFTER the append — a crash in between re-appends, so the marker
-    plus the versioned store's vacuum is the recovery contract."""
+    failure between the write and the checkpoint commit). The append goes
+    through ``store.append_idempotent`` with the batch_id as token — the
+    batch's files land under batch-id-derived deterministic names, so a
+    replay after a crash mid-append OVERWRITES the partial batch instead of
+    duplicating it. The marker file only short-circuits the recompute (and
+    the parent-touch) for batches known complete; correctness never depends
+    on the marker's write ordering."""
     import os
 
     from ..etl import writes as W
@@ -199,8 +206,8 @@ def stream_into_store(stream: DataFrame, store, table: str,
         os.makedirs(markers, exist_ok=True)
         marker = os.path.join(markers, str(batch_id))
         if os.path.exists(marker):
-            return  # replayed batch — already applied
-        store.append(table, batch_df)
+            return  # replayed batch — already fully applied
+        store.append_idempotent(table, batch_df, token=str(batch_id))
         if touch_parent_cfg:
             W.touch_parent(store, **touch_parent_cfg)
         open(marker, "w").close()

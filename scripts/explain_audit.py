@@ -53,7 +53,10 @@ def main() -> None:
         if problems:
             bad[name] = problems
         if verbose:
-            print(df._jdf.queryExecution().explainString("formatted"))
+            # PySpark 4: explainString needs an ExplainMode object, not a
+            # bare string — go through the public API instead.
+            print(f"== {name} ==")
+            df.explain(mode="formatted")
     if bad:
         print(f"\nFLAGGED: {bad}")
         sys.exit(1)

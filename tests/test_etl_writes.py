@@ -222,3 +222,36 @@ def test_incremental_merge_handles_new_keys(spark):
     state = merge_delta(aggregate_state(base, ["k"], aggs), delta, ["k"], aggs)
     got = {r.k: (r.n, r.s, r.mx) for r in state.collect()}
     assert got == {1: (3, 35.0, 20.0), 2: (1, 7.0, 7.0)}
+
+
+def test_append_idempotent_replay_overwrites_partial_batch(spark, tmp_path):
+    """Crash-replay contract: a partially-applied batch (some files moved,
+    marker never written) must be REPAIRED by replay, not duplicated."""
+    import os
+
+    from etl_backend_spark.etl.writes import ParquetTableStore
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    store = ParquetTableStore(spark, str(tmp_path))
+    ev = Catalog(spark, SF_DIR).table("region")
+    store.create("t", ev.limit(0))
+
+    batch = ev.repartition(3)
+    n = batch.count()
+    store.append_idempotent("t", batch, token="7")
+    assert store.read("t").count() == n
+
+    # simulate a crashed attempt that moved only SOME of the batch's files:
+    # delete one of the token's destination files, then replay
+    vdir = store._version_dir("t", store._current_version("t"))
+    token_files = sorted(f for f in os.listdir(vdir) if f.startswith("b-7-"))
+    assert len(token_files) >= 2
+    os.remove(os.path.join(vdir, token_files[0]))
+    assert store.read("t").count() < n
+
+    store.append_idempotent("t", batch, token="7")  # replay
+    assert store.read("t").count() == n  # repaired, not duplicated
+
+    store.append_idempotent("t", batch, token="8")  # a genuinely new batch
+    assert store.read("t").count() == 2 * n

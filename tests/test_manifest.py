@@ -127,3 +127,30 @@ def test_stream_into_store_skips_replayed_batch(spark, tmp_path):
     handle(ev, 0)  # replay of the same batch id
     handle(ev, 1)
     assert store.read("m").count() == 20
+
+
+def test_manifest_commit_conflict_detected(mtable, spark):
+    """Two writers deriving from the same snapshot: the second commit must
+    fail with CommitConflict instead of silently dropping the first."""
+    from etl_backend_spark.etl.manifest import CommitConflict
+
+    t, o = mtable
+    extra = o.limit(5)
+    stale_parent = t._live_id()
+    entries = t.files() + t._write_files(extra)
+    t.append(extra)  # a competing writer lands first
+    with pytest.raises(CommitConflict):
+        t._commit(entries, parent=stale_parent)
+
+
+def test_manifest_delete_retains_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL are
+    kept, not deleted."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], "k LONG, v DOUBLE"
+    )
+    t = ManifestTable(spark, str(tmp_path), "nulls", ["k"])
+    t.create(df)
+    t.delete(F.col("v") > 50.0, "k")
+    kept = sorted(r.k for r in t.read().collect())
+    assert kept == [1, 2]  # k=2 has NULL predicate -> retained

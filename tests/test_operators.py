@@ -430,3 +430,22 @@ def test_seq_pack_has_no_single_partition_window(spark):
     for (rng, seq), tot in totals.items():
         docs = [r.n_tokens for r in rows if r.pack_range == rng and r.seq_id == seq]
         assert tot - max(docs) < 512, (rng, seq, tot)
+
+
+def test_range_join_count_keeps_duplicate_left_rows(spark):
+    """Fully-duplicate left rows must each produce their own output row
+    (the probe fan-out regroup keys on a per-row id, not just columns)."""
+    import datetime
+
+    from etl_backend_spark.operators.joins import range_join_count
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (1, t0), (1, t0)], "user_id LONG, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - datetime.timedelta(minutes=5))], "user_id LONG, ts TIMESTAMP"
+    )
+    out = range_join_count(left, right, "user_id", "ts", "1 hour").collect()
+    assert len(out) == 3
+    assert all(r.n_in_range == 1 for r in out)
