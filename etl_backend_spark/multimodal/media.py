@@ -86,6 +86,40 @@ def synthesize_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
     ).withColumn("n_bytes", F.octet_length("content").cast("long"))
 
 
+def write_media_dir(media: DataFrame, out_dir: str) -> None:
+    """Materialize binary payloads as one file per row — the inverse of the
+    ``binaryFile`` intake, written EXECUTOR-side via foreachPartition (never
+    a driver collect loop). Writes are tmp-file + atomic rename and content
+    is deterministic per id, so concurrent/replayed writes converge."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows):
+        import os as _os
+
+        for r in rows:
+            p = _os.path.join(out_dir, f"m-{r['media_id']:08d}.bin")
+            tmp = p + f".tmp-{_os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["content"]))
+            _os.replace(tmp, p)
+
+    media.select("media_id", "content").foreachPartition(write_part)
+
+
+def read_binary_dir(spark, path: str, glob: str = "*.bin") -> DataFrame:
+    """Production file intake: ``binaryFile`` source over a directory —
+    (path, modificationTime, length, content) per file, split across
+    executors by file. The multer upload intake (reference
+    src/routes/ads.ts:12-39) at shared-storage scale."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, int, np.ndarray]:
     """Deterministic fake decoder: dimensions and features derived from the
     payload digest. Replaces PIL/librosa/ffmpeg in this container."""

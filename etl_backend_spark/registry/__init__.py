@@ -117,6 +117,7 @@ PRIORITY: list[str] = [
     "text_normalize",
     "shuffle_order",
     "contamination_check",
+    "events_time_range",
     "sample_hash_fraction",
     "embed_norms",
     "udtf_sentences",
@@ -126,6 +127,7 @@ PRIORITY: list[str] = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
+    "source_files_binary",
     "etl_scd2_merge",
 ]
 

@@ -193,3 +193,26 @@ def q_events_zscore(spark, sf_dir):
     w = Window.partitionBy("user_id")
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
     return ev.select("event_id", "user_id", F.round(z, 4).alias("z"))
+
+
+@register(
+    "events_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+)
+def q_events_time_range(spark, sf_dir):
+    """Time-ranged event scan on the PUSHDOWN path: bounds are converted to
+    nanos and applied to the raw int64 ts column before the timestamp
+    conversion, so parquet row-group min/max skipping happens in the reader
+    (``sources.catalog.load_events_time_range``; plan-asserted in
+    tests/test_operators.py). The default ``load_table`` path computes the
+    timestamp column, which makes ts predicates post-scan residuals — at
+    100 TB that is the difference between scanning two days and a decade."""
+    from ..sources.catalog import load_events_time_range
+
+    return load_events_time_range(
+        spark, sf_dir, "2024-01-10T00:00:00", "2024-01-12T00:00:00"
+    ).select("event_id", "user_id", "ts", "event_type")

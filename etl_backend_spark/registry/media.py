@@ -103,3 +103,45 @@ def q_multimodal_frames(spark, sf_dir):
     p = Catalog(spark, sf_dir).table("part").limit(500)
     media = M.synthesize_media(p, "p_partkey", "p_partkey")
     return M.frame_sample(media, n_frames=4)
+
+
+@register(
+    "source_files_binary",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             unhex(repeat(sha256(CAST(p_partkey AS VARCHAR)), 8)) AS content
+      FROM part WHERE p_partkey <= 200
+    )
+    SELECT media_id, octet_length(content)::BIGINT AS n_bytes,
+           substr(hex(content), 1, 16) AS head_hex
+    FROM m
+    """,
+)
+def q_source_files_binary(spark, sf_dir):
+    """REAL ``binaryFile`` ingestion round-trip: synthesized payloads are
+    materialized as one file per row (executor-side writes), read back with
+    ``spark.read.format('binaryFile')``, and the recovered bytes checked
+    against the deterministic generator — the multer upload intake
+    (reference src/routes/ads.ts:12-39) exercised through the actual file
+    source, not a path filter. The upload dir is keyed by sf_dir and built
+    once; file content is deterministic per id so rebuilds converge."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 200)
+    media = M.synthesize_media(p, "p_partkey", "p_partkey")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"etlbs-media-{key}")
+    marker = os.path.join(out_dir, "_BUILT")
+    if not os.path.exists(marker):
+        M.write_media_dir(media, out_dir)
+        open(marker, "w").close()
+    files = M.read_binary_dir(spark, out_dir)
+    media_id = F.regexp_extract(F.col("path"), r"m-(\d+)\.bin", 1).cast("long")
+    return files.select(
+        media_id.alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.hex(F.col("content")).substr(1, 16).alias("head_hex"),
+    )

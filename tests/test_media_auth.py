@@ -86,3 +86,24 @@ def test_frame_sample_fanout_deterministic(spark, cat):
         sorted((r.media_id, r.frame_idx, r.frame_digest) for r in b)
     ts = sorted({r.frame_ts_ms for r in a})
     assert ts == [0, 3333, 6666, 10000]
+
+
+def test_binaryfile_roundtrip(spark, tmp_path):
+    """write_media_dir → spark.read.format('binaryFile') recovers the exact
+    bytes, one file per row."""
+    from etl_backend_spark.multimodal import media as M
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    p = Catalog(spark, SF_DIR).table("part").filter(F.col("p_partkey") <= 20)
+    media = M.synthesize_media(p, "p_partkey", "p_partkey")
+    out = str(tmp_path / "media")
+    M.write_media_dir(media, out)
+
+    files = M.read_binary_dir(spark, out)
+    got = {
+        int(r.path.rsplit("m-", 1)[1].split(".")[0]): bytes(r.content)
+        for r in files.collect()
+    }
+    want = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert got == want and len(got) == p.count()
