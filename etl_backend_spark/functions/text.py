@@ -116,6 +116,32 @@ def fingerprint(text: Column, k: int = 8) -> Column:
     return F.array_min(F.transform(char_shingles(text, k), F.md5))
 
 
+def shingle_rows(df: "DataFrame", id_col: str, text_col: str, k: int = 3,
+                 distinct: bool = True) -> "DataFrame":
+    """(id, shingle) rows via the GENERATOR shingler: explode the window
+    start positions, then slice+concat_ws per position — all inside
+    whole-stage codegen. Measured fastest of the three shingler forms at
+    sf0.1 (2.2x over the Arrow pandas UDF, which is ~6x over the
+    interpreted transform()-HOF form) with no Python workers, hence no
+    Python-worker latency variance. ``distinct`` dedups per (id, shingle) —
+    one shuffle, reused by identical downstream branches."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    out = (
+        df.select(F.col(id_col), w.alias("__w"))
+        .select(
+            id_col, "__w",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(__w) - {k - 1}, 1))")
+            ).alias("__i"),
+        )
+        .select(
+            id_col,
+            F.expr(f"concat_ws(' ', slice(__w, __i, {k}))").alias("shingle"),
+        )
+    )
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+
+
 def word_shingles_py(k: int = 3):
     """Arrow-batched pandas-UDF shingle generator — same output as
     ``word_shingles`` (distinct word k-grams, first-occurrence order

@@ -85,51 +85,75 @@ _JACCARD_DF_CAP = 32  # drop shingles present in more docs (boilerplate)
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5 over the
-    boilerplate-filtered shingle universe: shingles whose document frequency
-    exceeds ``_JACCARD_DF_CAP`` are dropped before the self-join (standard
+    boilerplate-filtered shingle universe, in ONE pass with NO self-join:
+
+    shingle → groupBy(shingle) collecting the (≤ cap) doc list → drop
+    shingles whose document frequency exceeds ``_JACCARD_DF_CAP`` (standard
     CCNet/suffix-array practice — headers, license blurbs, and other
-    boilerplate shingles contribute quadratic join fan-out but no dedup
-    signal). The self-join cost is then bounded by cap² per shingle instead
-    of being quadratic in every co-shingled cluster — the difference between
-    3.5× and <1× of the columnar baseline here, and between feasible and
-    infeasible at 100 TB.
+    boilerplate contribute quadratic fan-out but no dedup signal) → emit the
+    i<j doc-pair combinations per shingle via an array-HOF (≤ cap²/2 pairs
+    per shingle, all JVM-side) → count per pair → join the per-doc retained
+    sizes (broadcast-sized).
+
+    vs the classic explode + self-join-on-shingle: the same single shuffle
+    on the shingle key, but the join (second full shuffle of the exploded
+    table plus its matching) is replaced by an in-group combination expand,
+    and the exchange is reused for the sizes branch. No persist needed —
+    the pandas-UDF shingler is evaluated once.
 
     This is the exact-counting baseline the MinHash sketch approximates; the
-    shingle join is the same band-bucket join shape LSH uses, so its cost
-    model (pairs sharing a retained shingle) matches the scale path.
+    per-shingle bucket shape matches the LSH band-bucket cost model.
     """
     d = Catalog(spark, sf_dir).table("documents")
-    # pandas-UDF shingler: ~6x over the expression form at sf0.1 (see
-    # functions.text.word_shingles_py); per-doc dedup replaces .distinct()
-    # persist: the shingler UDF otherwise re-evaluates in EVERY plan branch
-    # that references it (join a/b sides + both size lookups = 4x Arrow eval)
-    shingled = d.select(
-        "doc_id", T.word_shingles_py(3)(F.col("text")).alias("sh_arr")
-    ).persist()
-    sh_all = shingled.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    # document-frequency cap: the DROPPED set (boilerplate) is small, so
-    # broadcast it to an anti-join — the kept side never shuffles for this
-    dropped = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _JACCARD_DF_CAP)
-        .select("shingle")
+    # The shingle stage and the post-aggregation pair fan-out both need
+    # explicit parallelism: the source is a handful of parquet files (few
+    # scan tasks) and AQE coalesces the small grouped exchange to ~1
+    # partition, sizing by MAP-side bytes — it cannot see the ~d²/2-per-
+    # shingle explode that follows, so without the repartition one task
+    # would do the whole expansion.
+    n_par = max(spark.sparkContext.defaultParallelism // 2, 2)
+    # Generator-based shingler, fully codegen'd JVM-side: explode the window
+    # start positions, then slice+concat_ws per position. Measured 2.2x
+    # faster than the Arrow-batched pandas-UDF shingler (and far lower
+    # variance — no Python workers), which itself beat the interpreted
+    # transform()-HOF form ~6x. Per-doc shingle dedup happens in the
+    # collect_set below.
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh_all = (
+        d.select("doc_id", "text").repartition(n_par)
+        .select("doc_id", w.alias("w"))
+        .select(
+            "doc_id", "w",
+            F.explode(
+                F.expr("sequence(1, greatest(size(w) - 2, 1))")
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("concat_ws(' ', slice(w, i, 3))").alias("shingle"))
     )
-    sh = sh_all.join(F.broadcast(dropped), on="shingle", how="left_anti")
-    # |shingles| post-filter (Jaccard is over the retained universe)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    grouped = (
+        sh_all.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= _JACCARD_DF_CAP)
+        .repartition(n_par)
+    )
+    # |retained shingles| per doc — same exchange as `grouped`, reused
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # all i<j combinations within each shingle's doc list (docs pre-sorted):
+    # two codegen'd generators, not a nested transform() HOF (interpreted,
+    # allocates the full combination array per row — measured ~30% slower)
+    e1 = grouped.select(F.posexplode("docs").alias("i", "doc_a"), F.col("docs"))
+    pairs = e1.select(
+        "doc_a",
+        F.explode(
+            F.expr("slice(docs, i + 2, size(docs) - i - 1)")
+        ).alias("doc_b"),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
     sa = sizes.select(
         F.col("doc_id").alias("__da"), F.col("n_sh").alias("n_sh_a")

@@ -348,9 +348,9 @@ def q_contamination_check(spark, sf_dir):
         "doc_id",
         F.when(bucket < 90, "train").otherwise("heldout").alias("split"),
     )
-    sh = d.select(
-        "doc_id", F.explode(T.word_shingles_py(5)(F.col("text"))).alias("shingle")
-    )
+    # generator shingler + one (reused) dedup exchange; the old pandas-UDF
+    # form was evaluated once per consuming branch (2x Arrow eval here)
+    sh = T.shingle_rows(d, "doc_id", "text", k=5, distinct=True)
     heldout_sh = sh.join(
         sp.filter(F.col("split") == "heldout"), on="doc_id", how="left_semi"
     ).select(F.col("doc_id").alias("heldout_doc"), "shingle")
