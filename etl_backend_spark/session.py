@@ -45,7 +45,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MiB, not bigger: the estimate Catalyst compares against this is
+        # the column-pruned COMPRESSED parquet size, which understates the
+        # in-memory hashed relation ~5-10x (snappy + dictionary + row
+        # overhead). At 64 MiB a 6M-row fact table slipped under the bar and
+        # the driver built a ~600 MB broadcast (measured 18x slowdown on the
+        # Q5 shape at sf1). True dimensions still broadcast via the explicit
+        # Catalog.tbl hint regardless of this threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -10,6 +10,7 @@ Usage: python scripts/scaling_check.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -21,23 +22,37 @@ from etl_backend_spark.session import get_spark  # noqa: E402
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
+# fourth decade: synthetic sf1 (scripts/make_sf1.py) holds the relational +
+# events tables only, so only the queries over those extend to it
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/etlbs-sf1")
+SF1_QUERIES = [
+    "ads_search", "agg_sum_group", "join_self_roles", "join_two_hop",
+    "agg_relation_count", "window_latest_per_group", "stream_sessionize",
+    "join_asof", "tpch_q3_shape", "tpch_q5_shape", "paginate_offset",
+]
+
 
 def main() -> None:
     spark = get_spark(app_name="scaling-check")
     spark.sparkContext.setLogLevel("ERROR")
 
+    have_sf1 = os.path.exists(os.path.join(SF1_DIR, "_BUILT"))
     table: dict[str, list[float]] = {}
     for name in HEADLINE:
         table[name] = [round(time_query(QUERIES[name], spark, sf), 3) for sf in SFS]
+        if have_sf1 and name in SF1_QUERIES:
+            table[name].append(round(time_query(QUERIES[name], spark, SF1_DIR), 3))
 
-    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | x/decade |")
-    print("|---|---|---|---|---|")
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s | x/decade |")
+    print("|---|---|---|---|---|---|")
     flagged = []
     for name, times in table.items():
-        growth = (times[2] / times[0]) ** 0.5 if times[0] > 0 else float("inf")
+        decades = len(times) - 1
+        growth = (times[-1] / times[0]) ** (1 / decades) if times[0] > 0 else float("inf")
         if growth >= 10:
             flagged.append(name)
-        print(f"| {name} | {times[0]} | {times[1]} | {times[2]} | {growth:.2f} |")
+        sf1 = times[3] if len(times) > 3 else "—"
+        print(f"| {name} | {times[0]} | {times[1]} | {times[2]} | {sf1} | {growth:.2f} |")
     print(json.dumps({"per_query_sec": table, "flagged_superlinear": flagged}))
 
 
