@@ -48,7 +48,8 @@ HEADLINE = [
     "paginate_offset",         # TakeOrderedAndProject
 ]
 
-RUNS = 3
+RUNS = 5  # median of 5: this VM's neighbor load injects multi-second
+# one-off spikes (see BASELINE.md); 3 samples let one spike shift the median
 
 
 def run_full(df) -> None:

@@ -240,6 +240,9 @@ MINHASH_A = [((2654435761 * (i + 1)) % (1 << 31)) | 1 for i in range(MINHASH_N)]
 MINHASH_B = [(40503 * (i + 7)) % (1 << 31) for i in range(MINHASH_N)]
 
 
+_MINHASH_UDF_CACHE: dict = {}
+
+
 def minhash_sig_py(k: int = 3, n: int = MINHASH_N):
     """Arrow-batched text → MinHash signature (array<long>): shingle in
     Python, ONE md5 per shingle (base hash = first 8 hex chars as uint32,
@@ -248,7 +251,14 @@ def minhash_sig_py(k: int = 3, n: int = MINHASH_N):
 
     Replaces the 16x md5-transform expression pipeline: measured 7.0s →
     sub-second at sf0.1 (the expression form re-hashed every shingle n
-    times, interpreted)."""
+    times, interpreted).
+
+    MEMOIZED per (k, n): builders that persist the signature DataFrame rely
+    on Spark's cache manager matching the analyzed plan — a fresh UDF object
+    per call makes every invocation a distinct plan, so repeated builds
+    (bench reruns) would each leak a new cache entry instead of reusing one."""
+    if (k, n) in _MINHASH_UDF_CACHE:
+        return _MINHASH_UDF_CACHE[(k, n)]
     import hashlib
     import re
 
@@ -273,6 +283,7 @@ def minhash_sig_py(k: int = 3, n: int = MINHASH_N):
             out.append(perms.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
+    _MINHASH_UDF_CACHE[(k, n)] = sig
     return sig
 
 

@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "doc_chunk",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding",
     "sim_topk_lsh",
     "lang_id",
     "quality_score",

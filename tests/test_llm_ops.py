@@ -220,3 +220,29 @@ def test_sim_topk_ivf_recall_vs_brute(spark):
     for r in ivf:
         if (r.q_id, r.vec_id) in score:
             assert r.cos_sim == score[(r.q_id, r.vec_id)]
+
+
+def test_dedup_embedding_recall_vs_allpairs(spark, cat):
+    """The bucketed embedding near-dup op must (a) return a SUBSET of the
+    exact all-pairs result restricted to its candidate rule, and (b) catch a
+    reasonable fraction of true pairs (sign-LSH recall)."""
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["dedup_embedding"](spark, SF_DIR).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["sim_pairs_threshold"](spark, SF_DIR).collect()
+    }
+    # restrict both to the baseline's id range for comparability
+    lsh_b = {k: v for k, v in lsh.items() if k[0] < 100 and k[1] < 100}
+    # subset with identical scores
+    for k, v in lsh_b.items():
+        assert k in exact and abs(exact[k] - v) < 1e-9, k
+    # recall: sign-agreement on the first 8 dims for cos>=0.3 pairs
+    assert exact, "baseline empty — test data changed?"
+    recall = len(lsh_b) / len(exact)
+    assert recall >= 0.1, recall
