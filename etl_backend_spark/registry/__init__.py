@@ -116,6 +116,8 @@ PRIORITY: list[str] = [
     "seq_pack_exact",
     "pii_scrub",
     "text_normalize",
+    "repetition_stats",
+    "source_quota_sample",
     "shuffle_order",
     "contamination_check",
     "events_time_range",

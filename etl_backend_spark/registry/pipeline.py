@@ -395,3 +395,97 @@ def q_sample_hash_fraction(spark, sf_dir):
         ).cast("long") % 10000
     )
     return d.filter(bucket < 1500).select("doc_id")
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+    ), wstats AS (
+      SELECT doc_id,
+             max(c)::DOUBLE / sum(c) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(words) - 1, 1)),
+                              i -> array_to_string(words[i:i+1], ' '))) AS gram
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ), gc AS (
+      SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+    ), gstats AS (
+      SELECT doc_id,
+             1.0 - count(*)::DOUBLE / sum(c) AS dup_2gram_frac
+      FROM gc GROUP BY doc_id
+    )
+    SELECT w.doc_id, round(w.top_word_frac, 4) AS top_word_frac,
+           round(g.dup_2gram_frac, 4) AS dup_2gram_frac
+    FROM wstats w JOIN gstats g ON g.doc_id = w.doc_id
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: most-common-word fraction and
+    duplicate word-2-gram fraction per document — the standard signals for
+    degenerate/boilerplate text in a pretraining cleanup pass. Two two-level
+    keyed aggregations (per (doc, token) count → per doc); everything
+    partial-aggregates and shuffles on doc-scoped keys, so the op is
+    embarrassingly scalable."""
+    d = Catalog(spark, sf_dir).table("documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac")
+    )
+    grams = T.shingle_rows(d, "doc_id", "text", k=2, distinct=False)
+    gc = grams.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    gstats = gc.groupBy("doc_id").agg(
+        (F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+            "dup_2gram_frac"
+        )
+    )
+    return (
+        wstats.join(gstats, on="doc_id")
+        .select(
+            "doc_id",
+            F.round("top_word_frac", 4).alias("top_word_frac"),
+            F.round("dup_2gram_frac", 4).alias("dup_2gram_frac"),
+        )
+    )
+
+
+@register(
+    "source_quota_sample",
+    oracle="""
+    SELECT doc_id, source, src_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS src_rank
+      FROM documents
+    ) WHERE src_rank <= 10
+    """,
+)
+def q_source_quota_sample(spark, sf_dir):
+    """Corpus-mix quota sampling: deterministically keep at most N documents
+    per source (md5-ranked, so the sample is stable under reruns, appends,
+    and repartitioning — the same property split_assign relies on). This is
+    the `max_docs_per_domain` knob of a pretraining mix; the window is
+    PARTITIONED by source (hash exchange + per-key sort over only each
+    source's rows), never a global sort."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    k = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(k, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("src_rank"))
+        .filter(F.col("src_rank") <= 10)
+    )
