@@ -181,6 +181,54 @@ class ManifestTable:
         self._commit(new_entries, parent=parent)
         return {"rewritten": len(touched), "carried": len(carried)}
 
+    def upsert(self, incoming: DataFrame, key: str) -> dict:
+        """File-granular MERGE: rows in ``incoming`` replace same-key rows;
+        new keys append. Only files whose [min,max] stats interval for
+        ``key`` intersects incoming's key range are rewritten (matched rows
+        removed via a broadcast-able anti-join in ONE job); every other
+        entry carries over with zero I/O, and incoming lands as new files.
+        ``key`` must be one of the table's stats columns."""
+        parent = self._live_id()
+        lo, hi = incoming.agg(F.min(key), F.max(key)).collect()[0]
+        touched, carried = [], []
+        for e in self.files():
+            mn, mx = e["stats"][key]
+            disjoint = (
+                lo is None
+                or (mx is not None and mx < lo)
+                or (mn is not None and mn > hi)
+            )
+            (carried if disjoint else touched).append(e)
+        new_entries = list(carried)
+        if touched:
+            remaining = self.spark.read.parquet(
+                *[e["path"] for e in touched]
+            ).join(incoming.select(key), on=key, how="left_anti")
+            new_entries += self._write_files(remaining)
+        new_entries += self._write_files(incoming)
+        self._commit(new_entries, parent=parent)
+        return {"rewritten": len(touched), "carried": len(carried)}
+
+    # ---------------------------------------------------------- time travel
+
+    def history(self) -> list[str]:
+        """Manifest ids from live back to the table's creation (parent
+        chain) — newest first."""
+        out = []
+        mid: str | None = self._live_id()
+        while mid is not None:
+            out.append(mid)
+            with open(os.path.join(self.manifest_dir, mid)) as f:
+                mid = json.load(f).get("parent")
+        return out
+
+    def read_at(self, manifest_id: str) -> DataFrame:
+        """Read the table as of a past commit (files from that manifest —
+        valid until ``vacuum`` reclaims non-live data)."""
+        with open(os.path.join(self.manifest_dir, manifest_id)) as f:
+            entries = json.load(f)["entries"]
+        return self.spark.read.parquet(*[e["path"] for e in entries])
+
     def compact(self, target_rows: int = 100_000) -> dict:
         """Small-file compaction: greedily bin files below target into
         groups totalling ~target_rows, rewrite each group as one file; large

@@ -154,3 +154,39 @@ def test_manifest_delete_retains_null_predicate_rows(spark, tmp_path):
     t.delete(F.col("v") > 50.0, "k")
     kept = sorted(r.k for r in t.read().collect())
     assert kept == [1, 2]  # k=2 has NULL predicate -> retained
+
+
+def test_manifest_upsert_file_granular(mtable, spark):
+    """MERGE: matched keys replaced, new keys inserted, disjoint files
+    carried by reference (no rewrite)."""
+    t, o = mtable
+    before_paths = {e["path"] for e in t.files()}
+    # key -1 cannot exist -> a genuine insert that keeps incoming's stats
+    # range at [-1, 50], so interval pruning still carries key-disjoint files
+    assert o.filter(F.col("o_orderkey") == -1).count() == 0
+    incoming = (
+        o.filter(F.col("o_orderkey").between(1, 50))
+        .unionByName(o.limit(1).withColumn("o_orderkey", F.lit(-1).cast("long")))
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    res = t.upsert(incoming, "o_orderkey")
+    assert res["carried"] >= 4  # key-disjoint chunks untouched
+    assert ({e["path"] for e in t.files()} & before_paths)
+    after = t.read()
+    assert after.count() == o.count() + 1  # replaced, not duplicated
+    assert (
+        after.filter(F.col("o_orderkey").between(1, 50))
+        .agg(F.sum("o_totalprice")).collect()[0][0] == 0.0
+    )
+    assert after.filter(F.col("o_orderkey") == -1).count() == 1
+
+
+def test_manifest_time_travel(mtable, spark):
+    t, o = mtable
+    n0 = t.read().count()
+    past = t._live_id()
+    t.delete(F.col("o_orderkey") <= 500, "o_orderkey", lo=1, hi=500)
+    assert t.read().count() < n0
+    hist = t.history()
+    assert hist[0] == t._live_id() and past in hist
+    assert t.read_at(past).count() == n0
