@@ -105,7 +105,9 @@ class ManifestTable:
         for c in self.stats_cols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         rows = (
-            self.spark.read.parquet(out)
+            # explicit schema: an EMPTY df writes a directory with no part
+            # files, where schema inference (plain read.parquet) would fail
+            self.spark.read.schema(df.schema).parquet(out)
             .groupBy(F.col("_metadata.file_path").alias("__path"))
             .agg(*aggs)
             .collect()

@@ -134,6 +134,12 @@ class ParquetTableStore:
         staged = os.path.join(self._tdir(name), f"_stage-{token}")
         rows.write.mode("overwrite").parquet(staged)
         parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        # clear any leftovers of a crashed attempt FIRST: if that attempt
+        # produced more files than this one (upstream partitioning changed
+        # between runs), renaming alone would leave stale extras behind
+        for fname in os.listdir(vdir):
+            if fname.startswith(f"b-{token}-"):
+                os.remove(os.path.join(vdir, fname))
         for i, fname in enumerate(parts):
             os.replace(
                 os.path.join(staged, fname),

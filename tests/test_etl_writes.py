@@ -255,3 +255,21 @@ def test_append_idempotent_replay_overwrites_partial_batch(spark, tmp_path):
 
     store.append_idempotent("t", batch, token="8")  # a genuinely new batch
     assert store.read("t").count() == 2 * n
+
+
+def test_append_idempotent_replay_with_fewer_files(spark, tmp_path):
+    """A replay that produces FEWER part files than the crashed attempt must
+    remove the stale extras, not leave them as duplicates."""
+    from etl_backend_spark.etl.writes import ParquetTableStore
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    store = ParquetTableStore(spark, str(tmp_path))
+    ev = Catalog(spark, SF_DIR).table("region")
+    store.create("t", ev.limit(0))
+    n = ev.count()
+    store.append_idempotent("t", ev.repartition(4), token="9")
+    assert store.read("t").count() == n
+    # same batch id, different partitioning (e.g. code change before replay)
+    store.append_idempotent("t", ev.repartition(2), token="9")
+    assert store.read("t").count() == n

@@ -190,3 +190,13 @@ def test_manifest_time_travel(mtable, spark):
     hist = t.history()
     assert hist[0] == t._live_id() and past in hist
     assert t.read_at(past).count() == n0
+
+
+def test_manifest_delete_to_empty_file_set(spark, tmp_path):
+    """Deleting every row of every touched file commits an empty rewrite
+    cleanly (no schema-inference crash on a part-less directory)."""
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "wipe", ["k"])
+    t.create(df)
+    t.delete(F.col("k") >= 0, "k")
+    assert t.files() == []
