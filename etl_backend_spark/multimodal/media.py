@@ -122,8 +122,15 @@ def read_binary_dir(spark, path: str, glob: str = "*.bin") -> DataFrame:
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, np.ndarray]:
     """Deterministic fake decoder: dimensions and features derived from the
-    payload digest. Replaces PIL/librosa/ffmpeg in this container."""
-    digest = hashlib.sha256(content).digest()
+    payload digest. Replaces PIL/librosa/ffmpeg in this container.
+
+    The digest is taken over the lowercase HEX of the payload (not the raw
+    bytes) so the whole decode is expressible in an engine whose sha256 only
+    accepts VARCHAR — which lets the DuckDB oracle value-check the full
+    mapInPandas decode path end-to-end instead of a rows-only count. Every
+    derived value is exact in binary floating point (u16 / 2^16), so
+    cross-engine float parity is bit-for-bit."""
+    digest = hashlib.sha256(content.hex().encode()).digest()
     width = 16 + digest[0] % 64
     height = 16 + digest[1] % 64
     channels = 3
@@ -256,8 +263,10 @@ def frame_sample_batches(n_frames: int, duration_ms: int = 10_000):
                 payload = bytes(content)
                 for i in range(n_frames):
                     ts = (i * duration_ms) // max(n_frames - 1, 1)
+                    # digest over hex + ':' + ts so a VARCHAR-only sha256
+                    # engine (DuckDB oracle) can replicate it exactly
                     digest = hashlib.sha256(
-                        payload + ts.to_bytes(4, "little")
+                        f"{payload.hex()}:{ts}".encode()
                     ).hexdigest()[:16]
                     out["media_id"].append(media_id)
                     out["frame_idx"].append(i)

@@ -574,6 +574,32 @@ def q_window_ntile(spark, sf_dir):
 
 
 @register(
+    "window_ntile_keyed",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+    FROM customer
+    """,
+)
+def q_window_ntile_keyed(spark, sf_dir):
+    """ntile quartiles WITHIN each market segment — the keyed form of
+    ``window_ntile`` (hash exchange on the segment + per-key sort), which is
+    the shape that survives 100 TB; the global-order sibling stays scoped to
+    ranked reporting output, and ``agg_approx_quantile`` is the sketch path
+    for global buckets at scale."""
+    from pyspark.sql import Window
+
+    c = Catalog(spark, sf_dir).table("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
     "tpch_q13_shape",
     oracle="""
     SELECT c_count, count(*) AS custdist FROM (

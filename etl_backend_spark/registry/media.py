@@ -38,11 +38,41 @@ def q_multimodal_meta(spark, sf_dir):
     return M.media_meta(media)
 
 
-@register("multimodal_decode")  # rows-only: decode features are Python-side
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             sha256(repeat(sha256(CAST(p_partkey AS VARCHAR)), 8)) AS dh
+      FROM part
+    ), b AS (
+      SELECT media_id,
+        list_transform(generate_series(0, 31),
+          j -> (strpos('0123456789abcdef', substr(dh, 2*j + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(dh, 2*j + 2, 1)) - 1))
+          AS bytes
+      FROM m
+    )
+    SELECT media_id,
+           CAST(16 + bytes[1] % 64 AS INTEGER) AS width,
+           CAST(16 + bytes[2] % 64 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 i -> (bytes[2*i + 1] + 256 * bytes[2*i + 2]) / 65536.0)), 4)
+             AS feat_sum
+    FROM b
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas decode of the binary column (stub decoder —
     container has no image libs; the plumbing is the production shape).
-    Emits fixed-width float features ready for the sim_topk_* ANN path."""
+    Emits fixed-width float features ready for the sim_topk_* ANN path.
+
+    VALUE-CHECKED, not rows-only: the stub decoder hashes the payload's hex
+    (multimodal/media._fake_decode), and every derived quantity (dims from
+    digest bytes, u16/2^16 features — exact in binary FP) is replicated in
+    the DuckDB oracle, so the whole Python decode path — Arrow batching,
+    schema, fan-in — is hash-verified against an independent engine."""
     p = Catalog(spark, sf_dir).table("part")
     media = M.synthesize_media(p, "p_partkey", "p_partkey")
     decoded = M.decode_media(media)
@@ -85,22 +115,69 @@ def q_fn_auth_roundtrip(spark, sf_dir):
     )
 
 
-@register("multimodal_resize")  # rows-only: Python-side dimension math
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             sha256(repeat(sha256(CAST(p_partkey AS VARCHAR)), 8)) AS dh
+      FROM part WHERE p_partkey <= 500
+    ), d AS (
+      SELECT media_id,
+             16 + ((strpos('0123456789abcdef', substr(dh, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(dh, 2, 1)) - 1)) % 64
+               AS w,
+             16 + ((strpos('0123456789abcdef', substr(dh, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(dh, 4, 1)) - 1)) % 64
+               AS h
+      FROM m
+    )
+    SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(trunc(w * least(32.0 / w, 32.0 / h)) AS INTEGER) AS out_w,
+           CAST(trunc(h * least(32.0 / w, 32.0 / h)) AS INTEGER) AS out_h
+    FROM d
+    """,
+)
 def q_multimodal_resize(spark, sf_dir):
     """Aspect-preserving resize planning over the binary media column
-    (mapInPandas; stub resampler — see multimodal.media.resize_batches)."""
-    p = Catalog(spark, sf_dir).table("part").limit(500)
+    (mapInPandas; stub resampler — see multimodal.media.resize_batches).
+    Value-checked: dims derive from the payload-hex digest and the scale
+    math is pure IEEE double on both engines (trunc-to-int), so the oracle
+    replicates the Python batch output exactly over the deterministic
+    p_partkey <= 500 slice."""
+    p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 500)
     media = M.synthesize_media(p, "p_partkey", "p_partkey")
     return M.resize_media(media, 32, 32).select(
         "media_id", "width", "height", "out_w", "out_h"
     )
 
 
-@register("multimodal_frames")  # rows-only: Python-side sampling
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH v AS (
+      SELECT p_partkey AS media_id,
+             repeat(sha256(CAST(p_partkey AS VARCHAR)), 8) AS payload_hex
+      FROM part WHERE p_partkey <= 500 AND p_partkey % 3 = 2
+    ), f AS (
+      SELECT media_id, payload_hex, unnest(generate_series(0, 3)) AS frame_idx
+      FROM v
+    )
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((frame_idx * 10000) // 3 AS INTEGER) AS frame_ts_ms,
+           substr(sha256(payload_hex || ':'
+                         || CAST((frame_idx * 10000) // 3 AS VARCHAR)), 1, 16)
+             AS frame_digest
+    FROM f
+    """,
+)
 def q_multimodal_frames(spark, sf_dir):
     """Uniform video frame sampling: one video row fans out to 4 frame rows
-    with deterministic digests (mapInPandas; stub extractor)."""
-    p = Catalog(spark, sf_dir).table("part").limit(500)
+    with deterministic digests (mapInPandas; stub extractor). Value-checked:
+    the stub digest is sha256 over the payload HEX + ':' + timestamp, which
+    DuckDB replicates verbatim — the fan-out schedule, batch shape, and
+    per-frame values are all hash-verified."""
+    p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 500)
     media = M.synthesize_media(p, "p_partkey", "p_partkey")
     return M.frame_sample(media, n_frames=4)
 
