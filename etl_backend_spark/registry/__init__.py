@@ -131,6 +131,7 @@ PRIORITY: list[str] = [
     "multimodal_resize",
     "multimodal_frames",
     "source_files_binary",
+    "source_custom_datasource",
     "etl_scd2_merge",
 ]
 

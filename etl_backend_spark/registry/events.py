@@ -216,3 +216,47 @@ def q_events_time_range(spark, sf_dir):
     return load_events_time_range(
         spark, sf_dir, "2024-01-10T00:00:00", "2024-01-12T00:00:00"
     ).select("event_id", "user_id", "ts", "event_type")
+
+
+@register(
+    "source_custom_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(generate_series(0, 1999)) AS i
+    ), h AS (
+      SELECT i,
+             list_sum(list_transform(generate_series(1, 8),
+               p -> (strpos('0123456789abcdef',
+                            substr(md5(CAST(i AS VARCHAR)), p, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - p)))))::BIGINT AS h
+      FROM g
+    )
+    SELECT i AS event_id,
+           TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND AS ts,
+           h % 100 AS user_id,
+           (['click', 'view', 'purchase', 'signup', 'error'])[(h % 5) + 1]
+             AS event_type,
+           round((h % 10000) / 100.0, 2) AS value,
+           '{"k": ' || CAST(h % 100 AS VARCHAR) || '}' AS props
+    FROM h
+    """,
+)
+def q_source_custom_datasource(spark, sf_dir):
+    """The custom PySpark-4 Python DataSource read THROUGH the registry
+    gate: 2000 synthetic chat events generated executor-side from
+    (partition, offset) — each partition emits an id-disjoint slice, so
+    content is independent of parallelism (pytest-asserted) and replay-
+    identical (the streaming reader shares the generator). The generator is
+    md5-deterministic, so DuckDB rebuilds the identical rows and the oracle
+    value-checks the whole source: schema, typed columns, timestamp
+    arithmetic, and payload strings. sf_dir is unused — the source IS the
+    data (reference src/websocket.ts:38-63 traffic, without a live socket)."""
+    from ..sources.event_source import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    return (
+        spark.read.format("synthetic_events")
+        .option("numRows", 2000)
+        .option("numPartitions", 8)
+        .load()
+    )
