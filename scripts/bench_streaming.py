@@ -1,0 +1,112 @@
+"""Structured Streaming micro-bench: events/sec through the chat pipeline
+stages, driven by the custom Python DataSource (one availableNow drain of a
+single large micro-batch — measures the steady-state per-batch path, not
+trigger latency).
+
+Usage: python scripts/bench_streaming.py [n_events]
+Prints one JSON line: {"events": N, "stages": {name: {"sec": s, "eps": r}}}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import tempfile
+
+from etl_backend_spark.session import get_spark  # noqa: E402
+from etl_backend_spark.sources.event_source import (  # noqa: E402
+    SyntheticEventsDataSource,
+)
+from etl_backend_spark.streaming import chat_pipeline as cp  # noqa: E402
+
+
+def drain(writer, name: str) -> float:
+    t0 = time.perf_counter()
+    q = writer.trigger(availableNow=True).queryName(name).start()
+    q.awaitTermination()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+    def source():
+        return (
+            spark.readStream.format("synthetic_events")
+            .option("rowsPerBatch", n)
+            .option("numPartitions", 8)
+            .load()
+        )
+
+    tmp = tempfile.mkdtemp(prefix="etlbs-sbench-")
+    results = {}
+
+    # warm-up: first streaming query pays engine/codegen/python-worker init
+    warm = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 1000).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ckw")
+    )
+    drain(warm, "warm")
+
+    # 0. source floor: the Python generator alone (row-by-row Python yield
+    # + Arrow transfer) — subtract this from any stage to get stage cost
+    w = (
+        source().writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck0")
+    )
+    results["source_only"] = drain(w, "s0")
+
+    # 1. ingest: validate -> parquet append sink (the message.create path)
+    w = cp.append_sink(
+        cp.validate_events(source()), f"{tmp}/out1", f"{tmp}/ck1"
+    )
+    results["ingest_parquet"] = drain(w, "s1")
+
+    # 2. keyed agg in update mode (conversation touch)
+    w = (
+        cp.conversation_touch(source())
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck2")
+        .outputMode("update")
+    )
+    results["keyed_agg_update"] = drain(w, "s2")
+
+    # 3. stateful presence routing (applyInPandasWithState)
+    w = (
+        cp.presence_routing(source())
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck3")
+        .outputMode("update")
+    )
+    results["stateful_routing"] = drain(w, "s3")
+
+    # 4. event-time tumbling window counts with watermark
+    w = (
+        cp.windowed_counts(source())
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck4")
+        .outputMode("append")
+    )
+    results["windowed_counts"] = drain(w, "s4")
+
+    print(json.dumps({
+        "events": n,
+        "stages": {
+            k: {"sec": round(v, 3), "eps": round(n / v)}
+            for k, v in results.items()
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
