@@ -132,6 +132,7 @@ PRIORITY: list[str] = [
     "multimodal_frames",
     "source_files_binary",
     "source_custom_datasource",
+    "etl_merge_manifest",
     "etl_scd2_merge",
 ]
 

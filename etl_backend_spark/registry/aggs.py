@@ -196,6 +196,26 @@ def q_agg_approx_distinct(spark, sf_dir):
     )
 
 
+@register("agg_hll_mergeable")  # no oracle: sketch bytes are engine-specific
+def q_agg_hll_mergeable(spark, sf_dir):
+    """MERGEABLE HLL sketches — the incremental-maintenance pattern for
+    100 TB cardinality: build one sketch per nation partition
+    (``hll_sketch_agg``), then union-merge the partial sketches to a global
+    estimate (``hll_union_agg``). At scale the per-partition sketches are
+    PERSISTED (a few KB each); a new data batch only sketches its own rows
+    and re-merges — no rescan of history. Estimate accuracy vs the exact
+    distinct count is pytest-asserted; the sketch itself is engine-specific,
+    hence rows-only here."""
+    c = Catalog(spark, sf_dir).table("customer")
+    partials = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch")
+    )
+    return partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .alias("n_customers_approx")
+    )
+
+
 # ---------------------------------------------------------------- §2.5 windows
 
 @register(

@@ -237,3 +237,58 @@ def q_etl_scd2_merge(spark, sf_dir):
         current, incoming, "c_custkey", ["c_mktsegment"],
         F.to_timestamp(F.lit("2024-06-01")),
     )
+
+
+@register(
+    "etl_merge_manifest",
+    oracle="""
+    WITH post AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 1 AND 50 THEN 0.0
+                  ELSE o_totalprice END AS p
+      FROM orders
+      UNION ALL
+      SELECT -1, 0.0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN p = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zeroed,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM post
+    """,
+)
+def q_etl_merge_manifest(spark, sf_dir):
+    """MERGE through the REAL manifest table format, verified by the gate:
+    create a manifest table from orders in a fresh temp dir, run the
+    file-granular upsert (keys 1–50 zeroed + one brand-new key −1), read
+    the committed post-state back through the manifest, and emit
+    integer-exact aggregates of it. Unlike the semantic etl_* post-state
+    queries, this exercises the physical machinery — file stats, interval
+    pruning, anti-join rewrite, atomic commit — end to end under the
+    value-hash check. (etl/manifest.py; reference mutation semantics
+    src/routes/ads.ts:53-74,259-262 scaled to a table format.)"""
+    import tempfile
+
+    from ..etl.manifest import ManifestTable
+
+    o = Catalog(spark, sf_dir).table("orders")
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="etlbs-merge-"), "orders",
+        ["o_orderkey"],
+    )
+    t.create(o.repartition(4))
+    incoming = (
+        o.filter(F.col("o_orderkey").between(1, 50))
+        .unionByName(
+            o.filter(F.col("o_orderkey") == 1)
+            .withColumn("o_orderkey", F.lit(-1).cast("long"))
+        )
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    t.upsert(incoming, "o_orderkey")
+    post = t.read()
+    return post.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") == 0.0).cast("long")).alias("n_zeroed"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

@@ -449,3 +449,17 @@ def test_range_join_count_keeps_duplicate_left_rows(spark):
     out = range_join_count(left, right, "user_id", "ts", "1 hour").collect()
     assert len(out) == 3
     assert all(r.n_in_range == 1 for r in out)
+
+
+def test_hll_mergeable_matches_exact(spark):
+    """Union-merged per-partition HLL sketches estimate the global distinct
+    count within HLL error bounds."""
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+
+    est = QUERIES["agg_hll_mergeable"](spark, SF_DIR).collect()[0][0]
+    exact = (
+        Catalog(spark, SF_DIR).table("customer")
+        .select("c_custkey").distinct().count()
+    )
+    assert abs(est - exact) / exact < 0.05, (est, exact)
