@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "text_normalize",
     "repetition_stats",
     "source_quota_sample",
+    "gopher_rules",
     "shuffle_order",
     "contamination_check",
     "events_time_range",

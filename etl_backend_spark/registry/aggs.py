@@ -594,6 +594,51 @@ def q_window_ntile(spark, sf_dir):
 
 
 @register(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+      AND l_shipdate >= TIMESTAMP '2000-01-01'
+      AND l_shipdate < TIMESTAMP '2001-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape (late-shipment priority counts, adapted to the
+    testdata's reduced lineitem schema): selective fact-side predicates that
+    push to the lineitem scan, one fact-fact equi-join with a residual
+    cross-table date predicate (shipped >30 days after order), conditional
+    aggregation. The scan-pushable filters prune BEFORE the join, so the
+    shuffle carries only returned lines in the window."""
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    lif = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("2001-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            lif,
+            (o["o_orderkey"] == lif["l_orderkey"])
+            & (lif["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@register(
     "window_ntile_keyed",
     oracle="""
     SELECT c_custkey, c_mktsegment,

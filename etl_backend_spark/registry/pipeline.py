@@ -489,3 +489,74 @@ def q_source_quota_sample(spark, sf_dir):
         d.select("doc_id", "source", F.row_number().over(w).alias("src_rank"))
         .filter(F.col("src_rank") <= 10)
     )
+
+
+@register(
+    "gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words,
+             text
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN list_sum(list_transform(words, w -> len(w)))::DOUBLE
+                       / len(words)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS symbol_ratio,
+             len(list_filter(words,
+                 w -> list_contains(['the','a','of','and','to','in','is'], w)))
+               > 0 AS has_stopword
+      FROM t
+    )
+    SELECT doc_id,
+           n_words BETWEEN 10 AND 100000 AS len_ok,
+           mean_word_len BETWEEN 2.0 AND 12.0 AS wordlen_ok,
+           symbol_ratio <= 0.2 AS symbols_ok,
+           has_stopword AS stopword_ok,
+           (n_words BETWEEN 10 AND 100000)
+             AND (mean_word_len BETWEEN 2.0 AND 12.0)
+             AND symbol_ratio <= 0.2 AND has_stopword AS keep
+    FROM s
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style composite quality gate: per-document boolean rules
+    (word-count bounds, mean word length bounds, symbol-to-char ratio cap,
+    stopword presence) and the AND-combined keep decision — the standard
+    rule battery of a pretraining cleanup pass, complementing the scalar
+    ``quality_score`` and the ``repetition_stats`` signals. Pure built-in
+    expressions over one scan; no shuffle at all."""
+    d = Catalog(spark, sf_dir).table("documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")
+        ) / n_words,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+        .cast("double") / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is"]])
+    has_stopword = F.arrays_overlap(words, stop)
+    len_ok = n_words.between(10, 100000)
+    wordlen_ok = mean_word_len.between(2.0, 12.0)
+    symbols_ok = symbol_ratio <= 0.2
+    return d.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        wordlen_ok.alias("wordlen_ok"),
+        symbols_ok.alias("symbols_ok"),
+        has_stopword.alias("stopword_ok"),
+        (len_ok & wordlen_ok & symbols_ok & has_stopword).alias("keep"),
+    )

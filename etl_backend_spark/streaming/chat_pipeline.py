@@ -279,3 +279,14 @@ def dedup_stream(stream: DataFrame, keys: list[str],
     watermark horizon — a plain dropDuplicates would keep every key ever
     seen (unbounded state at 100 TB/day)."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_static(stream: DataFrame, dim: DataFrame,
+                       on: str = "user_id") -> DataFrame:
+    """Stream-static join: every micro-batch joins against the CURRENT
+    static DataFrame (re-planned per batch, so a broadcast-able dim rides
+    as a broadcast hash join with no streaming state at all — unlike
+    stream-stream joins there is nothing to watermark). The reference's
+    per-message user lookup (src/websocket.ts:71-77 via the clients map)
+    as a dataflow enrichment."""
+    return stream.join(F.broadcast(dim), on=on, how="left")

@@ -255,3 +255,30 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 25
     assert got.select("event_id").distinct().count() == 25  # exactly once
+
+
+def test_stream_static_join_enriches(spark, tmp_path, event_json_dir):
+    """Stream-static join: each micro-batch joins the current static dim
+    (broadcast, no streaming state); streamed result equals the batch join."""
+    dim = (
+        Catalog(spark, SF_DIR).table("customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_name")
+    )
+    stream = cp.enrich_with_static(
+        cp.read_json_stream(spark, event_json_dir), dim
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("enriched")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT event_id, c_name FROM enriched ORDER BY event_id"
+    ).collect()
+    ev = Catalog(spark, SF_DIR).table("events")
+    expect = (
+        ev.join(F.broadcast(dim), on="user_id", how="left")
+        .select("event_id", "c_name").orderBy("event_id").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+    assert len(got) > 0
