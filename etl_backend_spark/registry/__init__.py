@@ -107,6 +107,7 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "dedup_incremental",
     "sim_topk_lsh",
     "lang_id",
     "quality_score",
@@ -119,6 +120,7 @@ PRIORITY: list[str] = [
     "repetition_stats",
     "source_quota_sample",
     "gopher_rules",
+    "vocab_top_terms",
     "shuffle_order",
     "contamination_check",
     "events_time_range",

@@ -697,3 +697,86 @@ def q_dedup_embedding(spark, sf_dir):
         cand.filter(cos >= 0.3)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, sha256(text) AS h,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 < 90
+               AS is_existing
+      FROM documents
+    )
+    SELECT n.doc_id, n.h AS text_hash
+    FROM tagged n
+    WHERE NOT n.is_existing
+      AND NOT EXISTS (SELECT 1 FROM tagged e
+                      WHERE e.is_existing AND e.h = n.h)
+      AND n.doc_id = (SELECT min(m.doc_id) FROM tagged m
+                      WHERE NOT m.is_existing AND m.h = n.h)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL exact dedup — the shape a 100 TB ingestion actually
+    runs: a new batch (the 10% md5-bucket split) dedups against the
+    EXISTING corpus (the other 90%) without ever re-deduping the corpus
+    itself. Two steps, both equi-joins on the content hash: (1) drop new
+    docs whose hash exists in the corpus (left_anti against the existing
+    hash set — at production scale that side is a persisted hash index,
+    not a rescan); (2) keep one representative per duplicate group WITHIN
+    the batch (min doc_id via groupBy). Output: the new docs that survive."""
+    d = Catalog(spark, sf_dir).table("documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    tagged = d.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h"),
+        (bucket < 90).alias("is_existing"),
+    )
+    existing_hashes = tagged.filter(F.col("is_existing")).select("h")
+    fresh = (
+        tagged.filter(~F.col("is_existing"))
+        .join(existing_hashes, on="h", how="left_anti")
+    )
+    return (
+        fresh.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.col("h").alias("text_hash"))
+    )
+
+
+@register(
+    "vocab_top_terms",
+    oracle="""
+    SELECT word, n FROM (
+      SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM documents)
+      GROUP BY word
+    )
+    ORDER BY n DESC, word ASC
+    LIMIT 50
+    """,
+)
+def q_vocab_top_terms(spark, sf_dir):
+    """Vocabulary building: corpus-wide term frequencies, top-50 — the
+    tokenizer-training precursor. explode → partial-aggregating groupBy on
+    the term (one shuffle row per distinct term) → TakeOrdered; at 100 TB
+    the same plan holds because the distinct-term set, not the corpus, is
+    what shuffles."""
+    d = Catalog(spark, sf_dir).table("documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+    )
