@@ -30,9 +30,10 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +66,29 @@ class ManifestTable:
         with open(os.path.join(self.manifest_dir, self._live_id())) as f:
             return json.load(f)
 
+    # the pointer swap itself is sub-millisecond, so a live contender clears
+    # in a few retries; a lock older than STALE_LOCK_SEC can only be a
+    # crashed committer (killed between open and remove) and is reclaimed
+    STALE_LOCK_SEC = 30.0
+
+    def _acquire_lock(self, lock: str, timeout: float = 5.0) -> int:
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self.STALE_LOCK_SEC:
+                        os.remove(lock)  # crashed committer; reclaim
+                        continue
+                except OSError:
+                    continue  # holder finished between check and stat
+                if time.monotonic() >= deadline:
+                    raise CommitConflict(
+                        f"commit lock {lock} held past {timeout}s"
+                    ) from None
+                time.sleep(0.05)
+
     def _commit(self, entries: list[dict], parent: str | None) -> None:
         """Atomic pointer swap with optimistic concurrency: `parent` is the
         manifest id this commit was derived from (None = table creation).
@@ -76,7 +100,7 @@ class ManifestTable:
         with open(os.path.join(self.manifest_dir, mid), "w") as f:
             json.dump({"entries": entries, "parent": parent}, f)
         lock = self._pointer() + ".lock"
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        fd = self._acquire_lock(lock)
         try:
             live = self._live_id() if os.path.exists(self._pointer()) else None
             if live != parent:
@@ -116,7 +140,9 @@ class ManifestTable:
         for row in rows:
             r = row.asDict()
             entries.append({
-                "path": urlparse(r["__path"]).path,
+                # unquote: _metadata.file_path is a URI, so spaces/% in the
+                # table root arrive percent-encoded
+                "path": unquote(urlparse(r["__path"]).path),
                 "rows": r["__n"],
                 "stats": {
                     c: [r[f"min_{c}"], r[f"max_{c}"]] for c in self.stats_cols
@@ -129,7 +155,23 @@ class ManifestTable:
     def create(self, df: DataFrame) -> None:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # persist the schema so an all-files-deleted table stays readable
+        # (an empty file list gives parquet nothing to infer from)
+        with open(os.path.join(self.dir, "_SCHEMA"), "w") as f:
+            f.write(df.schema.json())
         self._commit(self._write_files(df), parent=None)
+
+    def _empty_df(self) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        with open(os.path.join(self.dir, "_SCHEMA")) as f:
+            schema = StructType.fromJson(json.loads(f.read()))
+        return self.spark.createDataFrame([], schema)
+
+    def _read_entries(self, entries: list[dict]) -> DataFrame:
+        if not entries:
+            return self._empty_df()
+        return self.spark.read.parquet(*[e["path"] for e in entries])
 
     def append(self, df: DataFrame) -> None:
         parent = self._live_id()
@@ -140,8 +182,7 @@ class ManifestTable:
         return self._live_manifest()["entries"]
 
     def read(self) -> DataFrame:
-        paths = [e["path"] for e in self.files()]
-        return self.spark.read.parquet(*paths)
+        return self._read_entries(self.files())
 
     def read_pruned(self, col: str, lo=None, hi=None) -> tuple[DataFrame, int]:
         """Manifest-stats pruning: load only files whose [min,max] for `col`
@@ -157,7 +198,7 @@ class ManifestTable:
                 continue
             keep.append(e["path"])
         if not keep:
-            return self.read().limit(0), skipped
+            return self._empty_df(), skipped
         return self.spark.read.parquet(*keep), skipped
 
     def delete(self, where: Column, col: str, lo=None, hi=None) -> dict:
@@ -229,7 +270,7 @@ class ManifestTable:
         valid until ``vacuum`` reclaims non-live data)."""
         with open(os.path.join(self.manifest_dir, manifest_id)) as f:
             entries = json.load(f)["entries"]
-        return self.spark.read.parquet(*[e["path"] for e in entries])
+        return self._read_entries(entries)
 
     def compact(self, target_rows: int = 100_000) -> dict:
         """Small-file compaction: greedily bin files below target into

@@ -267,28 +267,32 @@ def q_etl_merge_manifest(spark, sf_dir):
     pruning, anti-join rewrite, atomic commit — end to end under the
     value-hash check. (etl/manifest.py; reference mutation semantics
     src/routes/ads.ts:53-74,259-262 scaled to a table format.)"""
+    import shutil
     import tempfile
 
     from ..etl.manifest import ManifestTable
 
     o = Catalog(spark, sf_dir).table("orders")
-    t = ManifestTable(
-        spark, tempfile.mkdtemp(prefix="etlbs-merge-"), "orders",
-        ["o_orderkey"],
-    )
-    t.create(o.repartition(4))
-    incoming = (
-        o.filter(F.col("o_orderkey").between(1, 50))
-        .unionByName(
-            o.filter(F.col("o_orderkey") == 1)
-            .withColumn("o_orderkey", F.lit(-1).cast("long"))
+    root = tempfile.mkdtemp(prefix="etlbs-merge-")
+    try:
+        t = ManifestTable(spark, root, "orders", ["o_orderkey"])
+        t.create(o.repartition(4))
+        incoming = (
+            o.filter(F.col("o_orderkey").between(1, 50))
+            .unionByName(
+                o.filter(F.col("o_orderkey") == 1)
+                .withColumn("o_orderkey", F.lit(-1).cast("long"))
+            )
+            .withColumn("o_totalprice", F.lit(0.0))
         )
-        .withColumn("o_totalprice", F.lit(0.0))
-    )
-    t.upsert(incoming, "o_orderkey")
-    post = t.read()
-    return post.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("o_totalprice") == 0.0).cast("long")).alias("n_zeroed"),
-        F.sum("o_orderkey").alias("key_sum"),
-    )
+        t.upsert(incoming, "o_orderkey")
+        # materialize the 1-row aggregate BEFORE dropping the temp table —
+        # a lazy result would read files this builder is about to delete
+        row = t.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("o_totalprice") == 0.0).cast("long")).alias("n_zeroed"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).collect()
+        return spark.createDataFrame(row, "n_rows LONG, n_zeroed LONG, key_sum LONG")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -205,16 +205,27 @@ def q_source_files_binary(spark, sf_dir):
     once; file content is deterministic per id so rebuilds converge."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 200)
     media = M.synthesize_media(p, "p_partkey", "p_partkey")
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache key includes a format version (bump when the payload generator
+    # changes) so a stale dir from an older checkout can't shadow the
+    # current generator; build into a private dir and atomically rename so
+    # concurrent builders never expose a partial file set (losing the
+    # rename race is fine — content is deterministic)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:v2".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join(tempfile.gettempdir(), f"etlbs-media-{key}")
-    marker = os.path.join(out_dir, "_BUILT")
-    if not os.path.exists(marker):
-        M.write_media_dir(media, out_dir)
-        open(marker, "w").close()
+    if not os.path.isdir(out_dir):
+        build = f"{out_dir}.build-{os.getpid()}"
+        M.write_media_dir(media, build)
+        try:
+            os.rename(build, out_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
     files = M.read_binary_dir(spark, out_dir)
     media_id = F.regexp_extract(F.col("path"), r"m-(\d+)\.bin", 1).cast("long")
     return files.select(

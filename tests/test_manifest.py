@@ -200,3 +200,51 @@ def test_manifest_delete_to_empty_file_set(spark, tmp_path):
     t.create(df)
     t.delete(F.col("k") >= 0, "k")
     assert t.files() == []
+
+
+def test_manifest_empty_table_readable(spark, tmp_path):
+    """After deleting every row, read/read_pruned/read_at still work (the
+    persisted schema covers the no-files state)."""
+    df = spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "empty", ["k"])
+    t.create(df)
+    pre = t._live_id()
+    t.delete(F.col("k") >= 0, "k")
+    assert t.read().count() == 0
+    assert t.read().schema == df.schema
+    got, skipped = t.read_pruned("k", lo=100)
+    assert got.count() == 0
+    assert t.read_at(pre).count() == 1
+    t.append(df)  # still writable after empty state
+    assert t.read().count() == 1
+
+
+def test_manifest_stale_lock_reclaimed(spark, tmp_path):
+    """A lock file left by a crashed committer is reclaimed after the
+    staleness horizon instead of wedging the table forever."""
+    import os
+    import time as _time
+
+    df = spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "locked", ["k"])
+    t.create(df)
+    lock = t._pointer() + ".lock"
+    open(lock, "w").close()
+    old = _time.time() - 120
+    os.utime(lock, (old, old))  # simulate a long-dead holder
+    t.append(df)  # must reclaim and succeed
+    assert t.read().count() == 2
+    assert not os.path.exists(lock)
+
+
+def test_manifest_live_lock_conflicts_fast(spark, tmp_path):
+    """A FRESH lock (live committer) times out to CommitConflict, not an
+    unhandled FileExistsError."""
+    from etl_backend_spark.etl.manifest import CommitConflict
+
+    df = spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "busy", ["k"])
+    t.create(df)
+    open(t._pointer() + ".lock", "w").close()
+    with pytest.raises(CommitConflict):
+        t._commit(t.files(), parent=t._live_id())
