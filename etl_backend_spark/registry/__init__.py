@@ -108,6 +108,7 @@ PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "dedup_incremental",
+    "dedup_clusters",
     "sim_topk_lsh",
     "lang_id",
     "quality_score",

@@ -771,3 +771,84 @@ def q_vocab_top_terms(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(50)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                              i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ), keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {_JACCARD_DF_CAP}
+    ), shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.n
+    )
+    SELECT n AS doc_id, min(lbl) AS cluster_id,
+           n = min(lbl) AS is_keeper
+    FROM reach GROUP BY n
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — the step after pair generation that every
+    production dedup needs: connected components over the Jaccard ≥ 0.5
+    pair graph, cluster id = min doc_id in the component, keeper = the min
+    itself. Implemented as iterative min-label propagation (the Pregel
+    pattern, hand-rolled on DataFrames): each round joins current labels
+    across edges and takes the elementwise min; converges in O(component
+    diameter) rounds — near-dup components are short chains, so the loop
+    exits after a handful of O(|E|) equi-join rounds, each a bounded
+    shuffle on the node key. The driver-side loop tests a single count()
+    per round (the standard Spark iterative-algorithm shape; at 100 TB the
+    labels frame would be checkpointed every few rounds to cut lineage).
+    The DuckDB oracle computes the same components with a recursive CTE."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "s", "doc_b": "d"})
+    labels = edges.select(F.col("s").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges["s"] == labels["n"])
+            .groupBy(F.col("d").alias("n2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        merged = labels.join(prop, labels["n"] == prop["n2"], "left").select(
+            "n", "lbl",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("new_lbl"),
+        )
+        changed = merged.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = merged.select("n", F.col("new_lbl").alias("lbl")).localCheckpoint(
+            eager=True
+        )
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id"),
+        (F.col("n") == F.col("lbl")).alias("is_keeper"),
+    )
