@@ -110,6 +110,7 @@ PRIORITY: list[str] = [
     "dedup_incremental",
     "dedup_clusters",
     "sim_topk_lsh",
+    "semantic_search",
     "lang_id",
     "quality_score",
     "doc_fingerprint",

@@ -852,3 +852,60 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id"),
         (F.col("n") == F.col("lbl")).alias("is_keeper"),
     )
+
+
+@register(
+    "semantic_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), topk AS (
+      SELECT q_id, vec_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    )
+    SELECT t.q_id, t.vec_id, t.cos_sim, d.source,
+           substr(d.text, 1, 40) AS snippet
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    """,
+)
+def q_semantic_search(spark, sf_dir):
+    """End-to-end retrieval: ANN top-5 per query over the embedding column,
+    joined back to the documents table for the payload (source + snippet) —
+    the RAG-retrieval shape. The scorer is the exact brute baseline (swap
+    in sim_topk_lsh/ivf for the bucketed path at scale); the doc join is an
+    equi-join on the id, so at 100 TB only the k x |queries| hit rows fetch
+    text."""
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    d = Catalog(spark, sf_dir).table("documents")
+    corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    queries = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), V.as_double(F.col("embedding")).alias("qv"))
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+    return topk.join(d, topk["vec_id"] == d["doc_id"]).select(
+        "q_id", "vec_id", "cos_sim", "source",
+        F.substring("text", 1, 40).alias("snippet"),
+    )
