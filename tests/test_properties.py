@@ -86,3 +86,38 @@ def test_upsert_insert_if_absent_idempotent(spark_session, keys):
     n_new = len([k for k in keys if k >= 20])
     assert once.count() == 20 + n_new
     assert upsert(once, incoming).count() == once.count()
+
+
+@given(
+    upd=st.lists(st.integers(0, 40), min_size=1, max_size=10, unique=True),
+    new=st.lists(st.integers(100_000, 100_040), max_size=5, unique=True),
+)
+@SETTINGS
+def test_manifest_upsert_merge_algebra(spark_session, tmp_path_factory, upd, new):
+    """MERGE algebra for arbitrary update/insert key sets: post-state =
+    (base \\ matched) ∪ incoming, and re-running the same upsert is
+    idempotent."""
+    from pyspark.sql import functions as F
+
+    from etl_backend_spark.etl.manifest import ManifestTable
+
+    spark = spark_session
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = ManifestTable(
+        spark, str(tmp_path_factory.mktemp("m")), "t", ["k"]
+    )
+    t.create(base.repartition(3))
+    incoming_keys = sorted(set(upd) | set(new))
+    incoming = spark.createDataFrame(
+        [(k, -1.0) for k in incoming_keys], "k LONG, v DOUBLE"
+    )
+    t.upsert(incoming, "k")
+    got = {(r.k, r.v) for r in t.read().collect()}
+    expect = {(k, float(k)) for k in range(50) if k not in incoming_keys} | {
+        (k, -1.0) for k in incoming_keys
+    }
+    assert got == expect
+    t.upsert(incoming, "k")  # idempotent
+    assert {(r.k, r.v) for r in t.read().collect()} == expect
