@@ -463,3 +463,27 @@ def test_hll_mergeable_matches_exact(spark):
         .select("c_custkey").distinct().count()
     )
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_runtime_bloom_filter_injectable(spark):
+    """Runtime bloom-filter pruning (on by default; production thresholds
+    keep it off for tiny local data): with the application-side floor
+    lowered, a selective-side filter injects a bloom_filter_agg that prunes
+    the fact side before the shuffle join — the 100 TB semi-join pattern."""
+    from etl_backend_spark.sources.catalog import Catalog
+
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bjt = "spark.sql.autoBroadcastJoinThreshold"
+    old, old_bjt = spark.conf.get(key), spark.conf.get(bjt)
+    try:
+        spark.conf.set(key, "0")
+        spark.conf.set(bjt, "-1")  # force a shuffle join so the filter applies
+        cat = Catalog(spark, SF_DIR)
+        o, li = cat.table("orders"), cat.table("lineitem")
+        sel = o.filter(F.col("o_totalprice") > 500000)
+        j = sel.join(li, sel["o_orderkey"] == li["l_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(key, old)
+        spark.conf.set(bjt, old_bjt)
