@@ -137,6 +137,8 @@ PRIORITY: list[str] = [
     "multimodal_frames",
     "source_files_binary",
     "source_custom_datasource",
+    "sink_orc_roundtrip",
+    "source_text_lines",
     "etl_merge_manifest",
     "etl_scd2_merge",
 ]

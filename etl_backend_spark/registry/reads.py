@@ -943,3 +943,82 @@ def q_fn_bit_ops(spark, sf_dir):
         F.shiftright(a, 1).alias("b_shr"),
         F.bit_count(a).cast("long").alias("popcount"),
     )
+
+
+def _cached_roundtrip_dir(sf_dir: str, token: str) -> tuple[str, bool]:
+    """(path, already_built) for a deterministic per-sf cache dir; callers
+    build privately and atomically rename (see q_source_files_binary)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{token}".encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"etlbs-{token.split(':')[0]}-{key}")
+    return out, os.path.isdir(out)
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_sink_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round-trip: write orders to ORC (the other
+    columnar format Spark ships natively), read it back, aggregate — the
+    aggregate must equal the one computed from the parquet original
+    (integer-exact columns, so no float-order caveats). Completes the
+    format matrix: parquet (everywhere), JSON (source/sink), CSV
+    (roundtrip), binaryFile (source_files_binary), ORC here."""
+    import os
+    import shutil
+
+    o = Catalog(spark, sf_dir).table("orders")
+    out, built = _cached_roundtrip_dir(sf_dir, "orc:v1")
+    if not built:
+        build = f"{out}.build-{os.getpid()}"
+        o.write.mode("overwrite").orc(build)
+        try:
+            os.rename(build, out)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE doc_id < 200
+    """,
+)
+def q_source_text_lines(spark, sf_dir):
+    """Raw text-line source: documents exported as tab-separated lines,
+    read back via ``spark.read.text`` (one row per line, a single `value`
+    column — the log-file intake shape) and re-parsed with split/cast.
+    Round-trip parity against the parquet original is the oracle."""
+    import os
+    import shutil
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 200)
+    out, built = _cached_roundtrip_dir(sf_dir, "text:v1")
+    if not built:
+        build = f"{out}.build-{os.getpid()}"
+        d.select(
+            F.concat_ws("\t", F.col("doc_id"), F.col("n_chars")).alias("value")
+        ).write.mode("overwrite").text(build)
+        try:
+            os.rename(build, out)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).cast("long").alias("n_chars"),
+    )
