@@ -89,16 +89,24 @@ class ManifestTable:
                     ) from None
                 time.sleep(0.05)
 
-    def _commit(self, entries: list[dict], parent: str | None) -> None:
+    def _commit(self, entries: list[dict], parent: str | None,
+                txn: str | None = None) -> None:
         """Atomic pointer swap with optimistic concurrency: `parent` is the
         manifest id this commit was derived from (None = table creation).
         A short-lived O_EXCL lock file serializes the check-and-swap, and
         the swap fails with CommitConflict if _CURRENT no longer points at
         `parent` — the classic lost-update (two writers both derived from
-        the same snapshot; the second must re-read and retry)."""
+        the same snapshot; the second must re-read and retry).
+
+        `txn` (optional) is an idempotence token recorded in the manifest;
+        the committed manifest carries the union of all ancestor tokens so
+        ``append_once`` can test replay membership in O(1)."""
         mid = f"m-{uuid.uuid4().hex}.json"
+        txns = dict(self._live_manifest().get("txns", {})) if parent else {}
+        if txn is not None:
+            txns[txn] = mid
         with open(os.path.join(self.manifest_dir, mid), "w") as f:
-            json.dump({"entries": entries, "parent": parent}, f)
+            json.dump({"entries": entries, "parent": parent, "txns": txns}, f)
         lock = self._pointer() + ".lock"
         fd = self._acquire_lock(lock)
         try:
@@ -177,6 +185,25 @@ class ManifestTable:
         parent = self._live_id()
         live = self._live_manifest()["entries"]
         self._commit(live + self._write_files(df), parent=parent)
+
+    def append_once(self, df: DataFrame, txn: str) -> bool:
+        """Transactionally-idempotent append (the Delta txn-id pattern):
+        the commit records `txn`, and a replay with a token already present
+        in the live manifest's ancestor set is an exact no-op BEFORE any
+        files are written — unlike marker-file schemes the dedup record and
+        the data commit are the same atomic pointer swap, so there is no
+        crash window between them. Returns True iff the batch was applied.
+        The natural sink for streaming foreachBatch (see
+        streaming.chat_pipeline.stream_into_manifest)."""
+        live_manifest = self._live_manifest()
+        if txn in live_manifest.get("txns", {}):
+            return False  # replayed batch — already committed
+        parent = self._live_id()
+        self._commit(
+            live_manifest["entries"] + self._write_files(df),
+            parent=parent, txn=txn,
+        )
+        return True
 
     def files(self) -> list[dict]:
         return self._live_manifest()["entries"]

@@ -290,3 +290,19 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame,
     per-message user lookup (src/websocket.ts:71-77 via the clients map)
     as a dataflow enrichment."""
     return stream.join(F.broadcast(dim), on=on, how="left")
+
+
+def stream_into_manifest(stream: DataFrame, table, checkpoint_dir: str):
+    """foreachBatch → manifest table with TRANSACTIONAL idempotence: each
+    micro-batch commits via ``ManifestTable.append_once(batch_id)`` — the
+    dedup token and the file list land in the same atomic pointer swap, so
+    an at-least-once replay after any crash point is a no-op (the marker
+    and the data cannot diverge, unlike marker-file protocols)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_once(batch_df, txn=f"stream-batch-{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -248,3 +248,52 @@ def test_manifest_live_lock_conflicts_fast(spark, tmp_path):
     open(t._pointer() + ".lock", "w").close()
     with pytest.raises(CommitConflict):
         t._commit(t.files(), parent=t._live_id())
+
+
+def test_append_once_replay_is_noop(spark, tmp_path):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "txn", ["k"])
+    t.create(df)
+    assert t.append_once(df, txn="b-0") is True
+    assert t.read().count() == 4
+    assert t.append_once(df, txn="b-0") is False  # replay
+    assert t.read().count() == 4
+    assert t.append_once(df, txn="b-1") is True
+    assert t.read().count() == 6
+    # tokens survive further commits (ancestor-set union)
+    t.delete(F.col("k") > 100, "k")
+    assert t.append_once(df, txn="b-1") is False
+
+
+def test_stream_into_manifest_exactly_once(spark, tmp_path):
+    """availableNow stream into the manifest table; rerunning the drained
+    stream (fresh checkpoint, same batch ids) appends nothing."""
+    import json as _json
+
+    from etl_backend_spark.streaming import chat_pipeline as cp
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "json"
+    src.mkdir()
+    ev = Catalog(spark, SF_DIR).table("events").limit(30)
+    rows = ev.collect()
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            d = r.asDict()
+            d["ts"] = d["ts"].isoformat() + "Z"
+            f.write(_json.dumps(d) + "\n")
+
+    t = ManifestTable(spark, str(tmp_path), "events_m", ["event_id"])
+    t.create(spark.read.schema(cp.EVENT_WIRE_SCHEMA).json(str(src)).limit(0))
+
+    stream = cp.read_json_stream(spark, str(src))
+    w = cp.stream_into_manifest(stream, t, str(tmp_path / "ck1"))
+    cp.run_available_now(w, "m1")
+    n = t.read().count()
+    assert n == 30
+
+    # same input, FRESH checkpoint -> same batch ids replayed
+    stream2 = cp.read_json_stream(spark, str(src))
+    w2 = cp.stream_into_manifest(stream2, t, str(tmp_path / "ck2"))
+    cp.run_available_now(w2, "m2")
+    assert t.read().count() == n  # exact no-op
