@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     "text_stats",
     "multimodal_meta",         # same builder as multimodal_cols
     # -- LLM-pipeline family, next in line if the window is wider ----------
+    "corpus_pipeline",
     "doc_chunk",
     "dedup_simhash",
     "dedup_ngram_jaccard",

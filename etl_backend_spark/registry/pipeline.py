@@ -560,3 +560,104 @@ def q_gopher_rules(spark, sf_dir):
         has_stopword.alias("stopword_ok"),
         (len_ok & wordlen_ok & symbols_ok & has_stopword).alias("keep"),
     )
+
+
+@register(
+    "corpus_pipeline",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents
+      )
+      WHERE len(words) BETWEEN 10 AND 100000
+        AND list_sum(list_transform(words, w -> len(w)))::DOUBLE / len(words)
+              BETWEEN 2.0 AND 12.0
+        AND CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                      / length(text) ELSE 0.0 END <= 0.2
+        AND len(list_filter(words,
+              w -> list_contains(['the','a','of','and','to','in','is'], w))) > 0
+    ), uniq AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+    ), train AS (
+      SELECT u.doc_id, k.text FROM uniq u JOIN kept k ON k.doc_id = u.doc_id
+      WHERE list_sum(list_transform(generate_series(1, 8),
+              i -> (strpos('0123456789abcdef',
+                           substr(md5('split:' || CAST(u.doc_id AS VARCHAR)), i, 1)) - 1)
+                   * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 < 90
+    ), t AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM train
+    ), c AS (
+      SELECT doc_id, n_tokens, substr(k, 1, 1) AS pack_range,
+             sum(n_tokens) OVER (PARTITION BY substr(k, 1, 1)
+                                 ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, pack_range,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def q_corpus_pipeline(spark, sf_dir):
+    """END-TO-END training-corpus pipeline, value-checked as a WHOLE:
+    Gopher quality gate → exact dedup (keep min doc per content hash) →
+    deterministic train split (md5 bucket < 90) → shuffle-ordered sequence
+    packing within key ranges. Four stages, each individually registered
+    (gopher_rules, dedup_exact, split_assign, seq_pack); this composition
+    is the flagship of the §2.11 family — the whole flow a pretraining
+    data job runs, as ONE declarative plan Catalyst optimizes jointly
+    (filter pushdown through the dedup join, one scan of documents reused).
+    Every stage is hash-deterministic, so one DuckDB SQL chain replicates
+    the entire pipeline."""
+    d = Catalog(spark, sf_dir).table("documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0.0), lambda a, w: a + F.length(w).cast("double"))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+        .cast("double") / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is"]])
+    kept = d.filter(
+        n_words.between(10, 100000)
+        & mean_word_len.between(2.0, 12.0)
+        & (symbol_ratio <= 0.2)
+        & F.arrays_overlap(words, stop)
+    ).select("doc_id", "text")
+    uniq = kept.groupBy(F.sha2(F.col("text"), 256).alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    train = uniq.join(kept, on="doc_id").filter(bucket < 90)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    t = train.select(
+        "doc_id", n_tokens.alias("n_tokens"), k.alias("k"),
+        F.substring(k, 1, 1).alias("pack_range"),
+    )
+    w = (
+        Window.partitionBy("pack_range")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id", "n_tokens", "pack_range",
+        F.floor((cum - F.col("n_tokens")) / 512.0).cast("long").alias("seq_id"),
+    )
