@@ -62,9 +62,20 @@ class ManifestTable:
         with open(self._pointer()) as f:
             return f.read().strip()
 
-    def _live_manifest(self) -> dict:
-        with open(os.path.join(self.manifest_dir, self._live_id())) as f:
+    def _manifest_at(self, mid: str) -> dict:
+        with open(os.path.join(self.manifest_dir, mid)) as f:
             return json.load(f)
+
+    def _snapshot(self) -> tuple[str, dict]:
+        """(manifest id, manifest) from ONE pointer read — every mutation
+        must derive both its entry list and its CAS parent from the same
+        snapshot, or a commit landing between two separate pointer reads
+        slips past the conflict check (lost update)."""
+        mid = self._live_id()
+        return mid, self._manifest_at(mid)
+
+    def _live_manifest(self) -> dict:
+        return self._snapshot()[1]
 
     # the pointer swap itself is sub-millisecond, so a live contender clears
     # in a few retries; a lock older than STALE_LOCK_SEC can only be a
@@ -102,7 +113,10 @@ class ManifestTable:
         the committed manifest carries the union of all ancestor tokens so
         ``append_once`` can test replay membership in O(1)."""
         mid = f"m-{uuid.uuid4().hex}.json"
-        txns = dict(self._live_manifest().get("txns", {})) if parent else {}
+        # ancestor tokens come from the PARENT manifest, not the live
+        # pointer — the pointer may already have moved past parent, and the
+        # CAS below will reject this commit anyway in that case
+        txns = dict(self._manifest_at(parent).get("txns", {})) if parent else {}
         if txn is not None:
             txns[txn] = mid
         with open(os.path.join(self.manifest_dir, mid), "w") as f:
@@ -182,25 +196,26 @@ class ManifestTable:
         return self.spark.read.parquet(*[e["path"] for e in entries])
 
     def append(self, df: DataFrame) -> None:
-        parent = self._live_id()
-        live = self._live_manifest()["entries"]
-        self._commit(live + self._write_files(df), parent=parent)
+        parent, manifest = self._snapshot()
+        self._commit(manifest["entries"] + self._write_files(df), parent=parent)
 
     def append_once(self, df: DataFrame, txn: str) -> bool:
         """Transactionally-idempotent append (the Delta txn-id pattern):
         the commit records `txn`, and a replay with a token already present
-        in the live manifest's ancestor set is an exact no-op BEFORE any
-        files are written — unlike marker-file schemes the dedup record and
-        the data commit are the same atomic pointer swap, so there is no
-        crash window between them. Returns True iff the batch was applied.
-        The natural sink for streaming foreachBatch (see
-        streaming.chat_pipeline.stream_into_manifest)."""
-        live_manifest = self._live_manifest()
-        if txn in live_manifest.get("txns", {}):
+        in the snapshot's ancestor set is an exact no-op BEFORE any files
+        are written — unlike marker-file schemes the dedup record and the
+        data commit are the same atomic pointer swap, so there is no crash
+        window between them. The membership check, entry list, and CAS
+        parent all come from ONE snapshot: if another commit (including a
+        concurrent replica of this very txn) lands after the snapshot, the
+        CAS raises CommitConflict and the caller re-checks on retry.
+        Returns True iff the batch was applied. The natural sink for
+        streaming foreachBatch (see chat_pipeline.stream_into_manifest)."""
+        parent, manifest = self._snapshot()
+        if txn in manifest.get("txns", {}):
             return False  # replayed batch — already committed
-        parent = self._live_id()
         self._commit(
-            live_manifest["entries"] + self._write_files(df),
+            manifest["entries"] + self._write_files(df),
             parent=parent, txn=txn,
         )
         return True
@@ -232,9 +247,9 @@ class ManifestTable:
         """File-granular delete: rewrite only files whose stats interval for
         `col` can contain matching rows; every other manifest entry carries
         over with zero I/O. Returns {'rewritten': n, 'carried': m}."""
-        parent = self._live_id()
+        parent, manifest = self._snapshot()
         touched, carried = [], []
-        for e in self.files():
+        for e in manifest["entries"]:
             mn, mx = e["stats"][col]
             disjoint = (lo is not None and mx is not None and mx < lo) or (
                 hi is not None and mn is not None and mn > hi
@@ -258,10 +273,10 @@ class ManifestTable:
         removed via a broadcast-able anti-join in ONE job); every other
         entry carries over with zero I/O, and incoming lands as new files.
         ``key`` must be one of the table's stats columns."""
-        parent = self._live_id()
+        parent, manifest = self._snapshot()
         lo, hi = incoming.agg(F.min(key), F.max(key)).collect()[0]
         touched, carried = [], []
-        for e in self.files():
+        for e in manifest["entries"]:
             mn, mx = e["stats"][key]
             disjoint = (
                 lo is None
@@ -304,8 +319,8 @@ class ManifestTable:
         groups totalling ~target_rows, rewrite each group as one file; large
         files carry over untouched. The 100 TB hygiene job that keeps scan
         task counts sane after many streaming appends."""
-        parent = self._live_id()
-        entries = self.files()
+        parent, manifest = self._snapshot()
+        entries = manifest["entries"]
         small = [e for e in entries if e["rows"] < target_rows]
         large = [e for e in entries if e["rows"] >= target_rows]
         bins: list[list[dict]] = []

@@ -826,28 +826,44 @@ def q_dedup_clusters(spark, sf_dir):
     labels frame would be checkpointed every few rounds to cut lineage).
     The DuckDB oracle computes the same components with a recursive CTE."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "s", "doc_b": "d"})
+    # checkpoint the (expensive) pair pipeline ONCE — every propagation
+    # round re-references edges, and without this each round would re-run
+    # the whole shingle/pair computation
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnsRenamed({"doc_a": "s", "doc_b": "d"})
+        .localCheckpoint(eager=True)
+    )
     labels = edges.select(F.col("s").alias("n")).distinct().select(
         "n", F.col("n").alias("lbl")
     )
-    for _ in range(20):
+    converged = False
+    for _ in range(50):
         prop = (
             edges.join(labels, edges["s"] == labels["n"])
             .groupBy(F.col("d").alias("n2"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # checkpoint BEFORE the changed-count so each round evaluates the
+        # join exactly once; the count then reads the materialized frame
         merged = labels.join(prop, labels["n"] == prop["n2"], "left").select(
             "n", "lbl",
             F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("new_lbl"),
-        )
+        ).localCheckpoint(eager=True)
         changed = merged.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = merged.select("n", F.col("new_lbl").alias("lbl")).localCheckpoint(
-            eager=True
-        )
+        labels = merged.select("n", F.col("new_lbl").alias("lbl"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would emit wrong cluster ids AND multiple
+        # keepers per cluster — fail loudly instead
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in 50 "
+            "rounds (component diameter > 50); raise the bound"
+        )
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id"),
         (F.col("n") == F.col("lbl")).alias("is_keeper"),

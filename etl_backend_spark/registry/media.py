@@ -203,29 +203,18 @@ def q_source_files_binary(spark, sf_dir):
     (reference src/routes/ads.ts:12-39) exercised through the actual file
     source, not a path filter. The upload dir is keyed by sf_dir and built
     once; file content is deterministic per id so rebuilds converge."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    from ..sources.cache import cached_tmp_build, file_fingerprint
 
     p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 200)
     media = M.synthesize_media(p, "p_partkey", "p_partkey")
-    # cache key includes a format version (bump when the payload generator
-    # changes) so a stale dir from an older checkout can't shadow the
-    # current generator; build into a private dir and atomically rename so
-    # concurrent builders never expose a partial file set (losing the
-    # rename race is fine — content is deterministic)
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:v2".encode()
-    ).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"etlbs-media-{key}")
-    if not os.path.isdir(out_dir):
-        build = f"{out_dir}.build-{os.getpid()}"
-        M.write_media_dir(media, build)
-        try:
-            os.rename(build, out_dir)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    # fingerprint = generator version (bump on payload-format change) +
+    # source-file identity, so neither an old checkout's dir nor a
+    # regenerated testdata set can serve stale bytes
+    out_dir = cached_tmp_build(
+        "media",
+        f"v2:{file_fingerprint(f'{sf_dir}/part.parquet')}",
+        lambda b: M.write_media_dir(media, b),
+    )
     files = M.read_binary_dir(spark, out_dir)
     media_id = F.regexp_extract(F.col("path"), r"m-(\d+)\.bin", 1).cast("long")
     return files.select(

@@ -945,18 +945,6 @@ def q_fn_bit_ops(spark, sf_dir):
     )
 
 
-def _cached_roundtrip_dir(sf_dir: str, token: str) -> tuple[str, bool]:
-    """(path, already_built) for a deterministic per-sf cache dir; callers
-    build privately and atomically rename (see q_source_files_binary)."""
-    import hashlib
-    import os
-    import tempfile
-
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{token}".encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"etlbs-{token.split(':')[0]}-{key}")
-    return out, os.path.isdir(out)
-
-
 @register(
     "sink_orc_roundtrip",
     oracle="""
@@ -972,18 +960,14 @@ def q_sink_orc_roundtrip(spark, sf_dir):
     (integer-exact columns, so no float-order caveats). Completes the
     format matrix: parquet (everywhere), JSON (source/sink), CSV
     (roundtrip), binaryFile (source_files_binary), ORC here."""
-    import os
-    import shutil
+    from ..sources.cache import cached_tmp_build, file_fingerprint
 
     o = Catalog(spark, sf_dir).table("orders")
-    out, built = _cached_roundtrip_dir(sf_dir, "orc:v1")
-    if not built:
-        build = f"{out}.build-{os.getpid()}"
-        o.write.mode("overwrite").orc(build)
-        try:
-            os.rename(build, out)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
+    out = cached_tmp_build(
+        "orc",
+        f"v1:{file_fingerprint(f'{sf_dir}/orders.parquet')}",
+        lambda d: o.write.mode("overwrite").orc(d),
+    )
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1002,20 +986,16 @@ def q_source_text_lines(spark, sf_dir):
     read back via ``spark.read.text`` (one row per line, a single `value`
     column — the log-file intake shape) and re-parsed with split/cast.
     Round-trip parity against the parquet original is the oracle."""
-    import os
-    import shutil
+    from ..sources.cache import cached_tmp_build, file_fingerprint
 
     d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 200)
-    out, built = _cached_roundtrip_dir(sf_dir, "text:v1")
-    if not built:
-        build = f"{out}.build-{os.getpid()}"
-        d.select(
+    out = cached_tmp_build(
+        "text",
+        f"v1:{file_fingerprint(f'{sf_dir}/documents.parquet')}",
+        lambda b: d.select(
             F.concat_ws("\t", F.col("doc_id"), F.col("n_chars")).alias("value")
-        ).write.mode("overwrite").text(build)
-        try:
-            os.rename(build, out)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
+        ).write.mode("overwrite").text(b),
+    )
     lines = spark.read.text(out)
     parts = F.split(F.col("value"), "\t")
     return lines.select(

@@ -22,6 +22,7 @@ unboundedly at 100 TB/day event volumes.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 import pandas as pd
@@ -292,15 +293,40 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame,
     return stream.join(F.broadcast(dim), on=on, how="left")
 
 
-def stream_into_manifest(stream: DataFrame, table, checkpoint_dir: str):
+def stream_into_manifest(stream: DataFrame, table, checkpoint_dir: str,
+                         txn_app_id: str | None = None):
     """foreachBatch → manifest table with TRANSACTIONAL idempotence: each
-    micro-batch commits via ``ManifestTable.append_once(batch_id)`` — the
-    dedup token and the file list land in the same atomic pointer swap, so
-    an at-least-once replay after any crash point is a no-op (the marker
-    and the data cannot diverge, unlike marker-file protocols)."""
+    micro-batch commits via ``ManifestTable.append_once`` — the dedup token
+    and the file list land in the same atomic pointer swap, so an
+    at-least-once replay after any crash point is a no-op (the marker and
+    the data cannot diverge, unlike marker-file protocols).
+
+    The token is ``(txn_app_id, batch_id)`` — Delta's (txnAppId,
+    txnVersion) pattern: batch ids alone restart at 0 for every new query,
+    so two different streams writing one table would collide. The app id
+    defaults to the checkpoint location, which IS the query's identity
+    (same checkpoint = same batch-id sequence = genuine replays).
+
+    A commit that loses a race to a concurrent writer (a second stream, a
+    compaction job) raises CommitConflict; append_once is idempotent per
+    txn, so the handler simply retries — on retry the snapshot re-checks
+    membership, making duplicate application impossible."""
+    import hashlib
+
+    from ..etl.manifest import CommitConflict
+
+    app = txn_app_id or hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        table.append_once(batch_df, txn=f"stream-batch-{batch_id}")
+        for attempt in range(5):
+            try:
+                table.append_once(batch_df, txn=f"{app}:{batch_id}")
+                return
+            except CommitConflict:
+                if attempt == 4:
+                    raise
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -292,8 +292,25 @@ def test_stream_into_manifest_exactly_once(spark, tmp_path):
     n = t.read().count()
     assert n == 30
 
-    # same input, FRESH checkpoint -> same batch ids replayed
+    # a DIFFERENT query (fresh checkpoint = new app id) is NOT deduped —
+    # batch ids restart at 0 for every query, so the token must carry the
+    # query identity (Delta's txnAppId) or a second stream would be dropped
     stream2 = cp.read_json_stream(spark, str(src))
     w2 = cp.stream_into_manifest(stream2, t, str(tmp_path / "ck2"))
     cp.run_available_now(w2, "m2")
-    assert t.read().count() == n  # exact no-op
+    assert t.read().count() == 2 * n
+
+    # the SAME logical query replayed (stable app id, lost checkpoint) IS
+    # deduped: same (app, batch_id) tokens -> exact no-op
+    stream3 = cp.read_json_stream(spark, str(src))
+    w3 = cp.stream_into_manifest(
+        stream3, t, str(tmp_path / "ck3"), txn_app_id="job-A"
+    )
+    cp.run_available_now(w3, "m3")
+    assert t.read().count() == 3 * n
+    stream4 = cp.read_json_stream(spark, str(src))
+    w4 = cp.stream_into_manifest(
+        stream4, t, str(tmp_path / "ck4"), txn_app_id="job-A"
+    )
+    cp.run_available_now(w4, "m4")
+    assert t.read().count() == 3 * n  # replayed app:batch tokens -> no-op
