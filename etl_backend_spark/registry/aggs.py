@@ -639,6 +639,48 @@ def q_tpch_q12_shape(spark, sf_dir):
 
 
 @register(
+    "tpch_q10_shape",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o_orderdate < TIMESTAMP '2000-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item customer ranking): quarter-windowed
+    orders x returned lineitems, customer rollup with the nation dim
+    broadcast, top-20 by revenue via TakeOrdered (never a global sort).
+    Both selective predicates push to their fact scans before the join."""
+    cat = Catalog(spark, sf_dir)
+    c, o, li = cat.table("customer"), cat.table("orders"), cat.table("lineitem")
+    n = cat.tbl("nation")
+    of = o.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("2000-04-01")))
+    )
+    lif = li.filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(of, c["c_custkey"] == of["o_custkey"])
+        .join(lif, of["o_orderkey"] == lif["l_orderkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
     "window_ntile_keyed",
     oracle="""
     SELECT c_custkey, c_mktsegment,

@@ -487,3 +487,17 @@ def test_runtime_bloom_filter_injectable(spark):
     finally:
         spark.conf.set(key, old)
         spark.conf.set(bjt, old_bjt)
+
+
+def test_corpus_pipeline_plan_shape(spark):
+    """The end-to-end pipeline stays one jointly-optimized plan: no
+    single-partition window (packing is keyed), bounded scans of the
+    documents table, no cartesian products."""
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES["corpus_pipeline"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") <= 2
+    assert "hashpartitioning(pack_range" in plan
