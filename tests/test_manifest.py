@@ -314,3 +314,44 @@ def test_stream_into_manifest_exactly_once(spark, tmp_path):
     )
     cp.run_available_now(w4, "m4")
     assert t.read().count() == 3 * n  # replayed app:batch tokens -> no-op
+
+
+def test_manifest_concurrent_appends_lose_nothing(spark, tmp_path):
+    """Two threads appending concurrently with CommitConflict retry: every
+    batch lands exactly once (the CAS turns racing commits into retries,
+    never lost updates)."""
+    import threading
+
+    from etl_backend_spark.etl.manifest import CommitConflict
+
+    df = spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "race", ["k"])
+    t.create(df.limit(0))
+    errors = []
+
+    def writer(tag):
+        try:
+            for i in range(5):
+                batch = spark.createDataFrame(
+                    [(tag * 100 + i, float(i))], "k LONG, v DOUBLE"
+                )
+                for attempt in range(30):
+                    try:
+                        t.append_once(batch, txn=f"w{tag}-b{i}")
+                        break
+                    except CommitConflict:
+                        if attempt == 29:
+                            raise
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(tag,)) for tag in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    keys = sorted(r.k for r in t.read().collect())
+    assert keys == sorted([100 + i for i in range(5)] + [200 + i for i in range(5)])
+    # and replaying any token after the dust settles is a no-op
+    assert t.append_once(df, txn="w1-b0") is False
