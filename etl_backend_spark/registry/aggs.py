@@ -798,6 +798,35 @@ def q_agg_incremental_view(spark, sf_dir):
 
 
 @register(
+    "window_distribution_keyed",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q_window_distribution_keyed(spark, sf_dir):
+    """percent_rank / cume_dist WITHIN each priority class — the keyed form
+    of ``window_distribution`` (hash exchange + per-key sort), the shape
+    that survives 100 TB; the global-order sibling stays scoped to ranked
+    reporting output and ``agg_approx_quantile`` is the sketch path."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
     "window_distribution",
     oracle="""
     SELECT o_orderkey,
