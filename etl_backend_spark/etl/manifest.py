@@ -77,24 +77,32 @@ class ManifestTable:
     def _live_manifest(self) -> dict:
         return self._snapshot()[1]
 
-    # the pointer swap itself is sub-millisecond, so a live contender clears
-    # in a few retries; a lock older than STALE_LOCK_SEC can only be a
-    # crashed committer (killed between open and remove) and is reclaimed
-    STALE_LOCK_SEC = 30.0
-
     def _acquire_lock(self, lock: str, timeout: float = 5.0) -> int:
+        """Serialize the check-and-swap with an OS lock (``flock``) on a
+        persistent lock file. The kernel releases the lock when the holder's
+        fd closes — including on crash — so there is no stale-lock state to
+        reclaim. (The previous remove-if-older-than scheme had a TOCTOU: a
+        fresh holder could acquire between the staleness stat and the
+        unlink, the unlink then deleted the NEW holder's lock, and two
+        committers ran the CAS concurrently — a silent lost update.)
+
+        The lock file itself is never unlinked: remove-after-release lets a
+        third writer recreate the path as a NEW inode while a second writer
+        still holds an fd to the old one, and the two would lock different
+        inodes. One immortal empty file per table is the price of
+        correctness. Local-fs mechanism only; an object-store deployment
+        would use conditional PUT (if-match) on the pointer instead."""
+        import fcntl
+
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         deadline = time.monotonic() + timeout
         while True:
             try:
-                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > self.STALE_LOCK_SEC:
-                        os.remove(lock)  # crashed committer; reclaim
-                        continue
-                except OSError:
-                    continue  # holder finished between check and stat
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return fd
+            except BlockingIOError:
                 if time.monotonic() >= deadline:
+                    os.close(fd)
                     raise CommitConflict(
                         f"commit lock {lock} held past {timeout}s"
                     ) from None
@@ -119,13 +127,19 @@ class ManifestTable:
         txns = dict(self._manifest_at(parent).get("txns", {})) if parent else {}
         if txn is not None:
             txns[txn] = mid
-        with open(os.path.join(self.manifest_dir, mid), "w") as f:
+        mpath = os.path.join(self.manifest_dir, mid)
+        with open(mpath, "w") as f:
             json.dump({"entries": entries, "parent": parent, "txns": txns}, f)
         lock = self._pointer() + ".lock"
-        fd = self._acquire_lock(lock)
+        try:
+            fd = self._acquire_lock(lock)
+        except CommitConflict:
+            os.remove(mpath)  # never committed — don't orphan the manifest
+            raise
         try:
             live = self._live_id() if os.path.exists(self._pointer()) else None
             if live != parent:
+                os.remove(mpath)
                 raise CommitConflict(
                     f"_CURRENT moved from {parent!r} to {live!r} during commit"
                 )
@@ -134,8 +148,7 @@ class ManifestTable:
                 f.write(mid)
             os.replace(tmp, self._pointer())
         finally:
-            os.close(fd)
-            os.remove(lock)
+            os.close(fd)  # releases the flock; the lock file persists
 
     def _write_files(self, df: DataFrame) -> list[dict]:
         """Write df as data files and return manifest entries with stats.
@@ -172,6 +185,27 @@ class ManifestTable:
             })
         return sorted(entries, key=lambda e: e["path"])
 
+    def _discard_batches(self, entries: list[dict]) -> None:
+        """Remove the batch directories behind freshly-written entries whose
+        commit lost the CAS — without this every CommitConflict retry leaks
+        a full batch of parquet into data_dir (recurring under the
+        stream_into_manifest retry loop) until a vacuum runs."""
+        import shutil
+
+        for d in {os.path.dirname(e["path"]) for e in entries}:
+            # only ever a b-<uuid> dir this writer just created
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _commit_or_discard(self, entries: list[dict], new: list[dict],
+                           parent: str | None, txn: str | None = None) -> None:
+        """_commit, deleting this writer's just-written data files if the
+        CAS loses (the retry will rewrite them from the caller's df)."""
+        try:
+            self._commit(entries, parent=parent, txn=txn)
+        except CommitConflict:
+            self._discard_batches(new)
+            raise
+
     # ------------------------------------------------------------- surface
 
     def create(self, df: DataFrame) -> None:
@@ -197,7 +231,8 @@ class ManifestTable:
 
     def append(self, df: DataFrame) -> None:
         parent, manifest = self._snapshot()
-        self._commit(manifest["entries"] + self._write_files(df), parent=parent)
+        new = self._write_files(df)
+        self._commit_or_discard(manifest["entries"] + new, new, parent=parent)
 
     def append_once(self, df: DataFrame, txn: str) -> bool:
         """Transactionally-idempotent append (the Delta txn-id pattern):
@@ -214,9 +249,9 @@ class ManifestTable:
         parent, manifest = self._snapshot()
         if txn in manifest.get("txns", {}):
             return False  # replayed batch — already committed
-        self._commit(
-            manifest["entries"] + self._write_files(df),
-            parent=parent, txn=txn,
+        new = self._write_files(df)
+        self._commit_or_discard(
+            manifest["entries"] + new, new, parent=parent, txn=txn,
         )
         return True
 
@@ -255,15 +290,16 @@ class ManifestTable:
                 hi is not None and mn is not None and mn > hi
             )
             (carried if disjoint else touched).append(e)
-        new_entries = list(carried)
+        new_entries, new = list(carried), []
         if touched:
             # one rewrite job over all touched files, not one per file;
             # SQL DELETE semantics — NULL-predicate rows are retained
             remaining = self.spark.read.parquet(
                 *[e["path"] for e in touched]
             ).filter(~F.coalesce(where, F.lit(False)))
-            new_entries += self._write_files(remaining)
-        self._commit(new_entries, parent=parent)
+            new = self._write_files(remaining)
+            new_entries += new
+        self._commit_or_discard(new_entries, new, parent=parent)
         return {"rewritten": len(touched), "carried": len(carried)}
 
     def upsert(self, incoming: DataFrame, key: str) -> dict:
@@ -272,9 +308,24 @@ class ManifestTable:
         ``key`` intersects incoming's key range are rewritten (matched rows
         removed via a broadcast-able anti-join in ONE job); every other
         entry carries over with zero I/O, and incoming lands as new files.
-        ``key`` must be one of the table's stats columns."""
+        ``key`` must be one of the table's stats columns.
+
+        ``incoming`` must be unique on ``key`` — duplicate source keys have
+        no defined MERGE semantics (Delta raises too), and silently landing
+        both copies would corrupt the table's key uniqueness. Checked in
+        the same job as the key-range scan; raises ValueError."""
         parent, manifest = self._snapshot()
-        lo, hi = incoming.agg(F.min(key), F.max(key)).collect()[0]
+        lo, hi, n, n_keys = incoming.agg(
+            F.min(key), F.max(key), F.count(F.lit(1)), F.count_distinct(key)
+        ).collect()[0]
+        if n != n_keys:
+            # count_distinct ignores NULLs, so this also rejects NULL keys —
+            # a NULL merge key matches nothing and has no UPSERT meaning
+            raise ValueError(
+                f"upsert incoming has duplicate or NULL '{key}' rows "
+                f"({n} rows, {n_keys} distinct non-null keys); MERGE "
+                "requires a unique non-null source key — dedup incoming first"
+            )
         touched, carried = [], []
         for e in manifest["entries"]:
             mn, mx = e["stats"][key]
@@ -284,14 +335,17 @@ class ManifestTable:
                 or (mn is not None and mn > hi)
             )
             (carried if disjoint else touched).append(e)
-        new_entries = list(carried)
+        new_entries, new = list(carried), []
         if touched:
             remaining = self.spark.read.parquet(
                 *[e["path"] for e in touched]
             ).join(incoming.select(key), on=key, how="left_anti")
-            new_entries += self._write_files(remaining)
-        new_entries += self._write_files(incoming)
-        self._commit(new_entries, parent=parent)
+            new = self._write_files(remaining)
+            new_entries += new
+        incoming_files = self._write_files(incoming)
+        new += incoming_files
+        new_entries += incoming_files
+        self._commit_or_discard(new_entries, new, parent=parent)
         return {"rewritten": len(touched), "carried": len(carried)}
 
     # ---------------------------------------------------------- time travel
@@ -333,11 +387,13 @@ class ManifestTable:
             cur_rows += e["rows"]
         if cur:
             bins.append(cur)
-        new_entries = list(large)
+        new_entries, new = list(large), []
         for group in bins:
             merged = self.spark.read.parquet(*[e["path"] for e in group]).coalesce(1)
-            new_entries += self._write_files(merged)
-        self._commit(new_entries, parent=parent)
+            batch = self._write_files(merged)
+            new += batch
+            new_entries += batch
+        self._commit_or_discard(new_entries, new, parent=parent)
         return {"compacted_files": len(small), "bins": len(bins)}
 
 

@@ -30,12 +30,23 @@ def file_fingerprint(path: str) -> str:
 def cached_tmp_build(kind: str, fingerprint: str,
                      build_fn: Callable[[str], None]) -> str:
     """Return a cached directory for (kind, fingerprint), building it via
-    ``build_fn(private_dir)`` on first use."""
+    ``build_fn(private_dir)`` on first use.
+
+    The cache path incorporates the uid: /tmp is world-shared, and without
+    it a second OS user running the suite collides on the same etlbs-* dir
+    and fails on the other user's file permissions. A build_fn that raises
+    has its private build dir removed before the exception propagates."""
     key = hashlib.md5(f"{kind}:{fingerprint}".encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"etlbs-{kind}-{key}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-{kind}-{key}"
+    )
     if not os.path.isdir(out):
         build = f"{out}.build-{os.getpid()}"
-        build_fn(build)
+        try:
+            build_fn(build)
+        except BaseException:
+            shutil.rmtree(build, ignore_errors=True)
+            raise
         try:
             os.rename(build, out)
         except OSError:

@@ -219,35 +219,43 @@ def test_manifest_empty_table_readable(spark, tmp_path):
     assert t.read().count() == 1
 
 
-def test_manifest_stale_lock_reclaimed(spark, tmp_path):
-    """A lock file left by a crashed committer is reclaimed after the
-    staleness horizon instead of wedging the table forever."""
+def test_manifest_crashed_holder_does_not_wedge(spark, tmp_path):
+    """A lock file left by a crashed committer never blocks: the lock is an
+    OS flock released by the kernel when the holder's fd closed (crash
+    included), so a leftover lock FILE carries no lock. No staleness
+    heuristic, hence no reclaim TOCTOU where a fresh holder's lock could
+    be deleted out from under it."""
     import os
-    import time as _time
 
     df = spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE")
     t = ManifestTable(spark, str(tmp_path), "locked", ["k"])
     t.create(df)
     lock = t._pointer() + ".lock"
-    open(lock, "w").close()
-    old = _time.time() - 120
-    os.utime(lock, (old, old))  # simulate a long-dead holder
-    t.append(df)  # must reclaim and succeed
+    assert os.path.exists(lock)  # left over from create's commit — unheld
+    t.append(df)  # must proceed immediately
     assert t.read().count() == 2
-    assert not os.path.exists(lock)
 
 
 def test_manifest_live_lock_conflicts_fast(spark, tmp_path):
-    """A FRESH lock (live committer) times out to CommitConflict, not an
-    unhandled FileExistsError."""
+    """A HELD lock (live committer) times out to CommitConflict — and the
+    loser's never-committed manifest file is cleaned up, not orphaned."""
+    import fcntl
+    import os
+
     from etl_backend_spark.etl.manifest import CommitConflict
 
     df = spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE")
     t = ManifestTable(spark, str(tmp_path), "busy", ["k"])
     t.create(df)
-    open(t._pointer() + ".lock", "w").close()
-    with pytest.raises(CommitConflict):
-        t._commit(t.files(), parent=t._live_id())
+    fd = os.open(t._pointer() + ".lock", os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)  # simulate a live committer mid-swap
+    manifests_before = set(os.listdir(t.manifest_dir))
+    try:
+        with pytest.raises(CommitConflict):
+            t._commit(t.files(), parent=t._live_id())
+    finally:
+        os.close(fd)
+    assert set(os.listdir(t.manifest_dir)) == manifests_before
 
 
 def test_append_once_replay_is_noop(spark, tmp_path):
@@ -355,3 +363,105 @@ def test_manifest_concurrent_appends_lose_nothing(spark, tmp_path):
     assert keys == sorted([100 + i for i in range(5)] + [200 + i for i in range(5)])
     # and replaying any token after the dust settles is a no-op
     assert t.append_once(df, txn="w1-b0") is False
+
+
+def test_commit_conflict_discards_loser_batch(mtable, spark):
+    """A losing CAS must not leak its data files or manifest: the retry
+    rewrites from the caller's df, so the orphaned batch would accumulate
+    forever under the stream_into_manifest retry loop."""
+    import os
+
+    from etl_backend_spark.etl.manifest import CommitConflict
+
+    t, o = mtable
+    extra = o.limit(5)
+    stale_parent = t._live_id()
+    new = t._write_files(extra)
+    loser_dirs = {os.path.dirname(e["path"]) for e in new}
+    entries = t.files() + new
+    t.append(extra)  # competing writer lands first
+    manifests_live = set(os.listdir(t.manifest_dir))
+    with pytest.raises(CommitConflict):
+        t._commit_or_discard(entries, new, parent=stale_parent)
+    assert all(not os.path.isdir(d) for d in loser_dirs)  # batch reclaimed
+    assert set(os.listdir(t.manifest_dir)) == manifests_live  # no orphan json
+    live_paths = {e["path"] for e in t.files()}
+    assert all(os.path.exists(p) for p in live_paths)  # winner intact
+
+
+def test_upsert_rejects_duplicate_and_null_keys(spark, tmp_path):
+    """MERGE requires a unique non-null source key (Delta raises on
+    multiple source matches); silent acceptance would land both copies."""
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "dup", ["k"])
+    t.create(df)
+    dup = spark.createDataFrame([(1, 9.0), (1, 8.0)], "k LONG, v DOUBLE")
+    with pytest.raises(ValueError, match="duplicate or NULL"):
+        t.upsert(dup, "k")
+    withnull = spark.createDataFrame([(None, 9.0), (3, 8.0)], "k LONG, v DOUBLE")
+    with pytest.raises(ValueError, match="duplicate or NULL"):
+        t.upsert(withnull, "k")
+    assert t.read().count() == 2  # table unchanged by the rejected merges
+
+
+def test_crash_after_data_write_before_commit_replays_exactly_once(
+    spark, tmp_path,
+):
+    """Crash point A: writer dies after its data files land but before
+    _commit. The pointer never moved, so the re-run (same txn) must apply
+    the batch exactly once; the crashed batch is unreferenced and vacuum
+    reclaims it."""
+    import os
+
+    from etl_backend_spark.etl.manifest import vacuum
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "crashA", ["k"])
+    t.create(df)
+    batch = spark.createDataFrame([(10, 1.0)], "k LONG, v DOUBLE")
+    t._write_files(batch)  # simulated crash: files written, no commit
+    assert t.read().count() == 2  # reader never sees the uncommitted batch
+    assert t.append_once(batch, txn="retry-1") is True  # driver re-runs
+    assert t.append_once(batch, txn="retry-1") is False
+    assert t.read().count() == 3
+    assert [r.k for r in t.read().filter(F.col("k") == 10).collect()] == [10]
+    res = vacuum(t)
+    assert res["data_files"] >= 1  # the crashed batch is reclaimed
+    assert t.read().count() == 3
+
+
+def test_crash_after_manifest_write_before_swap_replays_exactly_once(
+    spark, tmp_path, monkeypatch,
+):
+    """Crash point B: writer dies after its manifest json is durable but
+    before the pointer swap. _CURRENT still names the parent, so the
+    half-commit is invisible; the re-run applies once and vacuum drops the
+    orphaned manifest."""
+    import os
+
+    import etl_backend_spark.etl.manifest as mmod
+    from etl_backend_spark.etl.manifest import vacuum
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "crashB", ["k"])
+    t.create(df)
+    batch = spark.createDataFrame([(10, 1.0)], "k LONG, v DOUBLE")
+
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        raise KeyboardInterrupt("simulated kill between manifest and swap")
+
+    monkeypatch.setattr(mmod.os, "replace", dying_replace)
+    with pytest.raises(KeyboardInterrupt):
+        t.append_once(batch, txn="retry-2")
+    monkeypatch.setattr(mmod.os, "replace", real_replace)
+
+    assert t.read().count() == 2  # half-commit invisible
+    assert t.append_once(batch, txn="retry-2") is True  # re-run applies
+    assert t.append_once(batch, txn="retry-2") is False
+    assert t.read().count() == 3
+    vacuum(t)
+    assert t.read().count() == 3
+    # exactly one manifest (the live one) survives vacuum
+    assert len(os.listdir(t.manifest_dir)) == 1
