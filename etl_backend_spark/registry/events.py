@@ -204,13 +204,13 @@ def q_events_zscore(spark, sf_dir):
     """,
 )
 def q_events_time_range(spark, sf_dir):
-    """Time-ranged event scan on the PUSHDOWN path: bounds are converted to
-    nanos and applied to the raw int64 ts column before the timestamp
-    conversion, so parquet row-group min/max skipping happens in the reader
+    """Time-ranged event scan on the partitioned layout: derived event_date
+    bounds prune whole day-directories at plan time (PartitionFilters) and
+    the exact ts bounds push to parquet row-group min/max
     (``sources.catalog.load_events_time_range``; plan-asserted in
-    tests/test_operators.py). The default ``load_table`` path computes the
-    timestamp column, which makes ts predicates post-scan residuals — at
-    100 TB that is the difference between scanning two days and a decade."""
+    tests/test_operators.py). Since round 3 the default ``load_table`` path
+    reads the same layout, so ANY ts predicate pushes down — at 100 TB the
+    difference between scanning two days and a decade."""
     from ..sources.catalog import load_events_time_range
 
     return load_events_time_range(

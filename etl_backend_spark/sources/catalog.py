@@ -103,10 +103,12 @@ SCHEMAS: dict[str, StructType] = {
         ]
     ),
     # events.ts is stored as TIMESTAMP(NANOS) which Spark's reader rejects;
-    # it is read as raw int64 nanos (legacy.parquet.nanosAsLong) and converted
-    # to a microsecond timestamp in load_table via integer division — double
-    # division would lose precision at ~1.7e18 ns. DuckDB truncates ns→µs the
-    # same way, so both engines see identical values.
+    # this RAW schema reads it as int64 nanos (legacy.parquet.nanosAsLong).
+    # events_partitioned_path rewrites it once into a date-partitioned
+    # layout with ts as a physical µs timestamp (ns div 1000 — integer
+    # division; double division would lose precision at ~1.7e18 ns. DuckDB
+    # truncates ns→µs the same way, so both engines see identical values),
+    # and load_table serves events from that layout.
     "events": StructType(
         [
             StructField("event_id", LongType()),
@@ -142,25 +144,87 @@ TABLES: list[str] = list(SCHEMAS)
 DIM_TABLES = {"region", "nation"}
 
 
+# Read-side schema for the date-partitioned events layout: ts is a PHYSICAL
+# µs timestamp there (predicates push down to parquet), event_date the
+# partition column (directory pruning).
+def _events_layout_schema() -> StructType:
+    from pyspark.sql.types import DateType
+
+    fields = [
+        StructField("ts" if f.name == "ts" else f.name,
+                    TimestampType() if f.name == "ts" else f.dataType)
+        for f in SCHEMAS["events"].fields
+    ]
+    return StructType(fields + [StructField("event_date", DateType())])
+
+
+def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached on the source file's fingerprint) a
+    date-partitioned copy of events with ts materialized as a µs timestamp.
+
+    The source stores ts as TIMESTAMP(NANOS), which Spark reads only as a
+    raw int64 — so the default loader used to COMPUTE the timestamp column,
+    and every ts predicate became a post-scan residual (no pushdown: at
+    100 TB, scan-a-decade instead of scan-a-day). Rewriting once into
+    `event_date=YYYY-MM-DD/` dirs with a physical TIMESTAMP_MICROS column
+    (never INT96 — INT96 has no min/max stats, killing pushdown) makes ts
+    predicates prune at the reader on EVERY query, and date predicates
+    prune whole directories at plan time. This is the one-time ingest
+    layout decision a production events table makes anyway."""
+    from .cache import cached_tmp_build, file_fingerprint
+
+    src = f"{sf_dir}/events.parquet"
+
+    def build(out: str) -> None:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            raw = spark.read.schema(SCHEMAS["events"]).parquet(src)
+            (
+                raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+                .withColumn("event_date", F.to_date("ts"))
+                # one shuffle partition (→ one file) per day, rows sorted by
+                # ts inside so row-group min/max intervals are tight
+                .repartition(F.col("event_date"))
+                .sortWithinPartitions("ts")
+                .write.partitionBy("event_date")
+                .parquet(out)
+            )
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    return cached_tmp_build("events-daily", f"v1:{file_fingerprint(src)}", build)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one catalog table with its declared schema (never inferred)."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # must hold on whatever session the caller provides (the driver
-        # builds its own), so set it here, not only in session.get_spark
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ns→µs truncation; computed column, so ts predicates don't push to
-        # parquet — at scale, partition events by date instead and prune on
-        # the partition column.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        # DEFAULT path reads the date-partitioned layout: ts predicates
+        # reach parquet (PushedFilters) without opting into
+        # load_events_time_range. event_date is dropped to keep the public
+        # schema stable; events_with_date() exposes it for explicit
+        # partition-pruned queries.
+        path = events_partitioned_path(spark, sf_dir)
+        df = spark.read.schema(_events_layout_schema()).parquet(path)
+        return df.select(*[f.name for f in SCHEMAS["events"].fields])
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_with_date(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Events INCLUDING the event_date partition column — filters on it
+    prune whole day-directories at plan time (PartitionFilters)."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = events_partitioned_path(spark, sf_dir)
+    return spark.read.schema(_events_layout_schema()).parquet(path)
 
 
 class Catalog:
@@ -194,29 +258,30 @@ class Catalog:
 def load_events_time_range(spark: SparkSession, sf_dir: str | None,
                            lo: str | None = None,
                            hi: str | None = None) -> DataFrame:
-    """Events scan with a time-range predicate that actually reaches parquet.
-
-    ``load_table`` converts the raw int64 nanos to a timestamp, so a filter
-    on the converted column is a post-scan residual (computed columns don't
-    push down). Here the bounds are converted to nanos and applied to the
-    RAW column first — the row-group min/max skipping then happens in the
-    reader, which at 100 TB is the difference between scanning a day and
-    scanning a decade."""
+    """Events scan with a time-range predicate on BOTH pruning axes of the
+    partitioned layout: the exact ts bounds push to parquet row-group
+    min/max, and derived event_date bounds (±1 day of slop so timezone or
+    boundary effects can never drop rows) prune whole day-directories at
+    plan time. At 100 TB a two-day query plans two directories, not a
+    decade of them."""
     import datetime as _dt
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    df = spark.read.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
+    df = events_with_date(spark, sf_dir)
 
-    def to_nanos(s: str) -> int:
-        t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
-        return int(t.timestamp() * 1_000_000) * 1000
+    def parse(s: str) -> _dt.datetime:
+        return _dt.datetime.fromisoformat(s)
 
     if lo is not None:
-        df = df.filter(F.col("ts") >= F.lit(to_nanos(lo)))
+        t = parse(lo)
+        df = df.filter(
+            (F.col("event_date") >= F.lit((t - _dt.timedelta(days=1)).date()))
+            & (F.col("ts") >= F.lit(t))
+        )
     if hi is not None:
-        df = df.filter(F.col("ts") < F.lit(to_nanos(hi)))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        t = parse(hi)
+        df = df.filter(
+            (F.col("event_date") <= F.lit((t + _dt.timedelta(days=1)).date()))
+            & (F.col("ts") < F.lit(t))
+        )
+    return df.drop("event_date")

@@ -379,26 +379,30 @@ def test_headline_plans_have_no_antipatterns(spark):
 
 
 def test_events_time_range_pushdown(spark):
-    """The time-range events loader pushes the bound to the parquet scan
-    (filter on the raw int64 column), unlike filtering the converted
-    timestamp — and returns the same rows."""
+    """ts predicates prune on BOTH axes of the date-partitioned events
+    layout: load_events_time_range plans PartitionFilters (whole day-dirs
+    skipped at plan time) AND PushedFilters on the physical ts column —
+    and, the round-3 fix, the DEFAULT load_table path now pushes ts
+    predicates down too (it used to compute ts, making every time filter a
+    post-scan residual)."""
     from etl_backend_spark.sources.catalog import load_events_time_range
     from etl_backend_spark.sources.catalog import load_table
 
     lo, hi = "2024-01-10T00:00:00", "2024-01-12T00:00:00"
     fast = load_events_time_range(spark, SF_DIR, lo, hi)
     plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    assert "GreaterThanOrEqual(ts," in plan  # row-group skipping
+    assert "PartitionFilters: [isnotnull(event_date" in plan  # dir pruning
 
-    slow = load_table(spark, "events", SF_DIR).filter(
+    default = load_table(spark, "events", SF_DIR).filter(
         (F.col("ts") >= F.to_timestamp(F.lit(lo)))
         & (F.col("ts") < F.to_timestamp(F.lit(hi)))
     )
-    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
-    assert "GreaterThanOrEqual(ts," not in slow_plan  # residual only
+    default_plan = default._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts," in default_plan  # default path pushes too
 
     a = sorted(r.event_id for r in fast.collect())
-    b = sorted(r.event_id for r in slow.collect())
+    b = sorted(r.event_id for r in default.collect())
     assert a == b and len(a) > 0
 
 
