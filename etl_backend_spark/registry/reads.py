@@ -383,6 +383,36 @@ def q_join_two_hop(spark, sf_dir):
 
 
 @register(
+    "join_two_hop_bucketed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderdate, c_name
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_two_hop_bucketed(spark, sf_dir):
+    """join_two_hop over the CO-LOCATED layout: lineitem and orders are
+    bucketed+sorted on the orderkey (sources.catalog.bucketed_fact_tables),
+    so the fact-fact join plans with zero shuffle exchange and zero sort —
+    the one-time-write answer to the steepest scaler in BASELINE.md's
+    four-decade table (2.16×/decade when both sides shuffle per query).
+    Customer is explicitly broadcast: the post-join stream is partitioned
+    by orderkey, and re-shuffling it by custkey would forfeit the win.
+    Plan-asserted in tests/test_operators.py."""
+    from ..sources.catalog import Catalog, bucketed_fact_tables
+
+    li_t, o_t = bucketed_fact_tables(spark, sf_dir)
+    li, o = spark.table(li_t), spark.table(o_t)
+    c = Catalog(spark, sf_dir).table("customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "c_name")
+    )
+
+
+@register(
     "join_self_roles",
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, count(*) AS n

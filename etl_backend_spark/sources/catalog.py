@@ -219,6 +219,45 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def bucketed_fact_tables(spark: SparkSession, sf_dir: str | None = None,
+                         n_buckets: int = 16) -> tuple[str, str]:
+    """Co-located fact pair for the recurring orderkey join: lineitem
+    bucketed on l_orderkey and orders on o_orderkey, same bucket count —
+    the li⋈o join then plans with ZERO shuffle exchange (and, with one
+    sorted file per bucket, zero Sort). This is the layout answer to the
+    two steepest scalers in BASELINE.md's four-decade table (join_two_hop
+    2.16×/decade, tpch_q5 1.82×): the per-query shuffle of both fact sides
+    becomes a one-time write. 16 buckets fits local[32] at test SFs; a
+    production 100 TB table would use thousands (buckets ≈ data /
+    target-partition-size), set once at ingest.
+
+    Returns (lineitem_table_name, orders_table_name) — session-catalog
+    names; data dirs are cached per (source fingerprint, n_buckets) so
+    rebuilds only happen when the testdata changes."""
+    import hashlib
+    import tempfile
+
+    from .cache import file_fingerprint
+    from .layout import ensure_bucketed_table
+
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    names = []
+    for tbl, col in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        src = f"{sf_dir}/{tbl}.parquet"
+        key = hashlib.md5(
+            f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
+        ).hexdigest()[:12]
+        name = f"etlbs_{tbl}_b{key}"
+        loc = os.path.join(
+            tempfile.gettempdir(), f"etlbs-u{os.getuid()}-bkt-{tbl}-{key}"
+        )
+        ensure_bucketed_table(
+            spark, load_table(spark, tbl, sf_dir), name, loc, col, n_buckets
+        )
+        names.append(name)
+    return names[0], names[1]
+
+
 def events_with_date(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Events INCLUDING the event_date partition column — filters on it
     prune whole day-directories at plan time (PartitionFilters)."""

@@ -505,3 +505,47 @@ def test_corpus_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("FileScan parquet") <= 2
     assert "hashpartitioning(pack_range" in plan
+
+
+def test_bucketed_fact_join_plans_zero_shuffle(spark):
+    """The co-located li/orders layout joins bucket-to-bucket: no shuffle
+    exchange and no sort anywhere in join_two_hop_bucketed's plan. Broadcast
+    is disabled for the check — at test SF Catalyst may legally broadcast
+    the small side, but the 100-TB claim is the sort-merge path, so that is
+    the path we lock."""
+    import re
+
+    from etl_backend_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_two_hop_bucketed"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the explicitly-hinted customer broadcast survives the conf; the
+    # fact-fact edge must not shuffle. (Spark 4 no longer propagates
+    # SORTED BY ordering from bucketed scans — legacy
+    # bucketedTableScanOutputOrdering is gone — so an in-partition Sort
+    # remains; it is local and pipelined, unlike the Exchange, which is
+    # the part that scales with cluster width.)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert re.search(r"Bucketed: true", plan)
+
+
+def test_tpch_q5_bucketed_single_shuffle(spark):
+    """Q5 over the co-located layout: the ONLY shuffle in the whole plan is
+    the final 5-row groupBy(n_name); the li⋈o edge is bucket-to-bucket."""
+    from etl_backend_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["tpch_q5_bucketed"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Exchange hashpartitioning") == 1  # the final agg only
+    assert "Bucketed: true" in plan
