@@ -117,7 +117,8 @@ PRIORITY: list[str] = [
     "doc_fingerprint",
     "split_assign",
     "seq_pack",
-    "seq_pack_exact",
+    "window_ntile_keyed",       # keyed windows are the PRIMARY forms —
+    "window_distribution_keyed",  # the globals are reporting tails (below)
     "pii_scrub",
     "text_normalize",
     "repetition_stats",
@@ -142,6 +143,16 @@ PRIORITY: list[str] = [
     "source_text_lines",
     "etl_merge_manifest",
     "etl_scd2_merge",
+    "join_two_hop_bucketed",
+    "tpch_q5_bucketed",
+    # -- reporting tails: global-total-order forms (Exchange SinglePartition
+    # by design; one task sorts everything). Registered LAST so nothing in
+    # the verified head depends on them; the keyed/sketch forms above are
+    # the scale path. The first-50 plan gate (tests/test_registry_window.py)
+    # asserts no SinglePartition exchange ever enters the head.
+    "seq_pack_exact",
+    "window_ntile",
+    "window_distribution",
 ]
 
 

@@ -31,6 +31,11 @@ def audit(name: str, plan: str) -> list[str]:
     for marker, why in FLAGS.items():
         if marker in plan:
             problems.append(f"{marker}: {why}")
+    # a Sort/Window fed by Exchange SinglePartition = one task sorts the
+    # whole table (a bare SinglePartition under a global agg is fine: the
+    # partial agg reduced each partition to one row first)
+    if re.search(r"(Sort|Window) [^\n]*\n[^\n]*Exchange SinglePartition", plan):
+        problems.append("global sort/window into a single partition")
     n_exchanges = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
     n_scans = plan.count("Scan parquet")
     problems_str = "; ".join(problems) if problems else "clean"

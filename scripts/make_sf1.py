@@ -7,10 +7,21 @@ cardinality SHAPES are preserved exactly (each replica joins within
 itself); the fixed dimensions (region, nation) are copied as-is, like
 TPC-H does at every scale factor. Events additionally shift ``ts`` by
 ``replica * 31 days`` so the event timeline extends instead of stacking
-(sessionization and as-of shapes stay realistic). Documents/embeddings are
-NOT replicated — textual replicas would be synthetic near-duplicates of
-each other and corrupt the dedup-family semantics; the dedup scale path is
-covered by the LSH operators' own cost model instead.
+(sessionization and as-of shapes stay realistic).
+
+Documents replicate with a per-replica DISJOINT vocabulary: every token in
+replica r>0 gets an ``x{r}`` suffix, so each replica keeps its internal
+exact-dup/near-dup structure bit-for-bit (the suffix map is injective and
+uniform within a replica — shingle sets and Jaccard similarities are
+preserved exactly) while no duplicate pair ever spans replicas. Without
+this, textual replicas would be near-duplicates of each OTHER and the
+dedup workload would grow quadratically instead of scaling.
+
+Embeddings replicate with a per-replica isometry: circular dimension shift
+by ``r*6`` plus sign-flip of the first ``r`` dims. Both preserve norms and
+within-replica inner products exactly (cosine structure intact), while
+cross-replica cosines decorrelate to noise — same rationale as the token
+suffix, in vector space.
 
 Output: $SPARK_GRAFT_SF1_DIR (default /tmp/etlbs-sf1)/<table>.parquet,
 written once (skipped if the _BUILT marker exists).
@@ -51,7 +62,9 @@ COPY = ["region", "nation"]
 
 
 def main() -> None:
-    marker = os.path.join(OUT, "_BUILT")
+    # V2 adds documents/embeddings; tables already on disk are skipped, so
+    # upgrading an existing V1 dir only builds the text/vector tables
+    marker = os.path.join(OUT, "_BUILT_V2")
     if os.path.exists(marker):
         print(f"{OUT} already built")
         return
@@ -73,11 +86,15 @@ def main() -> None:
         offsets[fam] = m + 1
 
     for table in COPY:
-        load_table(spark, table, SRC).write.mode("overwrite").parquet(
-            os.path.join(OUT, f"{table}.parquet")
-        )
+        out_path = os.path.join(OUT, f"{table}.parquet")
+        if os.path.isdir(out_path):
+            continue
+        load_table(spark, table, SRC).write.mode("overwrite").parquet(out_path)
 
     for table, cols in SHIFTS.items():
+        if os.path.isdir(os.path.join(OUT, f"{table}.parquet")):
+            print(f"skip {table} (exists)")
+            continue
         if table == "events":
             # keep ts as the RAW int64 nanos (the sf0.1 file stores
             # TIMESTAMP(NANOS); Spark cannot write that back, but a plain
@@ -107,7 +124,55 @@ def main() -> None:
         rep.drop("__r").repartition(16).write.mode("overwrite").parquet(out_path)
         print(f"wrote {table}: {REPLICAS}x")
 
+    docs_out = os.path.join(OUT, "documents.parquet")
+    if not os.path.isdir(docs_out):
+        docs = load_table(spark, "documents", SRC)
+        doc_off = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+        rep = docs.withColumn("__r", F.explode(F.lit(list(range(REPLICAS)))))
+        rep = (
+            rep.withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(doc_off))
+            # replica 0 keeps the original bytes; r>0 suffixes every token
+            # with x{r} — injective per replica, so within-replica dup and
+            # Jaccard structure is preserved exactly, disjoint across
+            .withColumn(
+                "text",
+                F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        "text", r"(\w+)",
+                        F.concat(F.lit(r"$1x"), F.col("__r").cast("string")),
+                    )
+                ),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+        rep.drop("__r").repartition(16).write.mode("overwrite").parquet(docs_out)
+        print(f"wrote documents: {REPLICAS}x (disjoint vocab)")
+
+    emb_out = os.path.join(OUT, "embeddings.parquet")
+    if not os.path.isdir(emb_out):
+        emb = load_table(spark, "embeddings", SRC)
+        vec_off = int(emb.agg(F.max("vec_id")).collect()[0][0]) + 1
+        dim = len(emb.select("embedding").first()[0])
+        rep = emb.withColumn("__r", F.explode(F.lit(list(range(REPLICAS)))))
+        shift = (F.col("__r") * F.lit(6)) % F.lit(dim)
+        rotated = F.concat(
+            F.slice("embedding", shift + 1, F.lit(dim) - shift),
+            F.slice("embedding", F.lit(1), shift),
+        )
+        # sign-flip the first r dims after rotation: still an isometry
+        flipped = F.transform(
+            rotated,
+            lambda x, i: F.when(i < F.col("__r"), -x).otherwise(x),
+        )
+        rep = (
+            rep.withColumn("vec_id", F.col("vec_id") + F.col("__r") * F.lit(vec_off))
+            .withColumn("embedding", flipped.cast("array<float>"))
+        )
+        rep.drop("__r").repartition(16).write.mode("overwrite").parquet(emb_out)
+        print(f"wrote embeddings: {REPLICAS}x (per-replica isometry)")
+
     open(marker, "w").close()
+    open(os.path.join(OUT, "_BUILT"), "w").close()
     print(f"built {OUT}")
 
 

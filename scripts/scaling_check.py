@@ -22,13 +22,24 @@ from etl_backend_spark.session import get_spark  # noqa: E402
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
-# fourth decade: synthetic sf1 (scripts/make_sf1.py) holds the relational +
-# events tables only, so only the queries over those extend to it
+# fourth decade: synthetic sf1 (scripts/make_sf1.py). V2 adds documents
+# (per-replica disjoint vocab) and embeddings (per-replica isometry), so the
+# dedup/text family extends to sf1 alongside the relational/events queries.
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/etlbs-sf1")
 SF1_QUERIES = [
     "ads_search", "agg_sum_group", "join_self_roles", "join_two_hop",
     "agg_relation_count", "window_latest_per_group", "stream_sessionize",
     "join_asof", "tpch_q3_shape", "tpch_q5_shape", "paginate_offset",
+    "dedup_exact", "dedup_minhash_lsh", "text_stats", "doc_chunk",
+    "seq_pack", "split_assign", "sim_topk_brute", "sim_topk_pandas",
+]
+
+# not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family
+# the round-3 verdict asked to take through the fourth decade, plus the
+# bucketed fact-join variants whose whole point is the scaling slope
+EXTRA = [
+    "corpus_pipeline", "dedup_embedding", "contamination_check",
+    "join_two_hop_bucketed", "tpch_q5_bucketed",
 ]
 
 
@@ -36,11 +47,11 @@ def main() -> None:
     spark = get_spark(app_name="scaling-check")
     spark.sparkContext.setLogLevel("ERROR")
 
-    have_sf1 = os.path.exists(os.path.join(SF1_DIR, "_BUILT"))
+    have_sf1 = os.path.exists(os.path.join(SF1_DIR, "_BUILT_V2"))
     table: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         table[name] = [round(time_query(QUERIES[name], spark, sf), 3) for sf in SFS]
-        if have_sf1 and name in SF1_QUERIES:
+        if have_sf1 and (name in SF1_QUERIES or name in EXTRA):
             table[name].append(round(time_query(QUERIES[name], spark, SF1_DIR), 3))
 
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s | x/decade |")

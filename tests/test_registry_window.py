@@ -125,3 +125,26 @@ def test_llm_family_heads_the_tail():
     # what gets verified next — not fn-variants or TPC-H extras
     tail = list(QUERIES)[WINDOW : len(PRIORITY)]
     assert "dedup_ngram_jaccard" in tail and "seq_pack" in tail
+
+
+def test_first_window_plans_no_global_sort_into_single_partition(spark):
+    """Scale gate over the whole verified head: no first-50 builder may
+    plan a Sort or Window whose input is an Exchange SinglePartition —
+    the one-task-sorts-everything shape. (A bare Exchange SinglePartition
+    under a global HashAggregate is fine: partial aggregation reduces each
+    partition to one row before the shuffle.) The global-order reporting
+    tails (window_ntile, window_distribution, seq_pack_exact) are
+    deliberately registered last and are NOT in this head."""
+    import re
+
+    from tests.conftest import SF_DIR
+
+    bad = {}
+    for name in window_keys():
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"(Sort|Window) [^\n]*\n[^\n]*Exchange SinglePartition",
+                      plan)
+        if m:
+            bad[name] = m.group(0)
+    assert not bad, f"single-partition sort/window in the verified head: {bad}"
