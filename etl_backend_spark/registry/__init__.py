@@ -143,6 +143,7 @@ PRIORITY: list[str] = [
     "source_text_lines",
     "etl_merge_manifest",
     "etl_scd2_merge",
+    "etl_manifest_pruned_read",
     "join_two_hop_bucketed",
     "tpch_q5_bucketed",
     # -- reporting tails: global-total-order forms (Exchange SinglePartition
