@@ -46,6 +46,8 @@ HEADLINE = [
     "seq_pack",                # shuffle-order + cumsum packing
     "split_assign",            # md5-bucket train/val/test
     "paginate_offset",         # TakeOrderedAndProject
+    "join_two_hop_bucketed",   # co-located fact join (zero-shuffle layout)
+    "tpch_q5_bucketed",        # Q5 over the co-located layout (1 exchange)
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

@@ -6,8 +6,11 @@ unchanged from ``local[32]`` tests to a 1000-executor cluster over ~100 TB:
 - **AQE on** (coalesce + skew join): runtime re-planning replaces manual
   shuffle-partition tuning; skewed join keys (hot conversations, hot users)
   get split automatically.
-- **Broadcast threshold 64 MiB**: dimension tables (category/region/nation
-  class) never shuffle; fact-fact joins fall back to sort-merge.
+- **Broadcast threshold 16 MiB** (see the inline rationale at the config
+  site: Catalyst compares the column-pruned COMPRESSED size, which
+  understates the in-memory relation ~5-10x): true dimensions still
+  broadcast via the explicit ``Catalog.tbl`` hint; fact tables must never
+  slip under the bar at scale.
 - **Arrow enabled**: every Python-side exchange (pandas UDFs, toPandas) is
   columnar-batched, never row-at-a-time.
 - **UTC session timezone**: deterministic timestamp semantics across engines
