@@ -62,7 +62,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # testdata events.parquet stores TIMESTAMP(NANOS); read as int64
+        # some testdata drops store events.ts as TIMESTAMP(NANOS); lets the
+        # raw int64 read path work without a per-read conf (µs drops ignore it)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -102,13 +102,16 @@ SCHEMAS: dict[str, StructType] = {
             StructField("l_shipdate", TimestampType()),
         ]
     ),
-    # events.ts is stored as TIMESTAMP(NANOS) which Spark's reader rejects;
-    # this RAW schema reads it as int64 nanos (legacy.parquet.nanosAsLong).
-    # events_partitioned_path rewrites it once into a date-partitioned
-    # layout with ts as a physical µs timestamp (ns div 1000 — integer
-    # division; double division would lose precision at ~1.7e18 ns. DuckDB
-    # truncates ns→µs the same way, so both engines see identical values),
-    # and load_table serves events from that layout.
+    # events.ts has shipped as TIMESTAMP(NANOS) in some testdata drops
+    # (which Spark reads only as int64 via legacy.parquet.nanosAsLong) and
+    # TIMESTAMP(MICROS) in others; read_events_raw sniffs the parquet
+    # footer and normalizes either to a µs TimestampType column (ns uses
+    # integer `div 1000` — double division would lose precision at
+    # ~1.7e18 ns; DuckDB truncates ns→µs the same way, so both engines see
+    # identical values). events_partitioned_path then rewrites once into a
+    # date-partitioned layout with ts as a physical µs timestamp, and
+    # load_table serves events from that layout. The LongType here is the
+    # raw ns read schema only.
     "events": StructType(
         [
             StructField("event_id", LongType()),
@@ -158,14 +161,44 @@ def _events_layout_schema() -> StructType:
     return StructType(fields + [StructField("event_date", DateType())])
 
 
+def _events_ts_unit(src: str) -> str:
+    """Physical unit of ts in an events parquet file ('us' or 'ns'), read
+    from the footer. Cheap (metadata only) and keeps the loader correct
+    across testdata drops that switched the physical type."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(src).schema_arrow.field("ts").type
+    return getattr(t, "unit", "us")
+
+
+def read_events_raw(spark: SparkSession, src: str) -> DataFrame:
+    """Read a raw events parquet with ts normalized to a µs TimestampType,
+    whatever the file's physical unit. µs sources read ts natively (zero
+    conversion, predicates push straight to parquet); ns sources read int64
+    (legacy.parquet.nanosAsLong) and truncate-divide to µs."""
+    if _events_ts_unit(src) == "ns":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        raw = spark.read.schema(SCHEMAS["events"]).parquet(src)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    fields = [
+        StructField(f.name, TimestampType() if f.name == "ts" else f.dataType)
+        for f in SCHEMAS["events"].fields
+    ]
+    return spark.read.schema(StructType(fields)).parquet(src)
+
+
 def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once, cached on the source file's fingerprint) a
     date-partitioned copy of events with ts materialized as a µs timestamp.
 
-    The source stores ts as TIMESTAMP(NANOS), which Spark reads only as a
-    raw int64 — so the default loader used to COMPUTE the timestamp column,
-    and every ts predicate became a post-scan residual (no pushdown: at
-    100 TB, scan-a-decade instead of scan-a-day). Rewriting once into
+    Some testdata drops store ts as TIMESTAMP(NANOS), which Spark reads
+    only as a raw int64 — so the default loader used to COMPUTE the
+    timestamp column, and every ts predicate became a post-scan residual
+    (no pushdown: at 100 TB, scan-a-decade instead of scan-a-day).
+    read_events_raw normalizes either physical unit; rewriting once into
     `event_date=YYYY-MM-DD/` dirs with a physical TIMESTAMP_MICROS column
     (never INT96 — INT96 has no min/max stats, killing pushdown) makes ts
     predicates prune at the reader on EVERY query, and date predicates
@@ -176,19 +209,14 @@ def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     src = f"{sf_dir}/events.parquet"
 
     def build(out: str) -> None:
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
         prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
         try:
-            raw = spark.read.schema(SCHEMAS["events"]).parquet(src)
+            raw = read_events_raw(spark, src)
             (
-                raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-                .withColumn("event_date", F.to_date("ts"))
+                raw.withColumn("event_date", F.to_date("ts"))
                 # one shuffle partition (→ one file) per day, rows sorted by
                 # ts inside so row-group min/max intervals are tight
                 .repartition(F.col("event_date"))
@@ -199,7 +227,9 @@ def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
         finally:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
 
-    return cached_tmp_build("events-daily", f"v1:{file_fingerprint(src)}", build)
+    # v2: unit-sniffing reader (a v1 layout built from a µs source divided
+    # ts by 1000 and collapsed every day into 1970)
+    return cached_tmp_build("events-daily", f"v2:{file_fingerprint(src)}", build)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

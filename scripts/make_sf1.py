@@ -96,15 +96,15 @@ def main() -> None:
             print(f"skip {table} (exists)")
             continue
         if table == "events":
-            # keep ts as the RAW int64 nanos (the sf0.1 file stores
-            # TIMESTAMP(NANOS); Spark cannot write that back, but a plain
-            # INT64 column reads identically through catalog.load_table and
-            # the pushdown loader)
-            from etl_backend_spark.sources.catalog import SCHEMAS
+            # unit-normalized raw read (µs TimestampType whatever the
+            # source's physical unit); written back as TIMESTAMP_MICROS so
+            # the sf1 file round-trips through the same sniffing loader
+            from etl_backend_spark.sources.catalog import read_events_raw
 
-            base = spark.read.schema(SCHEMAS["events"]).parquet(
-                f"{SRC}/{table}.parquet"
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
             )
+            base = read_events_raw(spark, f"{SRC}/{table}.parquet")
         else:
             base = load_table(spark, table, SRC)
         rep = base.withColumn(
@@ -117,8 +117,10 @@ def main() -> None:
         if table == "events":
             rep = rep.withColumn(
                 "ts",
-                F.col("ts")
-                + F.col("__r").cast("long") * F.lit(31 * 86400 * 1_000_000_000),
+                F.expr(
+                    "timestamp_micros(unix_micros(ts)"
+                    " + __r * cast(31 * 86400 as long) * 1000000)"
+                ),
             )
         out_path = os.path.join(OUT, f"{table}.parquet")
         rep.drop("__r").repartition(16).write.mode("overwrite").parquet(out_path)
