@@ -190,6 +190,29 @@ def read_events_raw(spark: SparkSession, src: str) -> DataFrame:
     return spark.read.schema(StructType(fields)).parquet(src)
 
 
+# Minimum average bytes a partition directory should carry before we commit
+# to that granularity. Partitions much smaller than a task's worth of data
+# turn every scan into a pile of tiny tasks (local[32] pays ~5-15 ms each;
+# a cluster pays a scheduler round-trip + an open per file). 8 MiB is
+# maxPartitionBytes/16 — small enough that real daily volume (a 100 TB /
+# few-years table has 10s-of-GB days) always picks "day", large enough
+# that toy SFs collapse to one or two dirs.
+_EVENTS_PARTITION_TARGET_BYTES = 8 * 1024 * 1024
+
+# slop (days) subtracted from the derived lower event_date bound: a row's
+# event_date is trunc(granularity, ts), up to one unit before ts
+_GRAN_SLOP_DAYS = {"day": 1, "week": 8, "month": 32}
+
+
+def _events_granularity(path: str) -> str:
+    """Granularity the layout at ``path`` was written with (sidecar file)."""
+    try:
+        with open(os.path.join(path, "_GRANULARITY")) as fh:
+            return fh.read().strip() or "day"
+    except OSError:
+        return "day"
+
+
 def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once, cached on the source file's fingerprint) a
     date-partitioned copy of events with ts materialized as a µs timestamp.
@@ -199,11 +222,20 @@ def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     timestamp column, and every ts predicate became a post-scan residual
     (no pushdown: at 100 TB, scan-a-decade instead of scan-a-day).
     read_events_raw normalizes either physical unit; rewriting once into
-    `event_date=YYYY-MM-DD/` dirs with a physical TIMESTAMP_MICROS column
+    `event_date=.../` dirs with a physical TIMESTAMP_MICROS column
     (never INT96 — INT96 has no min/max stats, killing pushdown) makes ts
     predicates prune at the reader on EVERY query, and date predicates
     prune whole directories at plan time. This is the one-time ingest
-    layout decision a production events table makes anyway."""
+    layout decision a production events table makes anyway.
+
+    Partition GRANULARITY is adaptive — day, else week, else month —
+    chosen so the average partition carries at least
+    ``_EVENTS_PARTITION_TARGET_BYTES``: the same rule every production
+    partitioned table follows (daily partitions only when a day's volume
+    justifies a directory; a 100 TB table always qualifies, a 2 MB test
+    table collapses to one dir instead of 30 tiny per-file tasks). The
+    chosen unit is recorded in a ``_GRANULARITY`` sidecar so the
+    time-range loader can derive correct event_date bounds."""
     from .cache import cached_tmp_build, file_fingerprint
 
     src = f"{sf_dir}/events.parquet"
@@ -215,21 +247,35 @@ def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
         )
         try:
             raw = read_events_raw(spark, src)
+            n_days = raw.select(
+                F.countDistinct(F.to_date("ts")).alias("d")
+            ).collect()[0]["d"] or 1
+            per_day = os.path.getsize(src) / n_days
+            if per_day >= _EVENTS_PARTITION_TARGET_BYTES:
+                gran = "day"
+            elif per_day * 7 >= _EVENTS_PARTITION_TARGET_BYTES:
+                gran = "week"
+            else:
+                gran = "month"
             (
-                raw.withColumn("event_date", F.to_date("ts"))
-                # one shuffle partition (→ one file) per day, rows sorted by
-                # ts inside so row-group min/max intervals are tight
+                raw.withColumn(
+                    "event_date", F.date_trunc(gran, F.col("ts")).cast("date")
+                )
+                # one shuffle partition (→ one file) per unit, rows sorted
+                # by ts inside so row-group min/max intervals are tight
                 .repartition(F.col("event_date"))
                 .sortWithinPartitions("ts")
                 .write.partitionBy("event_date")
                 .parquet(out)
             )
+            with open(os.path.join(out, "_GRANULARITY"), "w") as fh:
+                fh.write(gran)
         finally:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
 
-    # v2: unit-sniffing reader (a v1 layout built from a µs source divided
-    # ts by 1000 and collapsed every day into 1970)
-    return cached_tmp_build("events-daily", f"v2:{file_fingerprint(src)}", build)
+    # v3: adaptive granularity (v2 wrote one dir per day regardless of
+    # volume; v1 assumed a nanos source)
+    return cached_tmp_build("events-daily", f"v3:{file_fingerprint(src)}", build)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -329,14 +375,17 @@ def load_events_time_range(spark: SparkSession, sf_dir: str | None,
                            hi: str | None = None) -> DataFrame:
     """Events scan with a time-range predicate on BOTH pruning axes of the
     partitioned layout: the exact ts bounds push to parquet row-group
-    min/max, and derived event_date bounds (±1 day of slop so timezone or
-    boundary effects can never drop rows) prune whole day-directories at
-    plan time. At 100 TB a two-day query plans two directories, not a
+    min/max, and derived event_date bounds (one granularity unit + a day of
+    slop below, so truncation/timezone/boundary effects can never drop
+    rows) prune whole directories at plan time. At 100 TB — where the
+    layout is always daily — a two-day query plans two directories, not a
     decade of them."""
     import datetime as _dt
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    df = events_with_date(spark, sf_dir)
+    path = events_partitioned_path(spark, sf_dir)
+    slop = _dt.timedelta(days=_GRAN_SLOP_DAYS[_events_granularity(path)])
+    df = spark.read.schema(_events_layout_schema()).parquet(path)
 
     def parse(s: str) -> _dt.datetime:
         return _dt.datetime.fromisoformat(s)
@@ -344,7 +393,7 @@ def load_events_time_range(spark: SparkSession, sf_dir: str | None,
     if lo is not None:
         t = parse(lo)
         df = df.filter(
-            (F.col("event_date") >= F.lit((t - _dt.timedelta(days=1)).date()))
+            (F.col("event_date") >= F.lit((t - slop).date()))
             & (F.col("ts") >= F.lit(t))
         )
     if hi is not None:
