@@ -146,6 +146,8 @@ PRIORITY: list[str] = [
     "etl_manifest_pruned_read",
     "join_two_hop_bucketed",
     "tpch_q5_bucketed",
+    "window_rolling_range",
+    "join_salted",
     # -- reporting tails: global-total-order forms (Exchange SinglePartition
     # by design; one task sorts everything). Registered LAST so nothing in
     # the verified head depends on them; the keyed/sketch forms above are

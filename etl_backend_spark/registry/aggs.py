@@ -925,3 +925,41 @@ def q_agg_approx_quantile(spark, sf_dir):
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_est"),
         F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_est"),
     )
+
+
+@register(
+    "window_rolling_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_rolling_range(spark, sf_dir):
+    """Per-key rolling aggregate over a TIME interval frame (RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING) — the per-row trailing-window shape
+    (rate-limit counters, rolling health metrics) the reference computes
+    imperatively per request (src/routes/ads.ts:155 count-then-act).
+    Spark has no interval literal in rangeBetween, so the frame orders by
+    unix_micros(ts) with a µs offset — identical frame membership to the
+    SQL interval form (both bounds inclusive, peers grouped by value).
+    Scale: keyed window → one hash exchange on user_id, per-key sort;
+    no single-partition stage, no join (contrast the range-join form in
+    events.py which materializes pair candidates)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )

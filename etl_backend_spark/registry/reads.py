@@ -1032,3 +1032,44 @@ def q_source_text_lines(spark, sf_dir):
         parts.getItem(0).cast("long").alias("doc_id"),
         parts.getItem(1).cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-mitigated fact join: SALT the fact side with a deterministic
+    within-key value (l_linenumber mod S) and explode the other side S
+    ways, so one hot join key spreads across S reducer partitions instead
+    of melting a single task. Result is provably identical to the plain
+    join (oracle = unsalted SQL). This is the manual recipe for the cases
+    AQE's skew-join can't rescue: streaming state, aggregation skew, or a
+    build side that arrives pre-partitioned. S=8 here; production sizes S
+    to the observed hot-key multiplier. The added cost is deliberate and
+    bounded: the exploded side grows Sx BEFORE its shuffle (dims: cheap;
+    never salt two fact sides at once)."""
+    S = 8
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % S).cast("int")
+    )
+    o = cat.table("orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    # hint("merge"): salting only exists where broadcast is impossible (a
+    # too-big build side); at test SFs Catalyst would broadcast the exploded
+    # orders and the salted-shuffle shape we're demonstrating would vanish
+    j = li.join(
+        o.hint("merge"),
+        (li["l_orderkey"] == o["o_orderkey"]) & (li["salt"] == o["salt"]),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

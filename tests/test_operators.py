@@ -549,3 +549,32 @@ def test_tpch_q5_bucketed_single_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plan.count("Exchange hashpartitioning") == 1  # the final agg only
     assert "Bucketed: true" in plan
+
+
+def test_window_rolling_range_is_keyed(spark):
+    """The rolling interval window partitions by user_id — a hash exchange,
+    never a single-partition global sort."""
+    from etl_backend_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["window_rolling_range"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_join_salted_shuffles_on_key_plus_salt(spark):
+    """The salted join's exchanges hash on (join key, salt) so a hot
+    orderkey spreads over S reducer partitions."""
+    from etl_backend_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["join_salted"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    salted_exchanges = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning(" in ln and "salt" in ln
+    ]
+    assert len(salted_exchanges) >= 2  # both join sides
