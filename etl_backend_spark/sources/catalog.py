@@ -164,9 +164,18 @@ def _events_layout_schema() -> StructType:
 def _events_ts_unit(src: str) -> str:
     """Physical unit of ts in an events parquet file ('us' or 'ns'), read
     from the footer. Cheap (metadata only) and keeps the loader correct
-    across testdata drops that switched the physical type."""
+    across testdata drops that switched the physical type. ``src`` may be
+    a single file or a Spark-written directory of part files (all parts
+    share one schema — any part's footer answers)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(src):
+        parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        if not parts:
+            return "us"
+        src = parts[0]
     t = pq.ParquetFile(src).schema_arrow.field("ts").type
     return getattr(t, "unit", "us")
 
