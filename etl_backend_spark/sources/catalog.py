@@ -166,9 +166,18 @@ def _events_ts_unit(src: str) -> str:
     from the footer. Cheap (metadata only) and keeps the loader correct
     across testdata drops that switched the physical type. ``src`` may be
     a single file or a Spark-written directory of part files (all parts
-    share one schema — any part's footer answers)."""
+    share one schema — any part's footer answers).
+
+    Three footer shapes exist in the wild for this column:
+    - an annotated timestamp (unit in the arrow type) → that unit;
+    - a BARE int64 with no logical annotation — the legacy make_sf1
+      output, which stored raw epoch NANOseconds → 'ns' (guessing 'us'
+      here would read timestamps ~1000x in the future, silently);
+    - anything else is a regenerate-your-testdata error, raised loudly.
+    """
     import glob as _glob
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     if os.path.isdir(src):
@@ -177,7 +186,29 @@ def _events_ts_unit(src: str) -> str:
             return "us"
         src = parts[0]
     t = pq.ParquetFile(src).schema_arrow.field("ts").type
-    return getattr(t, "unit", "us")
+    if pa.types.is_timestamp(t):
+        return t.unit
+    if pa.types.is_integer(t):
+        return "ns"  # legacy unannotated int64 = raw epoch nanos
+    raise TypeError(
+        f"events ts column at {src} has physical type {t}; expected a "
+        "parquet timestamp or legacy int64 nanos — regenerate the file"
+    )
+
+
+def _source_bytes(src: str) -> int:
+    """Bytes of parquet data behind ``src`` — a single file, or the sum of
+    part files when src is a Spark-written directory (os.path.getsize on a
+    directory returns the inode size, ~4 KiB, which would make any
+    directory-backed SF look empty to the granularity rule)."""
+    import glob as _glob
+
+    if os.path.isdir(src):
+        return sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(src, "*.parquet"))
+        )
+    return os.path.getsize(src)
 
 
 def read_events_raw(spark: SparkSession, src: str) -> DataFrame:
@@ -186,10 +217,22 @@ def read_events_raw(spark: SparkSession, src: str) -> DataFrame:
     conversion, predicates push straight to parquet); ns sources read int64
     (legacy.parquet.nanosAsLong) and truncate-divide to µs."""
     if _events_ts_unit(src) == "ns":
+        # The ns read path REQUIRES this legacy conf; if a future Spark
+        # drops it, the int64 read schema below would misread or error in
+        # confusing ways — fail here with the actionable message instead
+        # of swallowing the set() failure.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            took = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
         except Exception:
-            pass
+            took = None
+        if took != "true":
+            raise RuntimeError(
+                f"events source {src} stores ts as TIMESTAMP(NANOS), but "
+                "this Spark build does not honor "
+                "spark.sql.legacy.parquet.nanosAsLong — rewrite the file "
+                "with microsecond timestamps to read it here"
+            )
         raw = spark.read.schema(SCHEMAS["events"]).parquet(src)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     fields = [
@@ -214,12 +257,21 @@ _GRAN_SLOP_DAYS = {"day": 1, "week": 8, "month": 32}
 
 
 def _events_granularity(path: str) -> str:
-    """Granularity the layout at ``path`` was written with (sidecar file)."""
+    """Granularity the layout at ``path`` was written with (sidecar file).
+
+    The sidecar is written into the private build directory BEFORE the
+    atomic rename that publishes the layout (see events_partitioned_path /
+    cached_tmp_build), so a published layout always carries it. If it is
+    ever absent anyway (hand-deleted, foreign layout), fall back to the
+    WIDEST granularity: "month" slop only over-widens the event_date
+    bounds (extra directories scanned, rows re-filtered by the exact ts
+    predicate) — falling back to "day" slop on a month layout would drop
+    rows at partition edges."""
     try:
         with open(os.path.join(path, "_GRANULARITY")) as fh:
-            return fh.read().strip() or "day"
+            return fh.read().strip() or "month"
     except OSError:
-        return "day"
+        return "month"
 
 
 def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
@@ -259,7 +311,7 @@ def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
             n_days = raw.select(
                 F.countDistinct(F.to_date("ts")).alias("d")
             ).collect()[0]["d"] or 1
-            per_day = os.path.getsize(src) / n_days
+            per_day = _source_bytes(src) / n_days
             if per_day >= _EVENTS_PARTITION_TARGET_BYTES:
                 gran = "day"
             elif per_day * 7 >= _EVENTS_PARTITION_TARGET_BYTES:
@@ -277,6 +329,11 @@ def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
                 .write.partitionBy("event_date")
                 .parquet(out)
             )
+            # `out` here is cached_tmp_build's PRIVATE build dir: the
+            # sidecar lands before the atomic rename publishes the layout,
+            # so no reader can ever see partitioned data without it. A
+            # crash on this line leaves only the unpublished build dir
+            # (cleaned up / rebuilt), never a sidecar-less layout.
             with open(os.path.join(out, "_GRANULARITY"), "w") as fh:
                 fh.write(gran)
         finally:

@@ -1,0 +1,218 @@
+"""Events layout hardening: footer sniffing edge cases, directory-backed
+source sizing, sidecar atomicity, and plan gates proving the WHOLE events
+family reads through the date-partitioned pushdown-capable layout (not just
+events_time_range)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etl_backend_spark.sources.catalog import (
+    _events_granularity,
+    _events_ts_unit,
+    _source_bytes,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ footer sniffing
+
+def test_ts_unit_annotated_micros(tmp_path):
+    p = str(tmp_path / "us.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))}), p
+    )
+    assert _events_ts_unit(p) == "us"
+
+
+def test_ts_unit_bare_int64_is_legacy_nanos(tmp_path):
+    """A ts column stored as UNANNOTATED int64 is the legacy raw-nanos
+    format (old make_sf1 output). Guessing 'us' for it would read
+    timestamps ~1000x in the future — it must sniff as 'ns'."""
+    p = str(tmp_path / "legacy.parquet")
+    pq.write_table(pa.table({"ts": pa.array([1, 2], type=pa.int64())}), p)
+    assert _events_ts_unit(p) == "ns"
+
+
+def test_ts_unit_unsupported_type_raises(tmp_path):
+    p = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"ts": pa.array(["a", "b"])}), p)
+    with pytest.raises(TypeError, match="regenerate"):
+        _events_ts_unit(p)
+
+
+def test_ts_unit_directory_source(tmp_path):
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([1], type=pa.timestamp("ns"))}),
+        str(d / "part-000.parquet"),
+    )
+    assert _events_ts_unit(str(d)) == "ns"
+
+
+# ------------------------------------------------------- directory byte sizes
+
+def test_source_bytes_sums_directory_parts(tmp_path):
+    """os.path.getsize on a Spark-written directory returns the inode size
+    (~4 KiB) — the granularity rule must sum the part files instead, or a
+    large directory-backed SF would always collapse to 'month'."""
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    t = pa.table({"ts": pa.array(range(10_000), type=pa.timestamp("us"))})
+    for i in range(3):
+        pq.write_table(t, str(d / f"part-{i:03d}.parquet"))
+    total = _source_bytes(str(d))
+    one = os.path.getsize(str(d / "part-000.parquet"))
+    assert total == pytest.approx(3 * one, rel=0.01)
+    assert total > os.path.getsize(str(d))  # not the inode size
+    # single file still measures itself
+    f = str(tmp_path / "single.parquet")
+    pq.write_table(t, f)
+    assert _source_bytes(f) == os.path.getsize(f)
+
+
+# --------------------------------------------------------- sidecar atomicity
+
+def test_granularity_fallback_is_widest(tmp_path):
+    """A layout missing its _GRANULARITY sidecar must be read with the
+    WIDEST slop ('month'): over-widened event_date bounds only cost extra
+    directories (re-filtered by the exact ts predicate); under-widened
+    bounds on a week/month layout would DROP rows at partition edges."""
+    assert _events_granularity(str(tmp_path)) == "month"
+    (tmp_path / "_GRANULARITY").write_text("")
+    assert _events_granularity(str(tmp_path)) == "month"
+    (tmp_path / "_GRANULARITY").write_text("week")
+    assert _events_granularity(str(tmp_path)) == "week"
+
+
+def test_crashed_build_publishes_nothing(monkeypatch, tmp_path):
+    """A builder that dies AFTER writing data but BEFORE the sidecar leaves
+    no published layout at all: the private build dir is discarded and the
+    next caller rebuilds from scratch — a reader can never observe
+    partitioned data without its _GRANULARITY."""
+    import tempfile
+
+    from etl_backend_spark.sources.cache import cached_tmp_build
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    calls = []
+
+    def dying_build(build_dir: str) -> None:
+        calls.append(build_dir)
+        os.makedirs(os.path.join(build_dir, "event_date=2024-01-01"))
+        raise RuntimeError("killed between data write and sidecar")
+
+    with pytest.raises(RuntimeError, match="killed between"):
+        cached_tmp_build("crashtest", "v1:x", dying_build)
+    assert not os.path.isdir(calls[0])  # build dir cleaned up
+    published = [p for p in os.listdir(tmp_path) if "crashtest" in p]
+    assert published == []  # nothing renamed into place
+
+    def good_build(build_dir: str) -> None:
+        os.makedirs(build_dir)
+        with open(os.path.join(build_dir, "_GRANULARITY"), "w") as fh:
+            fh.write("day")
+
+    out = cached_tmp_build("crashtest", "v1:x", good_build)
+    assert _events_granularity(out) == "day"  # rebuild succeeds
+
+
+def test_published_layout_always_has_sidecar(spark):
+    """The real events build publishes the sidecar atomically with the
+    data (it is written inside the private build dir before the rename)."""
+    from etl_backend_spark.sources.catalog import events_partitioned_path
+
+    path = events_partitioned_path(spark, SF_DIR)
+    assert os.path.exists(os.path.join(path, "_GRANULARITY"))
+    assert _events_granularity(path) in ("day", "week", "month")
+
+
+def test_nanos_source_requires_legacy_conf(monkeypatch, tmp_path, spark):
+    """If Spark ever drops spark.sql.legacy.parquet.nanosAsLong, a ns
+    source must fail LOUDLY (actionable message), not silently misread."""
+    from etl_backend_spark.sources import catalog as C
+
+    p = str(tmp_path / "ns.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], type=pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000_000], type=pa.timestamp("ns")),
+                "user_id": pa.array([1], type=pa.int64()),
+                "event_type": pa.array(["click"]),
+                "value": pa.array([1.0]),
+                "props": pa.array(["{}"]),
+            }
+        ),
+        p,
+    )
+
+    class NoLegacyConf:
+        def set(self, k, v):
+            if "nanosAsLong" in k:
+                raise Exception(f"unknown config {k}")
+            spark.conf.set(k, v)
+
+        def get(self, k, *a):
+            return spark.conf.get(k, *a)
+
+    class FakeSpark:
+        conf = NoLegacyConf()
+        read = spark.read
+
+    with pytest.raises(RuntimeError, match="nanosAsLong"):
+        C.read_events_raw(FakeSpark(), p)
+
+
+# ------------------------------------------------- events-family plan gates
+
+# Every member of the events family must read the date-partitioned layout
+# with ts as a PHYSICAL timestamp column — the precondition for parquet
+# pushdown (row-group min/max) on any ts predicate a user composes on top.
+# events_time_range separately proves the pushdown itself fires there.
+EVENTS_FAMILY = [
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_sessionize",
+    "events_zscore",
+    "window_rolling_range",
+    "stream_agg_touch",
+    "join_asof",
+]
+
+
+@pytest.mark.parametrize("name", EVENTS_FAMILY)
+def test_events_family_reads_partitioned_layout(spark, name):
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # scans the rewritten layout, not the raw drop
+    assert "events-daily" in plan, f"{name} does not scan the layout:\n{plan}"
+    # ts, when read at all, is a physical timestamp in the scan schema
+    # (pushdown-capable) — never the raw int64 needing a post-scan compute.
+    # Queries that do not touch ts legitimately prune it (events_zscore).
+    assert "ts:bigint" not in plan, f"{name} reads raw int64 ts:\n{plan}"
+    if name != "events_zscore":
+        assert "ts:timestamp" in plan, f"{name} scan lacks physical ts:\n{plan}"
+    assert "BatchEvalPython" not in plan
+
+
+def test_events_family_ts_predicate_pushes_down(spark):
+    """Composing a ts range under any family member's base read produces
+    parquet PushedFilters — the property the layout exists to guarantee."""
+    from etl_backend_spark.sources.catalog import load_table
+
+    base = load_table(spark, "events", SF_DIR).filter(
+        F.col("ts") >= F.to_timestamp(F.lit("2024-01-10T00:00:00"))
+    )
+    agg = base.groupBy(F.window("ts", "5 minutes")).count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts," in plan
