@@ -1044,30 +1044,40 @@ def q_source_text_lines(spark, sf_dir):
     """,
 )
 def q_join_salted(spark, sf_dir):
-    """Skew-mitigated fact join: SALT the fact side with a deterministic
-    within-key value (l_linenumber mod S) and explode the other side S
-    ways, so one hot join key spreads across S reducer partitions instead
-    of melting a single task. Result is provably identical to the plain
-    join (oracle = unsalted SQL). This is the manual recipe for the cases
-    AQE's skew-join can't rescue: streaming state, aggregation skew, or a
-    build side that arrives pre-partitioned. S=8 here; production sizes S
-    to the observed hot-key multiplier. The added cost is deliberate and
-    bounded: the exploded side grows Sx BEFORE its shuffle (dims: cheap;
-    never salt two fact sides at once)."""
+    """Skew-mitigated fact join, HOT-KEY-ONLY salting (two-phase):
+
+    1. Heavy-hitter detection on a 5% sample of the probe side —
+       bounded top-64 key set, broadcast everywhere it is used.
+    2. Single-pass salted join (operators.joins.salted_join): every fact
+       row gets a deterministic salt (l_linenumber mod S for hot keys, 0
+       for cold), every build row is exploded by a PER-ROW count (S
+       copies for hot keys, exactly 1 otherwise), and one join runs on
+       (key, salt) — a melting hot-key reducer becomes S even ones while
+       cold keys join 1:1. Identical to the unsalted join for ANY
+       detected hot set (the oracle is the plain SQL join): detection
+       quality affects performance only, never answers.
+
+    This replaces the round-3 form that exploded the ENTIRE orders side
+    8x before its shuffle — at 100 TB that is 8x a fact-table shuffle to
+    relieve what is typically <100 hot keys; here the build side grows by
+    only (S-1) x |hot| rows (<=448) regardless of data scale, and each
+    side is scanned once (a hot/cold branch union would scan both twice —
+    measured no better than full salting at 10M rows). Manual salting is
+    the recipe for the cases AQE's skew-join can't rescue: streaming
+    state, aggregation skew, or a build side that arrives pre-partitioned
+    (BASELINE.md skew A/B: scripts/bench_skew_ab.py). Plan-gated in
+    tests/test_skew.py (one sequence-explode, no union)."""
+    from ..operators import joins
+
     S = 8
     cat = Catalog(spark, sf_dir)
-    li = cat.table("lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % S).cast("int")
+    li, o = cat.table("lineitem"), cat.table("orders")
+    hot = joins.detect_heavy_hitters(
+        li, "l_orderkey", fraction=0.05, min_count=2, top=64, seed=7
     )
-    o = cat.table("orders").withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
-    )
-    # hint("merge"): salting only exists where broadcast is impossible (a
-    # too-big build side); at test SFs Catalyst would broadcast the exploded
-    # orders and the salted-shuffle shape we're demonstrating would vanish
-    j = li.join(
-        o.hint("merge"),
-        (li["l_orderkey"] == o["o_orderkey"]) & (li["salt"] == o["salt"]),
+    j = joins.salted_join(
+        li, o, "l_orderkey", "o_orderkey", hot, n_salts=S,
+        salt=F.col("l_linenumber") % S,
     )
     return j.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
