@@ -963,3 +963,66 @@ def q_window_rolling_range(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_1h"),
     )
+
+
+@register(
+    "window_rolling_range_salted",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_rolling_range_salted(spark, sf_dir):
+    """window_rolling_range with the partition key SALTED BY TIME BLOCK —
+    the skew-safe twin (VERDICT r3 task 6): a keyed window puts one user's
+    whole history in one task, so a hot user melts it exactly like a hot
+    join key. Salting a window cannot use a random salt (frames span
+    rows), but the TIME AXIS is a natural salt: partition by (user_id,
+    hour_block) and the 1-hour trailing frame of any row spans at most
+    its own block and the previous one.
+
+    Two-phase plan: every row is sent to its own block as OWNER and to
+    the next block as DONOR (2x the shuffle volume — the price of
+    splitting the key); within each (user_id, block) partition the exact
+    µs-range frame is computed over owners+donors together (each original
+    row appears at most once per partition: owners are this block's rows,
+    donors are the previous block's), and only owner rows are emitted.
+    Oracle-identical to the unsalted form for any data; the hot key now
+    spreads over as many tasks as it has active hours. At 100 TB this is
+    the difference between one task processing a bot user's year and
+    ~8760 tasks processing an hour each. Plan-gated in
+    tests/test_registry_window.py: the exchange hashes (user_id, block),
+    never user_id alone."""
+    from pyspark.sql import Window
+
+    W_US = 3_600_000_000  # 1 hour in µs = frame width = block width
+    ev = Catalog(spark, sf_dir).table("events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        "event_id", "user_id", "value",
+        us.alias("__us"), F.floor(us / W_US).cast("long").alias("__blk"),
+    )
+    owners = base.withColumn("__own", F.lit(1))
+    donors = (
+        base.withColumn("__blk", F.col("__blk") + 1)
+        .withColumn("__own", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id", "__blk")
+        .orderBy("__us")
+        .rangeBetween(-W_US, 0)
+    )
+    return (
+        owners.unionByName(donors)
+        .select(
+            "event_id", "user_id", "__own",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        )
+        .filter(F.col("__own") == 1)
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+    )

@@ -476,6 +476,43 @@ def q_join_1n_nested(spark, sf_dir):
 
 
 @register(
+    "join_1n_nested_bucketed",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+             AS items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def q_join_1n_nested_bucketed(spark, sf_dir):
+    """join_1n_nested over the CO-LOCATED layout (VERDICT r3 task 7): the
+    collect_list-per-parent shape normally shuffles the full child fact
+    table per query (groupBy child FK) and then shuffles again for the
+    parent join. With lineitem bucketed on l_orderkey and orders on
+    o_orderkey (sources.catalog.bucketed_fact_tables, same scheme as the
+    two-hop), BOTH the child aggregation and the parent join consume the
+    bucket partitioning — the whole nested-include plans with ZERO
+    exchange. This is the messages-per-conversation query (reference
+    src/routes/chat.ts:108-111) at 100 TB: bucket messages by
+    conversation_id at ingest and every chat-history read is
+    shuffle-free. Plan-asserted in tests/test_operators.py."""
+    from ..sources.catalog import bucketed_fact_tables
+
+    li_t, o_t = bucketed_fact_tables(spark, sf_dir)
+    li, o = spark.table(li_t), spark.table(o_t)
+    nested = li.groupBy(F.col("l_orderkey")).agg(
+        F.sort_array(
+            F.collect_list(F.col("l_linenumber").cast("string"))
+        ).alias("items_arr")
+    )
+    return (
+        o.join(nested, o["o_orderkey"] == nested["l_orderkey"])
+        .select("o_orderkey", F.array_join("items_arr", ",").alias("items"))
+    )
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer

@@ -578,3 +578,25 @@ def test_join_salted_shuffles_on_key_plus_salt(spark):
         if "hashpartitioning(" in ln and "salt" in ln
     ]
     assert len(salted_exchanges) >= 2  # both join sides
+
+
+def test_join_1n_nested_bucketed_zero_shuffle(spark):
+    """The nested-include over the co-located layout: the child
+    collect_list aggregation AND the parent join both consume the bucket
+    partitioning — zero exchange in the whole plan."""
+    from etl_backend_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_1n_nested_bucketed"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "Bucketed: true" in plan
+
+    # value parity with the unbucketed form
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, QUERIES["join_1n_nested"](spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0

@@ -148,3 +148,20 @@ def test_first_window_plans_no_global_sort_into_single_partition(spark):
         if m:
             bad[name] = m.group(0)
     assert not bad, f"single-partition sort/window in the verified head: {bad}"
+
+
+def test_window_rolling_range_salted_matches_and_splits_key(spark):
+    """The time-block-salted rolling window is value-identical to the
+    keyed form, and its exchange hashes (user_id, block) — a hot user
+    spreads over its active hours instead of melting one task."""
+    from tests.conftest import SF_DIR
+
+    base = QUERIES["window_rolling_range"](spark, SF_DIR)
+    salted = QUERIES["window_rolling_range_salted"](spark, SF_DIR)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "__blk" in plan.split("hashpartitioning(user_id", 1)[1].split(")", 1)[0]
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
