@@ -105,12 +105,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     per-shingle bucket shape matches the LSH band-bucket cost model.
     """
     d = Catalog(spark, sf_dir).table("documents")
-    # The shingle stage and the post-aggregation pair fan-out both need
-    # explicit parallelism: the source is a handful of parquet files (few
-    # scan tasks) and AQE coalesces the small grouped exchange to ~1
-    # partition, sizing by MAP-side bytes — it cannot see the ~d²/2-per-
-    # shingle explode that follows, so without the repartition one task
-    # would do the whole expansion.
+    # The shingle stage needs explicit parallelism: the source is a
+    # handful of parquet files (few scan tasks). The pair fan-out after
+    # the groupBy, however, RIDES the grouped exchange's own partitioning
+    # — round 4 removed an extra repartition there (interleaved A/B:
+    # -23%, BASELINE.md). AQE sizes those partitions by map bytes and
+    # cannot see the explode, but the fan-out multiplier is bounded by
+    # cap²/2 per cap-sized shingle group (~16x bytes), the expansion is a
+    # pipelined generator feeding a partial aggregation (never
+    # materialized), and at toy scale where AQE coalesces to one
+    # partition the total work is trivial anyway.
     n_par = max(spark.sparkContext.defaultParallelism // 2, 2)
     # Generator-based shingler (text.shingle_rows), fully codegen'd
     # JVM-side: measured 2.2x faster than the Arrow-batched pandas-UDF
@@ -125,7 +129,6 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         sh_all.groupBy("shingle")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") <= _JACCARD_DF_CAP)
-        .repartition(n_par)
     )
     # |retained shingles| per doc — same exchange as `grouped`, reused
     sizes = (

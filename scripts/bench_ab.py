@@ -10,8 +10,13 @@ Any apparent A-vs-B delta is then pure measurement noise — run this to get
 the noise floor before believing any cross-round regression of similar
 size (the round-2 "sim_topk_pandas +31%" question).
 
+Oracle mode (qB == "oracle"): arm B runs qA's DuckDB oracle SQL over the
+same parquet — the interleaved engine-vs-oracle ratio VERDICT r3 asked for
+on dedup_ngram_jaccard (single sequential runs on this VM cannot place a
+query on either side of the 2x bar).
+
 Usage:
-    python scripts/bench_ab.py [sf_dir] qA [qB] [rounds]
+    python scripts/bench_ab.py [sf_dir] qA [qB|oracle] [rounds]
 
 Prints one JSON line:
     {"a": ..., "b": ..., "rounds": N, "a_median": s, "b_median": s,
@@ -21,6 +26,7 @@ Prints one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -44,9 +50,27 @@ def main() -> None:
     spark = get_spark(app_name="bench-ab")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if qb == "oracle":
+        import duckdb
+
+        from etl_backend_spark.registry import ORACLES
+        from etl_backend_spark.sources.catalog import TABLES
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        osql = ORACLES[qa]
+
     def once(name: str) -> float:
         t0 = time.perf_counter()
-        run_full(QUERIES[name](spark, sf_dir))
+        if name == "oracle":
+            con.execute(osql).fetchall()
+        else:
+            run_full(QUERIES[name](spark, sf_dir))
         return time.perf_counter() - t0
 
     once(qa), once(qb)  # warm both arms (page cache, codegen)
