@@ -147,7 +147,10 @@ PRIORITY: list[str] = [
     "join_two_hop_bucketed",
     "tpch_q5_bucketed",
     "window_rolling_range",
+    "window_rolling_range_salted",
     "join_salted",
+    "join_1n_nested_bucketed",
+    "join_1n_nested_salted",
     # -- reporting tails: global-total-order forms (Exchange SinglePartition
     # by design; one task sorts everything). Registered LAST so nothing in
     # the verified head depends on them; the keyed/sketch forms above are

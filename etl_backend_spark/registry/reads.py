@@ -513,6 +513,46 @@ def q_join_1n_nested_bucketed(spark, sf_dir):
 
 
 @register(
+    "join_1n_nested_salted",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+             AS items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def q_join_1n_nested_salted(spark, sf_dir):
+    """join_1n_nested with a TWO-PHASE salted collect — the skew-safe twin
+    for hot parents. collect_list is the aggregation partial-agg cannot
+    help with (map-side combine still ships every element of a hot key to
+    ONE reducer: a conversation with 100M messages melts a task and its
+    memory). Phase 1 collects per (key, salt) — the hot key's list builds
+    as S bounded partials on S reducers; phase 2 regroups by key alone and
+    flattens the (far smaller: one row per key per salt) partial lists.
+    flatten(sort_array(...)) of per-salt-sorted lists is NOT globally
+    sorted, so the final sort_array runs over the flattened list — cheap,
+    per-row, no shuffle. Oracle-identical to join_1n_nested; the added
+    cost is one extra (key-cardinality x S)-row exchange."""
+    S = 8
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    partial = (
+        li.withColumn("__salt", (F.col("l_linenumber") % S).cast("int"))
+        .groupBy("l_orderkey", "__salt")
+        .agg(F.collect_list(F.col("l_linenumber").cast("string")).alias("part"))
+    )
+    nested = (
+        partial.groupBy("l_orderkey")
+        .agg(F.sort_array(F.flatten(F.collect_list("part"))).alias("items_arr"))
+    )
+    return (
+        o.join(nested, o["o_orderkey"] == nested["l_orderkey"])
+        .select("o_orderkey", F.array_join("items_arr", ",").alias("items"))
+    )
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer

@@ -150,3 +150,22 @@ def test_registry_join_salted_plan_and_sf(spark):
         .collect()
     }
     assert rows == expect
+
+
+def test_join_1n_nested_salted_matches_plain(spark):
+    """Two-phase salted collect_list equals the single-phase nested
+    include, and both exchanges are keyed (no single-reducer stage)."""
+    from etl_backend_spark.registry import QUERIES
+
+    a = sorted(map(tuple, QUERIES["join_1n_nested_salted"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, QUERIES["join_1n_nested"](spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
+    plan = (
+        QUERIES["join_1n_nested_salted"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    # phase-1 exchange hashes (l_orderkey, __salt)
+    import re
+
+    assert re.search(r"hashpartitioning\(l_orderkey#\d+L?, __salt", plan), plan
