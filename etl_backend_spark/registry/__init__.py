@@ -110,6 +110,7 @@ PRIORITY: list[str] = [
     "dedup_embedding",
     "dedup_incremental",
     "dedup_clusters",
+    "split_leakage_safe",
     "sim_topk_lsh",
     "semantic_search",
     "lang_id",

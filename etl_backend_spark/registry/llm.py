@@ -900,6 +900,102 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                              i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ), keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {_JACCARD_DF_CAP}
+    ), shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), prs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM prs
+      UNION ALL SELECT doc_b, doc_a FROM prs
+    ), nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.n
+    ), comp AS (
+      SELECT n AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY n
+    ), rep AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5('lsplit:' || CAST(cluster_id AS VARCHAR)),
+                                   i, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 AS b
+      FROM rep
+    )
+    """,
+)
+def q_split_leakage_safe(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split — the composition every serious
+    training pipeline runs but naive hash splitting breaks: assigning
+    splits by md5(doc_id) (split_assign) puts two near-duplicate documents
+    on opposite sides of the train/eval fence, leaking eval content into
+    training. Here the split key is the near-dup CLUSTER representative
+    (connected components over the Jaccard ≥ 0.5 pair graph, min doc_id
+    label — the dedup_clusters computation), so an entire duplicate
+    cluster always lands in ONE split; singleton docs hash their own id.
+    90/5/5 buckets via the same md5-bucket recipe as split_assign, keyed
+    'lsplit:<cluster_id>'. Scale shape: the cluster labels are the
+    iterative-propagation output (bounded rounds, keyed shuffles), the
+    rest is one broadcast-class left join + pure expressions — no new
+    shuffle beyond dedup_clusters itself."""
+    d = Catalog(spark, sf_dir).table("documents")
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    rep = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lsplit:"), F.col("cluster_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return rep.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
     "semantic_search",
     oracle="""
     WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
