@@ -173,6 +173,83 @@ def presence_routing(stream: DataFrame) -> DataFrame:
     )
 
 
+ROLLING_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("n_1h", LongType()),
+    ]
+)
+
+_ROLL_W_US = 3_600_000_000  # 1 hour, matching window_rolling_range
+
+
+def _rolling_counter(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user trailing-1h event counter: for EVERY incoming event, emit
+    how many of the user's events fall in [ts - 1h, ts] — the rate-limit
+    probe the reference runs as a per-request COUNT query
+    (src/routes/ads.ts:155 count-then-act), kept incrementally here.
+
+    State is the user's event timestamps (µs) inside the trailing hour —
+    bounded by per-user event rate, pruned as the frame slides, never the
+    full history. Events are replayed in (ts, event_id) order within the
+    batch (chunks arrive unordered); cross-batch late events older than
+    the pruned frame would undercount, which is the same contract as a
+    watermark — the batch twin (window_rolling_range) is the exact
+    restatement tool."""
+    stamps: list[int] = list(state.get[0]) if state.exists else []
+    chunks = [p for p in pdfs if len(p)]
+    out_eid: list[int] = []
+    out_n: list[int] = []
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        us = (
+            pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+            // 1000
+        )
+        batch = batch.assign(__us=us).sort_values(["__us", "event_id"])
+        # tie groups processed atomically: RANGE-frame peers (identical ts)
+        # count each other, whichever replay order they arrive in
+        for t, grp in batch.groupby("__us", sort=True):
+            t = int(t)
+            stamps.extend([t] * len(grp))
+            lo = t - _ROLL_W_US
+            # stamps is sorted (in-order replay + pruned prefix): drop the
+            # aged-out head; what remains IS the frame [t-1h, t]
+            i = 0
+            while stamps[i] < lo:
+                i += 1
+            if i:
+                stamps = stamps[i:]
+            out_eid.extend(int(e) for e in grp["event_id"])
+            out_n.extend([len(stamps)] * len(grp))
+    state.update((stamps,))
+    yield pd.DataFrame(
+        {
+            "event_id": out_eid,
+            "user_id": [key[0]] * len(out_eid),
+            "n_1h": out_n,
+        }
+    )
+
+
+def rolling_rate_counter(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch window_rolling_range count: per-event
+    trailing-1h frame size per user via keyed state (append mode — one
+    output row per event). At 100 TB/day the state store holds only each
+    user's last hour of timestamps, partitioned by user across executors."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _rolling_counter,
+            outputStructType=ROLLING_SCHEMA,
+            stateStructType="stamps array<bigint>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(writer, query_name: str = "q"):
     """Drain all currently-available input and stop (test/batch-catchup
     trigger; production uses a continuous processingTime trigger)."""

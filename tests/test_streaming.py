@@ -282,3 +282,38 @@ def test_stream_static_join_enriches(spark, tmp_path, event_json_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in expect]
     assert len(got) > 0
+
+
+def test_rolling_rate_counter_equals_batch_window(spark, tmp_path, event_json_dir):
+    """The streaming per-event trailing-1h counter equals the batch RANGE
+    window (window_rolling_range's count column) over the same events —
+    including tie groups at identical ts, which are frame peers in both."""
+    from pyspark.sql import Window
+
+    stream = cp.rolling_rate_counter(cp.read_json_stream(spark, event_json_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rolling")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_id: (r.user_id, r.n_1h)
+        for r in spark.sql("SELECT * FROM rolling").collect()
+    }
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    expect = {
+        r.event_id: (r.user_id, r.n_1h)
+        for r in Catalog(spark, SF_DIR)
+        .table("events")
+        .select("event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_1h"))
+        .collect()
+    }
+    assert len(got) == len(expect) > 0
+    assert got == expect
