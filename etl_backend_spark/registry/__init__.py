@@ -145,6 +145,8 @@ PRIORITY: list[str] = [
     "etl_merge_manifest",
     "etl_scd2_merge",
     "etl_manifest_pruned_read",
+    "etl_time_travel",
+    "etl_compact_vacuum",
     "join_two_hop_bucketed",
     "tpch_q5_bucketed",
     "window_rolling_range",

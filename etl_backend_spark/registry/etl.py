@@ -299,6 +299,101 @@ def q_etl_merge_manifest(spark, sf_dir):
 
 
 @register(
+    "etl_time_travel",
+    oracle="""
+    SELECT 'v0' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT 'live', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey > 100 OR o_orderkey % 2 = 0
+    """,
+)
+def q_etl_time_travel(spark, sf_dir):
+    """TIME TRAVEL through the manifest parent chain, value-checked by the
+    gate: create (orders<=500) → append (orders>500) → delete (<=100 and
+    odd), then read BOTH the live table and the creation snapshot
+    (``read_at(history()[-1])``). The oracle states each as a plain
+    predicate over the source table, so the gate fails if a commit ever
+    mutates past snapshots (the immutability contract Iceberg/Delta
+    time travel rests on). (etl/manifest.py:history,read_at.)"""
+    import shutil
+    import tempfile
+
+    from ..etl.manifest import ManifestTable
+
+    o = Catalog(spark, sf_dir).table("orders")
+    root = tempfile.mkdtemp(prefix="etlbs-tt-")
+    try:
+        t = ManifestTable(spark, root, "orders", ["o_orderkey"])
+        t.create(o.filter(F.col("o_orderkey") <= 500).repartition(4))
+        t.append(o.filter(F.col("o_orderkey") > 500).repartition(4))
+        t.delete(
+            (F.col("o_orderkey") <= 100) & (F.col("o_orderkey") % 2 == 1),
+            "o_orderkey", lo=None, hi=100,
+        )
+        v0 = t.history()[-1]  # creation commit (newest-first chain)
+
+        def agg(df, label):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+            ).collect()[0]
+            return [(label, r["n_rows"], r["key_sum"])]
+        rows = agg(t.read_at(v0), "v0") + agg(t.read(), "live")
+        return spark.createDataFrame(rows, "snap STRING, n_rows LONG, key_sum LONG")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "etl_compact_vacuum",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders
+    """,
+)
+def q_etl_compact_vacuum(spark, sf_dir):
+    """Small-file COMPACTION + VACUUM, value-checked: orders lands as 32
+    tiny files (the after-streaming-appends shape), ``compact`` rewrites
+    them into ~target-row bins in one atomic commit, ``vacuum`` reclaims
+    the orphaned originals — and the data is bit-for-bit unchanged (the
+    oracle is the plain source aggregate). The builder asserts the file
+    count actually dropped and the old files are actually gone, so the
+    gate row fails loudly if compaction ever rewrites rows or vacuum
+    ever reclaims live data. At 100 TB this is the hygiene job that
+    keeps scan task counts sane. (etl/manifest.py:compact,vacuum.)"""
+    import shutil
+    import tempfile
+
+    from ..etl.manifest import ManifestTable, vacuum
+
+    o = Catalog(spark, sf_dir).table("orders")
+    root = tempfile.mkdtemp(prefix="etlbs-compact-")
+    try:
+        t = ManifestTable(spark, root, "orders", ["o_orderkey"])
+        t.create(o.repartition(32))  # 32 small files
+        n_before = len(t.files())
+        t.compact(target_rows=200_000)
+        n_after = len(t.files())
+        stats = vacuum(t)
+        assert n_after < n_before, (n_before, n_after)
+        assert stats["data_files"] > 0, stats
+        row = t.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.count_distinct("o_orderstatus").alias("n_status"),
+        ).collect()
+        return spark.createDataFrame(
+            row, "n_rows LONG, key_sum LONG, n_status LONG"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "etl_manifest_pruned_read",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
