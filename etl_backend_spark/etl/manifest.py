@@ -109,7 +109,8 @@ class ManifestTable:
                 time.sleep(0.05)
 
     def _commit(self, entries: list[dict], parent: str | None,
-                txn: str | None = None) -> None:
+                txn: str | None = None,
+                schema_json: str | None = None) -> None:
         """Atomic pointer swap with optimistic concurrency: `parent` is the
         manifest id this commit was derived from (None = table creation).
         A short-lived O_EXCL lock file serializes the check-and-swap, and
@@ -124,12 +125,22 @@ class ManifestTable:
         # ancestor tokens come from the PARENT manifest, not the live
         # pointer — the pointer may already have moved past parent, and the
         # CAS below will reject this commit anyway in that case
-        txns = dict(self._manifest_at(parent).get("txns", {})) if parent else {}
+        pm = self._manifest_at(parent) if parent else {}
+        txns = dict(pm.get("txns", {}))
         if txn is not None:
             txns[txn] = mid
+        # per-commit schema: evolution commits pass the new one; every other
+        # commit inherits the parent's, so read_at() can always reconstruct
+        # the column set AS OF that snapshot
+        if schema_json is None:
+            schema_json = pm.get("schema")
         mpath = os.path.join(self.manifest_dir, mid)
         with open(mpath, "w") as f:
-            json.dump({"entries": entries, "parent": parent, "txns": txns}, f)
+            json.dump(
+                {"entries": entries, "parent": parent, "txns": txns,
+                 "schema": schema_json},
+                f,
+            )
         lock = self._pointer() + ".lock"
         try:
             fd = self._acquire_lock(lock)
@@ -197,11 +208,13 @@ class ManifestTable:
             shutil.rmtree(d, ignore_errors=True)
 
     def _commit_or_discard(self, entries: list[dict], new: list[dict],
-                           parent: str | None, txn: str | None = None) -> None:
+                           parent: str | None, txn: str | None = None,
+                           schema_json: str | None = None) -> None:
         """_commit, deleting this writer's just-written data files if the
         CAS loses (the retry will rewrite them from the caller's df)."""
         try:
-            self._commit(entries, parent=parent, txn=txn)
+            self._commit(entries, parent=parent, txn=txn,
+                         schema_json=schema_json)
         except CommitConflict:
             self._discard_batches(new)
             raise
@@ -215,24 +228,76 @@ class ManifestTable:
         # (an empty file list gives parquet nothing to infer from)
         with open(os.path.join(self.dir, "_SCHEMA"), "w") as f:
             f.write(df.schema.json())
-        self._commit(self._write_files(df), parent=None)
+        self._commit(self._write_files(df), parent=None,
+                     schema_json=df.schema.json())
 
-    def _empty_df(self) -> DataFrame:
+    def _schema_of(self, manifest: dict):
+        """Declared schema AS OF a manifest: the per-commit record (schema
+        evolution), else the table-creation _SCHEMA sidecar (pre-evolution
+        tables), else None (infer)."""
         from pyspark.sql.types import StructType
 
-        with open(os.path.join(self.dir, "_SCHEMA")) as f:
-            schema = StructType.fromJson(json.loads(f.read()))
-        return self.spark.createDataFrame([], schema)
+        sj = manifest.get("schema")
+        if sj is None:
+            try:
+                with open(os.path.join(self.dir, "_SCHEMA")) as f:
+                    sj = f.read()
+            except OSError:
+                return None
+        return StructType.fromJson(json.loads(sj))
 
-    def _read_entries(self, entries: list[dict]) -> DataFrame:
+    def _empty_df(self) -> DataFrame:
+        return self.spark.createDataFrame([], self._schema_of({}))
+
+    def _read_entries(self, entries: list[dict], schema=None) -> DataFrame:
         if not entries:
             return self._empty_df()
-        return self.spark.read.parquet(*[e["path"] for e in entries])
+        reader = self.spark.read
+        if schema is not None:
+            # declared superset schema: files written before an ADD COLUMN
+            # lack the new columns; parquet fills them with null. This is
+            # the read half of additive schema evolution.
+            reader = reader.schema(schema)
+        return reader.parquet(*[e["path"] for e in entries])
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, evolve: bool = False) -> None:
+        """Append a batch. With ``evolve=True``, additive schema changes
+        are allowed: columns the live schema lacks are APPENDED to it (the
+        same commit records the widened schema — ADD COLUMN semantics),
+        and live columns the batch lacks are null-filled. Without it, a
+        batch whose columns disagree with the live schema is rejected
+        loudly — silent column drift is how data lakes rot. Type changes
+        are never merged (only additive evolution, the Delta/Iceberg
+        default); past snapshots keep their own column set (read_at reads
+        with the schema recorded in THAT manifest)."""
         parent, manifest = self._snapshot()
+        live = self._schema_of(manifest)
+        schema_json = None
+        if live is not None:
+            live_names = {f.name for f in live.fields}
+            batch_names = {f.name for f in df.schema.fields}
+            if live_names != batch_names:
+                if not evolve:
+                    raise ValueError(
+                        f"append schema mismatch: batch has "
+                        f"{sorted(batch_names - live_names)} extra / "
+                        f"{sorted(live_names - batch_names)} missing "
+                        "columns; pass evolve=True for additive evolution"
+                    )
+                added = [f for f in df.schema.fields
+                         if f.name not in live_names]
+                merged = type(live)(list(live.fields) + added)
+                df = df.select(*[
+                    F.col(f.name) if f.name in batch_names
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in merged.fields
+                ])
+                schema_json = merged.json()
         new = self._write_files(df)
-        self._commit_or_discard(manifest["entries"] + new, new, parent=parent)
+        self._commit_or_discard(
+            manifest["entries"] + new, new, parent=parent,
+            schema_json=schema_json,
+        )
 
     def append_once(self, df: DataFrame, txn: str) -> bool:
         """Transactionally-idempotent append (the Delta txn-id pattern):
@@ -259,7 +324,10 @@ class ManifestTable:
         return self._live_manifest()["entries"]
 
     def read(self) -> DataFrame:
-        return self._read_entries(self.files())
+        manifest = self._live_manifest()
+        return self._read_entries(
+            manifest["entries"], schema=self._schema_of(manifest)
+        )
 
     def read_pruned(self, col: str, lo=None, hi=None) -> tuple[DataFrame, int]:
         """Manifest-stats pruning: load only files whose [min,max] for `col`
@@ -276,7 +344,9 @@ class ManifestTable:
             keep.append(e["path"])
         if not keep:
             return self._empty_df(), skipped
-        return self.spark.read.parquet(*keep), skipped
+        live = self._schema_of(self._live_manifest())
+        reader = self.spark.read if live is None else self.spark.read.schema(live)
+        return reader.parquet(*keep), skipped
 
     def delete(self, where: Column, col: str, lo=None, hi=None) -> dict:
         """File-granular delete: rewrite only files whose stats interval for
@@ -293,9 +363,13 @@ class ManifestTable:
         new_entries, new = list(carried), []
         if touched:
             # one rewrite job over all touched files, not one per file;
-            # SQL DELETE semantics — NULL-predicate rows are retained
-            remaining = self.spark.read.parquet(
-                *[e["path"] for e in touched]
+            # SQL DELETE semantics — NULL-predicate rows are retained.
+            # The live schema is DECLARED on the read: post-evolution a
+            # touched set can mix pre/post-ADD-COLUMN files, and an
+            # inferred schema (taken from one file) would silently drop
+            # the new column from every rewritten row.
+            remaining = self._read_entries(
+                touched, schema=self._schema_of(manifest)
             ).filter(~F.coalesce(where, F.lit(False)))
             new = self._write_files(remaining)
             new_entries += new
@@ -337,8 +411,10 @@ class ManifestTable:
             (carried if disjoint else touched).append(e)
         new_entries, new = list(carried), []
         if touched:
-            remaining = self.spark.read.parquet(
-                *[e["path"] for e in touched]
+            # declared live schema: see delete() — mixed-schema touched
+            # sets must not infer from one file
+            remaining = self._read_entries(
+                touched, schema=self._schema_of(manifest)
             ).join(incoming.select(key), on=key, how="left_anti")
             new = self._write_files(remaining)
             new_entries += new
@@ -363,10 +439,14 @@ class ManifestTable:
 
     def read_at(self, manifest_id: str) -> DataFrame:
         """Read the table as of a past commit (files from that manifest —
-        valid until ``vacuum`` reclaims non-live data)."""
+        valid until ``vacuum`` reclaims non-live data). Reads with the
+        schema recorded in THAT manifest: columns added later do not
+        appear in an older snapshot."""
         with open(os.path.join(self.manifest_dir, manifest_id)) as f:
-            entries = json.load(f)["entries"]
-        return self._read_entries(entries)
+            manifest = json.load(f)
+        return self._read_entries(
+            manifest["entries"], schema=self._schema_of(manifest)
+        )
 
     def compact(self, target_rows: int = 100_000) -> dict:
         """Small-file compaction: greedily bin files below target into
@@ -388,8 +468,9 @@ class ManifestTable:
         if cur:
             bins.append(cur)
         new_entries, new = list(large), []
+        live_schema = self._schema_of(manifest)
         for group in bins:
-            merged = self.spark.read.parquet(*[e["path"] for e in group]).coalesce(1)
+            merged = self._read_entries(group, schema=live_schema).coalesce(1)
             batch = self._write_files(merged)
             new += batch
             new_entries += batch

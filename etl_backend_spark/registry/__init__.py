@@ -146,6 +146,7 @@ PRIORITY: list[str] = [
     "etl_scd2_merge",
     "etl_manifest_pruned_read",
     "etl_time_travel",
+    "etl_schema_evolution",
     "etl_compact_vacuum",
     "join_two_hop_bucketed",
     "tpch_q5_bucketed",

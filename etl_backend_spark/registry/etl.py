@@ -347,6 +347,55 @@ def q_etl_time_travel(spark, sf_dir):
 
 
 @register(
+    "etl_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_channel,
+           2 AS n_cols_v0, 3 AS n_cols_live
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_etl_schema_evolution(spark, sf_dir):
+    """ADD COLUMN evolution through the manifest format, value-checked:
+    create (2 columns, keys<=1000) → append keys 1001..2000 WITH a new
+    o_channel column (evolve=True; the widened schema rides the same
+    commit) → read the live table (old rows null-fill the new column)
+    and the creation snapshot (still 2 columns). The oracle pins row
+    counts, the null/filled split, and both snapshot column counts —
+    so the gate fails if evolution ever rewrites history or null-fills
+    the wrong side. (etl/manifest.py:append(evolve=True), _schema_of.)"""
+    import shutil
+    import tempfile
+
+    from ..etl.manifest import ManifestTable
+
+    o = Catalog(spark, sf_dir).table("orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="etlbs-evolve-")
+    try:
+        t = ManifestTable(spark, root, "orders", ["o_orderkey"])
+        t.create(o.filter(F.col("o_orderkey") <= 1000).repartition(2))
+        t.append(
+            o.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000))
+            .withColumn("o_channel", F.lit("web"))
+            .repartition(2),
+            evolve=True,
+        )
+        live = t.read()
+        v0 = t.read_at(t.history()[-1])
+        r = live.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_channel").isNotNull().cast("long")).alias("nc"),
+        ).collect()[0]
+        row = [(r["n"], r["nc"], len(v0.columns), len(live.columns))]
+        return spark.createDataFrame(
+            row, "n_rows LONG, n_with_channel LONG, n_cols_v0 INT, n_cols_live INT"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "etl_compact_vacuum",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

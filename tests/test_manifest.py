@@ -467,3 +467,73 @@ def test_crash_after_manifest_write_before_swap_replays_exactly_once(
     assert t.read().count() == 3
     # exactly one manifest (the live one) survives vacuum
     assert len(os.listdir(t.manifest_dir)) == 1
+
+
+# ----------------------------------------------------------- schema evolution
+
+def test_append_rejects_schema_drift_without_evolve(spark, tmp_path):
+    o = Catalog(spark, SF_DIR).table("orders").select("o_orderkey", "o_totalprice")
+    t = ManifestTable(spark, str(tmp_path), "orders", ["o_orderkey"])
+    t.create(o.filter(F.col("o_orderkey") <= 100))
+    drifted = o.filter(F.col("o_orderkey") > 100).withColumn(
+        "o_channel", F.lit("web")
+    )
+    with pytest.raises(ValueError, match="evolve=True"):
+        t.append(drifted)
+
+
+def test_additive_evolution_and_snapshot_schemas(spark, tmp_path):
+    """ADD COLUMN semantics: old rows read null for the new column, the
+    creation snapshot keeps the OLD column set, and a post-evolution
+    mutation (delete rewriting mixed-schema files) must not drop the new
+    column."""
+    o = Catalog(spark, SF_DIR).table("orders").select("o_orderkey", "o_totalprice")
+    t = ManifestTable(spark, str(tmp_path), "orders", ["o_orderkey"])
+    base = o.filter(F.col("o_orderkey") <= 100)
+    t.create(base)
+    n_base = base.count()
+    incoming = (
+        o.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200))
+        .withColumn("o_channel", F.lit("web"))
+    )
+    n_new = incoming.count()
+    t.append(incoming, evolve=True)
+
+    live = t.read()
+    assert live.columns == ["o_orderkey", "o_totalprice", "o_channel"]
+    assert live.count() == n_base + n_new
+    assert live.filter(F.col("o_channel").isNull()).count() == n_base
+    assert live.filter(F.col("o_channel") == "web").count() == n_new
+
+    v0 = t.history()[-1]
+    snap = t.read_at(v0)
+    assert snap.columns == ["o_orderkey", "o_totalprice"]  # pre-evolution
+    assert snap.count() == n_base
+
+    # batch missing a live column null-fills instead of erroring
+    missing = o.filter(F.col("o_orderkey") > 1400).select("o_orderkey")
+    t.append(missing.withColumn("o_totalprice", F.lit(None).cast("double")),
+             evolve=True)
+
+    # mutation across mixed-schema files keeps the evolved column
+    t.delete((F.col("o_orderkey") % 2 == 1), "o_orderkey")
+    after = t.read()
+    assert after.columns == ["o_orderkey", "o_totalprice", "o_channel"]
+    assert after.filter(F.col("o_channel") == "web").count() == \
+        incoming.filter(F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_evolution_survives_compaction(spark, tmp_path):
+    o = Catalog(spark, SF_DIR).table("orders").select("o_orderkey", "o_totalprice")
+    t = ManifestTable(spark, str(tmp_path), "orders", ["o_orderkey"])
+    t.create(o.filter(F.col("o_orderkey") <= 100).repartition(4))
+    t.append(
+        o.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200))
+        .withColumn("o_channel", F.lit("web")).repartition(4),
+        evolve=True,
+    )
+    before = t.read().filter(F.col("o_channel") == "web").count()
+    t.compact(target_rows=100_000)
+    after = t.read()
+    assert after.columns == ["o_orderkey", "o_totalprice", "o_channel"]
+    assert after.filter(F.col("o_channel") == "web").count() == before
