@@ -121,3 +121,32 @@ def test_manifest_upsert_merge_algebra(spark_session, tmp_path_factory, upd, new
     assert got == expect
     t.upsert(incoming, "k")  # idempotent
     assert {(r.k, r.v) for r in t.read().collect()} == expect
+
+
+@given(
+    n_keys=st.integers(2, 20),
+    hot_pick=st.lists(st.integers(0, 19), max_size=5, unique=True),
+    n_salts=st.integers(2, 6),
+)
+@SETTINGS
+def test_salted_join_equals_plain_for_arbitrary_hot_sets(
+    spark_session, n_keys, hot_pick, n_salts
+):
+    """salted_join's contract: for ANY hot-key set (including keys absent
+    from either side) and any salt count, the result multiset equals the
+    plain inner join."""
+    from etl_backend_spark.operators.joins import salted_join
+
+    spark = spark_session
+    fact = spark.range(0, 200).select(
+        (F.col("id") % n_keys).alias("fk"), F.col("id").alias("rid")
+    )
+    build = spark.range(0, n_keys + 3).select(
+        F.col("id").alias("bk"), (F.col("id") * 10).alias("payload")
+    )
+    hot = spark.createDataFrame(
+        [(k,) for k in hot_pick] or [(None,)], "h long"
+    ).filter(F.col("h").isNotNull())
+    salted = salted_join(fact, build, "fk", "bk", hot, n_salts=n_salts)
+    plain = fact.join(build, fact["fk"] == build["bk"])
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
