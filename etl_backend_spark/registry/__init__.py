@@ -147,6 +147,7 @@ PRIORITY: list[str] = [
     "etl_manifest_pruned_read",
     "etl_time_travel",
     "etl_schema_evolution",
+    "etl_snapshot_diff",
     "etl_compact_vacuum",
     "join_two_hop_bucketed",
     "tpch_q5_bucketed",

@@ -347,6 +347,61 @@ def q_etl_time_travel(spark, sf_dir):
 
 
 @register(
+    "etl_snapshot_diff",
+    oracle="""
+    SELECT 'added' AS change, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000
+    UNION ALL
+    SELECT 'removed', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 2 = 1
+    """,
+)
+def q_etl_snapshot_diff(spark, sf_dir):
+    """CHANGE FEED between two manifest snapshots, value-checked: after
+    create (<=500) → append (500..1000] → delete (<=100 odd), diff the
+    creation snapshot against live by key anti-joins over read_at/read —
+    the poor-man's CDC every downstream incremental consumer wants from
+    a table format. The oracle states both change sets as plain
+    predicates over the source. At scale the anti-joins shuffle on the
+    key once each; a production feed would read only the manifests'
+    entry-list difference first and diff just the touched files."""
+    import shutil
+    import tempfile
+
+    from ..etl.manifest import ManifestTable
+
+    o = Catalog(spark, sf_dir).table("orders")
+    root = tempfile.mkdtemp(prefix="etlbs-diff-")
+    try:
+        t = ManifestTable(spark, root, "orders", ["o_orderkey"])
+        t.create(o.filter(F.col("o_orderkey") <= 500).repartition(2))
+        v0 = t.history()[0]
+        t.append(
+            o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000))
+            .repartition(2)
+        )
+        t.delete(
+            (F.col("o_orderkey") <= 100) & (F.col("o_orderkey") % 2 == 1),
+            "o_orderkey", lo=None, hi=100,
+        )
+        old, live = t.read_at(v0), t.read()
+        added = live.join(old.select("o_orderkey"), "o_orderkey", "left_anti")
+        removed = old.join(live.select("o_orderkey"), "o_orderkey", "left_anti")
+
+        def agg(df, label):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("key_sum"),
+            ).collect()[0]
+            return [(label, r["n"], r["key_sum"])]
+        rows = agg(added, "added") + agg(removed, "removed")
+        return spark.createDataFrame(rows, "change STRING, n LONG, key_sum LONG")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "etl_schema_evolution",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
