@@ -48,9 +48,11 @@ HEADLINE = [
     "paginate_offset",         # TakeOrderedAndProject
     "join_two_hop_bucketed",   # co-located fact join (zero-shuffle layout)
     "tpch_q5_bucketed",        # Q5 over the co-located layout (1 exchange)
+    "tpch_q3_bucketed",        # Q3 over the layout (0 exchanges end-to-end)
     "join_1n_nested",          # collect_list nested include (2 shuffles)
     "join_1n_nested_bucketed", # same over the co-located layout (0 shuffles)
     "window_rolling_range",    # 1h trailing interval frame per key
+    "window_latest_per_group_bucketed",  # keyed window, zero-shuffle layout
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

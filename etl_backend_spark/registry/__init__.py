@@ -156,6 +156,8 @@ PRIORITY: list[str] = [
     "join_salted",
     "join_1n_nested_bucketed",
     "join_1n_nested_salted",
+    "tpch_q3_bucketed",
+    "window_latest_per_group_bucketed",
     # -- reporting tails: global-total-order forms (Exchange SinglePartition
     # by design; one task sorts everything). Registered LAST so nothing in
     # the verified head depends on them; the keyed/sketch forms above are

@@ -239,6 +239,40 @@ def q_window_latest_per_group(spark, sf_dir):
 
 
 @register(
+    "window_latest_per_group_bucketed",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type FROM (
+      SELECT event_id, user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_window_latest_per_group_bucketed(spark, sf_dir):
+    """window_latest_per_group over events BUCKETED ON user_id
+    (sources.catalog.bucketed_events_table): the window's required
+    hash distribution is satisfied by the bucketed scan, so the
+    per-query exchange disappears — zero shuffles for the whole
+    latest-per-user read, the recurring chat-list query (reference
+    src/routes/chat.ts:43-47). What bucketed_fact_tables does for the
+    orderkey join family, this does for the per-user window family.
+    Plan-asserted (no exchange) in tests/test_operators.py."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import bucketed_events_table
+
+    ev = spark.table(bucketed_events_table(spark, sf_dir))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@register(
     "window_rank_topk",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
@@ -479,6 +513,56 @@ def q_tpch_q3_shape(spark, sf_dir):
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                 F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q3_bucketed",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2001-06-01'
+      AND l_shipdate > TIMESTAMP '2001-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_bucketed(spark, sf_dir):
+    """Q3 over the co-located layout — ZERO exchanges end to end: customer
+    (filtered, broadcast) joins orders without moving the fact; the o⋈li
+    edge is bucket-to-bucket; and the grouped revenue keys on l_orderkey,
+    which the bucket partitioning already satisfies, so even the
+    aggregation shuffles nothing. The top-10 is TakeOrderedAndProject.
+    Third member of the layout-pair evidence set (two_hop, q5, q3):
+    bucketing the two fact tables once removes EVERY per-query shuffle
+    this workload family has. Plan-asserted in tests/test_operators.py."""
+    from ..sources.catalog import Catalog, bucketed_fact_tables
+
+    li_t, o_t = bucketed_fact_tables(spark, sf_dir)
+    c = Catalog(spark, sf_dir).table("customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.table(o_t).filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("2001-06-01"))
+    )
+    li = spark.table(li_t).filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("2001-03-15"))
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        F.broadcast(c).join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(revenue, 2).alias("revenue"))

@@ -400,6 +400,38 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str | None = None,
     return names[0], names[1]
 
 
+def bucketed_events_table(spark: SparkSession, sf_dir: str | None = None,
+                          n_buckets: int = 16) -> str:
+    """Events bucketed on user_id: the keyed-window family (latest-per-
+    user, sessionize, z-score, rolling frames) partitions by user_id on
+    EVERY query — with this layout the window's required distribution is
+    already satisfied by the scan and the per-query exchange disappears
+    (only the per-partition sort remains, which is local and pipelined).
+    Same one-time-write amortization argument as bucketed_fact_tables;
+    at 100 TB the events table is bucketed at ingest and the whole
+    per-user analytics family becomes shuffle-free."""
+    import hashlib
+    import tempfile
+
+    from .cache import file_fingerprint
+    from .layout import ensure_bucketed_table
+
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    src = f"{sf_dir}/events.parquet"
+    key = hashlib.md5(
+        f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
+    ).hexdigest()[:12]
+    name = f"etlbs_events_b{key}"
+    loc = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-bkt-events-{key}"
+    )
+    ensure_bucketed_table(
+        spark, load_table(spark, "events", sf_dir), name, loc,
+        "user_id", n_buckets,
+    )
+    return name
+
+
 def events_with_date(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Events INCLUDING the event_date partition column — filters on it
     prune whole day-directories at plan time (PartitionFilters)."""

@@ -600,3 +600,38 @@ def test_join_1n_nested_bucketed_zero_shuffle(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, QUERIES["join_1n_nested"](spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_tpch_q3_bucketed_zero_shuffle(spark):
+    """Q3 over the co-located layout: broadcast dim + bucket-to-bucket
+    fact join + aggregation keyed on the bucket column — no exchange
+    anywhere; the top-10 is TakeOrderedAndProject."""
+    from etl_backend_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["tpch_q3_bucketed"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "TakeOrderedAndProject" in plan
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, QUERIES["tpch_q3_shape"](spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_window_latest_bucketed_zero_shuffle(spark):
+    """The per-user window over user-bucketed events plans WITHOUT an
+    exchange: the bucketed scan satisfies the window's required
+    distribution; only the local per-partition sort remains."""
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES["window_latest_per_group_bucketed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, QUERIES["window_latest_per_group"](spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
