@@ -169,3 +169,46 @@ def test_join_1n_nested_salted_matches_plain(spark):
     import re
 
     assert re.search(r"hashpartitioning\(l_orderkey#\d+L?, __salt", plan), plan
+
+
+def test_aqe_skew_split_rescues_plain_smj(spark):
+    """Evidence for BASELINE.md's skew A/B conclusion: on a skewed
+    sort-merge join, AQE's OptimizeSkewedJoin splits the melting
+    partition at runtime (the batch-SMJ case where manual salting is NOT
+    needed). The final adaptive plan marks the join skew=true.
+
+    Two test-scale subtleties this test had to get right (useful when
+    reading AQE plans elsewhere): the skew decision is made on SHUFFLED
+    BYTES after column pruning — a hot key whose surviving columns are
+    constants compresses to nothing and never looks skewed (the agg here
+    must consume the wide fact column) — and the default 256MB partition
+    threshold never triggers on toy data, so the thresholds are lowered;
+    what's locked is the detection mechanism, not the default sizing."""
+    fact = spark.range(500_000).select(
+        F.when(F.col("id") < 400_000, F.lit(0))
+        .otherwise((F.col("id") % 99) + 1)
+        .alias("fk"),
+        F.md5(F.col("id").cast("string")).alias("v"),  # incompressible
+    )
+    build = spark.range(120).crossJoin(
+        spark.range(200).select(F.col("id").alias("rep"))
+    ).select(F.col("id").alias("bk"), "rep")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = fact.join(build, fact["fk"] == build["bk"]).groupBy("rep").agg(
+            F.sum(F.length("v")).alias("n")  # keeps v un-pruned
+        )
+        j.collect()  # finalize THIS DataFrame's adaptive plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in final, final
