@@ -99,6 +99,15 @@ def main() -> None:
     )
     results["windowed_counts"] = drain(w, "s4")
 
+    # 5. per-event trailing-1h rate counter (keyed state, append mode)
+    w = (
+        cp.rolling_rate_counter(source())
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck5")
+        .outputMode("append")
+    )
+    results["rolling_rate_counter"] = drain(w, "s5")
+
     print(json.dumps({
         "events": n,
         "stages": {
