@@ -261,38 +261,38 @@ class ManifestTable:
         return reader.parquet(*[e["path"] for e in entries])
 
     def append(self, df: DataFrame, evolve: bool = False) -> None:
-        """Append a batch. With ``evolve=True``, additive schema changes
-        are allowed: columns the live schema lacks are APPENDED to it (the
-        same commit records the widened schema — ADD COLUMN semantics),
-        and live columns the batch lacks are null-filled. Without it, a
-        batch whose columns disagree with the live schema is rejected
-        loudly — silent column drift is how data lakes rot. Type changes
-        are never merged (only additive evolution, the Delta/Iceberg
-        default); past snapshots keep their own column set (read_at reads
-        with the schema recorded in THAT manifest)."""
+        """Append a batch. Delta-style schema handling: a batch MISSING
+        live columns is always accepted (missing columns null-fill — a
+        pre-evolution producer keeps working after someone else ran ADD
+        COLUMN), but a batch with EXTRA columns needs ``evolve=True``:
+        the new columns are appended to the live schema and the widened
+        schema rides the same commit (ADD COLUMN semantics). Without
+        evolve, extra columns are rejected loudly — silent column drift
+        is how data lakes rot. Type changes are never merged (additive
+        evolution only); past snapshots keep their own column set
+        (read_at reads with the schema recorded in THAT manifest)."""
         parent, manifest = self._snapshot()
         live = self._schema_of(manifest)
         schema_json = None
         if live is not None:
             live_names = {f.name for f in live.fields}
             batch_names = {f.name for f in df.schema.fields}
-            if live_names != batch_names:
-                if not evolve:
-                    raise ValueError(
-                        f"append schema mismatch: batch has "
-                        f"{sorted(batch_names - live_names)} extra / "
-                        f"{sorted(live_names - batch_names)} missing "
-                        "columns; pass evolve=True for additive evolution"
-                    )
-                added = [f for f in df.schema.fields
-                         if f.name not in live_names]
-                merged = type(live)(list(live.fields) + added)
+            extra = [f for f in df.schema.fields if f.name not in live_names]
+            if extra and not evolve:
+                raise ValueError(
+                    f"append schema mismatch: batch has extra columns "
+                    f"{sorted(f.name for f in extra)}; pass evolve=True "
+                    "for additive ADD COLUMN evolution"
+                )
+            target = type(live)(list(live.fields) + extra)
+            if batch_names != {f.name for f in target.fields} or extra:
                 df = df.select(*[
                     F.col(f.name) if f.name in batch_names
                     else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in merged.fields
+                    for f in target.fields
                 ])
-                schema_json = merged.json()
+            if extra:
+                schema_json = target.json()
         new = self._write_files(df)
         self._commit_or_discard(
             manifest["entries"] + new, new, parent=parent,

@@ -510,10 +510,10 @@ def test_additive_evolution_and_snapshot_schemas(spark, tmp_path):
     assert snap.columns == ["o_orderkey", "o_totalprice"]  # pre-evolution
     assert snap.count() == n_base
 
-    # batch missing a live column null-fills instead of erroring
+    # batch MISSING live columns needs no evolve flag at all (Delta
+    # semantics: a pre-evolution producer keeps working) — null-filled
     missing = o.filter(F.col("o_orderkey") > 1400).select("o_orderkey")
-    t.append(missing.withColumn("o_totalprice", F.lit(None).cast("double")),
-             evolve=True)
+    t.append(missing)
 
     # mutation across mixed-schema files keeps the evolved column
     t.delete((F.col("o_orderkey") % 2 == 1), "o_orderkey")
