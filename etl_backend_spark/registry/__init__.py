@@ -108,6 +108,7 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "dedup_embedding_multiprobe",
     "dedup_incremental",
     "dedup_clusters",
     "split_leakage_safe",

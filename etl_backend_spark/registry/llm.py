@@ -720,6 +720,104 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_multiprobe",
+    oracle="""
+    WITH p AS (
+      SELECT greatest(8, least(16,
+               cast(ceil(log2(count(*) / 32.0)) AS INT))) AS bits,
+             (64 // greatest(8, least(16,
+               cast(ceil(log2(count(*) / 32.0)) AS INT)))) AS nbands
+      FROM embeddings
+    ), bands AS (
+      SELECT vec_id, b.band,
+             list_sum(list_transform(generate_series(1, p.bits),
+               j -> CASE WHEN embedding[b.band * p.bits + j] >= 0
+                         THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))
+               AS key
+      FROM embeddings, p, (SELECT unnest(generate_series(0, 15)) AS band) b
+      WHERE b.band < p.nbands
+    ), probes AS (
+      SELECT vec_id, band, key FROM bands
+      UNION ALL
+      SELECT vec_id, band, xor(key, 1::BIGINT << (j - 1)) AS key
+      FROM bands, p, (SELECT unnest(generate_series(1, 16)) AS j) g
+      WHERE g.j <= p.bits
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM probes a
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                  AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = vec_a
+    JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                 eb.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def q_dedup_embedding_multiprobe(spark, sf_dir):
+    """dedup_embedding with HAMMING-1 MULTI-PROBING — the recall-recovery
+    dial for the adaptive band narrowing: as bits grow with n (density
+    control), per-band match probability falls (p^bits) and recall slides
+    (0.93 -> ~0.76 at τ=0.9 for 10x6). Probing each vector's band key
+    plus its `bits` hamming-1 neighbors on ONE join side raises the
+    per-band match probability to p^bits + bits·p^(bits-1)(1-p) — at
+    τ=0.9, 10 bits x 6 bands that is ~0.56/band and ~0.99 overall —
+    while costing a bounded (bits+1)x expansion of the probe side (still
+    ~linear in n; the exact-key form stays the cheap default). One-sided
+    probing with vec_a < vec_b finds each pair exactly once via the
+    smaller id's probe set. Key expansion is deterministic (XOR of sign
+    keys), so DuckDB rebuilds the identical candidate set and the whole
+    approximate pipeline stays value-checked."""
+    import math
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    n = e.count()
+    bits = min(16, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
+    nbands = 64 // bits
+    v = V.as_double(F.col("embedding"))
+    band_keys = F.array(*[
+        H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
+        for b in range(nbands)
+    ])
+    bands = e.select(
+        "vec_id", v.alias("v"),
+        F.posexplode(band_keys).alias("band", "key"),
+    )
+    probes = bands.select(
+        "vec_id", "v", "band",
+        F.explode(
+            F.array(
+                F.col("key"),
+                *[F.col("key").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+            )
+        ).alias("key"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.filter(cos >= 0.3)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@register(
     "dedup_incremental",
     oracle="""
     WITH tagged AS (

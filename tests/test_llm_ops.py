@@ -276,3 +276,22 @@ def test_split_leakage_safe_keeps_clusters_together(spark):
         .count()
     )
     assert straddling == 0
+
+
+def test_multiprobe_dominates_exact_key_lsh(spark):
+    """Hamming-1 multi-probing is a strict superset of the exact-key
+    candidate generation: every pair the base form finds survives, plus
+    recovered near-misses (one flipped sign bit in some band)."""
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding"](spark, sf).collect()
+    }
+    probed = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding_multiprobe"](spark, sf).collect()
+    }
+    assert base <= probed
+    assert len(probed) > len(base)  # probing recovers extra true pairs
