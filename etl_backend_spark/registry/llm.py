@@ -784,11 +784,17 @@ def q_dedup_embedding_multiprobe(spark, sf_dir):
         for b in range(nbands)
     ])
     bands = e.select(
-        "vec_id", v.alias("v"),
+        "vec_id",
         F.posexplode(band_keys).alias("band", "key"),
     )
+    # probes/bands carry IDs ONLY: with an (bits+1)x probe fan-out the
+    # candidate volume is ~an order of magnitude above the exact-key form,
+    # and shuffling both 64-dim vectors through the pair dedup dominated
+    # the runtime (measured 6.8x/decade at sf1). Skinny id-pair dedup +
+    # join the vectors back afterwards (exactly the oracle's shape) keeps
+    # the big shuffle at 16 bytes/row and restores the ~linear slope.
     probes = bands.select(
-        "vec_id", "v", "band",
+        "vec_id", "band",
         F.explode(
             F.array(
                 F.col("key"),
@@ -806,13 +812,16 @@ def q_dedup_embedding_multiprobe(spark, sf_dir):
         )
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    ea = e.select(F.col("vec_id").alias("__ea"), v.alias("va"))
+    eb = e.select(F.col("vec_id").alias("__eb"), v.alias("vb"))
     cos = V.cosine(F.col("va"), F.col("vb"))
     return (
-        cand.filter(cos >= 0.3)
+        cand.join(ea, F.col("vec_a") == F.col("__ea"))
+        .join(eb, F.col("vec_b") == F.col("__eb"))
+        .filter(cos >= 0.3)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
 
