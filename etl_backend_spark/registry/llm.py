@@ -694,8 +694,12 @@ def q_dedup_embedding(spark, sf_dir):
         H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
         for b in range(nbands)
     ])
+    # ids only through the candidate join + dedup (the wide columns are
+    # the 64-dim vectors — shuffling them per-candidate dominated the
+    # multiprobe variant's runtime; same fix applied here), vectors
+    # joined back for the exact-cosine filter afterwards.
     bands = e.select(
-        "vec_id", v.alias("v"),
+        "vec_id",
         F.posexplode(band_keys).alias("band", "key"),
     )
     cand = (
@@ -708,13 +712,16 @@ def q_dedup_embedding(spark, sf_dir):
         )
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    ea = e.select(F.col("vec_id").alias("__ea"), v.alias("va"))
+    eb = e.select(F.col("vec_id").alias("__eb"), v.alias("vb"))
     cos = V.cosine(F.col("va"), F.col("vb"))
     return (
-        cand.filter(cos >= 0.3)
+        cand.join(ea, F.col("vec_a") == F.col("__ea"))
+        .join(eb, F.col("vec_b") == F.col("__eb"))
+        .filter(cos >= 0.3)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
 
