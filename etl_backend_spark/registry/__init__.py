@@ -159,6 +159,8 @@ PRIORITY: list[str] = [
     "join_1n_nested_salted",
     "tpch_q3_bucketed",
     "window_latest_per_group_bucketed",
+    "stream_sessionize_bucketed",
+    "events_zscore_bucketed",
     # -- reporting tails: global-total-order forms (Exchange SinglePartition
     # by design; one task sorts everything). Registered LAST so nothing in
     # the verified head depends on them; the keyed/sketch forms above are

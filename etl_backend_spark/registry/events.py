@@ -93,6 +93,71 @@ def q_stream_sessionize(spark, sf_dir):
 
 
 @register(
+    "stream_sessionize_bucketed",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessionize_bucketed(spark, sf_dir):
+    """stream_sessionize over events BUCKETED ON user_id
+    (sources.catalog.bucketed_events_table): the session-window
+    aggregation's required user_id distribution is satisfied by the scan
+    — ZERO exchanges for the whole sessionization (plan-asserted), where
+    the plain form shuffles the full events table per query. Same
+    one-time-ingest amortization as the orderkey fact pair."""
+    from ..sources.catalog import bucketed_events_table
+
+    ev = spark.table(bucketed_events_table(spark, sf_dir))
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@register(
+    "events_zscore_bucketed",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+    FROM events
+    """,
+)
+def q_events_zscore_bucketed(spark, sf_dir):
+    """events_zscore over the user-bucketed layout: the per-key window's
+    distribution comes from the scan — zero exchanges (plan-asserted),
+    vs one full-table shuffle per query on the plain path."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import bucketed_events_table
+
+    ev = spark.table(bucketed_events_table(spark, sf_dir))
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", "user_id", F.round(z, 4).alias("z"))
+
+
+@register(
     "stream_agg_touch",
     oracle="""
     SELECT user_id, max(ts) AS updated_at, count(*) AS n_messages

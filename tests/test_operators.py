@@ -635,3 +635,20 @@ def test_window_latest_bucketed_zero_shuffle(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, QUERIES["window_latest_per_group"](spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_events_family_bucketed_zero_shuffle(spark):
+    """Sessionize and z-score over the user-bucketed events layout plan
+    with zero exchanges and match their plain forms exactly."""
+    from etl_backend_spark.registry import QUERIES
+
+    for bucketed, plain in (
+        ("stream_sessionize_bucketed", "stream_sessionize"),
+        ("events_zscore_bucketed", "events_zscore"),
+    ):
+        df = QUERIES[bucketed](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, (bucketed, plan)
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, QUERIES[plain](spark, SF_DIR).collect()))
+        assert a == b and len(a) > 0, bucketed
