@@ -38,8 +38,11 @@ SF1_QUERIES = [
 # the round-3 verdict asked to take through the fourth decade, plus the
 # bucketed fact-join variants whose whole point is the scaling slope
 EXTRA = [
-    "corpus_pipeline", "dedup_embedding", "contamination_check",
-    "join_two_hop_bucketed", "tpch_q5_bucketed",
+    "corpus_pipeline", "dedup_embedding", "dedup_embedding_multiprobe",
+    "contamination_check", "join_two_hop_bucketed", "tpch_q5_bucketed",
+    "tpch_q3_bucketed", "join_1n_nested_bucketed",
+    "window_latest_per_group_bucketed", "stream_sessionize_bucketed",
+    "join_salted", "window_rolling_range", "window_rolling_range_salted",
 ]
 
 
