@@ -537,3 +537,75 @@ def test_evolution_survives_compaction(spark, tmp_path):
     after = t.read()
     assert after.columns == ["o_orderkey", "o_totalprice", "o_channel"]
     assert after.filter(F.col("o_channel") == "web").count() == before
+
+
+def test_crash_during_compact_leaves_table_intact(spark, tmp_path, monkeypatch):
+    """A compaction that dies between writing its merged files and the
+    pointer swap must leave the live table byte-identical; the orphaned
+    merge output is reclaimable by vacuum."""
+    from etl_backend_spark.etl import manifest as M
+
+    o = Catalog(spark, SF_DIR).table("orders")
+    t = ManifestTable(spark, str(tmp_path), "orders", ["o_orderkey"])
+    t.create(o.repartition(8))
+    before = sorted(e["path"] for e in t.files())
+    n_before = t.read().count()
+
+    real_commit = t._commit
+
+    def dying_commit(*a, **k):
+        raise RuntimeError("killed before pointer swap")
+
+    monkeypatch.setattr(t, "_commit", dying_commit)
+    with pytest.raises(RuntimeError, match="pointer swap"):
+        t.compact(target_rows=100_000)
+    monkeypatch.setattr(t, "_commit", real_commit)
+
+    # live state untouched
+    assert sorted(e["path"] for e in t.files()) == before
+    assert t.read().count() == n_before
+    # vacuum reclaims the orphaned merge output
+    stats = M.vacuum(t)
+    assert stats["data_files"] > 0
+    assert t.read().count() == n_before  # still intact after vacuum
+
+
+def test_concurrent_evolution_and_append_converge(spark, tmp_path):
+    """Writer A evolves the schema while writer B appends the old column
+    set from the SAME snapshot: the CAS rejects the loser, and the retry
+    (old-schema batch, no evolve flag) null-fills into the widened
+    table — no lost update, no rejected producer."""
+    from etl_backend_spark.etl.manifest import CommitConflict
+
+    o = Catalog(spark, SF_DIR).table("orders").select("o_orderkey", "o_totalprice")
+    t = ManifestTable(spark, str(tmp_path), "orders", ["o_orderkey"])
+    t.create(o.filter(F.col("o_orderkey") <= 100))
+
+    evolved = (
+        o.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200))
+        .withColumn("o_channel", F.lit("web"))
+    )
+    old_style = o.filter((F.col("o_orderkey") > 1400))
+
+    # both writers snapshot the same parent: A commits first, B conflicts
+    tb = ManifestTable(spark, str(tmp_path), "orders", ["o_orderkey"])
+    parent_b, manifest_b = tb._snapshot()
+    t.append(evolved, evolve=True)  # writer A wins
+    new_b = tb._write_files(old_style)
+    with pytest.raises(CommitConflict):
+        tb._commit_or_discard(
+            manifest_b["entries"] + new_b, new_b, parent=parent_b
+        )
+    tb.append(old_style)  # B's retry: plain append into the evolved table
+
+    live = t.read()
+    assert live.columns == ["o_orderkey", "o_totalprice", "o_channel"]
+    assert live.count() == (
+        o.filter(F.col("o_orderkey") <= 100).count()
+        + evolved.count()
+        + old_style.count()
+    )
+    # B's rows landed with the new column null-filled
+    assert live.filter(
+        (F.col("o_orderkey") > 1400) & F.col("o_channel").isNull()
+    ).count() == old_style.count()
