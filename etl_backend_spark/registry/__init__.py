@@ -161,6 +161,7 @@ PRIORITY: list[str] = [
     "window_latest_per_group_bucketed",
     "stream_sessionize_bucketed",
     "events_zscore_bucketed",
+    "events_user_daily",
     # -- reporting tails: global-total-order forms (Exchange SinglePartition
     # by design; one task sorts everything). Registered LAST so nothing in
     # the verified head depends on them; the keyed/sketch forms above are

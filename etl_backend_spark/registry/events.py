@@ -261,6 +261,59 @@ def q_events_zscore(spark, sf_dir):
 
 
 @register(
+    "events_user_daily",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def q_events_user_daily(spark, sf_dir):
+    """Time-sliced per-user rollup over the COMBINED layout
+    (sources.catalog.partitioned_bucketed_events_table: event_date
+    partitions + user_id buckets): the date bounds prune whole
+    directories at plan time, the exact ts bounds push to row groups,
+    and the per-user aggregation consumes the bucket partitioning —
+    PartitionFilters AND zero exchanges in one plan (plan-asserted).
+    This is the dashboard shape at 100 TB: scan two days' directories,
+    aggregate per user without moving a row. The derived event_date
+    bounds reuse the granularity-slop rule (over-widened, never
+    under-widened)."""
+    import datetime as _dt
+
+    from ..sources.catalog import (
+        _GRAN_SLOP_DAYS,
+        _events_granularity,
+        events_partitioned_path,
+        partitioned_bucketed_events_table,
+    )
+
+    lo, hi = "2024-01-10T00:00:00", "2024-01-12T00:00:00"
+    t_lo, t_hi = _dt.datetime.fromisoformat(lo), _dt.datetime.fromisoformat(hi)
+    slop = _dt.timedelta(
+        days=_GRAN_SLOP_DAYS[
+            _events_granularity(events_partitioned_path(spark, sf_dir))
+        ]
+    )
+    ev = spark.table(partitioned_bucketed_events_table(spark, sf_dir))
+    return (
+        ev.filter(
+            (F.col("event_date") >= F.lit((t_lo - slop).date()))
+            & (F.col("event_date") <= F.lit((t_hi + _dt.timedelta(days=1)).date()))
+            & (F.col("ts") >= F.lit(t_lo))
+            & (F.col("ts") < F.lit(t_hi))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "events_time_range",
     oracle="""
     SELECT event_id, user_id, ts, event_type FROM events

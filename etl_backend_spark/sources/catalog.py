@@ -432,6 +432,40 @@ def bucketed_events_table(spark: SparkSession, sf_dir: str | None = None,
     return name
 
 
+def partitioned_bucketed_events_table(spark: SparkSession,
+                                      sf_dir: str | None = None,
+                                      n_buckets: int = 16) -> str:
+    """THE production events layout, both axes at once: partitioned by
+    event_date (plan-time directory pruning for time predicates, same
+    granularity machinery as the date-partitioned layout) AND bucketed
+    on user_id (keyed windows/aggs/joins consume the scan's hash
+    partitioning — no per-query shuffle). A time-sliced per-user
+    aggregation over this table plans PartitionFilters + zero
+    exchanges, which is exactly the dashboard/metrics query shape at
+    100 TB: scan two days of directories, aggregate per user without
+    moving a row."""
+    import hashlib
+    import tempfile
+
+    from .cache import file_fingerprint
+    from .layout import ensure_partitioned_bucketed_table
+
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    src = f"{sf_dir}/events.parquet"
+    key = hashlib.md5(
+        f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
+    ).hexdigest()[:12]
+    name = f"etlbs_events_pb{key}"
+    loc = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-pbkt-events-{key}"
+    )
+    ensure_partitioned_bucketed_table(
+        spark, events_with_date(spark, sf_dir), name, loc,
+        "event_date", "user_id", n_buckets,
+    )
+    return name
+
+
 def events_with_date(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Events INCLUDING the event_date partition column — filters on it
     prune whole day-directories at plan time (PartitionFilters)."""

@@ -90,6 +90,51 @@ def ensure_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
     return name
 
 
+def ensure_partitioned_bucketed_table(spark: SparkSession, df: DataFrame,
+                                      name: str, location: str,
+                                      partition_col: str, bucket_col: str,
+                                      n_buckets: int) -> str:
+    """Idempotent PARTITIONED + BUCKETED external table — the production
+    events layout: partition dirs give plan-time pruning on the time
+    axis, bucketing gives shuffle-free keyed aggregation/joins on the
+    entity axis, in ONE table. Re-declaration over an existing LOCATION
+    is metadata-only plus a partition recovery (the dirs are
+    self-describing); Spark trusts the bucket spec from its own file
+    naming, same as ensure_bucketed_table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if spark.catalog.tableExists(name):
+        return name
+    if os.path.isdir(location):
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields if f.name != partition_col
+        )
+        ptype = next(
+            f.dataType.simpleString() for f in df.schema.fields
+            if f.name == partition_col
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"PARTITIONED BY ({partition_col} {ptype}) "
+            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{location}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+        return name
+    (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.partitionBy(partition_col)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", location)
+        .saveAsTable(name)
+    )
+    return name
+
+
 def zorder_value(a, b, bits: int = 18):
     """Morton (Z-order) interleave of two non-negative integer columns:
     bit k of `a` lands at position 2k, bit k of `b` at 2k+1. Sorting by this

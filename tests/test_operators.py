@@ -652,3 +652,30 @@ def test_events_family_bucketed_zero_shuffle(spark):
         a = sorted(map(tuple, df.collect()))
         b = sorted(map(tuple, QUERIES[plain](spark, SF_DIR).collect()))
         assert a == b and len(a) > 0, bucketed
+
+
+def test_events_user_daily_prunes_and_never_shuffles(spark):
+    """The combined layout's headline property: directory pruning on the
+    time axis AND a shuffle-free keyed aggregation in the same plan."""
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES["events_user_daily"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan
+    assert "GreaterThanOrEqual(ts," in plan  # row-group pruning too
+    # value parity with a plain time-ranged group-by
+    from etl_backend_spark.sources.catalog import load_table
+
+    base = (
+        load_table(spark, "events", SF_DIR)
+        .filter(
+            (F.col("ts") >= F.to_timestamp(F.lit("2024-01-10T00:00:00")))
+            & (F.col("ts") < F.to_timestamp(F.lit("2024-01-12T00:00:00")))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, base.collect()))
+    assert a == b and len(a) > 0
