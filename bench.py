@@ -53,6 +53,7 @@ HEADLINE = [
     "join_1n_nested_bucketed", # same over the co-located layout (0 shuffles)
     "window_rolling_range",    # 1h trailing interval frame per key
     "window_latest_per_group_bucketed",  # keyed window, zero-shuffle layout
+    "events_user_daily",       # combined layout: pruned dirs + 0 exchanges
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second
