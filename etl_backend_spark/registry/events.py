@@ -284,24 +284,18 @@ def q_events_user_daily(spark, sf_dir):
     import datetime as _dt
 
     from ..sources.catalog import (
-        _GRAN_SLOP_DAYS,
-        _events_granularity,
-        events_partitioned_path,
+        event_date_bounds,
         partitioned_bucketed_events_table,
     )
 
     lo, hi = "2024-01-10T00:00:00", "2024-01-12T00:00:00"
     t_lo, t_hi = _dt.datetime.fromisoformat(lo), _dt.datetime.fromisoformat(hi)
-    slop = _dt.timedelta(
-        days=_GRAN_SLOP_DAYS[
-            _events_granularity(events_partitioned_path(spark, sf_dir))
-        ]
-    )
+    d_lo, d_hi = event_date_bounds(spark, sf_dir, lo, hi)
     ev = spark.table(partitioned_bucketed_events_table(spark, sf_dir))
     return (
         ev.filter(
-            (F.col("event_date") >= F.lit((t_lo - slop).date()))
-            & (F.col("event_date") <= F.lit((t_hi + _dt.timedelta(days=1)).date()))
+            (F.col("event_date") >= F.lit(d_lo))
+            & (F.col("event_date") <= F.lit(d_hi))
             & (F.col("ts") >= F.lit(t_lo))
             & (F.col("ts") < F.lit(t_hi))
         )

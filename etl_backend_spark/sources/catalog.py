@@ -432,6 +432,29 @@ def bucketed_events_table(spark: SparkSession, sf_dir: str | None = None,
     return name
 
 
+def event_date_bounds(spark: SparkSession, sf_dir: str | None,
+                      lo: str | None = None,
+                      hi: str | None = None) -> tuple:
+    """Derived event_date partition bounds for a ts range over the events
+    layouts — the granularity-slop rule in one public place: the lower
+    bound widens by one layout granularity unit (+ a day of slop), the
+    upper by one day, so truncation/boundary effects can only OVER-widen
+    (extra directories scanned, rows re-filtered by the exact ts
+    predicate — never dropped). Returns (lo_date | None, hi_date | None)
+    for use as event_date predicates next to the exact ts bounds."""
+    import datetime as _dt
+
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = events_partitioned_path(spark, sf_dir)
+    slop = _dt.timedelta(days=_GRAN_SLOP_DAYS[_events_granularity(path)])
+    lo_d = (_dt.datetime.fromisoformat(lo) - slop).date() if lo else None
+    hi_d = (
+        (_dt.datetime.fromisoformat(hi) + _dt.timedelta(days=1)).date()
+        if hi else None
+    )
+    return lo_d, hi_d
+
+
 def partitioned_bucketed_events_table(spark: SparkSession,
                                       sf_dir: str | None = None,
                                       n_buckets: int = 16) -> str:
@@ -516,22 +539,17 @@ def load_events_time_range(spark: SparkSession, sf_dir: str | None,
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = events_partitioned_path(spark, sf_dir)
-    slop = _dt.timedelta(days=_GRAN_SLOP_DAYS[_events_granularity(path)])
     df = spark.read.schema(_events_layout_schema()).parquet(path)
-
-    def parse(s: str) -> _dt.datetime:
-        return _dt.datetime.fromisoformat(s)
+    d_lo, d_hi = event_date_bounds(spark, sf_dir, lo, hi)
 
     if lo is not None:
-        t = parse(lo)
         df = df.filter(
-            (F.col("event_date") >= F.lit((t - slop).date()))
-            & (F.col("ts") >= F.lit(t))
+            (F.col("event_date") >= F.lit(d_lo))
+            & (F.col("ts") >= F.lit(_dt.datetime.fromisoformat(lo)))
         )
     if hi is not None:
-        t = parse(hi)
         df = df.filter(
-            (F.col("event_date") <= F.lit((t + _dt.timedelta(days=1)).date()))
-            & (F.col("ts") < F.lit(t))
+            (F.col("event_date") <= F.lit(d_hi))
+            & (F.col("ts") < F.lit(_dt.datetime.fromisoformat(hi)))
         )
     return df.drop("event_date")
