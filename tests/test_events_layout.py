@@ -216,3 +216,18 @@ def test_events_family_ts_predicate_pushes_down(spark):
     agg = base.groupBy(F.window("ts", "5 minutes")).count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(ts," in plan
+
+
+def test_event_date_bounds_over_widen_only(spark):
+    """The public bounds helper: open-ended sides stay None; closed sides
+    widen by at least the granularity slop below and one day above."""
+    import datetime as dt
+
+    from etl_backend_spark.sources.catalog import event_date_bounds
+
+    lo, hi = event_date_bounds(spark, SF_DIR, "2024-01-10T12:00:00", None)
+    assert hi is None
+    assert lo <= dt.date(2024, 1, 9)  # at least a day of slop below
+    lo2, hi2 = event_date_bounds(spark, SF_DIR, None, "2024-01-12T00:00:00")
+    assert lo2 is None
+    assert hi2 >= dt.date(2024, 1, 13)  # a day above
