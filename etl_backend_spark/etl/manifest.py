@@ -260,39 +260,43 @@ class ManifestTable:
             reader = reader.schema(schema)
         return reader.parquet(*[e["path"] for e in entries])
 
-    def append(self, df: DataFrame, evolve: bool = False) -> None:
-        """Append a batch. Delta-style schema handling: a batch MISSING
-        live columns is always accepted (missing columns null-fill — a
+    def _align_to_live(self, df: DataFrame, manifest: dict,
+                       evolve: bool) -> tuple[DataFrame, str | None]:
+        """Delta-style schema handling shared by append/append_once: a
+        batch MISSING live columns is always accepted (null-filled — a
         pre-evolution producer keeps working after someone else ran ADD
-        COLUMN), but a batch with EXTRA columns needs ``evolve=True``:
-        the new columns are appended to the live schema and the widened
-        schema rides the same commit (ADD COLUMN semantics). Without
-        evolve, extra columns are rejected loudly — silent column drift
-        is how data lakes rot. Type changes are never merged (additive
-        evolution only); past snapshots keep their own column set
+        COLUMN); a batch with EXTRA columns needs ``evolve=True``, which
+        appends them to the live schema and returns the widened schema
+        json so it rides the SAME commit. Without evolve, extra columns
+        are rejected loudly — silent column drift is how data lakes rot.
+        Type changes are never merged (additive evolution only)."""
+        live = self._schema_of(manifest)
+        if live is None:
+            return df, None
+        live_names = {f.name for f in live.fields}
+        batch_names = {f.name for f in df.schema.fields}
+        extra = [f for f in df.schema.fields if f.name not in live_names]
+        if extra and not evolve:
+            raise ValueError(
+                f"append schema mismatch: batch has extra columns "
+                f"{sorted(f.name for f in extra)}; pass evolve=True "
+                "for additive ADD COLUMN evolution"
+            )
+        target = type(live)(list(live.fields) + extra)
+        if batch_names != {f.name for f in target.fields} or extra:
+            df = df.select(*[
+                F.col(f.name) if f.name in batch_names
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ])
+        return df, (target.json() if extra else None)
+
+    def append(self, df: DataFrame, evolve: bool = False) -> None:
+        """Append a batch with Delta-style schema handling (see
+        ``_align_to_live``); past snapshots keep their own column set
         (read_at reads with the schema recorded in THAT manifest)."""
         parent, manifest = self._snapshot()
-        live = self._schema_of(manifest)
-        schema_json = None
-        if live is not None:
-            live_names = {f.name for f in live.fields}
-            batch_names = {f.name for f in df.schema.fields}
-            extra = [f for f in df.schema.fields if f.name not in live_names]
-            if extra and not evolve:
-                raise ValueError(
-                    f"append schema mismatch: batch has extra columns "
-                    f"{sorted(f.name for f in extra)}; pass evolve=True "
-                    "for additive ADD COLUMN evolution"
-                )
-            target = type(live)(list(live.fields) + extra)
-            if batch_names != {f.name for f in target.fields} or extra:
-                df = df.select(*[
-                    F.col(f.name) if f.name in batch_names
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in target.fields
-                ])
-            if extra:
-                schema_json = target.json()
+        df, schema_json = self._align_to_live(df, manifest, evolve)
         new = self._write_files(df)
         self._commit_or_discard(
             manifest["entries"] + new, new, parent=parent,
@@ -314,6 +318,9 @@ class ManifestTable:
         parent, manifest = self._snapshot()
         if txn in manifest.get("txns", {}):
             return False  # replayed batch — already committed
+        # same alignment contract as append (a streaming producer that
+        # missed an ADD COLUMN keeps working; drift still rejected)
+        df, _ = self._align_to_live(df, manifest, evolve=False)
         new = self._write_files(df)
         self._commit_or_discard(
             manifest["entries"] + new, new, parent=parent, txn=txn,
