@@ -361,8 +361,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def adaptive_bucket_count(spark: SparkSession, *paths: str) -> int:
+    """Bucket count for a (set of co-bucketed) table(s): at least the
+    cluster's parallelism (a bucketed scan runs one task per bucket —
+    fewer buckets than cores idles the rest, the cap the round-4 sf1
+    sweep measured at fixed 16), and at least one bucket per ~128 MiB of
+    the largest member (files stay task-sized). Both sides of a
+    co-located join MUST share the count — pass all paths together."""
+    biggest = max(_source_bytes(p) for p in paths)
+    return max(
+        spark.sparkContext.defaultParallelism,
+        (biggest + (128 << 20) - 1) // (128 << 20),
+    )
+
+
 def bucketed_fact_tables(spark: SparkSession, sf_dir: str | None = None,
-                         n_buckets: int = 16) -> tuple[str, str]:
+                         n_buckets: int | None = None) -> tuple[str, str]:
     """Co-located fact pair for the recurring orderkey join: lineitem
     bucketed on l_orderkey and orders on o_orderkey, same bucket count —
     the li⋈o join then plans with ZERO shuffle exchange (and, with one
@@ -383,6 +397,10 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str | None = None,
     from .layout import ensure_bucketed_table
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if n_buckets is None:
+        n_buckets = adaptive_bucket_count(
+            spark, f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        )
     names = []
     for tbl, col in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         src = f"{sf_dir}/{tbl}.parquet"
@@ -401,7 +419,7 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str | None = None,
 
 
 def bucketed_events_table(spark: SparkSession, sf_dir: str | None = None,
-                          n_buckets: int = 16) -> str:
+                          n_buckets: int | None = None) -> str:
     """Events bucketed on user_id: the keyed-window family (latest-per-
     user, sessionize, z-score, rolling frames) partitions by user_id on
     EVERY query — with this layout the window's required distribution is
@@ -418,6 +436,8 @@ def bucketed_events_table(spark: SparkSession, sf_dir: str | None = None,
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
     src = f"{sf_dir}/events.parquet"
+    if n_buckets is None:
+        n_buckets = adaptive_bucket_count(spark, src)
     key = hashlib.md5(
         f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
     ).hexdigest()[:12]
@@ -457,7 +477,7 @@ def event_date_bounds(spark: SparkSession, sf_dir: str | None,
 
 def partitioned_bucketed_events_table(spark: SparkSession,
                                       sf_dir: str | None = None,
-                                      n_buckets: int = 16) -> str:
+                                      n_buckets: int | None = None) -> str:
     """THE production events layout, both axes at once: partitioned by
     event_date (plan-time directory pruning for time predicates, same
     granularity machinery as the date-partitioned layout) AND bucketed
@@ -475,6 +495,8 @@ def partitioned_bucketed_events_table(spark: SparkSession,
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
     src = f"{sf_dir}/events.parquet"
+    if n_buckets is None:
+        n_buckets = adaptive_bucket_count(spark, src)
     key = hashlib.md5(
         f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
     ).hexdigest()[:12]
