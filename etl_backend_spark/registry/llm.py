@@ -51,7 +51,22 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-_JACCARD_DF_CAP = 32  # drop shingles present in more docs (boilerplate)
+# Document-frequency cap: drop shingles present in more docs (boilerplate —
+# headers, license blurbs). Derivation (why an ABSOLUTE cap, not a corpus-
+# relative quantile): the candidate fan-out of a shingle with doc-frequency
+# DF is DF*(DF-1)/2 pairs, so total candidate volume is sum(DF^2)/2 over
+# kept shingles <= (CAP/2) * sum(DF) = (CAP/2) * |shingle rows| — i.e. an
+# absolute cap is exactly what keeps candidate volume LINEAR in corpus size
+# with a fixed blowup multiplier CAP/2. A quantile-derived cap grows with
+# the corpus and re-admits quadratic fan-out (0.1% of 1e9 docs = 1e6-doc
+# shingles => 5e11 pairs from ONE shingle). CAP = 2 * _JACCARD_PAIR_BLOWUP
+# where the blowup budget is the max candidate-pairs-per-shingle-row
+# multiplier we accept; 16x matches CCNet/suffix-array boilerplate-filter
+# practice (DF cap of a few dozen). Tune the budget, not the cap. The
+# oracle SQL interpolates the SAME constant (f-string below), and
+# tests/test_llm_ops.py asserts engine and oracle agree on it.
+_JACCARD_PAIR_BLOWUP = 16
+_JACCARD_DF_CAP = 2 * _JACCARD_PAIR_BLOWUP
 
 @register(
     "dedup_ngram_jaccard",
@@ -125,8 +140,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         d.select("doc_id", "text").repartition(n_par),
         "doc_id", "text", k=3, distinct=False,
     )
+    # Group on xxhash64(shingle), not the string: 8-byte fixed keys cut
+    # shuffle bytes ~60% and hash/compare cost in both aggregation phases
+    # (round-5 interleaved A/B: -20% end-to-end; packing the pair key the
+    # same way measured flat and was dropped). Collision risk: merging two
+    # distinct shingles requires a 64-bit collision; expected collisions
+    # ~n_shingles^2/2^65 — ~3e-2 at 1e9 distinct shingles, and at 1e12 the
+    # ~3e4 expected collisions perturb pair counts by ~1e-8 relative. The
+    # gate result at sf0.01/sf0.1 is bit-identical to the string-keyed
+    # form (asserted when this landed).
     grouped = (
-        sh_all.groupBy("shingle")
+        sh_all.select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .groupBy("sh")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") <= _JACCARD_DF_CAP)
     )

@@ -295,3 +295,18 @@ def test_multiprobe_dominates_exact_key_lsh(spark):
     }
     assert base <= probed
     assert len(probed) > len(base)  # probing recovers extra true pairs
+
+
+def test_jaccard_df_cap_engine_oracle_agree():
+    """The boilerplate DF cap is derived once (2 x pair-blowup budget) and
+    interpolated into every oracle that filters on it; a drifted engine-side
+    constant would silently change results. Assert the oracle SQL carries
+    the exact derived value."""
+    from etl_backend_spark.registry import ORACLES
+    from etl_backend_spark.registry.llm import (
+        _JACCARD_DF_CAP,
+        _JACCARD_PAIR_BLOWUP,
+    )
+
+    assert _JACCARD_DF_CAP == 2 * _JACCARD_PAIR_BLOWUP
+    assert f"count(*) <= {_JACCARD_DF_CAP}" in ORACLES["dedup_ngram_jaccard"]
