@@ -260,21 +260,38 @@ class ManifestTable:
             reader = reader.schema(schema)
         return reader.parquet(*[e["path"] for e in entries])
 
+    # Lossless numeric widenings accepted from a batch column INTO the live
+    # type (batch simpleString -> allowed live simpleStrings). Anything not
+    # here — narrowing, float->int, string<->numeric, nested drift — is a
+    # type CHANGE and is rejected at append time. int->float and
+    # bigint->double are deliberately absent (lossy above 2^24 / 2^53).
+    _WIDENS = {
+        "tinyint": {"smallint", "int", "bigint", "float", "double"},
+        "smallint": {"int", "bigint", "float", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+        "void": None,  # all-NULL literal column: castable to any live type
+    }
+
     def _align_to_live(self, df: DataFrame, manifest: dict,
                        evolve: bool) -> tuple[DataFrame, str | None]:
-        """Delta-style schema handling shared by append/append_once: a
-        batch MISSING live columns is always accepted (null-filled — a
-        pre-evolution producer keeps working after someone else ran ADD
-        COLUMN); a batch with EXTRA columns needs ``evolve=True``, which
-        appends them to the live schema and returns the widened schema
-        json so it rides the SAME commit. Without evolve, extra columns
-        are rejected loudly — silent column drift is how data lakes rot.
-        Type changes are never merged (additive evolution only)."""
+        """Delta-style schema handling shared by every write path (append,
+        append_once, upsert): a batch MISSING live columns is always
+        accepted (null-filled — a pre-evolution producer keeps working
+        after someone else ran ADD COLUMN); a batch with EXTRA columns
+        needs ``evolve=True``, which appends them to the live schema and
+        returns the widened schema json so it rides the SAME commit.
+        Without evolve, extra columns are rejected loudly — silent column
+        drift is how data lakes rot. A batch column sharing a live name
+        with a DIFFERENT type is cast up when losslessly widenable
+        (``_WIDENS``) and rejected loudly otherwise — the mismatch must
+        fail at write time, not as a parquet conversion error (or silent
+        miscast) on some later read with the declared live schema."""
         live = self._schema_of(manifest)
         if live is None:
             return df, None
         live_names = {f.name for f in live.fields}
-        batch_names = {f.name for f in df.schema.fields}
+        batch_fields = {f.name: f for f in df.schema.fields}
         extra = [f for f in df.schema.fields if f.name not in live_names]
         if extra and not evolve:
             raise ValueError(
@@ -282,11 +299,37 @@ class ManifestTable:
                 f"{sorted(f.name for f in extra)}; pass evolve=True "
                 "for additive ADD COLUMN evolution"
             )
+        drift = []
+        for f in live.fields:
+            b = batch_fields.get(f.name)
+            if b is None or b.dataType == f.dataType:
+                continue
+            bt = b.dataType.simpleString()
+            widens = self._WIDENS.get(bt)
+            if bt == "void" or (widens and f.dataType.simpleString() in widens):
+                continue  # lossless upcast handled in the projection below
+            drift.append(f"{f.name}: batch {bt} vs live "
+                         f"{f.dataType.simpleString()}")
+        if drift:
+            raise ValueError(
+                "append type mismatch (type evolution is never merged): "
+                + "; ".join(drift)
+            )
         target = type(live)(list(live.fields) + extra)
-        if batch_names != {f.name for f in target.fields} or extra:
+        needs_cast = any(
+            f.name in batch_fields
+            and batch_fields[f.name].dataType != f.dataType
+            for f in target.fields
+        )
+        if {f.name for f in df.schema.fields} != {
+            f.name for f in target.fields
+        } or extra or needs_cast:
             df = df.select(*[
-                F.col(f.name) if f.name in batch_names
-                else F.lit(None).cast(f.dataType).alias(f.name)
+                (
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in batch_fields
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
                 for f in target.fields
             ])
         return df, (target.json() if extra else None)
@@ -394,8 +437,14 @@ class ManifestTable:
         ``incoming`` must be unique on ``key`` — duplicate source keys have
         no defined MERGE semantics (Delta raises too), and silently landing
         both copies would corrupt the table's key uniqueness. Checked in
-        the same job as the key-range scan; raises ValueError."""
+        the same job as the key-range scan; raises ValueError.
+
+        Incoming rides the same ``_align_to_live`` contract as append:
+        extra columns are rejected loudly (no silent drift invisible on
+        declared-schema reads), missing columns null-fill, and type drift
+        raises at write time."""
         parent, manifest = self._snapshot()
+        incoming, _ = self._align_to_live(incoming, manifest, evolve=False)
         lo, hi, n, n_keys = incoming.agg(
             F.min(key), F.max(key), F.count(F.lit(1)), F.count_distinct(key)
         ).collect()[0]

@@ -22,6 +22,7 @@ unboundedly at 100 TB/day event volumes.
 
 from __future__ import annotations
 
+import bisect
 import os
 from typing import Iterable
 
@@ -190,13 +191,17 @@ def _rolling_counter(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     probe the reference runs as a per-request COUNT query
     (src/routes/ads.ts:155 count-then-act), kept incrementally here.
 
-    State is the user's event timestamps (µs) inside the trailing hour —
-    bounded by per-user event rate, pruned as the frame slides, never the
-    full history. Events are replayed in (ts, event_id) order within the
-    batch (chunks arrive unordered); cross-batch late events older than
-    the pruned frame would undercount, which is the same contract as a
-    watermark — the batch twin (window_rolling_range) is the exact
-    restatement tool."""
+    State is the user's event timestamps (µs) inside the trailing hour
+    behind the NEWEST stamp seen — bounded by per-user event rate, pruned
+    as the frame slides, never the full history. Events are replayed in
+    (ts, event_id) order within the batch (chunks arrive unordered); a
+    cross-batch LATE event (ts older than the state tail) is inserted at
+    its sorted position and counted exactly over its own [ts-1h, ts]
+    frame via bisect — late stamps never corrupt the sort invariant the
+    prefix prune relies on. The watermark contract: stamps older than
+    (newest - 1h) are dropped, so a late event whose frame reaches below
+    that horizon undercounts by the pruned stamps — the batch twin
+    (window_rolling_range) is the exact restatement tool."""
     stamps: list[int] = list(state.get[0]) if state.exists else []
     chunks = [p for p in pdfs if len(p)]
     out_eid: list[int] = []
@@ -212,17 +217,22 @@ def _rolling_counter(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         # count each other, whichever replay order they arrive in
         for t, grp in batch.groupby("__us", sort=True):
             t = int(t)
-            stamps.extend([t] * len(grp))
+            # sorted insert: in-order events append at the tail (pos ==
+            # len); a cross-batch late event lands mid-list, keeping the
+            # sort invariant
+            pos = bisect.bisect_right(stamps, t)
+            stamps[pos:pos] = [t] * len(grp)
+            # exact frame count for THIS event's [t-1h, t], independent of
+            # any newer stamps already in state
             lo = t - _ROLL_W_US
-            # stamps is sorted (in-order replay + pruned prefix): drop the
-            # aged-out head; what remains IS the frame [t-1h, t]
-            i = 0
-            while stamps[i] < lo:
-                i += 1
-            if i:
-                stamps = stamps[i:]
+            n = bisect.bisect_right(stamps, t) - bisect.bisect_left(stamps, lo)
+            # prune against the NEWEST stamp's frame (not this event's):
+            # stamps >= newest-1h stay live for future in-order events
+            k = bisect.bisect_left(stamps, stamps[-1] - _ROLL_W_US)
+            if k:
+                stamps = stamps[k:]
             out_eid.extend(int(e) for e in grp["event_id"])
-            out_n.extend([len(stamps)] * len(grp))
+            out_n.extend([n] * len(grp))
     state.update((stamps,))
     yield pd.DataFrame(
         {

@@ -609,3 +609,51 @@ def test_concurrent_evolution_and_append_converge(spark, tmp_path):
     assert live.filter(
         (F.col("o_orderkey") > 1400) & F.col("o_channel").isNull()
     ).count() == old_style.count()
+
+
+def test_append_rejects_type_drift(spark, tmp_path):
+    """A batch column sharing a live column's name with an incompatible
+    type must fail AT WRITE TIME — not land and surface later as a parquet
+    conversion error on a declared-schema read."""
+    t = ManifestTable(spark, str(tmp_path), "t", ["k"])
+    t.create(spark.createDataFrame([(1, 10.5)], "k bigint, v double"))
+    bad = spark.createDataFrame([(2, "oops")], "k bigint, v string")
+    with pytest.raises(ValueError, match="type mismatch.*v.*string.*double"):
+        t.append(bad)
+    # evolve=True does not bless type CHANGES either (additive only)
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.append(bad, evolve=True)
+    assert t.read().count() == 1  # nothing committed
+
+
+def test_append_widens_lossless_numeric_types(spark, tmp_path):
+    """int -> bigint and float -> double batch columns upcast silently
+    (lossless); the stored file carries the LIVE types so declared-schema
+    reads never hit a parquet type conflict."""
+    t = ManifestTable(spark, str(tmp_path), "t", ["k"])
+    t.create(spark.createDataFrame([(1, 1.5)], "k bigint, v double"))
+    t.append(spark.createDataFrame([(2, 2.5)], "k int, v float"))
+    got = t.read().orderBy("k")
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "double"]
+    assert [(r.k, r.v) for r in got.collect()] == [(1, 1.5), (2, 2.5)]
+
+
+def test_upsert_applies_align_contract(spark, tmp_path):
+    """upsert rides _align_to_live like append: extra columns raise
+    loudly (previously written as-is and invisible on declared-schema
+    reads), missing columns null-fill, type drift raises."""
+    t = ManifestTable(spark, str(tmp_path), "t", ["k"])
+    t.create(spark.createDataFrame([(1, "a", 10)], "k bigint, s string, v bigint"))
+    with pytest.raises(ValueError, match="extra columns.*junk"):
+        t.upsert(spark.createDataFrame([(1, "b", 1, 9)],
+                                       "k bigint, s string, junk int, v bigint"),
+                 key="k")
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.upsert(spark.createDataFrame([(1, 2.5, 9)],
+                                       "k bigint, s double, v bigint"), key="k")
+    # missing column null-fills and the merge still lands
+    t.upsert(spark.createDataFrame([(1, "b"), (2, "c")], "k bigint, s string"),
+             key="k")
+    got = {r.k: (r.s, r.v) for r in t.read().collect()}
+    assert got == {1: ("b", None), 2: ("c", None)}

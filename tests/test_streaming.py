@@ -317,3 +317,47 @@ def test_rolling_rate_counter_equals_batch_window(spark, tmp_path, event_json_di
     }
     assert len(got) == len(expect) > 0
     assert got == expect
+
+
+def test_rolling_counter_late_event_exact_and_state_bounded():
+    """Cross-batch LATE events (ts older than the state tail): the stamp is
+    inserted in sorted position and the event counts exactly its own
+    [ts-1h, ts] frame — newer stamps already in state must NOT inflate it
+    — and aged-out stamps never get stuck behind a newer head."""
+    import pandas as pd
+
+    from etl_backend_spark.streaming.chat_pipeline import _rolling_counter
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def run(state, rows):  # rows: [(event_id, ts_sec)]
+        pdf = pd.DataFrame({
+            "event_id": [e for e, _ in rows],
+            "user_id": [7] * len(rows),
+            "ts": pd.to_datetime([s * 1_000_000_000 for _, s in rows]),
+        })
+        [out] = list(_rolling_counter((7,), [pdf], state))
+        return dict(zip(out["event_id"], out["n_1h"]))
+
+    st = FakeState()
+    # batch 1, in order: 1000s and 2000s — trailing counts 1 then 2
+    assert run(st, [(1, 1000), (2, 2000)]) == {1: 1, 2: 2}
+    # batch 2, LATE event at 1500s: its frame holds stamps 1000+1500 only;
+    # the buggy append-then-len form reported 3 (counted the 2000s stamp)
+    assert run(st, [(3, 1500)]) == {3: 2}
+    # state stays sorted => the late stamp is NOT stuck behind the tail
+    assert list(st.get[0]) == [s * 1_000_000 for s in (1000, 1500, 2000)]
+    # batch 3, far-future event ages everything out of the frame head
+    assert run(st, [(4, 6000)]) == {4: 1}
+    assert list(st.get[0]) == [6_000_000_000]
