@@ -4,11 +4,15 @@ star; the reference's closest analog is its image-upload pipeline,
 reference src/routes/ads.ts:12-51 — multer binary intake + extension
 allow-list + path metadata).
 
-The decode step is STUBBED: image/audio libraries are not in this container,
-so ``decode_image_batches`` tries Pillow and falls back to a clearly-marked
-deterministic fake decoder. Everything around it — the media schema, the
-binary intake, the batch iterator shape, partition sizing, the feature
-pipeline — is real Spark plumbing and is tested.
+Codec status: PNG decodes for REAL via the stdlib decoder in
+``multimodal/png.py`` (zlib inflate + scanline unfilter; dims, channels,
+and a luminance-histogram feature vector come from actual pixels);
+jpeg/webp raise a loud unsupported-codec ``NotImplementedError`` (their
+entropy coders need native libs this container lacks); non-image payloads
+(the synthesized gate-row digests) fall back to the clearly-marked
+deterministic fake decoder. The media schema, binary intake, batch
+iterator shape, partition sizing, and feature pipeline are real Spark
+plumbing for every codec and are tested.
 
 Scale notes
 -----------
@@ -30,6 +34,8 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+
+from . import png
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -140,28 +146,58 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, channels, feats
 
 
+def _luma_histogram(px: "np.ndarray") -> np.ndarray:
+    """FEATURE_DIM-bin normalized luminance histogram — the real-pixel
+    feature vector (deterministic; integer bincount then one float divide,
+    so cross-run parity is exact)."""
+    if px.shape[2] >= 3:
+        # integer Rec.601 luma (exact, no float rounding in the bin index)
+        luma = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        luma = px[:, :, 0].astype(np.int64)
+    bins = np.bincount(
+        (luma.reshape(-1) * FEATURE_DIM) // 256, minlength=FEATURE_DIM
+    )
+    return (bins / luma.size).astype(np.float32)
+
+
+def decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Codec dispatch by magic bytes: PNG decodes for REAL (stdlib
+    decoder, multimodal/png.py); jpeg/webp — the rest of the reference's
+    multer allow-list (reference src/routes/ads.ts:30-32) — raise a loud
+    unsupported-codec error (entropy coders are not stdlib-expressible);
+    anything else is the deterministic fake payload used by the oracle-
+    checked gate rows (synthesize_media emits hex digests, not images)."""
+    if content[:8] == png.PNG_MAGIC:
+        px = png.decode_png(content)
+        h, w, c = px.shape
+        return w, h, c, _luma_histogram(px)
+    if content[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "jpeg decode unsupported: no stdlib entropy decoder; install "
+            "Pillow and swap the codec behind decode_one"
+        )
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        raise NotImplementedError(
+            "webp decode unsupported: no stdlib VP8 decoder; install "
+            "Pillow and swap the codec behind decode_one"
+        )
+    return _fake_decode(content)
+
+
 def decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: decode each payload to (dims, features).
-
-    Tries a real decoder (Pillow) first; this container has none, so the
-    deterministic fake stands in. The batch iteration, Arrow transfer, and
-    output schema are the real production shape.
-    """
-    try:  # pragma: no cover - Pillow absent in this container
-        from PIL import Image  # noqa: F401
-
-        real_decoder = True
-    except ImportError:
-        real_decoder = False
-
+    """mapInPandas worker: decode each payload to (dims, features) via
+    ``decode_one`` (real PNG codec; fake for synthetic payloads). The batch
+    iteration, Arrow transfer, and output schema are the production shape
+    for every codec."""
     for pdf in batches:
         out = {"media_id": [], "width": [], "height": [], "channels": [], "features": []}
         for media_id, content in zip(pdf["media_id"], pdf["content"]):
-            if real_decoder:
-                raise NotImplementedError(
-                    "real image decode not wired: container lacks test images"
-                )
-            w, h, c, feats = _fake_decode(bytes(content))
+            w, h, c, feats = decode_one(bytes(content))
             out["media_id"].append(media_id)
             out["width"].append(w)
             out["height"].append(h)
@@ -226,7 +262,12 @@ def resize_batches(target_w: int, target_h: int):
             out = {"media_id": [], "width": [], "height": [],
                    "out_w": [], "out_h": [], "scale": []}
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, _, _ = _fake_decode(bytes(content))
+                content = bytes(content)
+                if content[:8] == png.PNG_MAGIC:
+                    # header-only fast path: dims from IHDR, no inflate
+                    w, h, _, _, _ = png.parse_ihdr(content)
+                else:
+                    w, h, _, _ = _fake_decode(content)
                 s = min(target_w / w, target_h / h)
                 out["media_id"].append(media_id)
                 out["width"].append(w)
