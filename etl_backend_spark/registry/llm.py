@@ -130,7 +130,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # pipelined generator feeding a partial aggregation (never
     # materialized), and at toy scale where AQE coalesces to one
     # partition the total work is trivial anyway.
-    n_par = max(spark.sparkContext.defaultParallelism // 2, 2)
+    # cores/4, not cores/2: the shingle compute saturates well below core
+    # count at this volume, and every extra task is ~10-15 ms of pure
+    # scheduling on the critical path (round-5 sweep: 16 -> 8 partitions
+    # was -6%, 4 was worse — single-task shingling costs +27% even with
+    # the hash-agg fallback raised). At 100 TB the scan has thousands of
+    # natural splits and this repartition is a no-op-sized hint.
+    n_par = max(spark.sparkContext.defaultParallelism // 4, 2)
     # Generator-based shingler (text.shingle_rows), fully codegen'd
     # JVM-side: measured 2.2x faster than the Arrow-batched pandas-UDF
     # shingler (and far lower variance — no Python workers), which itself
