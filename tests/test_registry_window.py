@@ -93,6 +93,16 @@ def test_priority_list_is_registered_and_leads():
     ] == PRIORITY
 
 
+def test_priority_names_all_registered_no_dups():
+    """Every PRIORITY name must be a registered key (a typo would silently
+    skip in _reorder and shift the verified window) and the list must be
+    duplicate-free (a dup would silently shrink the window by one)."""
+    missing = [k for k in PRIORITY if k not in QUERIES]
+    assert not missing, f"PRIORITY names that are not registered keys: {missing}"
+    dups = [k for k in set(PRIORITY) if PRIORITY.count(k) > 1]
+    assert not dups, f"duplicate PRIORITY names: {dups}"
+
+
 def test_every_sec2_id_is_a_registered_key():
     missing = [k for k in SEC2_COVERAGE if k not in QUERIES]
     assert not missing, f"§2 IDs without a queries() key: {missing}"
