@@ -39,6 +39,7 @@ from . import etl  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import media  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import facade  # noqa: E402,F401
 from . import aliases  # noqa: E402,F401
 
 # The driver's correctness gate verifies queries() keys in registration
@@ -162,6 +163,9 @@ PRIORITY: list[str] = [
     "stream_sessionize_bucketed",
     "events_zscore_bucketed",
     "events_user_daily",
+    "facade_get_ad",
+    "facade_my_ads",
+    "facade_conversations",
     # -- reporting tails: global-total-order forms (Exchange SinglePartition
     # by design; one task sorts everything). Registered LAST so nothing in
     # the verified head depends on them; the keyed/sketch forms above are
