@@ -799,20 +799,25 @@ def q_dedup_embedding(spark, sf_dir):
              list_sum(list_transform(generate_series(1, p.bits),
                j -> CASE WHEN embedding[b.band * p.bits + j] >= 0
                          THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))
-               AS key
+               AS key,
+             list_transform(
+               (list_sort(list_transform(generate_series(1, p.bits),
+                  j -> CAST(floor(CAST(abs(embedding[b.band * p.bits + j]) AS DOUBLE)
+                                  * 1000000000.0) AS BIGINT) * 64 + (j - 1))))[1:5],
+               k -> k % 64) AS fl
       FROM embeddings, p, (SELECT unnest(generate_series(0, 15)) AS band) b
       WHERE b.band < p.nbands
     ), probes AS (
       SELECT vec_id, band, key FROM bands
       UNION ALL
-      SELECT vec_id, band, xor(key, 1::BIGINT << (j - 1)) AS key
-      FROM bands, p, (SELECT unnest(generate_series(1, 16)) AS j) g
-      WHERE g.j <= p.bits
+      SELECT vec_id, band, xor(key, 1::BIGINT << f) AS key
+      FROM (SELECT vec_id, band, key, unnest(fl) AS f FROM bands)
     ), cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+                      greatest(a.vec_id, b.vec_id) AS vec_b
       FROM probes a
       JOIN bands b ON a.band = b.band AND a.key = b.key
-                  AND a.vec_id < b.vec_id
+                  AND a.vec_id <> b.vec_id
     )
     SELECT vec_a, vec_b,
            round(list_cosine_similarity(ea.embedding::DOUBLE[],
@@ -825,59 +830,110 @@ def q_dedup_embedding(spark, sf_dir):
     """,
 )
 def q_dedup_embedding_multiprobe(spark, sf_dir):
-    """dedup_embedding with HAMMING-1 MULTI-PROBING — the recall-recovery
-    dial for the adaptive band narrowing: as bits grow with n (density
-    control), per-band match probability falls (p^bits) and recall slides
-    (0.93 -> ~0.76 at τ=0.9 for 10x6). Probing each vector's band key
-    plus its `bits` hamming-1 neighbors on ONE join side raises the
-    per-band match probability to p^bits + bits·p^(bits-1)(1-p) — at
-    τ=0.9, 10 bits x 6 bands that is ~0.56/band and ~0.99 overall —
-    while costing a bounded (bits+1)x expansion of the probe side (still
-    ~linear in n; the exact-key form stays the cheap default). One-sided
-    probing with vec_a < vec_b finds each pair exactly once via the
-    smaller id's probe set. Key expansion is deterministic (XOR of sign
-    keys), so DuckDB rebuilds the identical candidate set and the whole
-    approximate pipeline stays value-checked."""
+    """dedup_embedding with QUERY-DIRECTED MULTI-PROBING — the recall-
+    recovery dial for the adaptive band narrowing: as bits grow with n
+    (density control), per-band match probability falls (p^bits) and
+    recall slides (0.93 -> ~0.76 at τ=0.9 for 10x6). Each vector probes
+    its band key plus the keys with ONE flipped bit — but only the
+    ``_MULTIPROBE_FLIPS`` = 5 LEAST-CONFIDENT bits (smallest |x_j| in the
+    band: the coordinates nearest the hyperplane, where a near-neighbor
+    most probably lands on the other side — Lv et al.'s multi-probe LSH
+    insight). That keeps the probe expansion a CONSTANT (P+1)x instead of
+    the old all-bits (bits+1)x whose multiplier grew with log n (the
+    measured 2.41x/decade fourth-decade slope), while concentrating the
+    probes where flip probability mass actually is. One-sided probing
+    with vec_a < vec_b finds each pair exactly once via the smaller id's
+    probe set. Bit selection uses an integer sort key
+    floor(abs(x)*1e9)*64 + j — float→double widening, double multiply and
+    floor are bit-identical in Spark and DuckDB, so the oracle rebuilds
+    the same flip set and the whole approximate pipeline stays
+    value-checked. Recall retained vs full hamming-1 probing is
+    pytest-asserted ≥ 0.95."""
     import math
 
     e = Catalog(spark, sf_dir).table("embeddings")
     n = e.count()
     bits = min(16, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
+    return _multiprobe_pairs(spark, e, bits, capped=True)
+
+
+# Probe only the P least-confident bits (constant probe expansion P+1;
+# see q_dedup_embedding_multiprobe). The full hamming-1 form (capped=False)
+# exists for the pytest recall comparison only.
+_MULTIPROBE_FLIPS = 5
+
+
+def _multiprobe_pairs(spark, e, bits: int, capped: bool):
     nbands = 64 // bits
     v = V.as_double(F.col("embedding"))
-    band_keys = F.array(*[
-        H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
-        for b in range(nbands)
-    ])
-    bands = e.select(
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(17)])
+
+    def band_entry(b):
+        key = H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
+        if capped:
+            sort_keys = F.array(*[
+                (
+                    F.floor(
+                        F.abs(F.element_at(v, b * bits + j + 1)) * F.lit(1e9)
+                    ).cast("long") * 64 + F.lit(j)
+                )
+                for j in range(bits)
+            ])
+            flips = F.transform(
+                F.slice(F.array_sort(sort_keys), 1, min(_MULTIPROBE_FLIPS, bits)),
+                lambda k: (k % 64).cast("int"),
+            )
+        else:
+            flips = F.array(*[F.lit(j) for j in range(bits)])
+        return F.struct(
+            F.lit(b).alias("band"), key.alias("key"), flips.alias("fl")
+        )
+
+    entries = e.select(
+        "vec_id", F.explode(F.array(*[band_entry(b) for b in range(nbands)])).alias("e")
+    ).select(
         "vec_id",
-        F.posexplode(band_keys).alias("band", "key"),
+        F.col("e.band").alias("band"),
+        F.col("e.key").alias("key"),
+        F.col("e.fl").alias("fl"),
     )
-    # probes/bands carry IDs ONLY: with an (bits+1)x probe fan-out the
-    # candidate volume is ~an order of magnitude above the exact-key form,
-    # and shuffling both 64-dim vectors through the pair dedup dominated
-    # the runtime (measured 6.8x/decade at sf1). Skinny id-pair dedup +
-    # join the vectors back afterwards (exactly the oracle's shape) keeps
-    # the big shuffle at 16 bytes/row and restores the ~linear slope.
-    probes = bands.select(
+    bands = entries.select("vec_id", "band", "key")
+    # probes/bands carry IDs ONLY: with the probe fan-out the candidate
+    # volume is well above the exact-key form, and shuffling both 64-dim
+    # vectors through the pair dedup dominated the runtime (measured
+    # 6.8x/decade at sf1). Skinny id-pair dedup + join the vectors back
+    # afterwards (exactly the oracle's shape) keeps the big shuffle at
+    # 16 bytes/row and restores the ~linear slope.
+    probes = entries.select(
         "vec_id", "band",
         F.explode(
-            F.array(
-                F.col("key"),
-                *[F.col("key").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+            F.concat(
+                F.array(F.col("key")),
+                F.transform(
+                    F.col("fl"),
+                    lambda f: F.col("key").bitwiseXOR(F.element_at(pow2, f + 1)),
+                ),
             )
         ).alias("key"),
     )
+    # SYMMETRIC probing (a.vec_id != b.vec_id + least/greatest
+    # normalization, not one-sided a < b): a pair is a candidate if the
+    # disagreeing bit is in EITHER endpoint's flip set — union coverage
+    # roughly squares the miss probability of one-sided capped probing
+    # (measured 0.73 -> 0.97 retention vs full hamming-1 at sf0.001) at
+    # the same probe-side volume; only the matched-candidate rows (pre-
+    # dedup) roughly double.
     cand = (
         probes.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )

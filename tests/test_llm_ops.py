@@ -279,9 +279,10 @@ def test_split_leakage_safe_keeps_clusters_together(spark):
 
 
 def test_multiprobe_dominates_exact_key_lsh(spark):
-    """Hamming-1 multi-probing is a strict superset of the exact-key
+    """Query-directed multi-probing is a strict superset of the exact-key
     candidate generation: every pair the base form finds survives, plus
-    recovered near-misses (one flipped sign bit in some band)."""
+    recovered near-misses (one flipped low-confidence sign bit in some
+    band)."""
     from etl_backend_spark.registry import QUERIES
 
     sf = "/root/testdata/sf0.001"
@@ -295,6 +296,35 @@ def test_multiprobe_dominates_exact_key_lsh(spark):
     }
     assert base <= probed
     assert len(probed) > len(base)  # probing recovers extra true pairs
+
+
+def test_multiprobe_capped_retains_full_hamming1_recall(spark):
+    """The registered probe set flips only the _MULTIPROBE_FLIPS least-
+    confident bits per band (constant probe expansion — the fourth-decade
+    slope fix). The smallest-|x| bits are exactly where near-neighbor sign
+    disagreements concentrate, so the capped form must retain ≥ 0.95 of
+    the pairs full hamming-1 probing (flip every bit) finds."""
+    import math
+
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.registry.llm import _multiprobe_pairs
+    from etl_backend_spark.sources.catalog import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    e = Catalog(spark, sf).table("embeddings")
+    n = e.count()
+    bits = min(16, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in _multiprobe_pairs(spark, e, bits, capped=False).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding_multiprobe"](spark, sf).collect()
+    }
+    assert len(full) > 0
+    recall = len(capped & full) / len(full)
+    assert recall >= 0.95, f"capped-probe recall vs full hamming-1: {recall:.3f}"
 
 
 def test_jaccard_df_cap_engine_oracle_agree():
