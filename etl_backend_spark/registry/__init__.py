@@ -166,6 +166,12 @@ PRIORITY: list[str] = [
     "facade_get_ad",
     "facade_my_ads",
     "facade_conversations",
+    "facade_favorites",
+    "facade_is_favorite",
+    "facade_messages",
+    "facade_categories",
+    "facade_admin_stats",
+    "facade_admin_users",
     # -- reporting tails: global-total-order forms (Exchange SinglePartition
     # by design; one task sorts everything). Registered LAST so nothing in
     # the verified head depends on them; the keyed/sketch forms above are

@@ -48,6 +48,88 @@ def q_facade_my_ads(spark, sf_dir):
 
 
 @register(
+    "facade_favorites",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice, o.o_orderdate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey = 42 AND o.o_orderstatus <> 'F'
+    """,
+)
+def q_facade_favorites(spark, sf_dir):
+    """GET /api/favorites through the facade (reference
+    src/routes/favorites.ts:69-99): junction two-hop join with the
+    deleted-ads filter applied post-join (Catalyst pushes it down)."""
+    return MarketplaceEngine(spark, sf_dir).favorites_of(42)
+
+
+@register(
+    "facade_is_favorite",
+    oracle="""
+    SELECT (count(*) > 0) AS is_favorite
+    FROM (SELECT 1 FROM lineitem
+          WHERE l_orderkey = 7777 AND l_linenumber = 1 LIMIT 1)
+    """,
+)
+def q_facade_is_favorite(spark, sf_dir):
+    """GET /api/favorites/check through the facade (reference
+    src/routes/favorites.ts:105-122): composite-key existence flag."""
+    return MarketplaceEngine(spark, sf_dir).is_favorite(7777, 1)
+
+
+@register(
+    "facade_messages",
+    oracle="SELECT * FROM events WHERE user_id = 42",
+)
+def q_facade_messages(spark, sf_dir):
+    """GET /api/chat/messages/:id through the facade (reference
+    src/routes/chat.ts:128-148): one thread's messages, chronological."""
+    return MarketplaceEngine(spark, sf_dir).messages_of(42)
+
+
+@register("facade_categories", oracle="SELECT * FROM region")
+def q_facade_categories(spark, sf_dir):
+    """GET /api/categories through the facade (reference
+    src/routes/ads.ts:273-277)."""
+    return MarketplaceEngine(spark, sf_dir).list_categories()
+
+
+@register(
+    "facade_admin_stats",
+    oracle="""
+    SELECT (SELECT count(*) FROM customer) AS n_users,
+           (SELECT count(*) FROM orders) AS n_ads,
+           (SELECT count(*) FILTER (WHERE o_orderstatus = 'O')
+            FROM orders) AS n_active_ads,
+           (SELECT count(*) FROM region) AS n_categories
+    """,
+)
+def q_facade_admin_stats(spark, sf_dir):
+    """GET /api/admin/stats through the facade (reference
+    src/routes/admin.ts:131-148): the dashboard's 4 counts as one
+    conditional-agg pass + tiny cross joins."""
+    return MarketplaceEngine(spark, sf_dir).admin_stats()
+
+
+@register(
+    "facade_admin_users",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+           coalesce(n.n_ads, 0) AS n_ads
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n_ads
+               FROM orders GROUP BY o_custkey) n
+      ON n.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey ASC LIMIT 20
+    """,
+)
+def q_facade_admin_users(spark, sf_dir):
+    """GET /api/admin/users through the facade (reference
+    src/routes/admin.ts:11-37): first page of users with per-user ad
+    counts, paginated by offset."""
+    return MarketplaceEngine(spark, sf_dir).admin_users(page=1, limit=20)
+
+
+@register(
     "facade_conversations",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props FROM (
