@@ -130,13 +130,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # pipelined generator feeding a partial aggregation (never
     # materialized), and at toy scale where AQE coalesces to one
     # partition the total work is trivial anyway.
-    # cores/4, not cores/2: the shingle compute saturates well below core
-    # count at this volume, and every extra task is ~10-15 ms of pure
-    # scheduling on the critical path (round-5 sweep: 16 -> 8 partitions
-    # was -6%, 4 was worse — single-task shingling costs +27% even with
-    # the hash-agg fallback raised). At 100 TB the scan has thousands of
-    # natural splits and this repartition is a no-op-sized hint.
-    n_par = max(spark.sparkContext.defaultParallelism // 4, 2)
+    # Width scales with INPUT BYTES, floored at cores/4: at sf0.1 the
+    # shingle compute saturates well below core count and every extra
+    # task is ~10-15 ms of pure scheduling on the critical path (round-5
+    # sweep: 16 -> 8 partitions was -6%, 4 was worse), but a FIXED
+    # cores/4 was a scale bug in the other direction — at sf1 it capped
+    # the shingle stage at 8 tasks on 32 cores and the sweep read 8.7 s
+    # (the same fixed-parallelism trap the 16-bucket layout hit in
+    # round 4). The measured sf0.1 optimum was ~74 KiB of parquet text
+    # per task (0.6 MB / 8 tasks; snappy text ≈ 4-6x that uncompressed),
+    # so: one task per 64 KiB of parquet, clamped to [cores/4, cores].
+    # At 100 TB the clamp saturates at cores and the scan's own splits
+    # dominate — the repartition becomes a no-op-sized hint.
+    from ..sources.catalog import DEFAULT_SF_DIR, _source_bytes
+
+    cores = spark.sparkContext.defaultParallelism
+    doc_bytes = _source_bytes(f"{sf_dir or DEFAULT_SF_DIR}/documents.parquet")
+    n_par = min(max(cores // 4, doc_bytes >> 16, 2), cores)
     # Generator-based shingler (text.shingle_rows), fully codegen'd
     # JVM-side: measured 2.2x faster than the Arrow-batched pandas-UDF
     # shingler (and far lower variance — no Python workers), which itself
