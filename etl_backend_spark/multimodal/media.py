@@ -35,7 +35,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from . import png
+from . import jpeg, png
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -167,20 +167,22 @@ def _luma_histogram(px: "np.ndarray") -> np.ndarray:
 
 def decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
     """Codec dispatch by magic bytes: PNG decodes for REAL (stdlib
-    decoder, multimodal/png.py); jpeg/webp — the rest of the reference's
-    multer allow-list (reference src/routes/ads.ts:30-32) — raise a loud
-    unsupported-codec error (entropy coders are not stdlib-expressible);
-    anything else is the deterministic fake payload used by the oracle-
-    checked gate rows (synthesize_media emits hex digests, not images)."""
+    decoder, multimodal/png.py) and so does baseline JPEG (stdlib+numpy
+    huffman/DCT decoder, multimodal/jpeg.py) — the two formats a user of
+    the reference's upload intake hits first (reference
+    src/routes/ads.ts:30-32, multer jpeg|jpg|png|webp allow-list); webp
+    raises a loud unsupported-codec error (VP8 is a full video intra
+    codec); anything else is the deterministic fake payload used by the
+    oracle-checked gate rows (synthesize_media emits hex digests, not
+    images)."""
     if content[:8] == png.PNG_MAGIC:
         px = png.decode_png(content)
         h, w, c = px.shape
         return w, h, c, _luma_histogram(px)
     if content[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "jpeg decode unsupported: no stdlib entropy decoder; install "
-            "Pillow and swap the codec behind decode_one"
-        )
+        px = jpeg.decode_jpeg(content)
+        h, w, c = px.shape
+        return w, h, c, _luma_histogram(px)
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         raise NotImplementedError(
             "webp decode unsupported: no stdlib VP8 decoder; install "
@@ -266,6 +268,10 @@ def resize_batches(target_w: int, target_h: int):
                 if content[:8] == png.PNG_MAGIC:
                     # header-only fast path: dims from IHDR, no inflate
                     w, h, _, _, _ = png.parse_ihdr(content)
+                elif content[:3] == jpeg.JPEG_MAGIC:
+                    # header-only fast path: dims from SOF0, no entropy
+                    # decode
+                    w, h, _ = jpeg.parse_sof(content)
                 else:
                     w, h, _, _ = _fake_decode(content)
                 s = min(target_w / w, target_h / h)

@@ -165,11 +165,13 @@ def test_png_decoder_rejects_unsupported_loudly():
 
 
 def test_decode_one_dispatches_by_magic():
-    """PNG -> real pixels; jpeg/webp -> loud NotImplementedError; other
-    payloads -> deterministic fake (the oracle-checked gate path)."""
+    """PNG and baseline JPEG -> real pixels; webp -> loud
+    NotImplementedError; malformed jpeg -> loud JpegError; other payloads
+    -> deterministic fake (the oracle-checked gate path)."""
     import numpy as np
     import pytest as _pytest
 
+    from etl_backend_spark.multimodal import jpeg
     from etl_backend_spark.multimodal import media as M
     from etl_backend_spark.multimodal import png
 
@@ -178,12 +180,109 @@ def test_decode_one_dispatches_by_magic():
     assert (w, h, c) == (16, 16, 3)
     assert abs(float(feats.sum()) - 1.0) < 1e-6  # histogram sums to 1
     assert len(feats) == M.FEATURE_DIM
-    with _pytest.raises(NotImplementedError, match="jpeg"):
-        M.decode_one(b"\xff\xd8\xff\xe0" + b"x" * 16)
+    jw, jh, jc, jfeats = M.decode_one(jpeg.encode_jpeg(px, quality=95))
+    assert (jw, jh, jc) == (16, 16, 3)
+    assert abs(float(jfeats.sum()) - 1.0) < 1e-6
+    with _pytest.raises(jpeg.JpegError, match="truncated segment"):
+        M.decode_one(b"\xff\xd8\xff\xe0" + b"x" * 16)  # truncated jpeg
     with _pytest.raises(NotImplementedError, match="webp"):
         M.decode_one(b"RIFF\x00\x00\x00\x00WEBP" + b"x" * 8)
     fw, fh, fc, ffeats = M.decode_one(b"not an image at all")
     assert fc == 3 and 16 <= fw < 80  # fake path unchanged
+
+
+def test_jpeg_round_trip_gray_and_rgb():
+    """REAL baseline JPEG bytes (Annex-K encoder) -> huffman+DCT decoder:
+    exact dims/channels, error bounded by quantization noise, and
+    deterministic bytes/pixels (digest-stable)."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_backend_spark.multimodal import jpeg
+
+    # random noise is the DCT worst case; q95 keeps quantization tight
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    enc = jpeg.encode_jpeg(g, quality=95)
+    assert enc[:3] == jpeg.JPEG_MAGIC and enc[-2:] == b"\xff\xd9"
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == (24, 17, 1)
+    assert int(np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max()) <= 12
+    # encode and decode are deterministic
+    assert jpeg.encode_jpeg(g, quality=95) == enc
+    assert (hashlib.sha256(jpeg.decode_jpeg(enc).tobytes()).hexdigest()
+            == hashlib.sha256(dec.tobytes()).hexdigest())
+
+    # smooth RGB gradient at q90: sub-pixel mean error, non-8-aligned dims
+    px = _gradient_px(40, 33, 3)
+    enc2 = jpeg.encode_jpeg(px, quality=90)
+    dec2 = jpeg.decode_jpeg(enc2)
+    assert dec2.shape == (40, 33, 3)
+    assert float(np.abs(dec2.astype(int) - px.astype(int)).mean()) < 8.0
+    # header-only fast path agrees (resize planning reads this)
+    assert jpeg.parse_sof(enc2) == (33, 40, 3)
+
+    # EOB-only blocks: constant image compresses to DC + EOB per block
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    enc3 = jpeg.encode_jpeg(flat, quality=90)
+    dec3 = jpeg.decode_jpeg(enc3)
+    assert int(np.abs(dec3.astype(int) - flat.astype(int)).max()) <= 2
+
+
+def test_jpeg_decoder_rejects_unsupported_loudly():
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_backend_spark.multimodal import jpeg
+
+    with _pytest.raises(jpeg.JpegError, match="SOI"):
+        jpeg.decode_jpeg(b"GIF89a" + b"\x00" * 40)
+    base = jpeg.encode_jpeg(_gradient_px(8, 8, 3), quality=90)
+    # progressive: flip the SOF0 marker to SOF2
+    prog = bytearray(base)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(jpeg.JpegError, match="progressive"):
+        jpeg.decode_jpeg(bytes(prog))
+    # chroma subsampling: patch the first component's sampling byte to 2x2
+    sub = bytearray(base)
+    sub[sub.index(b"\xff\xc0") + 4 + 7] = 0x22
+    with _pytest.raises(jpeg.JpegError, match="subsampling"):
+        jpeg.decode_jpeg(bytes(sub))
+    # restart interval: inject a DRI segment with a nonzero interval
+    dri = base[:2] + b"\xff\xdd\x00\x04\x00\x08" + base[2:]
+    with _pytest.raises(jpeg.JpegError, match="restart"):
+        jpeg.decode_jpeg(dri)
+
+
+def test_decode_media_real_jpeg_through_spark(spark):
+    """End-to-end mapInPandas over REAL jpeg payloads: dims and features
+    come from actual huffman+DCT decoding, executor-side, through the
+    Arrow channel — mixed with a png payload to exercise dispatch."""
+    import numpy as np
+
+    from etl_backend_spark.multimodal import jpeg
+    from etl_backend_spark.multimodal import media as M
+    from etl_backend_spark.multimodal import png
+
+    payloads = {
+        0: jpeg.encode_jpeg(_gradient_px(24, 9, 3, seed=1), quality=90),
+        1: jpeg.encode_jpeg(_gradient_px(11, 30, 1, seed=2), quality=95),
+        2: png.encode_png(_gradient_px(14, 6, 3, seed=3)),
+    }
+    dims = {0: (9, 24, 3), 1: (30, 11, 1), 2: (6, 14, 3)}
+    df = spark.createDataFrame(
+        [(mid, "image", f"/media/{mid}", c, len(c))
+         for mid, c in payloads.items()],
+        schema=M.MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in M.decode_media(df).collect()}
+    assert len(got) == 3
+    for mid, (w, h, c) in dims.items():
+        r = got[mid]
+        assert (r.width, r.height, r.channels) == (w, h, c), mid
+        w2, h2, c2, expect = M.decode_one(payloads[mid])
+        assert np.allclose(r.features, expect)
 
 
 def test_decode_media_real_png_through_spark(spark):
