@@ -140,6 +140,7 @@ PRIORITY: list[str] = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
+    "multimodal_audio",
     "source_files_binary",
     "source_custom_datasource",
     "sink_orc_roundtrip",

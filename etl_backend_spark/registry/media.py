@@ -84,6 +84,54 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             repeat(sha256(CAST(p_partkey AS VARCHAR)), 8) AS h
+      FROM part
+    ), b AS (
+      SELECT media_id,
+        list_transform(generate_series(0, 255),
+          i -> (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1))
+          AS bytes
+      FROM m
+    ), s AS (
+      SELECT media_id,
+        list_transform(generate_series(0, 127),
+          j -> CASE WHEN bytes[2*j + 1] + 256 * bytes[2*j + 2] >= 32768
+                    THEN bytes[2*j + 1] + 256 * bytes[2*j + 2] - 65536
+                    ELSE bytes[2*j + 1] + 256 * bytes[2*j + 2] END) AS smp
+      FROM b
+    )
+    SELECT media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(128 AS INTEGER) AS n_samples,
+           CAST(16 AS INTEGER) AS duration_ms,
+           CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak
+    FROM s
+    """,
+)
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode, value-checked end-to-end: the engine synthesizes
+    spec-valid PCM16 WAV bytes (canonical 44-byte header + 128 digest-derived
+    little-endian samples), mapInPandas runs the real RIFF/PCM parser
+    (multimodal/wav.py — chunk walk, fmt parse, np.frombuffer sample decode),
+    and the oracle reconstructs the identical int16 samples from the same
+    sha256 hex arithmetic. sample_rate/channels/n_samples prove the parser
+    read the header; energy/peak are exact integer aggregates over the
+    decoded samples, so the hash check covers actual PCM decode, not just
+    metadata. Audio-side analog of the reference's binary media intake
+    (reference src/routes/ads.ts:12-39)."""
+    p = Catalog(spark, sf_dir).table("part")
+    media = M.synthesize_wav_media(p, "p_partkey", "p_partkey")
+    return M.decode_audio(media)
+
+
+@register(
     "fn_auth_roundtrip",
     oracle="""
     SELECT c_custkey, true AS pw_ok, true AS token_ok, true AS reject_ok

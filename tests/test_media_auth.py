@@ -309,3 +309,163 @@ def test_decode_media_real_png_through_spark(spark):
         assert (r.width, r.height, r.channels) == (w, h, 3)
         expect = M._luma_histogram(png.decode_png(bytes(c)))
         assert np.allclose(r.features, expect)
+
+
+# ---------------------------------------------------------------------------
+# WAV: the real audio codec (multimodal/wav.py)
+# ---------------------------------------------------------------------------
+
+
+def _pcm16_bytes(samples):
+    import struct
+
+    return b"".join(struct.pack("<h", s) for s in samples)
+
+
+def test_wav_decodes_stdlib_wave_output():
+    """Cross-validate the parser against a file the stdlib `wave` module
+    wrote — not just our own header builder."""
+    import io
+    import wave as stdwave
+
+    import numpy as np
+
+    from etl_backend_spark.multimodal import wav
+
+    frames = [(-32768, 100), (0, -1), (32767, 7), (12345, -12345)]
+    buf = io.BytesIO()
+    with stdwave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(44100)
+        f.writeframes(_pcm16_bytes([s for fr in frames for s in fr]))
+    rate, channels, samples = wav.decode_wav(buf.getvalue())
+    assert (rate, channels) == (44100, 2)
+    assert samples.shape == (4, 2)
+    assert np.array_equal(samples, np.array(frames, dtype=np.int32))
+
+
+def test_wav_header_builder_is_stdlib_readable():
+    """The gate row's synthesized header must be a spec-valid WAV that the
+    stdlib `wave` module accepts and reads back sample-exact."""
+    import io
+    import wave as stdwave
+
+    from etl_backend_spark.multimodal import wav
+
+    pcm = _pcm16_bytes([0, 1, -1, 32767, -32768, 500])
+    blob = wav.pcm16_header(6, 8000, 1) + pcm
+    with stdwave.open(io.BytesIO(blob), "rb") as f:
+        assert (f.getnchannels(), f.getsampwidth(), f.getframerate(),
+                f.getnframes()) == (1, 2, 8000, 6)
+        assert f.readframes(6) == pcm
+
+
+def test_wav_8bit_and_loud_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_backend_spark.multimodal import wav
+
+    # 8-bit unsigned: recentred to signed around 0
+    hdr8 = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 4))
+    rate, ch, samples = wav.decode_wav(hdr8 + bytes([0, 128, 255, 200]))
+    assert np.array_equal(samples.reshape(-1), [-128, 0, 127, 72])
+
+    with pytest.raises(wav.WavError, match="signature"):
+        wav.decode_wav(b"OggS" + b"\x00" * 40)
+    # float PCM (format 3) is a native-codec job: loud, not silent
+    float_hdr = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                 + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000,
+                                         4, 32)
+                 + b"data" + struct.pack("<I", 0))
+    with pytest.raises(wav.WavError, match="format 3"):
+        wav.decode_wav(float_hdr)
+    with pytest.raises(wav.WavError, match="bit depth 24"):
+        bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 24000,
+                                       3, 24)
+               + b"data" + struct.pack("<I", 0))
+        wav.decode_wav(bad)
+    with pytest.raises(wav.WavError, match="truncated"):
+        wav.decode_wav(wav.pcm16_header(100) + b"\x00" * 10)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """LIST/INFO metadata chunks (odd-length, word-aligned) before fmt/data
+    must be skipped, as real encoders emit them."""
+    import struct
+
+    import numpy as np
+
+    from etl_backend_spark.multimodal import wav
+
+    pcm = _pcm16_bytes([5, -5, 9])
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    body = meta + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, ch, samples = wav.decode_wav(blob)
+    assert np.array_equal(samples.reshape(-1), [5, -5, 9])
+
+
+def test_energy_envelope_matches_numpy():
+    import numpy as np
+
+    from etl_backend_spark.multimodal import wav
+
+    rng = np.random.RandomState(7)
+    mono = rng.randint(-32768, 32767, size=100, dtype=np.int64)
+    env = wav.energy_envelope(mono.reshape(-1, 1).astype(np.int32), 16)
+    assert env.shape == (16,) and env.dtype == np.float32
+    # bin 0 covers samples [0, 100//16) = [0, 6)
+    expect0 = float(int((mono[:6] ** 2).sum()) / 6)
+    assert env[0] == np.float32(expect0)
+    assert np.all(env >= 0)
+
+
+def test_decode_audio_through_spark(spark, cat):
+    """End-to-end: engine-synthesized REAL WAV bytes decoded executor-side
+    by the real parser; values match a local decode of the same payload."""
+    import numpy as np
+
+    from etl_backend_spark.multimodal import media as M
+    from etl_backend_spark.multimodal import wav
+
+    p = cat.table("part").filter(F.col("p_partkey") <= 50)
+    media = M.synthesize_wav_media(p, "p_partkey", "p_partkey")
+    rows = {r.media_id: r for r in M.decode_audio(media).collect()}
+    raw = {r.media_id: bytes(r.content)
+           for r in media.select("media_id", "content").collect()}
+    assert len(rows) == len(raw) > 0
+    for mid, blob in list(raw.items())[:5]:
+        rate, ch, samples = wav.decode_wav(blob)
+        r = rows[mid]
+        assert (r.sample_rate, r.channels, r.n_samples) == (8000, 1, 128)
+        assert (rate, ch, samples.shape[0]) == (8000, 1, 128)
+        mono = samples.reshape(-1).astype(np.int64)
+        assert r.energy == int((mono ** 2).sum())
+        assert r.peak == int(np.abs(mono).max())
+        assert r.duration_ms == 16
+
+    feats = {r.media_id: np.array(r.features)
+             for r in M.audio_features(media).collect()}
+    assert len(feats) == len(raw)
+    mid, blob = next(iter(raw.items()))
+    _, _, samples = wav.decode_wav(blob)
+    assert np.allclose(feats[mid], wav.energy_envelope(samples, M.FEATURE_DIM))
+
+
+def test_decode_one_rejects_wav_loudly():
+    import pytest
+
+    from etl_backend_spark.multimodal import media as M
+    from etl_backend_spark.multimodal import wav
+
+    blob = wav.pcm16_header(2) + _pcm16_bytes([1, 2])
+    with pytest.raises(TypeError, match="decode_audio"):
+        M.decode_one(blob)
