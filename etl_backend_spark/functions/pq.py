@@ -1,0 +1,130 @@
+"""Product quantization (PQ) for the similarity family: the memory-bound
+ANN scale path.
+
+At 100 TB the raw vectors don't fit executor memory: a 64-dim float64
+embedding is 512 bytes, its PQ code is M (=8) small ints — a ~64-128x
+compression that lets the whole corpus's codes live in memory while the
+raw vectors stay on disk for the final rerank only. The pipeline is the
+standard IVF-ADC shape (Jegou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011):
+
+1. FIT: per-subspace k-means codebooks on a bounded seeded sample
+   (never the full corpus — same contract as the IVF coarse quantizer).
+2. ENCODE: every corpus vector -> M nearest-centroid ids, computed
+   distributed in an Arrow-batched pandas UDF (one numpy argmin per
+   subspace per batch; the codebooks ride the closure, ~KBs).
+3. ADC SCAN: per query, an (M x K) inner-product lookup table; a code's
+   approximate score is M table lookups summed — no float vector math
+   per candidate. Distributed, vectorized (numpy fancy-indexing per batch).
+4. RERANK: top-(rerank) candidates by ADC join back their raw vectors
+   for exact cosine; window top-k. Only `rerank` rows per query ever
+   touch a raw vector.
+
+Everything is deterministic (seeded init, fixed Lloyd iteration count,
+ties broken by lowest index) so results are stable across runs and
+cluster layouts; cross-engine float reproducibility is still out of reach
+for k-means, so the registry row is rows-only and recall vs
+``sim_topk_brute`` is pytest-asserted, same as IVF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+
+def fit_codebooks(sample: np.ndarray, m: int = 8, k: int = 16,
+                  iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Per-subspace Lloyd k-means -> codebooks of shape (m, k, d // m).
+
+    Deterministic: seeded distinct-row init, fixed iteration count, empty
+    clusters re-seeded from the farthest points. ``sample`` is the bounded
+    fit set (cap it BEFORE calling; a 100 TB corpus fits on a ~4k-row
+    sample and persists the codebooks next to the index)."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for mi in range(m):
+        x = sample[:, mi * sub:(mi + 1) * sub]
+        cent = x[rng.choice(n, size=k, replace=n < k)].copy()
+        for _ in range(iters):
+            # (n, k) squared distances; argmin ties -> lowest centroid id
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cent[ci] = x[mask].mean(axis=0)
+                else:  # dead centroid: re-seed from the farthest point
+                    cent[ci] = x[d2.min(axis=1).argmax()]
+        books[mi] = cent
+    return books
+
+
+def encode(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Vectors (n, d) -> codes (n, m) int32: nearest centroid per subspace."""
+    n, d = vecs.shape
+    m, k, sub = books.shape
+    codes = np.empty((n, m), dtype=np.int32)
+    for mi in range(m):
+        x = vecs[:, mi * sub:(mi + 1) * sub]
+        d2 = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+        codes[:, mi] = d2.argmin(axis=1)
+    return codes
+
+
+def adc_tables(queries: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-query inner-product lookup tables (nq, m, k): table[q, mi, ci] =
+    dot(query subvector mi, centroid ci). A code's approximate dot product
+    with the query is the sum of its m lookups (exact if the vector sat ON
+    its centroids; the quantization error is what rerank repairs)."""
+    nq, d = queries.shape
+    m, k, sub = books.shape
+    out = np.empty((nq, m, k), dtype=np.float64)
+    for mi in range(m):
+        out[:, mi, :] = queries[:, mi * sub:(mi + 1) * sub] @ books[mi].T
+    return out
+
+
+def encode_pandas(books: np.ndarray):
+    """Arrow-batched encoder UDF: array<double> vector -> array<int> codes.
+    The codebooks (~KBs) ride the task closure — the broadcast-artifact
+    shape at cluster scale."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode_udf(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series(list(encode(mat, books)))
+
+    return encode_udf
+
+
+def adc_pandas(tables: np.ndarray):
+    """Arrow-batched ADC scorer UDF: array<int> codes -> array<double> of
+    one approximate score per query (all queries scored in one pass per
+    batch — fancy-indexed lookups, no vector math)."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def adc_udf(codes: pd.Series) -> pd.Series:
+        mat = np.array(codes.tolist(), dtype=np.int32)
+        return pd.Series(list(adc_scores(mat, tables)))
+
+    return adc_udf
+
+
+def adc_scores(codes: np.ndarray, tables: np.ndarray) -> np.ndarray:
+    """Approximate scores (n, nq) for corpus codes (n, m) against all query
+    tables (nq, m, k) — pure fancy-indexing, no per-candidate vector math."""
+    n, m = codes.shape
+    nq = tables.shape[0]
+    out = np.zeros((n, nq), dtype=np.float64)
+    for mi in range(m):
+        # tables[:, mi, :] is (nq, k); codes[:, mi] picks (n,) per query
+        out += tables[:, mi, codes[:, mi]].T
+    return out

@@ -137,6 +137,7 @@ PRIORITY: list[str] = [
     "sim_pairs_threshold",
     "sim_topk_pandas",
     "sim_topk_ivf",
+    "sim_topk_pq",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",

@@ -686,6 +686,105 @@ def q_sim_topk_ivf(spark, sf_dir):
     )
 
 
+# PQ fit contract at scale: identical to IVF — codebooks fit on a bounded
+# seeded sample (k-means quality saturates at a few hundred points per
+# centroid) and cached per (sf_dir, n); at 100 TB the codebooks are a
+# ~KB artifact persisted next to the index and broadcast to every encoder.
+_PQ_FIT_CAP = 4096
+_PQ_CODEBOOK_CACHE: dict = {}
+
+
+@register("sim_topk_pq")  # rows-only: k-means codebooks are seed-stable in
+# numpy but not reproducible in DuckDB SQL (same standing as sim_topk_ivf)
+def q_sim_topk_pq(spark, sf_dir):
+    """ANN top-k via product quantization + ADC scan + exact rerank
+    (functions/pq.py) — the MEMORY-BOUND scale path: corpus vectors are
+    replaced by M=8 nearest-centroid ids (~64x smaller), the distributed
+    scan scores candidates with table lookups only (no per-candidate vector
+    math), and just the top-64 ADC candidates per query touch a raw vector
+    for the exact-cosine rerank. Complements the data-oblivious sign-LSH
+    and the partition-pruning IVF; recall vs ``sim_topk_brute`` is
+    pytest-asserted. Every collect is bounded: the fit sample (<=4096), 5
+    query vectors."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from ..functions import pq
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    corpus = e.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("v"),
+        V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv"),
+    )
+    n = e.count()  # parquet metadata count — no scan
+
+    books = _PQ_CODEBOOK_CACHE.get((sf_dir, n))
+    if books is None:
+        fit_df = corpus.select("nv")
+        if n > _PQ_FIT_CAP:
+            fit_df = fit_df.sample(fraction=min(1.0, 1.1 * _PQ_FIT_CAP / n),
+                                   seed=42).limit(_PQ_FIT_CAP)
+        sample = np.array([r.nv for r in fit_df.collect()])
+        books = pq.fit_codebooks(sample, m=8, k=16, iters=10, seed=42)
+        _PQ_CODEBOOK_CACHE[(sf_dir, n)] = books
+
+    coded = corpus.select(
+        "vec_id", pq.encode_pandas(books)(F.col("nv")).alias("codes")
+    )
+
+    qrows = sorted(
+        (r.vec_id, np.array(r.nv))
+        for r in corpus.filter(F.col("vec_id") < 5)
+        .select("vec_id", "nv").collect()
+    )
+    q_ids = [q for q, _ in qrows]
+    tables = pq.adc_tables(np.stack([v for _, v in qrows]), books)
+
+    id_map = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        coded.select(
+            "vec_id",
+            F.posexplode(pq.adc_pandas(tables)(F.col("codes"))).alias("qi", "adc"),
+        )
+        .select(
+            F.element_at(id_map, F.col("qi") + 1).alias("q_id"),
+            "vec_id", "adc",
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
+                                               F.col("vec_id").asc())
+    candidates = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 64)
+        .select("q_id", "vec_id")
+    )
+
+    qdf = spark.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in
+         sorted((r.vec_id, r.v) for r in
+                corpus.filter(F.col("vec_id") < 5).select("vec_id", "v").collect())],
+        "q_id long, qv array<double>",
+    )
+    reranked = (
+        candidates.join(corpus.select("vec_id", "v"), on="vec_id")
+        .join(F.broadcast(qdf), on="q_id")
+        .select(
+            "q_id", "vec_id",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("vec_id").asc())
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
 @register(
     "dedup_embedding",
     oracle="""

@@ -340,3 +340,72 @@ def test_jaccard_df_cap_engine_oracle_agree():
 
     assert _JACCARD_DF_CAP == 2 * _JACCARD_PAIR_BLOWUP
     assert f"count(*) <= {_JACCARD_DF_CAP}" in ORACLES["dedup_ngram_jaccard"]
+
+
+def test_pq_fit_encode_adc_unit():
+    """functions/pq.py unit contract: deterministic fit, nearest-centroid
+    encoding, and ADC scores that equal the explicit dot product against the
+    reconstructed (centroid-concatenated) vectors."""
+    import numpy as np
+
+    from etl_backend_spark.functions import pq
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(300, 16)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    b1 = pq.fit_codebooks(x, m=4, k=8, iters=5, seed=7)
+    b2 = pq.fit_codebooks(x, m=4, k=8, iters=5, seed=7)
+    assert np.array_equal(b1, b2)                   # seeded determinism
+    assert b1.shape == (4, 8, 4)
+
+    codes = pq.encode(x, b1)
+    assert codes.shape == (300, 4) and codes.min() >= 0 and codes.max() < 8
+    # encoding is the per-subspace argmin: check one row exhaustively
+    for mi in range(4):
+        sub = x[0, mi * 4:(mi + 1) * 4]
+        d2 = ((b1[mi] - sub) ** 2).sum(axis=1)
+        assert codes[0, mi] == d2.argmin()
+
+    q = rng.randn(3, 16)
+    tables = pq.adc_tables(q, b1)
+    scores = pq.adc_scores(codes, tables)
+    assert scores.shape == (300, 3)
+    # ADC == dot(query, reconstruction) by construction
+    recon = np.concatenate([b1[mi][codes[:, mi]] for mi in range(4)], axis=1)
+    assert np.allclose(scores, recon @ q.T)
+
+
+def test_pq_rejects_indivisible_dim():
+    import numpy as np
+    import pytest
+
+    from etl_backend_spark.functions import pq
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.fit_codebooks(np.zeros((10, 10)), m=4, k=2)
+
+
+def test_sim_topk_pq_recall_vs_brute(spark):
+    """PQ (M=8, K=16, ADC top-64 rerank) vs brute-force top-10: the exact
+    rerank over 64 ADC candidates recovers most of the true top-10 even on
+    this weak-neighbor dataset (measured 0.68 at sf0.001 / 0.84 at sf0.01 —
+    well above LSH's 0.38 and IVF's 0.3 structural bounds); require ≥0.5
+    mean. Returned scores must match brute exactly (same exact-cosine
+    scorer in the rerank)."""
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    brute = QUERIES["sim_topk_brute"](spark, sf).collect()
+    got = QUERIES["sim_topk_pq"](spark, sf).collect()
+    bq, score = {}, {}
+    for r in brute:
+        bq.setdefault(r.q_id, set()).add(r.vec_id)
+        score[(r.q_id, r.vec_id)] = r.cos_sim
+    recalls = [
+        len({r.vec_id for r in got if r.q_id == q} & ids) / len(ids)
+        for q, ids in bq.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    for r in got:
+        if (r.q_id, r.vec_id) in score:
+            assert r.cos_sim == score[(r.q_id, r.vec_id)]
