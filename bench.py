@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",     # shingle explode + self-join (LSH cost shape)
     "sim_topk_brute",          # broadcast cosine top-k (expression scorer)
     "sim_topk_pandas",         # same, numpy Arrow-batch scorer (fast path)
+    "sim_topk_pq",             # product-quantized ADC scan + exact rerank
+    "multimodal_audio",        # real WAV decode through mapInPandas
     "dedup_minhash_lsh",       # signature + band equi-join (LSH scale path)
     "join_asof",               # union + running-last as-of join
     "tpch_q3_shape",           # selective filter + 2-hop join + top-k
