@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def fit_codebooks(sample: np.ndarray, m: int = 8, k: int = 16,
@@ -105,17 +105,41 @@ def encode_pandas(books: np.ndarray):
     return encode_udf
 
 
-def adc_pandas(tables: np.ndarray):
-    """Arrow-batched ADC scorer UDF: array<int> codes -> array<double> of
-    one approximate score per query (all queries scored in one pass per
-    batch — fancy-indexed lookups, no vector math)."""
+def topk_scan_pandas(tables: np.ndarray, k: int, exclude_ids=None):
+    """mapInPandas worker factory: ADC-score each batch and emit only the
+    LOCAL top-k rows per query — (qi, vec_id, adc) — under the strict total
+    order (adc desc, vec_id asc).
 
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def adc_udf(codes: pd.Series) -> pd.Series:
-        mat = np.array(codes.tolist(), dtype=np.int32)
-        return pd.Series(list(adc_scores(mat, tables)))
+    This is the at-scale candidate selection: selection by a total order is
+    associative (the global top-k is always contained in the union of
+    per-batch top-ks), so a tiny global re-rank over <= k x n_batches rows
+    per query replaces a window over the full n x nq scored set — at 100 TB
+    the corpus-sized rows never reach a shuffle, exactly the per-shard
+    pruning a FAISS-style index does. Result is bit-identical to the
+    single-phase window REGARDLESS of partitioning (vec_id breaks all ties).
 
-    return adc_udf
+    ``exclude_ids[qi]`` (optional) drops that vec_id from query qi's
+    candidates BEFORE local selection, so a self-match never burns a slot."""
+
+    def run(batches):
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int32)
+            ids = pdf["vec_id"].to_numpy()
+            scores = adc_scores(codes, tables)          # (n, nq)
+            out = {"qi": [], "vec_id": [], "adc": []}
+            for qi in range(tables.shape[0]):
+                s, cand = scores[:, qi], ids
+                if exclude_ids is not None:
+                    keep = cand != exclude_ids[qi]
+                    s, cand = s[keep], cand[keep]
+                # total order: adc desc, vec_id asc
+                order = np.lexsort((cand, -s))[:k]
+                out["qi"].extend([qi] * len(order))
+                out["vec_id"].extend(cand[order].tolist())
+                out["adc"].extend(s[order].tolist())
+            yield pd.DataFrame(out)
+
+    return run
 
 
 def adc_scores(codes: np.ndarray, tables: np.ndarray) -> np.ndarray:

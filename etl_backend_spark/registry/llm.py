@@ -701,8 +701,12 @@ def q_sim_topk_pq(spark, sf_dir):
     (functions/pq.py) — the MEMORY-BOUND scale path: corpus vectors are
     replaced by M=8 nearest-centroid ids (~64x smaller), the distributed
     scan scores candidates with table lookups only (no per-candidate vector
-    math), and just the top-64 ADC candidates per query touch a raw vector
-    for the exact-cosine rerank. Complements the data-oblivious sign-LSH
+    math) and prunes to its LOCAL top-64 per query inside the scan operator
+    (total-order selection is associative, so the tiny global re-rank is
+    bit-identical to a full window and corpus-sized rows never reach a
+    shuffle — pytest-asserted partition-independence), and just the top-64
+    ADC candidates per query touch a raw vector for the exact-cosine
+    rerank. Complements the data-oblivious sign-LSH
     and the partition-pruning IVF; recall vs ``sim_topk_brute`` is
     pytest-asserted. Every collect is bounded: the fit sample (<=4096), 5
     query vectors."""
@@ -734,39 +738,38 @@ def q_sim_topk_pq(spark, sf_dir):
         "vec_id", pq.encode_pandas(books)(F.col("nv")).alias("codes")
     )
 
+    # one bounded collect serves both the ADC tables (normalized) and the
+    # exact-rerank query vectors (raw)
     qrows = sorted(
-        (r.vec_id, np.array(r.nv))
+        (r.vec_id, [float(x) for x in r.v], np.array(r.nv))
         for r in corpus.filter(F.col("vec_id") < 5)
-        .select("vec_id", "nv").collect()
+        .select("vec_id", "v", "nv").collect()
     )
-    q_ids = [q for q, _ in qrows]
-    tables = pq.adc_tables(np.stack([v for _, v in qrows]), books)
+    q_ids = [q for q, _, _ in qrows]
+    tables = pq.adc_tables(np.stack([nv for _, _, nv in qrows]), books)
 
+    # ADC scan with IN-OPERATOR top-64 pruning: each Arrow batch emits only
+    # its local top-64 per query under (adc desc, vec_id asc) — corpus-sized
+    # rows never reach a shuffle; the global window re-ranks <= 64 x
+    # n_batches skinny rows and is bit-identical to a full-corpus window
+    # (total-order selection is associative).
     id_map = F.array(*[F.lit(q) for q in q_ids])
-    scored = (
-        coded.select(
-            "vec_id",
-            F.posexplode(pq.adc_pandas(tables)(F.col("codes"))).alias("qi", "adc"),
-        )
-        .select(
-            F.element_at(id_map, F.col("qi") + 1).alias("q_id"),
-            "vec_id", "adc",
-        )
-        .filter(F.col("vec_id") != F.col("q_id"))
+    local_topk = coded.mapInPandas(
+        pq.topk_scan_pandas(tables, k=64, exclude_ids=q_ids),
+        schema="qi int, vec_id long, adc double",
+    ).select(
+        F.element_at(id_map, F.col("qi") + 1).alias("q_id"), "vec_id", "adc"
     )
     w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
                                                F.col("vec_id").asc())
     candidates = (
-        scored.withColumn("rn", F.row_number().over(w_adc))
+        local_topk.withColumn("rn", F.row_number().over(w_adc))
         .filter(F.col("rn") <= 64)
         .select("q_id", "vec_id")
     )
 
     qdf = spark.createDataFrame(
-        [(q, [float(x) for x in v]) for q, v in
-         sorted((r.vec_id, r.v) for r in
-                corpus.filter(F.col("vec_id") < 5).select("vec_id", "v").collect())],
-        "q_id long, qv array<double>",
+        [(q, v) for q, v, _ in qrows], "q_id long, qv array<double>",
     )
     reranked = (
         candidates.join(corpus.select("vec_id", "v"), on="vec_id")

@@ -409,3 +409,44 @@ def test_sim_topk_pq_recall_vs_brute(spark):
     for r in got:
         if (r.q_id, r.vec_id) in score:
             assert r.cos_sim == score[(r.q_id, r.vec_id)]
+
+
+def test_pq_topk_scan_partition_independent(spark):
+    """In-scan local top-k under a total order must give the SAME final
+    result for any partitioning of the corpus (selection by a total order
+    is associative — the scale guarantee the operator relies on)."""
+    import numpy as np
+
+    from etl_backend_spark.functions import pq
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 16)
+    books = pq.fit_codebooks(vecs, m=4, k=8, iters=5, seed=1)
+    tables = pq.adc_tables(rng.randn(2, 16), books)
+    codes = pq.encode(vecs, books)
+    df = spark.createDataFrame(
+        [(int(i), [int(c) for c in codes[i]]) for i in range(200)],
+        "vec_id long, codes array<int>",
+    )
+    results = []
+    for parts in (1, 3, 8):
+        out = (
+            df.repartition(parts)
+            .mapInPandas(pq.topk_scan_pandas(tables, k=10),
+                         schema="qi int, vec_id long, adc double")
+            .collect()
+        )
+        # global top-10 per query from the local unions
+        byq = {}
+        for r in out:
+            byq.setdefault(r.qi, []).append((-r.adc, r.vec_id))
+        results.append({q: sorted(v)[:10] for q, v in byq.items()})
+    assert results[0] == results[1] == results[2]
+    # exclude_ids drops the excluded candidate entirely
+    out = (
+        df.mapInPandas(pq.topk_scan_pandas(tables, k=200, exclude_ids=[5, 7]),
+                       schema="qi int, vec_id long, adc double")
+        .collect()
+    )
+    assert all(not (r.qi == 0 and r.vec_id == 5) for r in out)
+    assert all(not (r.qi == 1 and r.vec_id == 7) for r in out)
