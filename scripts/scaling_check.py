@@ -33,6 +33,7 @@ SF1_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "text_stats", "doc_chunk",
     "seq_pack", "split_assign", "sim_topk_brute", "sim_topk_pandas",
     "dedup_ngram_jaccard", "join_1n_nested", "events_user_daily",
+    "sim_topk_pq", "multimodal_audio",
 ]
 
 # not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family
