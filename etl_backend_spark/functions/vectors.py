@@ -87,3 +87,42 @@ def cosine_scores_multi_pandas(query_vecs: list[list[float]]):
         return pd.Series(list(scores))
 
     return score
+
+
+def cosine_topk_scan_pandas(query_vecs: list[list[float]], k: int,
+                            exclude_ids=None):
+    """mapInPandas worker factory over (vec_id, v): score every corpus
+    vector against ALL queries (one matmul per Arrow batch — same math as
+    ``cosine_scores_multi_pandas``) and emit only the LOCAL top-k rows per
+    query, (qi, vec_id, cos), under the strict total order (cos desc,
+    vec_id asc).
+
+    Selection by a total order is associative, so the global top-k per
+    query is always contained in the union of per-batch top-ks: a tiny
+    global re-rank over <= k x n_batches skinny rows replaces a window over
+    the full n x nq scored set — the EXACT scorer gets the same
+    shuffle-bounded scan the PQ path has (functions/pq.topk_scan_pandas),
+    with results bit-identical regardless of partitioning.
+    ``exclude_ids[qi]`` drops that vec_id from query qi's candidates before
+    selection (self-match never burns a slot)."""
+    qm = np.asarray(query_vecs, dtype=np.float64).T   # (dim, n_q)
+    qn = np.linalg.norm(qm, axis=0)
+
+    def run(batches):
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            ids = pdf["vec_id"].to_numpy()
+            scores = (m @ qm) / (np.linalg.norm(m, axis=1)[:, None] * qn[None, :])
+            out = {"qi": [], "vec_id": [], "cos": []}
+            for qi in range(qm.shape[1]):
+                s, cand = scores[:, qi], ids
+                if exclude_ids is not None:
+                    keep = cand != exclude_ids[qi]
+                    s, cand = s[keep], cand[keep]
+                order = np.lexsort((cand, -s))[:k]
+                out["qi"].extend([qi] * len(order))
+                out["vec_id"].extend(cand[order].tolist())
+                out["cos"].extend(s[order].tolist())
+            yield pd.DataFrame(out)
+
+    return run

@@ -568,11 +568,15 @@ def q_sim_topk_lsh(spark, sf_dir):
 
 @register("sim_topk_pandas")  # rows-only: pairwise float summation differs
 def q_sim_topk_pandas(spark, sf_dir):
-    """Throughput variant of sim_topk_brute: numpy-vectorized cosine in an
-    Arrow-batched pandas UDF (matrix-vector product per batch) instead of
-    interpreted higher-order-function expressions. Same top-k semantics;
-    registered rows-only because pairwise summation's last-ulp differences
-    break bit-exact hashing. Recall equivalence is pytest-checked."""
+    """Throughput variant of sim_topk_brute: numpy-vectorized cosine (one
+    matmul per Arrow batch) with LOCAL top-10 pruning inside the scan
+    operator (functions/vectors.cosine_topk_scan_pandas) — the EXACT
+    scorer's scalable form: only 10 x n_batches skinny rows per query reach
+    the global re-rank, never the corpus-sized scored set, and total-order
+    selection (cos desc, vec_id asc) makes the result partition-independent.
+    Registered rows-only because pairwise summation's last-ulp differences
+    break bit-exact hashing vs the oracle. Recall equivalence vs brute is
+    pytest-checked."""
     from pyspark.sql import Window
 
     e = Catalog(spark, sf_dir).table("embeddings")
@@ -582,22 +586,22 @@ def q_sim_topk_pandas(spark, sf_dir):
         for r in e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     )
     q_ids = [q for q, _ in qrows]
-    scorer = V.cosine_scores_multi_pandas([v for _, v in qrows])
     id_map = F.array(*[F.lit(q) for q in q_ids])
-    scored = (
-        corpus.select("vec_id", F.posexplode(scorer(F.col("v"))).alias("qi", "s"))
-        .select(
-            F.element_at(id_map, F.col("qi") + 1).alias("q_id"),
-            "vec_id",
-            F.round(F.col("s"), 6).alias("cos_sim"),
-        )
-        .filter(F.col("vec_id") != F.col("q_id"))
+    local_topk = corpus.mapInPandas(
+        V.cosine_topk_scan_pandas([v for _, v in qrows], k=10,
+                                  exclude_ids=q_ids),
+        schema="qi int, vec_id long, cos double",
+    ).select(
+        F.element_at(id_map, F.col("qi") + 1).alias("q_id"), "vec_id", "cos"
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    # global re-rank under the SAME total order as the local selection
+    # (raw cos, vec_id tiebreak); round only for output
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        local_topk.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
-        .select("q_id", "vec_id", "cos_sim")
+        .select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos_sim"))
     )
 
 

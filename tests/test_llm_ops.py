@@ -450,3 +450,22 @@ def test_pq_topk_scan_partition_independent(spark):
     )
     assert all(not (r.qi == 0 and r.vec_id == 5) for r in out)
     assert all(not (r.qi == 1 and r.vec_id == 7) for r in out)
+
+
+def test_sim_topk_pandas_matches_brute(spark):
+    """The numpy fast path (in-scan local top-10 pruning + global re-rank)
+    must return the same neighbors as the expression-based exact brute
+    force, with scores equal to 6-decimal rounding (the scorers differ only
+    in float summation order)."""
+    import math
+
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    brute = {(r.q_id, r.vec_id): r.cos_sim
+             for r in QUERIES["sim_topk_brute"](spark, sf).collect()}
+    fast = {(r.q_id, r.vec_id): r.cos_sim
+            for r in QUERIES["sim_topk_pandas"](spark, sf).collect()}
+    assert set(fast) == set(brute)
+    for k in brute:
+        assert math.isclose(fast[k], brute[k], abs_tol=2e-6), k
