@@ -43,6 +43,8 @@ HEADLINE = [
     "join_asof",               # union + running-last as-of join
     "tpch_q3_shape",           # selective filter + 2-hop join + top-k
     "tpch_q5_shape",           # 6-table star join, broadcast dims
+    "tpch_q1_shape",           # canonical scan-heavy pricing summary
+    "tpch_q6_shape",           # pure pushdown scan-agg
     "text_stats",              # regexp-heavy scalar pipeline
     "doc_chunk",               # overlapping-window chunking (explode)
     "seq_pack",                # shuffle-order + cumsum packing

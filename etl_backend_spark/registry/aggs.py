@@ -1110,3 +1110,201 @@ def q_window_rolling_range_salted(spark, sf_dir):
         .filter(F.col("__own") == 1)
         .select("event_id", "user_id", "n_1h", "sum_1h")
     )
+
+
+@register(
+    "tpch_q1_shape",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1_shape(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report) — THE canonical scan-heavy
+    aggregation: one full fact pass, 6 grouped measures over arithmetic
+    expressions, a 4-ish-row result. The whole query is one partial-agg +
+    one tiny final shuffle (map-side combine collapses 600k rows to
+    |groups| per task); the shipdate filter and 7-column projection push
+    to the parquet scan. At 100 TB this is the shape that proves the
+    scan+codegen path: zero joins, zero Python, shuffle bytes independent
+    of fact size."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2)
+              .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-07-01'
+      AND o_orderdate < TIMESTAMP '2000-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking; EXISTS correlated on a
+    cross-table predicate — adapted to l_shipdate > o_orderdate since the
+    testdata lineitem has no commit/receipt dates). The EXISTS is a LEFT
+    SEMI join with the date comparison as a join-side residual: Spark
+    dedups match multiplicity inside the join (no DISTINCT pass), and the
+    quarter filter prunes the orders scan before the shuffle."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("2000-10-01")))
+    )
+    li = cat.table("lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q6_shape",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      AND l_shipdate < TIMESTAMP '2001-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_shape(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure selective scan-agg —
+    all four predicates push to the parquet scan as range filters
+    (PushedFilters prunes row groups on shipdate/discount/quantity stats),
+    a single global sum follows. The at-scale shape where predicate
+    pushdown IS the query plan: I/O drops with selectivity, shuffle is one
+    row per task."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("2000-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("2001-01-01")))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q14_shape",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '2000-09-01'
+      AND l_shipdate < TIMESTAMP '2000-10-01'
+    """,
+)
+def q_tpch_q14_shape(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share; p_type = 'PROMO' — the
+    testdata's p_type is a single token, not the three-word TPC-H form):
+    month-windowed fact filter pushes to the scan, the part dim joins as a
+    broadcast (no fact shuffle), and the share is a conditional/total sum
+    ratio in ONE aggregation pass."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("2000-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("2000-10-01")))
+    )
+    p = cat.tbl("part")  # broadcast hint via Catalog.tbl
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship; lineitem stands in
+    for partsupp, which the testdata lacks): NOT-filters + IN-list push to
+    the broadcast-joined part dim, then COUNT(DISTINCT supplier) per
+    brand/type/size. Spark expands the distinct-agg into a two-level
+    aggregate (partial dedup of (group, suppkey) map-side, then count) —
+    the shuffle carries distinct pairs, not fact rows, which is what makes
+    global distinct-count survive 100 TB."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    p = cat.tbl("part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )

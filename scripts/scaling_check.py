@@ -34,6 +34,8 @@ SF1_QUERIES = [
     "seq_pack", "split_assign", "sim_topk_brute", "sim_topk_pandas",
     "dedup_ngram_jaccard", "join_1n_nested", "events_user_daily",
     "sim_topk_pq", "multimodal_audio",
+    "tpch_q1_shape", "tpch_q4_shape", "tpch_q6_shape", "tpch_q14_shape",
+    "tpch_q16_shape",
 ]
 
 # not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family
