@@ -1308,3 +1308,360 @@ def q_tpch_q16_shape(spark, sf_dir):
             F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
         )
     )
+
+
+@register(
+    "tpch_q2_shape",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    sr AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    cand AS (
+      SELECT p_partkey, p_name, s_acctbal, s_name, n_name
+      FROM part
+      JOIN ps ON p_partkey = l_partkey
+      JOIN sr ON l_suppkey = s_suppkey
+      WHERE p_size = 15 AND p_type = 'LARGE'
+    ),
+    mn AS (SELECT p_partkey, min(s_acctbal) AS min_bal
+           FROM cand GROUP BY p_partkey)
+    SELECT round(c.s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           c.p_partkey AS p_partkey, p_name
+    FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey
+                       AND c.s_acctbal = mn.min_bal
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier; s_acctbal stands in for
+    ps_supplycost and the DISTINCT lineitem (part, supp) pairs stand in
+    for partsupp, which the testdata lacks): correlated MIN subquery as a
+    groupBy + equality join-back, region-filtered suppliers broadcast.
+    The per-part min never materializes the full candidate set twice —
+    the mn branch reuses the cand exchange (same grouping key)."""
+    cat = Catalog(spark, sf_dir)
+    ps = (
+        cat.table("lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    sr = (
+        cat.table("supplier")
+        .join(cat.tbl("nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.tbl("region").filter(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = cat.tbl("part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    cand = (
+        p.join(ps, p["p_partkey"] == ps["l_partkey"])
+        .join(sr, ps["l_suppkey"] == sr["s_suppkey"])
+        .select("p_partkey", "p_name", "s_acctbal", "s_name", "n_name")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("s_acctbal").alias("__min_bal")
+    )
+    return (
+        cand.join(
+            mn,
+            (cand["p_partkey"] == mn["__pk"])
+            & (cand["s_acctbal"] == mn["__min_bal"]),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate < TIMESTAMP '2001-01-01'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between a nation PAIR, by year) — the
+    filtered/yearly refinement of ``join_self_roles``: the nation-pair
+    disjunction lands on the two broadcast dim copies (each prunes to ≤2
+    rows before broadcast), the date window pushes to the fact scan, and
+    the residual pair predicate runs after both joins."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1999-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("2001-01-01")))
+    )
+    s, o, c = (cat.table("supplier"), cat.table("orders"),
+               cat.table("customer"))
+    pair = ("NATION_1", "NATION_2")
+    n1 = cat.tbl("nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = cat.tbl("nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q11_shape",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(v, 2) AS value
+    FROM val
+    WHERE v > (SELECT 3.0 * avg(v) FROM val)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q_tpch_q11_shape(spark, sf_dir):
+    """TPC-H Q11 shape (important-stock share; per-part revenue from one
+    nation's suppliers stands in for partsupp stock value): the HAVING-
+    against-a-global-fraction pattern — per-key aggregate, a 1-row global
+    sum over it, broadcast the scalar back as a cross join, filter. The
+    global reduction reads the per-part aggregate (tiny), never the fact."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    s = (
+        cat.table("supplier")
+        .join(cat.tbl("nation").filter(F.col("n_name") == "NATION_3"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("v"))
+    )
+    thresh = val.agg((3.0 * F.avg("v")).alias("__t"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("v") > F.col("__t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("v", 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@register(
+    "tpch_q15_shape",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate < TIMESTAMP '2000-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15_shape(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarter revenue, the CREATE VIEW form):
+    per-supplier revenue, a 1-row MAX over it broadcast back, equality
+    filter keeps all tied maxima. Revenue is rounded BEFORE the max/compare
+    on both sides so order-of-accumulation ulps can't split a tie across
+    engines."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("2000-04-01")))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = cat.table("supplier")
+    return (
+        s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17_shape",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk, sum(l_quantity) AS sq, count(*) AS cq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_type = 'SMALL'
+      AND 2 * l_quantity * cq < sq
+    """,
+)
+def q_tpch_q17_shape(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated AVG
+    subquery (l_quantity < 0.2 * avg per part; 0.5 here for testdata
+    selectivity) as a per-part pre-aggregate joined back. The threshold
+    compare is INTEGER-EXACT on both engines — quantities are integer-
+    valued, so `2 * qty * count < sum` avoids the cross-engine ulp
+    hazard of comparing against a floating-point average."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cq")
+    )
+    p = cat.tbl("part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "SMALL")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(pa, li["l_partkey"] == pa["pk"])
+        .filter(2 * F.col("l_quantity") * F.col("cq") < F.col("sq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_shape",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19_shape(spark, sf_dir):
+    """TPC-H Q19 (disjunctive predicate revenue): OR-of-ANDs spanning both
+    tables. Catalyst splits the disjunction into single-table residuals
+    (each side's derivable bounds push to its scan: l_quantity IN [1,30],
+    p_brand IN the 3-list) and keeps the cross-table OR as a post-join
+    filter — the pattern that proves pushdown through disjunctions."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    p = cat.tbl("part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    c1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#16")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22_shape",
+    oracle="""
+    SELECT c_nationkey AS cntry, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY cntry
+    """,
+)
+def q_tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (global-sales-opportunity; nationkey stands in for
+    the phone-prefix country code): scalar AVG subquery broadcast back as
+    a threshold + NOT EXISTS as a LEFT ANTI join against the urgent-order
+    subset (every testdata customer has SOME order, so the classic no-
+    orders form is vacuous; "no urgent order" keeps the anti-join shape
+    selective-but-nonempty). The anti join's left side is already thinned
+    by the balance filter before the shuffle, and the right side prunes
+    on priority at its scan."""
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c["c_custkey"] == o["o_custkey"], "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
