@@ -537,3 +537,59 @@ def q_etl_manifest_pruned_read(spark, sf_dir):
         return spark.createDataFrame(rows, "o_orderkey LONG, o_totalprice DOUBLE")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "etl_zorder_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey <= 20 AND o_orderkey <= 2000
+    """,
+)
+def q_etl_zorder_pruned_read(spark, sf_dir):
+    """Z-order (Morton-interleaved) clustering, value-checked by the gate:
+    the table is laid out by ``zorder_sort(o_custkey, o_orderkey)`` — each
+    file's (custkey, orderkey) min/max box is a tight rectangle — and the
+    builder asserts manifest stats prune files on EACH axis independently
+    (the Delta OPTIMIZE ZORDER contract a single-column sort cannot give:
+    sorting by custkey alone leaves every file's orderkey interval spanning
+    the whole domain). The 2-D predicate then intersects both axes' prune
+    sets before the residual filter. At 100 TB this is the layout that
+    serves BOTH `WHERE user = ?` and `WHERE id < ?` dashboards from one
+    copy of the data. (sources/layout.py:zorder_value/zorder_sort;
+    etl/manifest.py:read_pruned.)"""
+    import shutil
+    import tempfile
+
+    from ..etl.manifest import ManifestTable
+    from ..sources.layout import zorder_sort
+
+    o = Catalog(spark, sf_dir).table("orders")
+    root = tempfile.mkdtemp(prefix="etlbs-zorder-")
+    try:
+        t = ManifestTable(spark, root, "z_orders",
+                          ["o_custkey", "o_orderkey"])
+        t.create(zorder_sort(o, "o_custkey", "o_orderkey", n_files=16))
+        _, skipped_cust = t.read_pruned("o_custkey", lo=None, hi=20)
+        _, skipped_order = t.read_pruned("o_orderkey", lo=None, hi=2000)
+        assert skipped_cust > 0 and skipped_order > 0, (
+            skipped_cust, skipped_order,
+        )
+        # 2-D prune: keep files whose boxes intersect BOTH ranges
+        keep = [
+            e["path"] for e in t.files()
+            if e["stats"]["o_custkey"][0] <= 20
+            and e["stats"]["o_orderkey"][0] <= 2000
+        ]
+        df = spark.read.parquet(*keep) if keep else t.read().limit(0)
+        rows = (
+            df.filter((F.col("o_custkey") <= 20)
+                      & (F.col("o_orderkey") <= 2000))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .collect()  # materialize before the temp table is deleted
+        )
+        return spark.createDataFrame(
+            rows, "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
