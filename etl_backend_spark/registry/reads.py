@@ -1160,3 +1160,43 @@ def q_join_salted(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "join_null_skew",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM (SELECT o_orderkey,
+                 CASE WHEN o_custkey % 3 = 0 THEN NULL
+                      ELSE o_custkey END AS k
+          FROM orders) o
+    LEFT JOIN customer ON k = c_custkey
+    """,
+)
+def q_join_null_skew(spark, sf_dir):
+    """NULL-key skew split for outer joins: a third of the probe keys are
+    NULL (derived here; in the wild — unmapped users, optional FKs). SQL
+    semantics say NULL matches NOTHING, yet a plain shuffle join still
+    hashes every NULL row to ONE reducer — at 100 TB the canonical
+    straggler partition that no AQE skew split can save (it is one KEY,
+    not one oversized partition range). The fix costs nothing: route
+    NULL-key rows around the join entirely (they keep their left columns,
+    right side null-filled) and join only the non-null stream; the union
+    is partition-local. Identical answers to the plain LEFT JOIN (the
+    oracle) by the NULL-never-matches rule."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("k"),
+    )
+    c = cat.table("customer").select("c_custkey", "c_name")
+    matched = (
+        o.filter(F.col("k").isNotNull())
+        .join(c, F.col("k") == F.col("c_custkey"), "left")
+        .select("o_orderkey", "c_name")
+    )
+    null_side = o.filter(F.col("k").isNull()).select(
+        "o_orderkey", F.lit(None).cast("string").alias("c_name")
+    )
+    return matched.unionByName(null_side)

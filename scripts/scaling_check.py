@@ -35,7 +35,9 @@ SF1_QUERIES = [
     "dedup_ngram_jaccard", "join_1n_nested", "events_user_daily",
     "sim_topk_pq", "multimodal_audio",
     "tpch_q1_shape", "tpch_q4_shape", "tpch_q6_shape", "tpch_q14_shape",
-    "tpch_q16_shape",
+    "tpch_q16_shape", "tpch_q2_shape", "tpch_q7_shape", "tpch_q11_shape",
+    "tpch_q15_shape", "tpch_q17_shape", "tpch_q19_shape", "tpch_q22_shape",
+    "join_null_skew",
 ]
 
 # not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family

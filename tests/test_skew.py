@@ -212,3 +212,30 @@ def test_aqe_skew_split_rescues_plain_smj(spark):
         for k, v in prev.items():
             spark.conf.set(k, v)
     assert "skew=true" in final, final
+
+
+def test_join_null_skew_routes_nulls_around_the_join(spark):
+    """The NULL-key split (registry join_null_skew): the null branch must
+    plan NO join — nulls can't match, so shuffling them into the join's
+    single hash(NULL) reducer is pure straggler cost. Locked by counting
+    join nodes in the composed plan: exactly the non-null branch's one."""
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES["join_null_skew"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1, plan
+    # and answers match the plain left join exactly
+    from pyspark.sql import functions as F
+    from etl_backend_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, SF_DIR)
+    o = cat.table("orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("k"),
+    )
+    c = cat.table("customer").select("c_custkey", "c_name")
+    plain = o.join(c, F.col("k") == F.col("c_custkey"), "left").select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
