@@ -239,3 +239,40 @@ def test_join_null_skew_routes_nulls_around_the_join(spark):
         "o_orderkey", "c_name"
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Runtime semi-join reduction: a selective dim filter must inject a
+    bloom filter (might_contain on the fact's join key) into the fact side
+    BEFORE the shuffle — at 100 TB this drops non-matching fact rows at the
+    scan instead of carrying them through exchange + join. Local thresholds
+    are production-shaped defaults scaled to testdata (creation side under
+    100MB, application side over 1KB); on a cluster the 10MB/10GB defaults
+    trigger on exactly this query shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from etl_backend_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, SF_DIR)
+        o = cat.table("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        li = cat.table("lineitem")
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderstatus").count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the filter sits on the fact's key, not the dim's
+        assert "might_contain(scalar-subquery" in plan and "l_orderkey" in \
+            plan.split("might_contain", 1)[1][:120], plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
