@@ -372,3 +372,102 @@ def q_source_custom_datasource(spark, sf_dir):
         .option("numPartitions", 8)
         .load()
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_view_click,
+           (SELECT count(*) FROM s3) AS n_view_click_purchase
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): each stage keeps users
+    whose first stage-k event strictly FOLLOWS their first stage-(k-1)
+    event — the order-sensitive product-analytics staple a plain
+    per-type count can't answer. Staged as k tiny aggregations: every
+    stage filters on its type BEFORE the user shuffle, and each join's
+    right side is one row per surviving user (broadcast-sized as the
+    funnel narrows). At 100 TB the stage-1 aggregate is the only one that
+    sees the full fact; stages 2..k touch only their type partition
+    joined against an ever-shrinking user set."""
+    ev = Catalog(spark, sf_dir).table("events")
+
+    def first_after(etype, prev, prev_t):
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{etype}"))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    s2 = first_after("click", s1, "t_view")
+    s3 = first_after("purchase", s2, "t_click")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week,
+                          date_trunc('week', e.ts)) / 7 AS INT) AS week_n,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first ON e.user_id = first.user_id
+    GROUP BY cohort_week, week_n
+    ORDER BY cohort_week, week_n
+    """,
+)
+def q_events_retention_cohort(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    distinct in each subsequent week — the cohort-triangle report. Two
+    shuffles total: the first-seen aggregate (one row per user), then the
+    (cohort, week) distinct-count whose partial dedup collapses each
+    user's events map-side. Both Mondays-truncated timestamps subtract to
+    an exact multiple of 7 days, so the week index is integer-exact on
+    both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.date_trunc("week", F.col("ts")),
+                        F.col("cohort_week")) / 7)
+            .cast("int").alias("week_n"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_n")
+    )
