@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -433,4 +434,140 @@ def frame_sample(media: DataFrame, n_frames: int = 4,
     videos = media.filter(F.col("kind") == "video")
     return videos.select("media_id", "content").mapInPandas(
         frame_sample_batches(n_frames), schema=FRAMES_SCHEMA
+    )
+
+
+# ------------------------------------------------------------- real video
+
+_AVI_FRAMES = 6          # frames per synthesized clip
+_AVI_USEC = 100_000      # 10 fps
+_AVI_QUALITY = 90
+
+
+def _avi_dims(digest: bytes) -> tuple[int, int]:
+    """Clip dimensions from the payload digest — multiples of 8 (whole JPEG
+    MCUs), replicated arithmetically by the DuckDB oracle."""
+    return 16 + (digest[0] % 2) * 8, 16 + (digest[1] % 2) * 8
+
+
+def _avi_frame_pixels(digest: bytes, i: int, w: int, h: int) -> np.ndarray:
+    """Smooth deterministic frame content (solid channels + one horizontal
+    gradient) — low-frequency on purpose so the real JPEG round-trip stays
+    high-fidelity and the pytest reconstruction bound is tight."""
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = digest[(2 + i) % len(digest)]
+    px[..., 1] = np.linspace(0, 200, w).astype(np.uint8)[None, :]
+    px[..., 2] = digest[(3 + i) % len(digest)]
+    return px
+
+
+def synthesize_avi_payload(media_id: int) -> bytes:
+    """REAL MJPEG-AVI bytes for one clip id: every frame is a spec-valid
+    baseline JPEG (multimodal/jpeg.encode_jpeg), boxed into a spec-valid
+    RIFF AVI container (multimodal/avi.build_mjpeg_avi). Deterministic per
+    id — the oracle replicates the dims/schedule arithmetic from the same
+    sha256."""
+    from . import avi as avi_mod
+
+    digest = hashlib.sha256(str(media_id).encode()).digest()
+    w, h = _avi_dims(digest)
+    frames = [
+        jpeg.encode_jpeg(_avi_frame_pixels(digest, i, w, h),
+                         quality=_AVI_QUALITY)
+        for i in range(_AVI_FRAMES)
+    ]
+    return avi_mod.build_mjpeg_avi(frames, w, h, _AVI_USEC)
+
+
+def synthesize_avi_media(df: DataFrame, id_col: str,
+                         batch_size: int = 64) -> DataFrame:
+    """Video twin of ``synthesize_wav_media``: the payload needs the JPEG
+    encoder, so synthesis runs in an Arrow-batched worker instead of JVM
+    expressions. One row per input id; content is a complete MJPEG AVI."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["media_id"]]
+            blobs = [synthesize_avi_payload(i) for i in ids]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["video"] * len(ids),
+                "path": [f"/media/{i}.avi" for i in ids],
+                "content": blobs,
+                "n_bytes": [len(b) for b in blobs],
+            })
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")) \
+             .mapInPandas(run, schema=schema)
+
+
+MJPEG_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("src_frame", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def frame_sample_mjpeg_batches(n_frames: int):
+    """mapInPandas worker: REAL container parse + REAL JPEG decode per
+    sampled frame. The uniform schedule src = (i*(N-1))//(n-1) is integer-
+    exact (oracle-replicable); width/height come from the DECODED pixel
+    array, so a value match proves the whole encode → container → parse →
+    entropy-decode chain preserved the stream geometry."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import avi as avi_mod
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "src_frame",
+                                   "frame_ts_ms", "width", "height",
+                                   "mean_luma")}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                meta = avi_mod.parse_avi(bytes(content))
+                total = meta["n_frames"]
+                for i in range(n_frames):
+                    src = (i * (total - 1)) // max(n_frames - 1, 1)
+                    px = jpeg.decode_jpeg(meta["frames"][src])
+                    luma = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+                            + 0.114 * px[..., 2]).mean()
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["src_frame"].append(src)
+                    out["frame_ts_ms"].append(
+                        src * meta["usec_per_frame"] // 1000
+                    )
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["mean_luma"].append(round(float(luma), 2))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def frame_sample_mjpeg(media: DataFrame, n_frames: int = 3,
+                       batch_size: int = 16) -> DataFrame:
+    """Distributed real-video frame sampling: one clip row fans out to
+    n_frames decoded-frame rows. Batch size stays LOW — each Arrow batch
+    carries whole video payloads in and n_frames x rows out."""
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    return media.select("media_id", "content").mapInPandas(
+        frame_sample_mjpeg_batches(n_frames), schema=MJPEG_FRAMES_SCHEMA
     )

@@ -270,3 +270,49 @@ def q_source_files_binary(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.hex(F.col("content")).substr(1, 16).alias("head_hex"),
     )
+
+
+@register(
+    "multimodal_video",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             sha256(CAST(p_partkey AS VARCHAR)) AS dh
+      FROM part WHERE p_partkey % 97 = 0
+    ), d AS (
+      SELECT media_id,
+             (strpos('0123456789abcdef', substr(dh, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(dh, 2, 1)) - 1) AS b0,
+             (strpos('0123456789abcdef', substr(dh, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(dh, 4, 1)) - 1) AS b1
+      FROM m
+    )
+    SELECT media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST((i * 5) // 2 AS INTEGER) AS src_frame,
+           CAST(((i * 5) // 2) * 100 AS INTEGER) AS frame_ts_ms,
+           CAST(16 + (b0 % 2) * 8 AS INTEGER) AS width,
+           CAST(16 + (b1 % 2) * 8 AS INTEGER) AS height
+    FROM d CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i)
+    """,
+)
+def q_multimodal_video(spark, sf_dir):
+    """REAL video frame sampling, value-checked end-to-end: the engine
+    synthesizes spec-valid MJPEG-AVI clips (every frame a real baseline
+    JPEG from multimodal/jpeg.encode_jpeg, boxed by multimodal/avi), then
+    ``frame_sample_mjpeg`` walks the RIFF chunk tree, reads the avih
+    timing, uniform-samples 3 of 6 frames, and ENTROPY-DECODES each
+    sampled JPEG — width/height in the output come from the decoded pixel
+    array, so the DuckDB hash match proves the whole encode → container →
+    parse → decode chain preserves stream geometry, and the sampling
+    schedule/timestamps are integer-exact on both engines. Pixel fidelity
+    (the lossy half SQL can't replicate) is bounded in
+    tests/test_media_auth.py. Completes the real-codec media family:
+    PNG + JPEG images, WAV audio, MJPEG-AVI video. The p_partkey % 97
+    subset scales the clip count with SF (reference media intake:
+    src/routes/ads.ts:12-39)."""
+    p = Catalog(spark, sf_dir).table("part").filter(
+        F.col("p_partkey") % 97 == 0
+    )
+    media = M.synthesize_avi_media(p, "p_partkey")
+    return M.frame_sample_mjpeg(media, n_frames=3).drop("mean_luma")

@@ -37,7 +37,8 @@ SF1_QUERIES = [
     "tpch_q1_shape", "tpch_q4_shape", "tpch_q6_shape", "tpch_q14_shape",
     "tpch_q16_shape", "tpch_q2_shape", "tpch_q7_shape", "tpch_q11_shape",
     "tpch_q15_shape", "tpch_q17_shape", "tpch_q19_shape", "tpch_q22_shape",
-    "join_null_skew",
+    "join_null_skew", "multimodal_video", "events_funnel",
+    "events_retention_cohort",
 ]
 
 # not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family

@@ -469,3 +469,52 @@ def test_decode_one_rejects_wav_loudly():
     blob = wav.pcm16_header(2) + _pcm16_bytes([1, 2])
     with pytest.raises(TypeError, match="decode_audio"):
         M.decode_one(blob)
+
+
+def test_mjpeg_avi_roundtrip_fidelity():
+    """The lossy half the oracle can't check: decoded sampled frames must
+    reconstruct the synthesized source pixels within a tight JPEG-q90
+    bound (smooth content), and the container metadata must round-trip
+    exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_backend_spark.multimodal import avi, jpeg
+    from etl_backend_spark.multimodal import media as M
+
+    blob = M.synthesize_avi_payload(7)
+    meta = avi.parse_avi(blob)
+    digest = hashlib.sha256(b"7").digest()
+    w, h = M._avi_dims(digest)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["n_frames"] == M._AVI_FRAMES
+    assert meta["usec_per_frame"] == M._AVI_USEC
+    for i in (0, 3, 5):
+        px = jpeg.decode_jpeg(meta["frames"][i])
+        src = M._avi_frame_pixels(digest, i, w, h)
+        assert px.shape == src.shape
+        err = np.abs(px.astype(int) - src.astype(int)).mean()
+        assert err < 3.0, (i, err)
+
+
+def test_parse_avi_rejects_malformed_loudly():
+    import struct
+
+    import pytest
+
+    from etl_backend_spark.multimodal import avi
+    from etl_backend_spark.multimodal import media as M
+
+    with pytest.raises(avi.AviError, match="RIFF/AVI"):
+        avi.parse_avi(b"not a container")
+    blob = M.synthesize_avi_payload(3)
+    # chunk that overruns the container must fail, not decode garbage
+    with pytest.raises(avi.AviError):
+        avi.parse_avi(blob[: len(blob) // 2])
+    # frame-count lie: patch avih dwTotalFrames (offset scan keeps the
+    # test honest about where the field lives)
+    pos = blob.index(b"avih") + 8 + 16
+    lied = blob[:pos] + struct.pack("<I", 99) + blob[pos + 4:]
+    with pytest.raises(avi.AviError, match="declares"):
+        avi.parse_avi(lied)
