@@ -400,35 +400,43 @@ def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase): each stage keeps users
     whose first stage-k event strictly FOLLOWS their first stage-(k-1)
     event — the order-sensitive product-analytics staple a plain
-    per-type count can't answer. Staged as k tiny aggregations: every
-    stage filters on its type BEFORE the user shuffle, and each join's
-    right side is one row per surviving user (broadcast-sized as the
-    funnel narrows). At 100 TB the stage-1 aggregate is the only one that
-    sees the full fact; stages 2..k touch only their type partition
-    joined against an ever-shrinking user set."""
+    per-type count can't answer.
+
+    ONE exchange total: all three stage timestamps are unbounded window
+    aggregates over the SAME user_id partitioning (stage k's filter
+    references stage k-1's window column, so the chain is three window
+    projections over one shuffle+sort), and the per-user collapse reuses
+    that partitioning, so the groupBy adds no exchange. The first cut of
+    this operator staged k aggregations with k-1 joins — 3 shuffles and
+    7.2x on the sf0.1→sf1 decade; this form removed the joins entirely
+    (plan-asserted single user exchange in tests/test_operators.py)."""
+    from pyspark.sql import Window
+
     ev = Catalog(spark, sf_dir).table("events")
-
-    def first_after(etype, prev, prev_t):
-        e = ev.filter(F.col("event_type") == etype)
-        return (
-            e.join(prev, "user_id")
-            .filter(F.col("ts") > F.col(prev_t))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(f"t_{etype}"))
+    w = Window.partitionBy("user_id")
+    ts, typ = F.col("ts"), F.col("event_type")
+    d = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("fv", F.min(F.when(typ == "view", ts)).over(w))
+        .withColumn(
+            "fc",
+            F.min(F.when((typ == "click") & (ts > F.col("fv")), ts)).over(w),
         )
-
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+        .withColumn(
+            "fp",
+            F.min(
+                F.when((typ == "purchase") & (ts > F.col("fc")), ts)
+            ).over(w),
+        )
     )
-    s2 = first_after("click", s1, "t_view")
-    s3 = first_after("purchase", s2, "t_click")
-    return (
-        s1.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(
-            s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
-        )
+    per_user = d.groupBy("user_id").agg(
+        F.max("fv").alias("fv"), F.max("fc").alias("fc"),
+        F.max("fp").alias("fp"),
+    )
+    return per_user.agg(
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_view_click"),
+        F.count("fp").alias("n_view_click_purchase"),
     )
 
 

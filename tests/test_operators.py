@@ -679,3 +679,15 @@ def test_events_user_daily_prunes_and_never_shuffles(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, base.collect()))
     assert a == b and len(a) > 0
+
+
+def test_events_funnel_single_user_exchange(spark):
+    """The funnel must be window-chained over ONE user_id exchange (plus
+    the final single-row agg) — the staged-joins form cost 3 shuffles and
+    7.2x on the sf0.1→sf1 decade."""
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES["events_funnel"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
