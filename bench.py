@@ -58,6 +58,8 @@ HEADLINE = [
     "window_rolling_range",    # 1h trailing interval frame per key
     "window_latest_per_group_bucketed",  # keyed window, zero-shuffle layout
     "events_user_daily",       # combined layout: pruned dirs + 0 exchanges
+    "events_funnel",           # ordered funnel, single-exchange window chain
+    "multimodal_video",        # real MJPEG-AVI parse + per-frame JPEG decode
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

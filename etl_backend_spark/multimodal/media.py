@@ -571,3 +571,107 @@ def frame_sample_mjpeg(media: DataFrame, n_frames: int = 3,
     return media.select("media_id", "content").mapInPandas(
         frame_sample_mjpeg_batches(n_frames), schema=MJPEG_FRAMES_SCHEMA
     )
+
+
+# ---------------------------------------------------------- real resize
+
+def box_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-averaging (box-filter) downsample — the standard training-
+    thumbnail resample, exact integer-area arithmetic via reduceat (no
+    interpolation library). Handles arbitrary in/out sizes; each output
+    pixel is the mean of its (possibly ragged) source box."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    acc = np.add.reduceat(np.add.reduceat(px.astype(np.float64), ys, axis=0),
+                          xs, axis=1)
+    cy = np.diff(np.append(ys, h)).astype(np.float64)
+    cx = np.diff(np.append(xs, w)).astype(np.float64)
+    area = cy[:, None] * cx[None, :]
+    return (acc / area[..., None] if px.ndim == 3 else acc / area)
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str,
+                          batch_size: int = 64) -> DataFrame:
+    """Real baseline-JPEG payload per id (image twin of
+    ``synthesize_avi_media``): digest-derived dims, smooth deterministic
+    pixels, encoded by multimodal/jpeg.encode_jpeg."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["media_id"]]
+            blobs = []
+            for i in ids:
+                digest = hashlib.sha256(str(i).encode()).digest()
+                w, h = _avi_dims(digest)
+                blobs.append(jpeg.encode_jpeg(
+                    _avi_frame_pixels(digest, 0, w, h),
+                    quality=_AVI_QUALITY,
+                ))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["image"] * len(ids),
+                "path": [f"/media/{i}.jpg" for i in ids],
+                "content": blobs,
+                "n_bytes": [len(b) for b in blobs],
+            })
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")) \
+             .mapInPandas(run, schema=schema)
+
+
+RESIZED_REAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+
+def resize_real_batches(out_w: int, out_h: int):
+    """mapInPandas worker: REAL JPEG entropy decode + REAL box-filter
+    resample to a fixed training-patch size. width/height come from the
+    decoded array (value-checked vs digest arithmetic by the gate);
+    mean_px is the resampled pixel mean (pytest-bounded — lossy JPEG
+    content is not SQL-replicable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "out_w", "out_h", "mean_px")}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px = jpeg.decode_jpeg(bytes(content))
+                small = box_resize(px, out_w, out_h)
+                out["media_id"].append(media_id)
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["mean_px"].append(round(float(small.mean()), 2))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def resize_media_real(media: DataFrame, out_w: int = 8, out_h: int = 8,
+                      batch_size: int = 64) -> DataFrame:
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    return media.select("media_id", "content").mapInPandas(
+        resize_real_batches(out_w, out_h), schema=RESIZED_REAL_SCHEMA
+    )

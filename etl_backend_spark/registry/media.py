@@ -316,3 +316,44 @@ def q_multimodal_video(spark, sf_dir):
     )
     media = M.synthesize_avi_media(p, "p_partkey")
     return M.frame_sample_mjpeg(media, n_frames=3).drop("mean_luma")
+
+
+@register(
+    "multimodal_resize_real",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             sha256(CAST(p_partkey AS VARCHAR)) AS dh
+      FROM part WHERE p_partkey % 97 = 0
+    ), d AS (
+      SELECT media_id,
+             (strpos('0123456789abcdef', substr(dh, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(dh, 2, 1)) - 1) AS b0,
+             (strpos('0123456789abcdef', substr(dh, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(dh, 4, 1)) - 1) AS b1
+      FROM m
+    )
+    SELECT media_id,
+           CAST(16 + (b0 % 2) * 8 AS INTEGER) AS width,
+           CAST(16 + (b1 % 2) * 8 AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS out_w,
+           CAST(8 AS INTEGER) AS out_h
+    FROM d
+    """,
+)
+def q_multimodal_resize_real(spark, sf_dir):
+    """REAL image resize, value-checked on geometry: the engine
+    synthesizes real baseline-JPEG payloads, entropy-decodes each, and
+    box-filter-resamples to an 8x8 training patch with exact integer-area
+    arithmetic (multimodal/media.box_resize — np.add.reduceat, no PIL).
+    The decoded width/height in the output hash-match the oracle's digest
+    arithmetic, proving the encode → decode chain; the resampled pixel
+    values (lossy content SQL can't replicate) are exactness- and
+    fidelity-tested in pytest. Upgrades the resize stub: decode,
+    feature-extract, resize, and frame-sample are now ALL real for the
+    stdlib-codec formats."""
+    p = Catalog(spark, sf_dir).table("part").filter(
+        F.col("p_partkey") % 97 == 0
+    )
+    media = M.synthesize_jpeg_media(p, "p_partkey")
+    return M.resize_media_real(media, out_w=8, out_h=8).drop("mean_px")

@@ -518,3 +518,30 @@ def test_parse_avi_rejects_malformed_loudly():
     lied = blob[:pos] + struct.pack("<I", 99) + blob[pos + 4:]
     with pytest.raises(avi.AviError, match="declares"):
         avi.parse_avi(lied)
+
+
+def test_box_resize_exact_and_jpeg_fidelity():
+    """box_resize is exact integer-area arithmetic (divisible and ragged
+    cases), and resampling a decoded real JPEG stays close to resampling
+    the source pixels (the q90 smooth-content bound)."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_backend_spark.multimodal import jpeg
+    from etl_backend_spark.multimodal import media as M
+
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert np.allclose(M.box_resize(a, 2, 2), [[2.5, 4.5], [10.5, 12.5]])
+    ragged = np.ones((5, 7)) * 3.0
+    assert np.allclose(M.box_resize(ragged, 2, 3), 3.0)
+
+    digest = hashlib.sha256(b"11").digest()
+    w, h = M._avi_dims(digest)
+    src = M._avi_frame_pixels(digest, 0, w, h)
+    blob = jpeg.encode_jpeg(src, quality=M._AVI_QUALITY)
+    dec = jpeg.decode_jpeg(blob)
+    got = M.box_resize(dec, 8, 8)
+    want = M.box_resize(src, 8, 8)
+    assert got.shape == want.shape == (8, 8, 3)
+    assert np.abs(got - want).mean() < 3.0

@@ -150,3 +150,24 @@ def test_salted_join_equals_plain_for_arbitrary_hot_sets(
     salted = salted_join(fact, build, "fk", "bk", hot, n_salts=n_salts)
     plain = fact.join(build, fact["fk"] == build["bk"])
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=300), min_size=0, max_size=8),
+    st.integers(min_value=8, max_value=64),
+    st.integers(min_value=8, max_value=64),
+    st.integers(min_value=1, max_value=2_000_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_container_roundtrip_lossless(frames, w, h, usec):
+    """The RIFF/AVI container is a lossless byte envelope: ANY frame byte
+    strings (including empty and odd-length, which exercise the RIFF even-
+    padding rule) must come back exactly, with the avih metadata intact."""
+    from etl_backend_spark.multimodal import avi
+
+    blob = avi.build_mjpeg_avi(frames, w, h, usec)
+    meta = avi.parse_avi(blob)
+    assert meta["frames"] == frames
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["usec_per_frame"] == usec
+    assert meta["n_frames"] == len(frames)
