@@ -419,3 +419,86 @@ def stream_into_manifest(stream: DataFrame, table, checkpoint_dir: str,
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+# ------------------------------------------------------------ stream funnel
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t_view", TimestampType()),
+        StructField("t_click", TimestampType()),
+        StructField("t_purchase", TimestampType()),
+    ]
+)
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_tracker(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user ordered-funnel state machine: state is the three first-hit
+    timestamps (µs; -1 = not reached) — CONSTANT-size per key, the
+    streaming-state analog of the batch window chain in
+    registry/events.q_events_funnel. Stage k advances only on an event
+    strictly AFTER stage k-1's first hit (same strict-order contract);
+    within a micro-batch events are replayed in (ts, event_id) order so
+    arrival order can't reorder the funnel. A row is emitted exactly once,
+    when the user COMPLETES the funnel (append-mode semantics: completed
+    conversions are immutable downstream facts).
+
+    Late-data contract (differs from the batch twin at the margin): each
+    stage records the first hit OBSERVED in stream order — a CROSS-batch
+    late event with an earlier timestamp does not retroactively lower an
+    already-set stage (the batch window chain, which sees all data, takes
+    the global min). This is the standard streaming-funnel watermark
+    trade-off; run the batch form for exact restatement."""
+    t = list(state.get) if state.exists else [-1, -1, -1]
+    done_before = t[2] >= 0
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        us = (
+            pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+            // 1000
+        )
+        batch = batch.assign(__us=us).sort_values(["__us", "event_id"])
+        for typ, ts in zip(batch["event_type"], batch["__us"]):
+            ts = int(ts)
+            if typ == "view" and t[0] < 0:
+                t[0] = ts
+            elif typ == "click" and t[1] < 0 and 0 <= t[0] < ts:
+                t[1] = ts
+            elif typ == "purchase" and t[2] < 0 and 0 <= t[1] < ts:
+                t[2] = ts
+    state.update((t[0], t[1], t[2]))
+    if t[2] >= 0 and not done_before:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t_view": [pd.Timestamp(t[0], unit="us")],
+                "t_click": [pd.Timestamp(t[1], unit="us")],
+                "t_purchase": [pd.Timestamp(t[2], unit="us")],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            {c: [] for c in ("user_id", "t_view", "t_click", "t_purchase")}
+        )
+
+
+def funnel_conversions(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ordered funnel: emits one row per user
+    at the moment they complete view → click → purchase. State per key is
+    three timestamps — at 100 TB/day the store holds |active users| × 24
+    bytes, partitioned by user across executors, and never grows with
+    event volume."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_tracker,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType="t_view long, t_click long, t_purchase long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -361,3 +361,28 @@ def test_rolling_counter_late_event_exact_and_state_bounded():
     # batch 3, far-future event ages everything out of the frame head
     assert run(st, [(4, 6000)]) == {4: 1}
     assert list(st.get[0]) == [6_000_000_000]
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path, event_json_dir):
+    """Streaming funnel conversions must equal the batch window-chain
+    funnel: same completed-user count, and each emitted (t_view, t_click,
+    t_purchase) triple must satisfy the strict ordering contract."""
+    from etl_backend_spark.registry import QUERIES
+
+    stream = cp.validate_events(cp.read_json_stream(spark, event_json_dir))
+    out_dir, ckpt = str(tmp_path / "funnel"), str(tmp_path / "ckpt")
+    q = (
+        cp.funnel_conversions(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    rows = got.collect()
+    assert all(r.t_view < r.t_click < r.t_purchase for r in rows)
+    batch = QUERIES["events_funnel"](spark, SF_DIR).collect()[0]
+    assert len(rows) == batch.n_view_click_purchase
+    assert got.select("user_id").distinct().count() == len(rows)
