@@ -675,3 +675,44 @@ def resize_media_real(media: DataFrame, out_w: int = 8, out_h: int = 8,
     return media.select("media_id", "content").mapInPandas(
         resize_real_batches(out_w, out_h), schema=RESIZED_REAL_SCHEMA
     )
+
+
+def synthesize_png_media(df: DataFrame, id_col: str,
+                         batch_size: int = 64) -> DataFrame:
+    """Real lossless-PNG payload per id: solid digest-derived RGB at
+    digest-derived dims, encoded by the stdlib PNG writer. Losslessness is
+    the point — the DECODED pixels equal the synthesized ones bit-exactly,
+    so downstream features are oracle-replicable arithmetic."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["media_id"]]
+            blobs = []
+            for i in ids:
+                digest = hashlib.sha256(str(i).encode()).digest()
+                w, h = _avi_dims(digest)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[..., 0] = digest[2]
+                px[..., 1] = digest[3]
+                px[..., 2] = digest[4]
+                blobs.append(png.encode_png(px))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["image"] * len(ids),
+                "path": [f"/media/{i}.png" for i in ids],
+                "content": blobs,
+                "n_bytes": [len(b) for b in blobs],
+            })
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")) \
+             .mapInPandas(run, schema=schema)

@@ -357,3 +357,50 @@ def q_multimodal_resize_real(spark, sf_dir):
     )
     media = M.synthesize_jpeg_media(p, "p_partkey")
     return M.resize_media_real(media, out_w=8, out_h=8).drop("mean_px")
+
+
+@register(
+    "multimodal_png",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             sha256(CAST(p_partkey AS VARCHAR)) AS dh
+      FROM part WHERE p_partkey % 97 = 0
+    ), d AS (
+      SELECT media_id,
+        list_transform(generate_series(0, 4),
+          j -> (strpos('0123456789abcdef', substr(dh, 2*j + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(dh, 2*j + 2, 1)) - 1))
+          AS b
+      FROM m
+    )
+    SELECT media_id,
+           CAST(16 + (b[1] % 2) * 8 AS INTEGER) AS width,
+           CAST(16 + (b[2] % 2) * 8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST((((299 * b[3] + 587 * b[4] + 114 * b[5]) // 1000) * 16)
+                // 256 AS INTEGER) AS top_bin
+    FROM d
+    """,
+)
+def q_multimodal_png(spark, sf_dir):
+    """REAL lossless image decode, value-checked to the PIXEL level: the
+    engine synthesizes real PNG payloads (stdlib zlib writer), the
+    distributed ``decode_media`` path inflates + unfilters each one for
+    real, and because PNG is lossless the luminance-histogram features are
+    EXACT — the output's argmax bin hash-matches the oracle's integer
+    Rec.601 arithmetic from the same digest bytes. This is the strongest
+    media check in the family: JPEG/AVI rows verify geometry (lossy
+    content), this row verifies decoded CONTENT. (multimodal/png.py;
+    decode dispatch media.decode_one.)"""
+    p = Catalog(spark, sf_dir).table("part").filter(
+        F.col("p_partkey") % 97 == 0
+    )
+    media = M.synthesize_png_media(p, "p_partkey")
+    decoded = M.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height", "channels",
+        (F.array_position(
+            F.col("features"), F.array_max(F.col("features"))
+        ) - 1).cast("int").alias("top_bin"),
+    )
