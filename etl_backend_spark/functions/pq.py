@@ -152,3 +152,36 @@ def adc_scores(codes: np.ndarray, tables: np.ndarray) -> np.ndarray:
         # tables[:, mi, :] is (nq, k); codes[:, mi] picks (n,) per query
         out += tables[:, mi, codes[:, mi]].T
     return out
+
+
+def encode_topk_scan_pandas(books: np.ndarray, tables: np.ndarray, k: int,
+                            exclude_ids=None):
+    """Fused query-time worker: encode + ADC-score + local top-k in ONE
+    mapInPandas pass over (vec_id, nv). The two-step form (encode_pandas
+    then topk_scan_pandas) crosses the Arrow boundary twice and ships the
+    full code matrix between Python workers; fusing keeps codes in worker
+    memory and halves the Python round-trips. encode_pandas remains the
+    INDEX-BUILD path — at scale you materialize codes once and amortize
+    them across queries; this fused form is the ad-hoc query path where
+    codes are not persisted. Output and total order are bit-identical to
+    the two-step form (same encode, same lexsort)."""
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            codes = encode(mat, books).astype(np.int32)
+            scores = adc_scores(codes, tables)
+            out = {"qi": [], "vec_id": [], "adc": []}
+            for qi in range(tables.shape[0]):
+                s, cand = scores[:, qi], ids
+                if exclude_ids is not None:
+                    keep = cand != exclude_ids[qi]
+                    s, cand = s[keep], cand[keep]
+                order = np.lexsort((cand, -s))[:k]
+                out["qi"].extend([qi] * len(order))
+                out["vec_id"].extend(cand[order].tolist())
+                out["adc"].extend(s[order].tolist())
+            yield pd.DataFrame(out)
+
+    return run

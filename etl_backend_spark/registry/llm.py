@@ -738,10 +738,6 @@ def q_sim_topk_pq(spark, sf_dir):
         books = pq.fit_codebooks(sample, m=8, k=16, iters=10, seed=42)
         _PQ_CODEBOOK_CACHE[(sf_dir, n)] = books
 
-    coded = corpus.select(
-        "vec_id", pq.encode_pandas(books)(F.col("nv")).alias("codes")
-    )
-
     # one bounded collect serves both the ADC tables (normalized) and the
     # exact-rerank query vectors (raw)
     qrows = sorted(
@@ -757,9 +753,11 @@ def q_sim_topk_pq(spark, sf_dir):
     # rows never reach a shuffle; the global window re-ranks <= 64 x
     # n_batches skinny rows and is bit-identical to a full-corpus window
     # (total-order selection is associative).
+    # encode + score + local-prune FUSED in one Python pass (functions/
+    # pq.encode_topk_scan_pandas): one Arrow corpus transfer instead of two
     id_map = F.array(*[F.lit(q) for q in q_ids])
-    local_topk = coded.mapInPandas(
-        pq.topk_scan_pandas(tables, k=64, exclude_ids=q_ids),
+    local_topk = corpus.select("vec_id", "nv").mapInPandas(
+        pq.encode_topk_scan_pandas(books, tables, k=64, exclude_ids=q_ids),
         schema="qi int, vec_id long, adc double",
     ).select(
         F.element_at(id_map, F.col("qi") + 1).alias("q_id"), "vec_id", "adc"
