@@ -1,0 +1,145 @@
+"""Generic Prisma-style ``findMany`` compiler — the reference's ORM query
+surface as a DataFrame planner.
+
+Every route in the reference is ultimately a Prisma ``findMany``/``findFirst``
+call with a ``where`` object tree, an ``orderBy`` list, and ``skip``/``take``
+(e.g. src/routes/ads.ts:135-154, src/routes/admin.ts:24-40). The route-level
+facade (engine.py) reproduces each call site; THIS module reproduces the
+generic surface, so arbitrary new queries a reference user writes against
+Prisma compile here without new engine code.
+
+Supported where-tree grammar (the operator set the reference uses, plus the
+obvious closures):
+
+    {col: value}                       equality (None -> IS NULL)
+    {col: {op: operand, ...}}          ops AND'd: equals, not, in, notIn,
+                                       lt, lte, gt, gte, contains,
+                                       startsWith, endsWith
+                                       (+ mode: "insensitive" for the three
+                                        string ops — src/routes/ads.ts:105-108)
+    {"AND": [trees]} / {"OR": [trees]} / {"NOT": tree}
+
+Compilation is a pure fold to ONE Column expression — Catalyst sees a single
+predicate conjunction and pushes the scan-eligible parts down; nothing here
+executes driver-side. SQL three-valued logic applies (a NULL column fails
+every comparison except the explicit None equality), matching the relational
+semantics the oracle checks.
+
+Scale: sort+take compiles to TakeOrderedAndProject (never a global sort);
+``skip`` composes offset-after-sort, the same contract as
+operators/pagination (keyset pagination remains the deep-page scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class WhereError(ValueError):
+    pass
+
+
+_LOGICAL = ("AND", "OR", "NOT")
+
+
+def _lit(v):
+    return F.lit(v)
+
+
+def _field_pred(col: str, spec) -> Column:
+    """One field's predicate: scalar equality or an op dict (ops AND'd)."""
+    c = F.col(col)
+    if spec is None:
+        return c.isNull()
+    if not isinstance(spec, dict):
+        return c == _lit(spec)
+    ci = spec.get("mode") == "insensitive"
+
+    def s(x):
+        return F.lower(x) if ci else x
+
+    preds = []
+    for op, v in spec.items():
+        if op == "mode":
+            continue
+        if op == "equals":
+            preds.append(c.isNull() if v is None else c == _lit(v))
+        elif op == "not":
+            preds.append(c.isNotNull() if v is None else c != _lit(v))
+        elif op == "in":
+            preds.append(c.isin(*v))
+        elif op == "notIn":
+            preds.append(~c.isin(*v))
+        elif op == "lt":
+            preds.append(c < _lit(v))
+        elif op == "lte":
+            preds.append(c <= _lit(v))
+        elif op == "gt":
+            preds.append(c > _lit(v))
+        elif op == "gte":
+            preds.append(c >= _lit(v))
+        elif op == "contains":
+            preds.append(s(c).contains(s(_lit(v))))
+        elif op == "startsWith":
+            preds.append(s(c).startswith(s(_lit(v))))
+        elif op == "endsWith":
+            preds.append(s(c).endswith(s(_lit(v))))
+        else:
+            raise WhereError(f"unknown operator {op!r} on field {col!r}")
+    if not preds:
+        raise WhereError(f"empty operator object on field {col!r}")
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def compile_where(tree: dict) -> Column:
+    """Fold a where tree into one Column predicate (see module docstring)."""
+    if not isinstance(tree, dict):
+        raise WhereError(f"where must be a dict, got {type(tree).__name__}")
+    preds = []
+    for key, val in tree.items():
+        if key == "AND":
+            for sub in val:
+                preds.append(compile_where(sub))
+        elif key == "OR":
+            if not val:
+                raise WhereError("OR requires a non-empty list")
+            branch = compile_where(val[0])
+            for sub in val[1:]:
+                branch = branch | compile_where(sub)
+            preds.append(branch)
+        elif key == "NOT":
+            preds.append(~compile_where(val))
+        else:
+            preds.append(_field_pred(key, val))
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def find_many(df: DataFrame, where: dict | None = None,
+              order_by: list[tuple[str, str]] | None = None,
+              skip: int = 0, take: int | None = None) -> DataFrame:
+    """The generic findMany plan: filter -> sort -> skip/take. ``order_by``
+    is [(col, 'asc'|'desc'), ...]; callers wanting deterministic pages must
+    end it with a unique tie-break column (the same contract Prisma leaves
+    implicit and the reference relies on its PK index for)."""
+    out = df
+    if where:
+        out = out.filter(compile_where(where))
+    if order_by:
+        out = out.orderBy(*[
+            F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
+            for c, d in order_by
+        ])
+    if skip:
+        out = out.offset(skip)
+    if take is not None:
+        out = out.limit(take)
+    return out

@@ -145,3 +145,48 @@ def q_facade_conversations(spark, sf_dir):
     src/routes/chat.ts:83-124): the caller's threads with the latest
     message each, newest activity first."""
     return MarketplaceEngine(spark, sf_dir).conversations_list(42)
+
+
+@register(
+    "find_many_dsl",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND (lower(o_orderpriority) LIKE '%urgent%'
+           OR o_totalprice >= 100000.0)
+      AND o_orderdate < TIMESTAMP '2001-01-01'
+      AND o_orderpriority IS NOT NULL
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15 OFFSET 10
+    """,
+)
+def q_find_many_dsl(spark, sf_dir):
+    """The generic Prisma-style findMany surface (plans/find_many.py),
+    gate-checked through a representative ORM query tree: nested OR,
+    case-insensitive contains (the reference's search mode,
+    src/routes/ads.ts:105-108), range + null-handling operators, multi-key
+    sort with PK tie-break, skip/take. Compiles to ONE Column predicate —
+    the plan shows a single pushed filter conjunction, and sort+take is
+    TakeOrderedAndProject. Any findMany a reference user writes against
+    Prisma's operator set runs here without new engine code."""
+    from ..plans.find_many import find_many
+    from ..sources.catalog import Catalog
+
+    o = Catalog(spark, sf_dir).table("orders")
+    return find_many(
+        o,
+        where={
+            "o_orderstatus": "O",
+            "OR": [
+                {"o_orderpriority": {"contains": "URGENT",
+                                     "mode": "insensitive"}},
+                {"o_totalprice": {"gte": 100000.0}},
+            ],
+            "o_orderdate": {"lt": "2001-01-01 00:00:00"},
+            "o_orderpriority": {"not": None},
+        },
+        order_by=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        skip=10, take=15,
+    )

@@ -72,3 +72,57 @@ def test_login_roundtrip_and_reject(eng):
     assert "password_hash" not in ok[0].asDict()
     bad = eng.login(1, "wrong").collect()
     assert bad == []
+
+
+def test_find_many_where_grammar(spark):
+    """The generic where-tree compiler: each operator and logical node
+    against a hand-written equivalent filter."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_backend_spark.plans.find_many import (
+        WhereError, compile_where, find_many,
+    )
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    o = Catalog(spark, SF_DIR).table("orders")
+
+    def same(tree, col_pred):
+        got = o.filter(compile_where(tree)).count()
+        want = o.filter(col_pred).count()
+        assert got == want and got > 0, (tree, got, want)
+
+    same({"o_orderstatus": "O"}, F.col("o_orderstatus") == "O")
+    same({"o_totalprice": {"gte": 1000.0, "lt": 50000.0}},
+         (F.col("o_totalprice") >= 1000.0) & (F.col("o_totalprice") < 50000.0))
+    same({"o_orderpriority": {"in": ["1-URGENT", "5-LOW"]}},
+         F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    same({"o_orderpriority": {"notIn": ["1-URGENT"]}},
+         ~F.col("o_orderpriority").isin("1-URGENT"))
+    same({"o_orderpriority": {"contains": "urgent", "mode": "insensitive"}},
+         F.lower(F.col("o_orderpriority")).contains("urgent"))
+    same({"o_orderpriority": {"startsWith": "1-"}},
+         F.col("o_orderpriority").startswith("1-"))
+    same({"OR": [{"o_orderstatus": "F"},
+                 {"o_totalprice": {"gt": 400000.0}}]},
+         (F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 400000.0))
+    same({"NOT": {"o_orderstatus": "O"}}, F.col("o_orderstatus") != "O")
+    # null handling: equality-with-None is IS NULL (zero rows here)
+    assert o.filter(compile_where({"o_orderstatus": None})).count() == 0
+    assert o.filter(
+        compile_where({"o_orderstatus": {"not": None}})
+    ).count() == o.count()
+
+    # pagination algebra: skip/take pages are disjoint and ordered
+    ob = [("o_totalprice", "desc"), ("o_orderkey", "asc")]
+    p1 = find_many(o, order_by=ob, skip=0, take=10).collect()
+    p2 = find_many(o, order_by=ob, skip=10, take=10).collect()
+    assert len(p1) == len(p2) == 10
+    assert {r.o_orderkey for r in p1}.isdisjoint({r.o_orderkey for r in p2})
+    assert p1[-1].o_totalprice >= p2[0].o_totalprice
+
+    with _pytest.raises(WhereError):
+        compile_where({"o_orderstatus": {"regex": "x"}})
+    with _pytest.raises(WhereError):
+        compile_where({"OR": []})
