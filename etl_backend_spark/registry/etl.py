@@ -593,3 +593,60 @@ def q_etl_zorder_pruned_read(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "etl_check_constraints",
+    oracle="""
+    SELECT 'unique(o_orderkey)' AS rule,
+           (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+            GROUP BY o_orderkey HAVING count(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'unique(o_custkey)',
+           (SELECT count(*) FROM (SELECT o_custkey FROM orders
+            GROUP BY o_custkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'fk(orders.shifted_key -> customer)',
+           (SELECT count(*) FROM
+             (SELECT (o_custkey * 7) % 2000 AS sk FROM orders) o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON sk = c_custkey
+            WHERE c_custkey IS NULL)
+    UNION ALL
+    SELECT 'not_null(o_orderpriority)',
+           (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL)
+    UNION ALL
+    SELECT 'enum(o_orderstatus)',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F'))
+    ORDER BY rule
+    """,
+)
+def q_etl_check_constraints(spark, sf_dir):
+    """The reference's schema invariants as a one-shot audit
+    (etl/constraints.py): PK uniqueness (clean), a deliberately NON-unique
+    key (o_custkey — proves the checker counts real duplicates), FK
+    orphans over a shifted key derivation (nonzero by construction — an
+    all-zero audit would be a vacuous gate), required-column nulls, and an
+    enum domain check that flags the 'P' status as out-of-domain (again
+    deliberately nonzero). Output is the tidy (rule, n_violations) audit
+    frame; every check's shuffle carries keys only. Reference invariants:
+    prisma/schema.prisma:44,68,84; migration.sql:115-139."""
+    from ..etl import constraints as C
+
+    o = Catalog(spark, sf_dir).table("orders")
+    c = Catalog(spark, sf_dir).table("customer")
+    shifted = o.select(((F.col("o_custkey") * 7) % 2000).alias("sk"))
+    checks = [
+        ("unique(o_orderkey)", C.unique_violations(o, ["o_orderkey"])),
+        ("unique(o_custkey)", C.unique_violations(o, ["o_custkey"])),
+        ("fk(orders.shifted_key -> customer)",
+         C.fk_orphans(shifted, "sk", c, "c_custkey")),
+        ("enum(o_orderstatus)",
+         C.enum_violations(o, "o_orderstatus", ["O", "F"])),
+    ]
+    summary = C.summarize(checks).unionByName(
+        C.null_violations(o, ["o_orderpriority"])
+    )
+    return summary.orderBy("rule")

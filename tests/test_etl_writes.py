@@ -273,3 +273,30 @@ def test_append_idempotent_replay_with_fewer_files(spark, tmp_path):
     # same batch id, different partitioning (e.g. code change before replay)
     store.append_idempotent("t", ev.repartition(2), token="9")
     assert store.read("t").count() == n
+
+
+def test_constraint_checkers_find_planted_violations(spark):
+    """Each checker against a frame with KNOWN violations — the audit
+    must count exactly the planted rows, and clean data must audit clean."""
+    from etl_backend_spark.etl import constraints as C
+
+    df = spark.createDataFrame(
+        [(1, 10, "O"), (2, 10, "O"), (3, None, "O"),
+         (4, 99, "X"), (4, 11, None)],
+        "id long, fk long, status string",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+
+    dups = C.unique_violations(df, ["id"]).collect()
+    assert [(r.id, r.n) for r in dups] == [(4, 2)]
+    orphans = C.fk_orphans(df, "fk", parent, "pk")
+    assert sorted(r.id for r in orphans.collect()) == [4]  # null fk skipped
+    assert C.enum_violations(df, "status", ["O"]).count() == 1  # null skipped
+    nulls = {r.rule: r.n_violations
+             for r in C.null_violations(df, ["fk", "status"]).collect()}
+    assert nulls == {"not_null(fk)": 1, "not_null(status)": 1}
+    summary = C.summarize([
+        ("u", C.unique_violations(df, ["id"])),
+        ("fk", C.fk_orphans(df, "fk", parent, "pk")),
+    ]).collect()
+    assert {r.rule: r.n_violations for r in summary} == {"u": 1, "fk": 1}
