@@ -479,3 +479,73 @@ def q_events_retention_cohort(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(avg(value), 4) AS v
+      FROM events GROUP BY user_id, h
+    ), bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), grid AS (
+      SELECT u.user_id, g.h
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS h FROM bounds) g
+    ), j AS (
+      SELECT grid.user_id, grid.h, b.v
+      FROM grid LEFT JOIN b USING (user_id, h)
+    )
+    SELECT user_id, h AS hour_ts, v AS avg_value,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM j
+    """,
+)
+def q_events_gapfill_locf(spark, sf_dir):
+    """Time-bucket gap-fill + last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill``/``locf`` analog a sensor/metrics
+    pipeline needs: hourly per-user averages, a complete hour grid (so
+    silent hours EXIST as rows), and forward-fill of the last observed
+    value (NULL until a user's first observation — LOCF never invents a
+    leading value).
+
+    Scale shape: the hour grid is one broadcast sequence-explode (bounded
+    by the time span, independent of event volume) cross-joined to the
+    distinct-user set; the bucket aggregate is one partial-agg'd shuffle;
+    LOCF is an unbounded-preceding ``last(ignorenulls)`` window on the
+    same user partitioning the grid join already established."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"),
+                       F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(hours))
+    j = grid.join(b, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id", F.col("h").alias("hour_ts"),
+        F.col("v").alias("avg_value"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
