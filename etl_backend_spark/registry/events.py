@@ -549,3 +549,126 @@ def q_events_gapfill_locf(spark, sf_dir):
         F.col("v").alias("avg_value"),
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "events_interp_linear",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(avg(value), 4) AS v
+      FROM events GROUP BY user_id, h
+    ), bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), grid AS (
+      SELECT u.user_id, g.h
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS h FROM bounds) g
+    ), j AS (
+      SELECT grid.user_id, grid.h, b.v
+      FROM grid LEFT JOIN b USING (user_id, h)
+    ), n AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER w_back AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER w_back AS ph,
+        first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER w_fwd AS nh
+      FROM j
+      WINDOW w_back AS (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_fwd AS (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS hour_ts, v AS avg_value,
+      CASE
+        WHEN v IS NOT NULL THEN CAST(round(v * 10000) AS BIGINT)
+        WHEN pv IS NULL AND nv IS NULL THEN NULL
+        WHEN pv IS NULL OR nv IS NULL
+          THEN CAST(round(coalesce(pv, nv) * 10000) AS BIGINT)
+        ELSE (CAST(round(pv * 10000) AS BIGINT)
+                * (date_diff('second', h, nh))
+              + CAST(round(nv * 10000) AS BIGINT)
+                * (date_diff('second', ph, h)))
+             // date_diff('second', ph, nh)
+      END AS interp_1e4
+    FROM n
+    """,
+)
+def q_events_interp_linear(spark, sf_dir):
+    """Linear interpolation over the gap-filled hour grid — the
+    ``interpolate()`` twin of ``events_gapfill_locf``: a silent hour gets
+    the time-weighted blend of the PREVIOUS and NEXT observed bucket
+    values (edges fall back to the nearest single observation). Both
+    neighbor scans are unbounded windows over the SAME user partitioning
+    — one exchange serves the grid join, both neighbor windows, and the
+    blend; nothing rescans the fact."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"),
+                       F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(hours))
+    j = grid.join(b, ["user_id", "h"], "left")
+    back = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    n = j.select(
+        "user_id", "h", "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    # integer-exact blend in 1e-4 units: the 4-decimal bucket values scale
+    # to exact bigints, the time weights are whole seconds, and `div` is
+    # integer division — NO float op after the windows, so there is no
+    # cross-engine rounding boundary to disagree on (a float blend + round
+    # flipped 180 of 108k rows between Spark and DuckDB round() ties).
+    P = F.round(F.col("pv") * 10000).cast("long")
+    N = F.round(F.col("nv") * 10000).cast("long")
+    a = F.unix_timestamp("h") - F.unix_timestamp("ph")
+    b_total = F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    # FLOOR division to match DuckDB's `//` on negative blends too
+    # (Spark's `div` truncates toward zero): subtract the non-negative
+    # pmod remainder first, so the final divide is exact on longs.
+    blend = F.expr(
+        "cast((( __p * (__b - __a) + __n * __a)"
+        " - pmod(__p * (__b - __a) + __n * __a, __b)) / __b as bigint)"
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(),
+               F.round(F.col("v") * 10000).cast("long"))
+        .when(F.col("pv").isNull() & F.col("nv").isNull(), F.lit(None))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(),
+              F.round(F.coalesce("pv", "nv") * 10000).cast("long"))
+        .otherwise(blend)
+    )
+    return n.withColumn("__p", P).withColumn("__n", N) \
+        .withColumn("__a", a).withColumn("__b", b_total) \
+        .select(
+            "user_id", F.col("h").alias("hour_ts"),
+            F.col("v").alias("avg_value"),
+            interp.alias("interp_1e4"),
+        )
