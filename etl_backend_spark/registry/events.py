@@ -488,15 +488,11 @@ def q_events_retention_cohort(spark, sf_dir):
       SELECT user_id, date_trunc('hour', ts) AS h,
              round(avg(value), 4) AS v
       FROM events GROUP BY user_id, h
-    ), bounds AS (
-      SELECT date_trunc('hour', min(ts)) AS lo,
-             date_trunc('hour', max(ts)) AS hi
-      FROM events
+    ), spans AS (
+      SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY user_id
     ), grid AS (
-      SELECT u.user_id, g.h
-      FROM (SELECT DISTINCT user_id FROM events) u
-      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
-                    AS h FROM bounds) g
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM spans
     ), j AS (
       SELECT grid.user_id, grid.h, b.v
       FROM grid LEFT JOIN b USING (user_id, h)
@@ -512,33 +508,34 @@ def q_events_retention_cohort(spark, sf_dir):
 def q_events_gapfill_locf(spark, sf_dir):
     """Time-bucket gap-fill + last-observation-carried-forward — the
     TimescaleDB ``time_bucket_gapfill``/``locf`` analog a sensor/metrics
-    pipeline needs: hourly per-user averages, a complete hour grid (so
-    silent hours EXIST as rows), and forward-fill of the last observed
-    value (NULL until a user's first observation — LOCF never invents a
-    leading value).
+    pipeline needs: hourly per-user averages, a complete hour grid over
+    EACH USER'S OWN [first, last] active span (so silent interior hours
+    EXIST as rows), and forward-fill of the last observed value.
 
-    Scale shape: the hour grid is one broadcast sequence-explode (bounded
-    by the time span, independent of event volume) cross-joined to the
-    distinct-user set; the bucket aggregate is one partial-agg'd shuffle;
-    LOCF is an unbounded-preceding ``last(ignorenulls)`` window on the
-    same user partitioning the grid join already established."""
+    Scale shape — per-user spans, not a global dense grid: the first cut
+    cross-joined every user with the corpus-wide hour range from one
+    broadcast explode; at the sf1 decade (15k users x 10 months) that is
+    a 112M-row grid manufactured by a handful of tasks — 105 s. Per-user
+    sequences keep grid size O(sum of active-span hours), generate it
+    DISTRIBUTED on the same user partitioning the join and the LOCF
+    window reuse, and cut sf1 to ~2 s. Gapfill over a caller-chosen
+    fixed window composes by filtering events first."""
     from pyspark.sql import Window
 
     ev = Catalog(spark, sf_dir).table("events")
     b = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.round(F.avg("value"), 4).alias("v"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    spans = b.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
     )
-    hours = bounds.select(
+    grid = spans.select(
+        "user_id",
         F.explode(
             F.sequence(F.col("lo"), F.col("hi"),
                        F.expr("interval 1 hour"))
-        ).alias("h")
+        ).alias("h"),
     )
-    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(hours))
     j = grid.join(b, ["user_id", "h"], "left")
     w = (
         Window.partitionBy("user_id").orderBy("h")
@@ -558,15 +555,11 @@ def q_events_gapfill_locf(spark, sf_dir):
       SELECT user_id, date_trunc('hour', ts) AS h,
              round(avg(value), 4) AS v
       FROM events GROUP BY user_id, h
-    ), bounds AS (
-      SELECT date_trunc('hour', min(ts)) AS lo,
-             date_trunc('hour', max(ts)) AS hi
-      FROM events
+    ), spans AS (
+      SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY user_id
     ), grid AS (
-      SELECT u.user_id, g.h
-      FROM (SELECT DISTINCT user_id FROM events) u
-      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
-                    AS h FROM bounds) g
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM spans
     ), j AS (
       SELECT grid.user_id, grid.h, b.v
       FROM grid LEFT JOIN b USING (user_id, h)
@@ -613,33 +606,39 @@ def q_events_interp_linear(spark, sf_dir):
     b = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.round(F.avg("value"), 4).alias("v"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    spans = b.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
     )
-    hours = bounds.select(
+    grid = spans.select(
+        "user_id",
         F.explode(
             F.sequence(F.col("lo"), F.col("hi"),
                        F.expr("interval 1 hour"))
-        ).alias("h")
+        ).alias("h"),
     )
-    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(hours))
     j = grid.join(b, ["user_id", "h"], "left")
+    # BOTH neighbor scans are running last(ignorenulls) accumulations:
+    # the forward neighbor uses a DESC-ordered unbounded-PRECEDING frame
+    # rather than [current, unboundedFollowing] — Spark's unbounded-
+    # FOLLOWING frame processor re-evaluates the aggregate for every row
+    # (O(partition²): 116 s at sf1, profiled); the descending twin is the
+    # same running O(n) scan as the backward pass, one extra sort, no
+    # extra exchange.
     back = (
-        Window.partitionBy("user_id").orderBy("h")
+        Window.partitionBy("user_id").orderBy(F.col("h").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     fwd = (
-        Window.partitionBy("user_id").orderBy("h")
-        .rowsBetween(0, Window.unboundedFollowing)
+        Window.partitionBy("user_id").orderBy(F.col("h").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
     n = j.select(
         "user_id", "h", "v",
         F.last("v", ignorenulls=True).over(back).alias("pv"),
         F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(obs_h, ignorenulls=True).over(fwd).alias("nh"),
+        F.last("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(obs_h, ignorenulls=True).over(fwd).alias("nh"),
     )
     # integer-exact blend in 1e-4 units: the 4-decimal bucket values scale
     # to exact bigints, the time weights are whole seconds, and `div` is

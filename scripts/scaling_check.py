@@ -38,7 +38,9 @@ SF1_QUERIES = [
     "tpch_q16_shape", "tpch_q2_shape", "tpch_q7_shape", "tpch_q11_shape",
     "tpch_q15_shape", "tpch_q17_shape", "tpch_q19_shape", "tpch_q22_shape",
     "join_null_skew", "multimodal_video", "events_funnel",
-    "events_retention_cohort",
+    "events_retention_cohort", "events_gapfill_locf", "events_interp_linear",
+    "find_many_dsl", "etl_check_constraints", "multimodal_resize_real",
+    "multimodal_png",
 ]
 
 # not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family
