@@ -671,3 +671,54 @@ def q_events_interp_linear(spark, sf_dir):
             F.col("v").alias("avg_value"),
             interp.alias("interp_1e4"),
         )
+
+
+@register(
+    "events_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY user_id, h
+    ), daily AS (
+      SELECT user_id, date_trunc('day', h) AS d,
+             sum(n) AS n, sum(sv) AS sv
+      FROM hourly GROUP BY user_id, d
+    )
+    SELECT user_id, date_trunc('month', d) AS m,
+           CAST(sum(n) AS BIGINT) AS n, round(sum(sv), 2) AS sum_value,
+           CAST(count(*) AS INT) AS active_days
+    FROM daily GROUP BY user_id, m
+    ORDER BY user_id, m
+    """,
+)
+def q_events_rollup_cascade(spark, sf_dir):
+    """Cascading time rollup (the continuous-aggregate pattern): hour →
+    day → month, each tier aggregating the PREVIOUS tier, never the raw
+    facts — at 100 TB the hourly tier reads the events once and every
+    coarser tier reads rows proportional to |users| x |finer buckets|.
+    count/sum are the algebraic aggregates that re-aggregate losslessly
+    (avg is derived as sv/n at read time; percentiles need sketches —
+    agg_hll_mergeable / agg_approx_quantile are that path). The month
+    tier also carries active_days, a fact you can ONLY get from the
+    cascade (counting daily rows), not from re-scanning raw events
+    cheaper. All three tiers share the user hash partitioning, so tiers
+    2 and 3 add no exchange under AQE coalescing."""
+    ev = Catalog(spark, sf_dir).table("events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    daily = hourly.groupBy(
+        "user_id", F.date_trunc("day", F.col("h")).alias("d")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    return (
+        daily.groupBy(
+            "user_id", F.date_trunc("month", F.col("d")).alias("m")
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+            F.count(F.lit(1)).cast("int").alias("active_days"),
+        )
+        .orderBy("user_id", "m")
+    )

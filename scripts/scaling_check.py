@@ -40,7 +40,7 @@ SF1_QUERIES = [
     "join_null_skew", "multimodal_video", "events_funnel",
     "events_retention_cohort", "events_gapfill_locf", "events_interp_linear",
     "find_many_dsl", "etl_check_constraints", "multimodal_resize_real",
-    "multimodal_png",
+    "multimodal_png", "events_rollup_cascade",
 ]
 
 # not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family
