@@ -512,39 +512,46 @@ def q_events_gapfill_locf(spark, sf_dir):
     EACH USER'S OWN [first, last] active span (so silent interior hours
     EXIST as rows), and forward-fill of the last observed value.
 
-    Scale shape — per-user spans, not a global dense grid: the first cut
-    cross-joined every user with the corpus-wide hour range from one
-    broadcast explode; at the sf1 decade (15k users x 10 months) that is
-    a 112M-row grid manufactured by a handful of tasks — 105 s. Per-user
-    sequences keep grid size O(sum of active-span hours), generate it
-    DISTRIBUTED on the same user partitioning the join and the LOCF
-    window reuse, and cut sf1 to ~2 s. Gapfill over a caller-chosen
-    fixed window composes by filtering events first."""
+    Scale shape — gap-local generation, no grid join: each observed
+    bucket emits its own gap rows (lead(h) + sequence-explode), carrying
+    its value forward directly — ONE exchange (the bucket aggregate),
+    one window pass, no join, grid size O(sum of active-span hours)
+    distributed on the aggregation's own partitioning. Two rejected
+    designs, both caught by the decade sweep: a global users x hours
+    cross join (112M rows from one task at sf1 — 105 s) and a span-grid
+    LEFT JOIN + LOCF window (5.8 s; the join and second pass are pure
+    overhead once you notice the carried value is just the emitting
+    bucket's own v). Gapfill over a caller-chosen fixed window composes
+    by filtering events first."""
     from pyspark.sql import Window
 
     ev = Catalog(spark, sf_dir).table("events")
     b = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.round(F.avg("value"), 4).alias("v"))
-    spans = b.groupBy("user_id").agg(
-        F.min("h").alias("lo"), F.max("h").alias("hi")
-    )
-    grid = spans.select(
-        "user_id",
+    w = Window.partitionBy("user_id").orderBy("h")
+    b2 = b.withColumn("next_h", F.lead("h").over(w))
+    # each observed bucket EMITS its own gap: explode the hours from the
+    # observation up to (not including) the next one — the carried value
+    # IS this bucket's v, so LOCF needs no grid join and no second pass
+    exploded = b2.select(
+        "user_id", "v", "h",
         F.explode(
-            F.sequence(F.col("lo"), F.col("hi"),
-                       F.expr("interval 1 hour"))
-        ).alias("h"),
+            F.sequence(
+                F.col("h"),
+                F.coalesce(
+                    F.col("next_h") - F.expr("interval 1 hour"),
+                    F.col("h"),
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour_ts"),
     )
-    j = grid.join(b, ["user_id", "h"], "left")
-    w = (
-        Window.partitionBy("user_id").orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return j.select(
-        "user_id", F.col("h").alias("hour_ts"),
-        F.col("v").alias("avg_value"),
-        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    return exploded.select(
+        "user_id", "hour_ts",
+        F.when(F.col("hour_ts") == F.col("h"), F.col("v"))
+        .alias("avg_value"),
+        F.col("v").alias("filled_value"),
     )
 
 
@@ -606,39 +613,32 @@ def q_events_interp_linear(spark, sf_dir):
     b = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.round(F.avg("value"), 4).alias("v"))
-    spans = b.groupBy("user_id").agg(
-        F.min("h").alias("lo"), F.max("h").alias("hi")
-    )
-    grid = spans.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"),
-                       F.expr("interval 1 hour"))
-        ).alias("h"),
-    )
-    j = grid.join(b, ["user_id", "h"], "left")
-    # BOTH neighbor scans are running last(ignorenulls) accumulations:
-    # the forward neighbor uses a DESC-ordered unbounded-PRECEDING frame
-    # rather than [current, unboundedFollowing] — Spark's unbounded-
-    # FOLLOWING frame processor re-evaluates the aggregate for every row
-    # (O(partition²): 116 s at sf1, profiled); the descending twin is the
-    # same running O(n) scan as the backward pass, one extra sort, no
-    # extra exchange.
-    back = (
-        Window.partitionBy("user_id").orderBy(F.col("h").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    fwd = (
-        Window.partitionBy("user_id").orderBy(F.col("h").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
-    n = j.select(
+    # gap-local neighbors: lead() gives each observed bucket its next
+    # observation, and the gap rows it emits know BOTH endpoints at
+    # explode time — one window pass, one sort, no grid join, no reverse
+    # scan. (History: [current, unboundedFollowing] frames are
+    # re-evaluated per row by Spark — O(partition²), 116 s at sf1; the
+    # DESC-sort running-scan fix measured 12.1 s; this form removes the
+    # second sort and the join entirely.)
+    w = Window.partitionBy("user_id").orderBy("h")
+    b2 = b.select(
         "user_id", "h", "v",
-        F.last("v", ignorenulls=True).over(back).alias("pv"),
-        F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
-        F.last("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.last(obs_h, ignorenulls=True).over(fwd).alias("nh"),
+        F.lead("h").over(w).alias("nh"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    n = b2.select(
+        "user_id", "v",
+        F.col("h").alias("ph"), F.col("v").alias("pv"), "nh", "nv",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.coalesce(F.col("nh") - F.expr("interval 1 hour"),
+                           F.col("h")),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("h"),
+    ).withColumn(
+        "v", F.when(F.col("h") == F.col("ph"), F.col("v"))
     )
     # integer-exact blend in 1e-4 units: the 4-decimal bucket values scale
     # to exact bigints, the time weights are whole seconds, and `div` is
@@ -721,4 +721,68 @@ def q_events_rollup_cascade(spark, sf_dir):
             F.count(F.lit(1)).cast("int").alias("active_days"),
         )
         .orderBy("user_id", "m")
+    )
+
+
+@register(
+    "events_gapfill_locf_bucketed",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(avg(value), 4) AS v
+      FROM events GROUP BY user_id, h
+    ), spans AS (
+      SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    ), j AS (
+      SELECT grid.user_id, grid.h, b.v
+      FROM grid LEFT JOIN b USING (user_id, h)
+    )
+    SELECT user_id, h AS hour_ts, v AS avg_value,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM j
+    """,
+)
+def q_events_gapfill_locf_bucketed(spark, sf_dir):
+    """Gap-fill + LOCF over the user-bucketed layout — ZERO exchanges
+    end to end (plan-asserted in tests/test_events_layout.py): the scan's
+    user_id bucketing satisfies both the (user, hour) bucket aggregate
+    (hash(user) clusters (user, hour) too) and the lead() window, and the
+    gap-local explode is narrow. The whole timeseries pipeline becomes a
+    per-bucket computation; at 100 TB the one-time bucketed write
+    amortizes across every grid/window/sessionize query this family
+    runs."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import bucketed_events_table
+
+    ev = spark.table(bucketed_events_table(spark, sf_dir))
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("h")
+    b2 = b.withColumn("next_h", F.lead("h").over(w))
+    exploded = b2.select(
+        "user_id", "v", "h",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.coalesce(
+                    F.col("next_h") - F.expr("interval 1 hour"),
+                    F.col("h"),
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour_ts"),
+    )
+    return exploded.select(
+        "user_id", "hour_ts",
+        F.when(F.col("hour_ts") == F.col("h"), F.col("v"))
+        .alias("avg_value"),
+        F.col("v").alias("filled_value"),
     )

@@ -231,3 +231,14 @@ def test_event_date_bounds_over_widen_only(spark):
     lo2, hi2 = event_date_bounds(spark, SF_DIR, None, "2024-01-12T00:00:00")
     assert lo2 is None
     assert hi2 >= dt.date(2024, 1, 13)  # a day above
+
+
+def test_gapfill_bucketed_plans_zero_exchanges(spark):
+    """The whole gap-fill pipeline (bucket agg → span agg → grid explode →
+    left join → LOCF window) must run on the scan's user_id bucketing with
+    NO exchange: every distribution keys on a superset of {user_id}."""
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES["events_gapfill_locf_bucketed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
