@@ -66,3 +66,71 @@ def merge_delta(state: DataFrame, delta_rows: DataFrame, keys: list[str],
             combined = F.when(o.isNull(), n).when(n.isNull(), o).otherwise(F.greatest(o, n))
         out_cols.append(combined.alias(alias))
     return joined.select(*out_cols)
+
+
+def cascade_merge(daily_state: DataFrame | None,
+                  monthly_state: DataFrame | None,
+                  delta_rows: DataFrame,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  val_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """Incremental refresh of the hour→day→month continuous-aggregate
+    cascade (the batch one-shot is registry events_rollup_cascade) from an
+    APPEND batch. Returns (new_daily_state, new_monthly_state).
+
+    The algebraic measures (count, sum) need no tier-to-tier propagation:
+    each tier merges the SAME delta aggregated at its own granularity.
+    The cascade dependency is ``active_days`` — a DISTINCT-day count,
+    non-algebraic from raw rows: it increments exactly when the daily
+    tier gains a key it did not have, so the monthly merge consumes the
+    daily tier's KEY-NOVELTY (an anti-join of delta day-keys against the
+    old daily state), never a recount of history. Per-batch cost is
+    O(delta + changed keys) at every tier."""
+    day = F.date_trunc("day", F.col(ts_col))
+    month = F.date_trunc("month", F.col("d"))
+    daily_keys = [user_col, "d"]
+    daily_aggs = [(val_col, "count", "n"), (val_col, "sum", "sv")]
+
+    delta_named = delta_rows.withColumn("d", day)
+    daily_delta = aggregate_state(delta_named, daily_keys, daily_aggs)
+
+    if daily_state is None:
+        new_daily = daily_delta
+        new_day_keys = daily_delta.select(*daily_keys)
+    else:
+        new_daily = merge_delta(daily_state, delta_named, daily_keys,
+                                daily_aggs)
+        new_day_keys = daily_delta.select(*daily_keys).join(
+            daily_state.select(*daily_keys), on=daily_keys, how="left_anti"
+        )
+
+    month_delta = (
+        daily_delta.withColumn("m", month)
+        .groupBy(user_col, "m")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .join(
+            new_day_keys.withColumn("m", month)
+            .groupBy(user_col, "m")
+            .agg(F.count(F.lit(1)).alias("active_days")),
+            on=[user_col, "m"], how="left",
+        )
+        .na.fill({"active_days": 0})
+    )
+    if monthly_state is None:
+        new_monthly = month_delta
+    else:
+        old = monthly_state.select(
+            user_col, "m", F.col("n").alias("__on"),
+            F.col("sv").alias("__osv"),
+            F.col("active_days").alias("__od"),
+        )
+        new_monthly = old.join(month_delta, on=[user_col, "m"],
+                               how="full_outer").select(
+            user_col, "m",
+            (F.coalesce("__on", F.lit(0)) + F.coalesce("n", F.lit(0)))
+            .alias("n"),
+            (F.coalesce("__osv", F.lit(0.0)) + F.coalesce("sv", F.lit(0.0)))
+            .alias("sv"),
+            (F.coalesce("__od", F.lit(0))
+             + F.coalesce("active_days", F.lit(0))).alias("active_days"),
+        )
+    return new_daily, new_monthly

@@ -650,3 +650,51 @@ def q_etl_check_constraints(spark, sf_dir):
         C.null_violations(o, ["o_orderpriority"])
     )
     return summary.orderBy("rule")
+
+
+@register(
+    "etl_incremental_cascade",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY user_id, h
+    ), daily AS (
+      SELECT user_id, date_trunc('day', h) AS d,
+             sum(n) AS n, sum(sv) AS sv
+      FROM hourly GROUP BY user_id, d
+    )
+    SELECT user_id, date_trunc('month', d) AS m,
+           CAST(sum(n) AS BIGINT) AS n, round(sum(sv), 2) AS sum_value,
+           CAST(count(*) AS INT) AS active_days
+    FROM daily GROUP BY user_id, m
+    ORDER BY user_id, m
+    """,
+)
+def q_etl_incremental_cascade(spark, sf_dir):
+    """Incrementally-maintained rollup cascade: the events table arrives
+    as THREE append batches (split by event_id mod — arbitrary arrival
+    order within a batch), each folded through etl/incremental.py
+    cascade_merge; the final monthly state must equal the one-shot
+    cascade (the oracle — same SQL as events_rollup_cascade). This is
+    the continuous-aggregate refresh contract: per-batch cost is
+    O(delta + changed keys), the non-algebraic active_days is maintained
+    from the daily tier's key novelty (anti-join), and no batch ever
+    re-reads history."""
+    from ..etl.incremental import cascade_merge
+
+    ev = Catalog(spark, sf_dir).table("events")
+    daily, monthly = None, None
+    for part in range(3):
+        delta = ev.filter(F.col("event_id") % 3 == part)
+        daily, monthly = cascade_merge(daily, monthly, delta)
+        # materialize each tier per batch — the stored-view contract
+        # (each batch reads the PREVIOUS persisted state, not a growing
+        # lazy plan); localCheckpoint stands in for the parquet sink
+        daily = daily.localCheckpoint(eager=True)
+        monthly = monthly.localCheckpoint(eager=True)
+    return monthly.select(
+        "user_id", "m", F.col("n").cast("long").alias("n"),
+        F.round("sv", 2).alias("sum_value"),
+        F.col("active_days").cast("int").alias("active_days"),
+    ).orderBy("user_id", "m")
