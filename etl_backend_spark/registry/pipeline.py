@@ -661,3 +661,50 @@ def q_corpus_pipeline(spark, sf_dir):
         "doc_id", "n_tokens", "pack_range",
         F.floor((cum - F.col("n_tokens")) / 512.0).cast("long").alias("seq_id"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                     substr(md5('strat:' || CAST(doc_id AS VARCHAR)), i, 1))
+                     - 1) * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM t
+    WHERE bucket <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 ELSE 100 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified (per-class) sampling with DETERMINISTIC hash gates —
+    class rebalancing for training mixes: each stratum gets its own keep
+    fraction (downsample dominant 'en' to 50%, 'de' to 80%, keep the
+    tail). Spark's ``sampleBy`` draws from an RNG whose result depends on
+    partitioning; the md5-bucket threshold form is partition-count-
+    independent and reproducible — the property that makes a 100 TB
+    sample auditable and resumable (same contract as split_assign /
+    sample_hash_fraction). One scan, no shuffle before the tiny count."""
+    from ..functions.hashing import md5_prefix_long
+
+    d = Catalog(spark, sf_dir).table("documents")
+    bucket = md5_prefix_long(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    ) % 100
+    frac = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "de", 80)
+        .otherwise(100)
+    )
+    return (
+        d.filter(bucket < frac)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
