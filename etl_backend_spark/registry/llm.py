@@ -1393,3 +1393,30 @@ def q_semantic_search(spark, sf_dir):
         "q_id", "vec_id", "cos_sim", "source",
         F.substring("text", 1, 40).alias("snippet"),
     )
+
+
+_PQ_INDEX_DIRS: dict = {}
+
+
+@register("sim_topk_pq_indexed")  # rows-only, same standing as sim_topk_pq
+def q_sim_topk_pq_indexed(spark, sf_dir):
+    """ANN top-k from the PERSISTED PQ index (ann/index.py): the build
+    step (sampled fit + distributed encode -> codes parquet + codebook
+    sidecar) runs ONCE per corpus and the query path scans only the
+    ~64x-smaller codes table — the FAISS-style build/query split
+    sim_topk_pq inlines. Results are bit-identical to the ad-hoc form
+    (same seeds, same total order — pytest-asserted), so this row proves
+    the artifact round-trip: fit -> persist -> load -> scan."""
+    import tempfile
+
+    from ..ann import index as ann_index
+
+    key = (sf_dir,)
+    d = _PQ_INDEX_DIRS.get(key)
+    if d is None or not __import__("os").path.exists(
+        __import__("os").path.join(d, "codebooks.json")
+    ):
+        d = tempfile.mkdtemp(prefix="etlbs-pqindex-")
+        ann_index.build_pq_index(spark, sf_dir, d)
+        _PQ_INDEX_DIRS[key] = d
+    return ann_index.query_pq_index(spark, sf_dir, d)

@@ -469,3 +469,15 @@ def test_sim_topk_pandas_matches_brute(spark):
     assert set(fast) == set(brute)
     for k in brute:
         assert math.isclose(fast[k], brute[k], abs_tol=2e-6), k
+
+
+def test_pq_indexed_equals_adhoc(spark):
+    """The persisted-index query path must return EXACTLY the ad-hoc
+    sim_topk_pq rows — same seeds, same total order — proving the
+    fit→persist→load→scan artifact round-trip loses nothing."""
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    adhoc = QUERIES["sim_topk_pq"](spark, SF_DIR).collect()
+    indexed = QUERIES["sim_topk_pq_indexed"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, adhoc)) == sorted(map(tuple, indexed))
