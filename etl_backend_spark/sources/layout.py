@@ -185,3 +185,52 @@ def zorder_sort(df, col_a: str, col_b: str, bits: int = 12,
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def zorder_value_n(cols, bits: int):
+    """N-column Morton interleave: bit k of column j lands at position
+    k*n + j. Generalizes ``zorder_value`` (n=2) — with n columns each
+    file's min/max box is a tight n-dimensional rectangle, at the cost of
+    log2-fewer effective bits per column per z-prefix (the standard
+    z-order trade: cluster quality per dimension decays with n, which is
+    why 2-4 columns is the practical OPTIMIZE ZORDER guidance)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    terms = []
+    for k in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(
+                F.shiftleft(F.shiftright(c, k).bitwiseAND(F.lit(1)),
+                            k * n + j)
+            )
+    return reduce(lambda x, y: x + y, terms)
+
+
+def zorder_sort_n(df, col_names: list[str], bits: int = 10,
+                  n_files: int = 8):
+    """Range-partition and sort by the N-column interleave; every column
+    is min-max normalized to the same bits-wide integer range first (see
+    zorder_sort for why)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in col_names:
+        aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+    mm = df.agg(*aggs).collect()[0]
+    top = (1 << bits) - 1
+
+    def norm(c):
+        lo, hi = mm[f"{c}__lo"], mm[f"{c}__hi"]
+        span = max(hi - lo, 1)
+        return ((F.col(c) - F.lit(lo)) * top / F.lit(span)).cast("long")
+
+    z = zorder_value_n([norm(c) for c in col_names], bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

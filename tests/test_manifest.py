@@ -657,3 +657,19 @@ def test_upsert_applies_align_contract(spark, tmp_path):
              key="k")
     got = {r.k: (r.s, r.v) for r in t.read().collect()}
     assert got == {1: ("b", None), 2: ("c", None)}
+
+
+def test_zorder_n_prunes_on_all_three_dimensions(spark, tmp_path):
+    """3-column Morton layout: manifest stats prune files for a range
+    predicate on EACH of the three interleaved columns."""
+    from etl_backend_spark.sources.layout import zorder_sort_n
+
+    cat = Catalog(spark, SF_DIR)
+    li = cat.table("lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    t = ManifestTable(spark, str(tmp_path), "z3_lineitem", cols)
+    t.create(zorder_sort_n(li, cols, n_files=8))
+    for c in cols:
+        hi = li.agg(F.expr(f"percentile({c}, 0.2)")).collect()[0][0]
+        _, skipped = t.read_pruned(c, lo=None, hi=int(hi))
+        assert skipped > 0, c
