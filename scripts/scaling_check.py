@@ -40,7 +40,8 @@ SF1_QUERIES = [
     "join_null_skew", "multimodal_video", "events_funnel",
     "events_retention_cohort", "events_gapfill_locf", "events_interp_linear",
     "find_many_dsl", "etl_check_constraints", "multimodal_resize_real",
-    "multimodal_png", "events_rollup_cascade",
+    "multimodal_png", "events_rollup_cascade", "events_gapfill_locf_bucketed",
+    "sample_stratified", "sim_topk_pq_indexed",
 ]
 
 # not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family
@@ -52,6 +53,15 @@ EXTRA = [
     "tpch_q3_bucketed", "join_1n_nested_bucketed",
     "window_latest_per_group_bucketed", "stream_sessionize_bucketed",
     "join_salted", "window_rolling_range", "window_rolling_range_salted",
+    # round-5 additions (each also in SF1_QUERIES for the fourth decade)
+    "tpch_q4_shape", "tpch_q14_shape", "tpch_q16_shape", "tpch_q2_shape",
+    "tpch_q7_shape", "tpch_q11_shape", "tpch_q15_shape", "tpch_q17_shape",
+    "tpch_q19_shape", "tpch_q22_shape", "join_null_skew",
+    "events_retention_cohort", "events_gapfill_locf",
+    "events_gapfill_locf_bucketed", "events_interp_linear",
+    "events_rollup_cascade", "find_many_dsl", "etl_check_constraints",
+    "multimodal_resize_real", "multimodal_png", "sample_stratified",
+    "sim_topk_pq_indexed",
 ]
 
 
