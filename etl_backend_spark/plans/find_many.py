@@ -143,3 +143,55 @@ def find_many(df: DataFrame, where: dict | None = None,
     if take is not None:
         out = out.limit(take)
     return out
+
+
+def find_many_full(df: DataFrame, where: dict | None = None,
+                   select: list[str] | None = None,
+                   include: list[tuple[DataFrame, str, str, list[str]]]
+                   | None = None,
+                   count_relations: list[tuple[DataFrame, str, str, str]]
+                   | None = None,
+                   order_by: list[tuple[str, str]] | None = None,
+                   skip: int = 0, take: int | None = None) -> DataFrame:
+    """The full Prisma findMany call shape: where + select + include +
+    _count + orderBy + skip/take (e.g. reference src/routes/ads.ts:135-154
+    uses all six at once).
+
+    ``include``: [(dim_df, fk, pk, cols)] — n:1 relation hydration as a
+    broadcast-eligible equi-join projecting ``cols`` (Prisma's nested
+    object, flattened — columnar engines don't nest structs for free and
+    every consumer immediately destructures anyway).
+    ``count_relations``: [(child_df, local_key, child_fk, alias)] —
+    Prisma's ``_count``: the child pre-aggregates on its FK and joins
+    back one row per key, so the shuffle carries counts, not child rows.
+
+    Order of application mirrors Prisma/SQL semantics: WHERE filters the
+    base rows first; includes/counts hydrate; sort+page run LAST over the
+    hydrated frame (an orderBy on an included column is legal)."""
+    out = df
+    if where:
+        out = out.filter(compile_where(where))
+    for dim, fk, pk, cols in include or []:
+        dim_proj = dim.select(pk, *cols)
+        out = out.join(dim_proj, out[fk] == dim_proj[pk], "left").drop(pk)
+    for child, local_key, child_fk, alias in count_relations or []:
+        counts = child.groupBy(child_fk).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+        out = (
+            out.join(counts, out[local_key] == counts[child_fk], "left")
+            .drop(child_fk)
+            .withColumn(alias, F.coalesce(alias, F.lit(0)))
+        )
+    if select:
+        out = out.select(*select)
+    if order_by:
+        out = out.orderBy(*[
+            F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
+            for c, d in order_by
+        ])
+    if skip:
+        out = out.offset(skip)
+    if take is not None:
+        out = out.limit(take)
+    return out

@@ -190,3 +190,47 @@ def q_find_many_dsl(spark, sf_dir):
         order_by=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
         skip=10, take=15,
     )
+
+
+@register(
+    "find_many_included",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment,
+           coalesce(n.n_items, 0) AS n_items
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN (SELECT l_orderkey, count(*) AS n_items FROM lineitem
+               GROUP BY l_orderkey) n
+      ON o_orderkey = n.l_orderkey
+    WHERE o_orderstatus = 'O' AND o_totalprice >= 50000.0
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def q_find_many_included(spark, sf_dir):
+    """The FULL Prisma findMany call shape through the generic compiler
+    (plans/find_many.find_many_full): where-tree + include (customer
+    hydration as a broadcast-eligible join) + _count (lineitem counts
+    pre-aggregated on the FK, one shuffle row per order) + select +
+    multi-key sort with PK tie-break + take. This is exactly the ads
+    route's Prisma call (src/routes/ads.ts:135-154: where object,
+    include user, _count favorites, orderBy, skip/take) running through
+    the GENERIC surface instead of the hand-built flagship plan — a
+    reference user's arbitrary findMany needs no new engine code."""
+    from ..plans.find_many import find_many_full
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    return find_many_full(
+        cat.table("orders"),
+        where={"o_orderstatus": "O",
+               "o_totalprice": {"gte": 50000.0}},
+        include=[(cat.table("customer"), "o_custkey", "c_custkey",
+                  ["c_name", "c_mktsegment"])],
+        count_relations=[(cat.table("lineitem"), "o_orderkey",
+                          "l_orderkey", "n_items")],
+        select=["o_orderkey", "o_totalprice", "c_name", "c_mktsegment",
+                "n_items"],
+        order_by=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        take=25,
+    )
