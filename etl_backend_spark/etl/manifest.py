@@ -28,6 +28,8 @@ readable (time travel) until vacuumed.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import time
@@ -39,19 +41,41 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _bloom_pos(col: str, i: int, m: int):
+    """Spark-side bloom probe position i for a column value: first 8 hex
+    chars of md5(f"{i}:{value}") mod m — mirrored byte-for-byte by
+    ``bloom_positions`` below."""
+    s = F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % m
+
+
+def bloom_positions(value, k: int, m: int) -> list[int]:
+    """Python twin of ``_bloom_pos`` for the probe side."""
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed between this writer's snapshot read and its
     pointer swap; re-read the live manifest and retry the mutation."""
 
 
 class ManifestTable:
+    #: bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive at ~850
+    #: distinct values per file; stored packed (1 KiB base64) per file
+    BLOOM_BITS = 8192
+    BLOOM_K = 4
+
     def __init__(self, spark: SparkSession, root: str, name: str,
-                 stats_cols: list[str]):
+                 stats_cols: list[str], bloom_col: str | None = None):
         self.spark = spark
         self.dir = os.path.join(root, name)
         self.data_dir = os.path.join(self.dir, "data")
         self.manifest_dir = os.path.join(self.dir, "manifest")
         self.stats_cols = stats_cols
+        self.bloom_col = bloom_col
 
     # ------------------------------------------------------------ plumbing
 
@@ -174,6 +198,17 @@ class ManifestTable:
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in self.stats_cols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        if self.bloom_col:
+            # bloom positions ride the SAME stats job: md5-derived (so the
+            # probe side can recompute them in pure Python — no Spark round
+            # trip per lookup), one collect_set per probe index, each
+            # bounded by min(rows, BLOOM_BITS) ints per file
+            for i in range(self.BLOOM_K):
+                aggs.append(
+                    F.collect_set(
+                        _bloom_pos(self.bloom_col, i, self.BLOOM_BITS)
+                    ).alias(f"__bloom_{i}")
+                )
         rows = (
             # explicit schema: an EMPTY df writes a directory with no part
             # files, where schema inference (plain read.parquet) would fail
@@ -194,6 +229,15 @@ class ManifestTable:
                     c: [r[f"min_{c}"], r[f"max_{c}"]] for c in self.stats_cols
                 },
             })
+            if self.bloom_col:
+                bits = bytearray(self.BLOOM_BITS // 8)
+                for i in range(self.BLOOM_K):
+                    for pos in r[f"__bloom_{i}"]:
+                        bits[pos // 8] |= 1 << (pos % 8)
+                entries[-1]["bloom"] = {
+                    "col": self.bloom_col,
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                }
         return sorted(entries, key=lambda e: e["path"])
 
     def _discard_batches(self, entries: list[dict]) -> None:
@@ -392,6 +436,32 @@ class ManifestTable:
                 skipped += 1
                 continue
             keep.append(e["path"])
+        if not keep:
+            return self._empty_df(), skipped
+        live = self._schema_of(self._live_manifest())
+        reader = self.spark.read if live is None else self.spark.read.schema(live)
+        return reader.parquet(*keep), skipped
+
+    def read_pruned_bloom(self, value) -> tuple[DataFrame, int]:
+        """Point-lookup file skipping by the per-file BLOOM, the prune that
+        still works when the table is UNSORTED on the key and every file's
+        [min, max] interval spans the whole domain (where zone maps skip
+        nothing). A bloom miss is definitive — the value is NOT in the
+        file; a hit is probabilistic, and the residual filter remains
+        Spark-side. Probe positions are md5-derived in pure Python,
+        bit-identical to the write side's Spark expressions."""
+        positions = bloom_positions(value, self.BLOOM_K, self.BLOOM_BITS)
+        keep, skipped = [], 0
+        for e in self.files():
+            b = e.get("bloom")
+            if b is None:
+                keep.append(e["path"])
+                continue
+            bits = base64.b64decode(b["bits"])
+            if all(bits[p // 8] & (1 << (p % 8)) for p in positions):
+                keep.append(e["path"])
+            else:
+                skipped += 1
         if not keep:
             return self._empty_df(), skipped
         live = self._schema_of(self._live_manifest())

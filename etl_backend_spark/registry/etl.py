@@ -698,3 +698,49 @@ def q_etl_incremental_cascade(spark, sf_dir):
         F.round("sv", 2).alias("sum_value"),
         F.col("active_days").cast("int").alias("active_days"),
     ).orderBy("user_id", "m")
+
+
+@register(
+    "etl_bloom_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey = 4242
+    """,
+)
+def q_etl_bloom_pruned_read(spark, sf_dir):
+    """Per-file BLOOM point-lookup, value-checked by the gate: the table
+    is written UNSORTED (round-robin repartition), so every file's
+    [min, max] o_orderkey interval spans ~the whole domain and manifest
+    zone maps skip NOTHING — the builder asserts exactly that — while the
+    1 KiB-per-file bloom (md5-probe positions collected in the same
+    distributed stats job as min/max) skips most files. This is the
+    reference's PK index (prisma/schema.prisma:37-57 id lookups at
+    src/routes/ads.ts:176-210) for a lakehouse: at 100 TB it is the
+    difference between a point lookup opening 3 files or 30,000 when the
+    data isn't (and can't be — it's z-ordered/clustered for OTHER
+    predicates) sorted by this key. (etl/manifest.py: bloom_col,
+    read_pruned_bloom.)"""
+    import shutil
+    import tempfile
+
+    from ..etl.manifest import ManifestTable
+
+    o = Catalog(spark, sf_dir).table("orders")
+    root = tempfile.mkdtemp(prefix="etlbs-bloom-")
+    try:
+        t = ManifestTable(spark, root, "orders", ["o_orderkey"],
+                          bloom_col="o_orderkey")
+        t.create(o.repartition(8))
+        _, zm = t.read_pruned("o_orderkey", lo=4242, hi=4242)
+        df, skipped = t.read_pruned_bloom(4242)
+        assert zm == 0 and skipped > 0, (zm, skipped)
+        rows = (
+            df.filter(F.col("o_orderkey") == 4242)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

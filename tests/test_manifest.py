@@ -673,3 +673,29 @@ def test_zorder_n_prunes_on_all_three_dimensions(spark, tmp_path):
         hi = li.agg(F.expr(f"percentile({c}, 0.2)")).collect()[0][0]
         _, skipped = t.read_pruned(c, lo=None, hi=int(hi))
         assert skipped > 0, c
+
+
+def test_bloom_prunes_unsorted_point_lookup(spark, tmp_path):
+    """The bloom prune works exactly where zone maps fail: an UNSORTED
+    layout gives every file a [min,max] interval spanning the whole key
+    domain (min/max skips nothing), yet a point lookup skips most files
+    via the per-file bloom — and returns exactly the right rows."""
+    cat = Catalog(spark, SF_DIR)
+    # shuffle rows so each file's o_orderkey range spans ~everything
+    o = cat.table("orders").repartition(8)
+
+    t = ManifestTable(spark, str(tmp_path), "bloom_orders",
+                      ["o_orderkey"], bloom_col="o_orderkey")
+    t.create(o)
+
+    key = o.limit(1).collect()[0].o_orderkey
+    _, skipped_minmax = t.read_pruned("o_orderkey", lo=key, hi=key)
+    df, skipped_bloom = t.read_pruned_bloom(key)
+    assert skipped_minmax == 0          # zone maps are useless here
+    assert skipped_bloom > 0            # blooms are not
+    got = df.filter(F.col("o_orderkey") == key).count()
+    want = cat.table("orders").filter(F.col("o_orderkey") == key).count()
+    assert got == want > 0
+    # a definitely-absent key skips EVERY file
+    _, skipped_all = t.read_pruned_bloom(-987654321)
+    assert skipped_all == len(t.files())
