@@ -1665,3 +1665,153 @@ def q_tpch_q22_shape(spark, sf_dir):
         )
         .orderBy("cntry")
     )
+
+
+@register(
+    "tpch_q8_shape",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o_orderdate < TIMESTAMP '2001-01-01'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch_q8_shape(spark, sf_dir):
+    """TPC-H Q8 (national market share; p_type filter dropped — testdata
+    part types are coarse — the market-share RATIO structure is the
+    pattern): revenue into a region's customers by year, with one
+    nation's supplier share as a conditional/total ratio in ONE grouped
+    pass. Region/nation dims broadcast on both the customer and supplier
+    legs (the same dim under two roles); the date window pushes to the
+    orders scan."""
+    cat = Catalog(spark, sf_dir)
+    li, o, c, s = (cat.table("lineitem"), cat.table("orders"),
+                   cat.table("customer"), cat.table("supplier"))
+    n1 = cat.tbl("nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = cat.tbl("nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = cat.tbl("region").filter(F.col("r_name") == "ASIA")
+    of = o.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("2001-01-01")))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(of, li["l_orderkey"] == of["o_orderkey"])
+        .join(c, of["o_custkey"] == c["c_custkey"])
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_region") == F.col("r_regionkey"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"), "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+        .otherwise(0.0)
+    ) / F.sum("volume")
+    return (
+        base.groupBy("o_year")
+        .agg(F.round(share, 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting — the ONLY
+    supplier late on a multi-supplier order; lateness adapted to
+    shipdate > orderdate + 60d since the testdata lacks commit/receipt
+    dates): the hardest correlation pattern in the suite — an EXISTS and
+    a NOT EXISTS against the SAME table under different aliases,
+    correlated on (order, other-supplier). Both become per-order
+    aggregates here: a multi-supplier order set (semi join) and a
+    late-supplier-count per order (the NOT EXISTS holds iff this
+    supplier is the order's ONLY late one) — each shuffles one row per
+    order, never a correlated re-scan per row."""
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    late_counts = late.groupBy(F.col("l_orderkey").alias("__lk")).agg(
+        F.count(F.lit(1)).alias("__nlate")
+    )
+    only_late = (
+        late.join(multi_supp, "l_orderkey", "left_semi")
+        .join(late_counts, late["l_orderkey"] == F.col("__lk"))
+        .filter(F.col("__nlate") == 1)
+    )
+    s = cat.table("supplier")
+    n = cat.tbl("nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    return (
+        only_late.join(s, only_late["l_suppkey"] == s["s_suppkey"])
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

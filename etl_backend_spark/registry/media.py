@@ -221,10 +221,12 @@ def q_multimodal_resize(spark, sf_dir):
 )
 def q_multimodal_frames(spark, sf_dir):
     """Uniform video frame sampling: one video row fans out to 4 frame rows
-    with deterministic digests (mapInPandas; stub extractor). Value-checked:
-    the stub digest is sha256 over the payload HEX + ':' + timestamp, which
-    DuckDB replicates verbatim — the fan-out schedule, batch shape, and
-    per-frame values are all hash-verified."""
+    with deterministic digests (mapInPandas; stub extractor — kept for the
+    arbitrary-payload plumbing contract; ``multimodal_video`` is the REAL
+    codec path, parsing MJPEG-AVI containers and entropy-decoding frames).
+    Value-checked: the stub digest is sha256 over the payload HEX + ':' +
+    timestamp, which DuckDB replicates verbatim — the fan-out schedule,
+    batch shape, and per-frame values are all hash-verified."""
     p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 500)
     media = M.synthesize_media(p, "p_partkey", "p_partkey")
     return M.frame_sample(media, n_frames=4)

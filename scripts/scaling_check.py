@@ -41,7 +41,8 @@ SF1_QUERIES = [
     "events_retention_cohort", "events_gapfill_locf", "events_interp_linear",
     "find_many_dsl", "etl_check_constraints", "multimodal_resize_real",
     "multimodal_png", "events_rollup_cascade", "events_gapfill_locf_bucketed",
-    "sample_stratified", "sim_topk_pq_indexed",
+    "sample_stratified", "sim_topk_pq_indexed", "tpch_q8_shape",
+    "tpch_q21_shape", "etl_bloom_pruned_read", "find_many_included",
 ]
 
 # not in bench.py's HEADLINE but scale-relevant: the dedup/pipeline family
@@ -61,7 +62,8 @@ EXTRA = [
     "events_gapfill_locf_bucketed", "events_interp_linear",
     "events_rollup_cascade", "find_many_dsl", "etl_check_constraints",
     "multimodal_resize_real", "multimodal_png", "sample_stratified",
-    "sim_topk_pq_indexed",
+    "sim_topk_pq_indexed", "tpch_q8_shape", "tpch_q21_shape",
+    "etl_bloom_pruned_read", "find_many_included",
 ]
 
 
