@@ -130,19 +130,8 @@ def find_many(df: DataFrame, where: dict | None = None,
     is [(col, 'asc'|'desc'), ...]; callers wanting deterministic pages must
     end it with a unique tie-break column (the same contract Prisma leaves
     implicit and the reference relies on its PK index for)."""
-    out = df
-    if where:
-        out = out.filter(compile_where(where))
-    if order_by:
-        out = out.orderBy(*[
-            F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
-            for c, d in order_by
-        ])
-    if skip:
-        out = out.offset(skip)
-    if take is not None:
-        out = out.limit(take)
-    return out
+    return find_many_full(df, where=where, order_by=order_by,
+                          skip=skip, take=take)
 
 
 def find_many_full(df: DataFrame, where: dict | None = None,
