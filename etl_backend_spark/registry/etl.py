@@ -704,7 +704,7 @@ def q_etl_incremental_cascade(spark, sf_dir):
     "etl_bloom_pruned_read",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    WHERE o_orderkey = 4242
+    WHERE o_orderkey = 42
     """,
 )
 def q_etl_bloom_pruned_read(spark, sf_dir):
@@ -731,11 +731,11 @@ def q_etl_bloom_pruned_read(spark, sf_dir):
         t = ManifestTable(spark, root, "orders", ["o_orderkey"],
                           bloom_col="o_orderkey")
         t.create(o.repartition(8))
-        _, zm = t.read_pruned("o_orderkey", lo=4242, hi=4242)
-        df, skipped = t.read_pruned_bloom(4242)
+        _, zm = t.read_pruned("o_orderkey", lo=42, hi=42)
+        df, skipped = t.read_pruned_bloom(42)
         assert zm == 0 and skipped > 0, (zm, skipped)
         rows = (
-            df.filter(F.col("o_orderkey") == 4242)
+            df.filter(F.col("o_orderkey") == 42)
             .select("o_orderkey", "o_custkey", "o_totalprice")
             .collect()
         )
