@@ -69,13 +69,20 @@ class ManifestTable:
     BLOOM_K = 4
 
     def __init__(self, spark: SparkSession, root: str, name: str,
-                 stats_cols: list[str], bloom_col: str | None = None):
+                 stats_cols: list[str], bloom_col: str | None = None,
+                 bloom_bits: int | None = None):
         self.spark = spark
         self.dir = os.path.join(root, name)
         self.data_dir = os.path.join(self.dir, "data")
         self.manifest_dir = os.path.join(self.dir, "manifest")
         self.stats_cols = stats_cols
         self.bloom_col = bloom_col
+        if bloom_bits is not None:
+            # size to the expected distinct keys PER FILE: a bloom whose
+            # fill ratio approaches 1 hits on every probe and prunes
+            # nothing (observed: 19k keys/file saturating 8192 bits at the
+            # sf1 decade). ~10 bits/key keeps fpp ~1% at k=4.
+            self.BLOOM_BITS = bloom_bits
 
     # ------------------------------------------------------------ plumbing
 
