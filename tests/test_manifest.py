@@ -699,3 +699,17 @@ def test_bloom_prunes_unsorted_point_lookup(spark, tmp_path):
     # a definitely-absent key skips EVERY file
     _, skipped_all = t.read_pruned_bloom(-987654321)
     assert skipped_all == len(t.files())
+
+
+def test_bloom_positions_python_matches_spark(spark):
+    """The probe side recomputes write-side positions bit-for-bit: one
+    Spark job checks 20 values against the pure-Python twin."""
+    from etl_backend_spark.etl.manifest import _bloom_pos, bloom_positions
+
+    vals = [0, 1, 42, 4242, 999999, -7] + list(range(100, 114))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v", *[_bloom_pos("v", i, 8192).alias(f"p{i}") for i in range(4)]
+    ).collect()
+    for r in rows:
+        assert [r.p0, r.p1, r.p2, r.p3] == bloom_positions(r.v, 4, 8192)

@@ -171,3 +171,90 @@ def test_avi_container_roundtrip_lossless(frames, w, h, usec):
     assert (meta["width"], meta["height"]) == (w, h)
     assert meta["usec_per_frame"] == usec
     assert meta["n_frames"] == len(frames)
+
+
+_FM_COLS = ("a", "b")
+
+
+def _py_eval(tree, row) -> bool:
+    """Python reference semantics for the find_many where grammar over
+    non-null int columns (SQL three-valued logic never bites here)."""
+    def field(col, spec):
+        v = row[col]
+        if not isinstance(spec, dict):
+            return v == spec
+        ok = True
+        for op, x in spec.items():
+            if op == "lt":
+                ok &= v < x
+            elif op == "lte":
+                ok &= v <= x
+            elif op == "gt":
+                ok &= v > x
+            elif op == "gte":
+                ok &= v >= x
+            elif op == "in":
+                ok &= v in x
+            elif op == "notIn":
+                ok &= v not in x
+            elif op == "not":
+                ok &= v != x
+            elif op == "equals":
+                ok &= v == x
+        return ok
+
+    out = True
+    for k, val in tree.items():
+        if k == "AND":
+            out &= all(_py_eval(s, row) for s in val)
+        elif k == "OR":
+            out &= any(_py_eval(s, row) for s in val)
+        elif k == "NOT":
+            out &= not _py_eval(val, row)
+        else:
+            out &= field(k, val)
+    return out
+
+
+def _tree_strategy():
+    leaf = st.one_of(
+        st.builds(lambda c, v: {c: v},
+                  st.sampled_from(_FM_COLS), st.integers(0, 9)),
+        st.builds(
+            lambda c, op, v: {c: {op: v}},
+            st.sampled_from(_FM_COLS),
+            st.sampled_from(["lt", "lte", "gt", "gte", "not", "equals"]),
+            st.integers(0, 9),
+        ),
+        st.builds(
+            lambda c, vs: {c: {"in": vs}},
+            st.sampled_from(_FM_COLS),
+            st.lists(st.integers(0, 9), min_size=1, max_size=3),
+        ),
+    )
+    return st.recursive(
+        leaf,
+        lambda sub: st.one_of(
+            st.builds(lambda xs: {"AND": xs}, st.lists(sub, min_size=1, max_size=2)),
+            st.builds(lambda xs: {"OR": xs}, st.lists(sub, min_size=1, max_size=2)),
+            st.builds(lambda x: {"NOT": x}, sub),
+        ),
+        max_leaves=4,
+    )
+
+
+@given(_tree_strategy())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_find_many_where_tree_matches_python_reference(spark_session, tree):
+    """ANY where tree from the grammar must filter exactly like the
+    Python reference evaluation — the compiler has no tree shapes of its
+    own invention."""
+    from etl_backend_spark.plans.find_many import compile_where
+
+    spark = spark_session
+    rows = [{"a": a, "b": (a * 3 + 1) % 10} for a in range(10)] * 2
+    df = spark.createDataFrame(rows)
+    got = sorted((r.a, r.b) for r in df.filter(compile_where(tree)).collect())
+    want = sorted((r["a"], r["b"]) for r in rows if _py_eval(tree, r))
+    assert got == want, tree
