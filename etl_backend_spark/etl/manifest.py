@@ -77,6 +77,7 @@ class ManifestTable:
         self.manifest_dir = os.path.join(self.dir, "manifest")
         self.stats_cols = stats_cols
         self.bloom_col = bloom_col
+        self.table_checks: list[tuple] = []
         if bloom_bits is not None:
             # size to the expected distinct keys PER FILE: a bloom whose
             # fill ratio approaches 1 hits on every probe and prunes
@@ -385,12 +386,54 @@ class ManifestTable:
             ])
         return df, (target.json() if extra else None)
 
+    def check_batch(self, df: DataFrame) -> None:
+        """Delta-style table CONSTRAINTS enforced at write time: run the
+        table's declared checks (``table_checks``) against the batch in
+        ONE aggregation pass and raise with per-rule counts on any
+        violation — bad data must fail the COMMIT, not surface as a
+        quarantine report three jobs later. Checks:
+          ("not_null", [cols...])   ("enum", col, [allowed...])
+          ("unique", [cols...])     — uniqueness WITHIN the batch (the
+        per-key cross-batch form is upsert's job; a global uniqueness
+        scan per append is O(history) and exactly what a 100 TB writer
+        must not do)."""
+        from . import constraints as C
+
+        named = []
+        for chk in self.table_checks:
+            if chk[0] == "not_null":
+                for c in chk[1]:
+                    named.append((f"not_null({c})",
+                                  df.filter(F.col(c).isNull())))
+            elif chk[0] == "enum":
+                named.append((f"enum({chk[1]})",
+                              C.enum_violations(df, chk[1], chk[2])))
+            elif chk[0] == "unique":
+                named.append((f"unique({','.join(chk[1])})",
+                              C.unique_violations(df, chk[1])))
+            else:
+                raise ValueError(f"unknown table check {chk[0]!r}")
+        if not named:
+            return
+        bad = {
+            r.rule: r.n_violations
+            for r in C.summarize(named).collect()
+            if r.n_violations > 0
+        }
+        if bad:
+            raise ValueError(
+                f"append violates table constraints: {bad} — reject the "
+                "batch or route violations to a quarantine sink first"
+            )
+
     def append(self, df: DataFrame, evolve: bool = False) -> None:
         """Append a batch with Delta-style schema handling (see
-        ``_align_to_live``); past snapshots keep their own column set
+        ``_align_to_live``) and table-constraint enforcement
+        (``check_batch``); past snapshots keep their own column set
         (read_at reads with the schema recorded in THAT manifest)."""
         parent, manifest = self._snapshot()
         df, schema_json = self._align_to_live(df, manifest, evolve)
+        self.check_batch(df)
         new = self._write_files(df)
         self._commit_or_discard(
             manifest["entries"] + new, new, parent=parent,

@@ -713,3 +713,30 @@ def test_bloom_positions_python_matches_spark(spark):
     ).collect()
     for r in rows:
         assert [r.p0, r.p1, r.p2, r.p3] == bloom_positions(r.v, 4, 8192)
+
+
+def test_table_constraints_reject_bad_batch_at_append(spark, tmp_path):
+    """Declared table checks fail the COMMIT: a violating batch raises
+    with per-rule counts and leaves the table untouched; a clean batch
+    appends normally."""
+    import pytest
+
+    o = Catalog(spark, SF_DIR).table("orders").limit(50)
+    t = ManifestTable(spark, str(tmp_path), "checked", ["o_orderkey"])
+    t.create(o)
+    t.table_checks = [
+        ("not_null", ["o_orderpriority"]),
+        ("enum", "o_orderstatus", ["O", "F", "P"]),
+        ("unique", ["o_orderkey"]),
+    ]
+    n = t.read().count()
+    bad = o.limit(5).withColumn("o_orderstatus", F.lit("ZZZ"))
+    with pytest.raises(ValueError, match="enum"):
+        t.append(bad)
+    dup = o.limit(2).withColumn("o_orderkey", F.lit(7))
+    with pytest.raises(ValueError, match="unique"):
+        t.append(dup)
+    assert t.read().count() == n  # nothing landed
+    t.append(o.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1_000_000))
+    assert t.read().count() == n + 3
