@@ -426,6 +426,47 @@ class ManifestTable:
                 "batch or route violations to a quarantine sink first"
             )
 
+    def _violation_pred(self, df: DataFrame):
+        """One Column that is true iff a row violates ANY declared check
+        (unique rules excluded — uniqueness is a batch property, not a
+        row property; check_batch still enforces it)."""
+        pred = F.lit(False)
+        for chk in self.table_checks:
+            if chk[0] == "not_null":
+                for c in chk[1]:
+                    pred = pred | F.col(c).isNull()
+            elif chk[0] == "enum":
+                pred = pred | (
+                    F.col(chk[1]).isNotNull()
+                    & ~F.col(chk[1]).isin(*chk[2])
+                )
+        return pred
+
+    def append_with_quarantine(self, df: DataFrame,
+                               quarantine: "ManifestTable",
+                               evolve: bool = False) -> dict:
+        """The production alternative to check_batch's hard reject: rows
+        violating any row-level check land in the ``quarantine`` table
+        (same commit protocol, auditable, replayable after a fix) and
+        only clean rows enter this table. Returns {'appended': n,
+        'quarantined': m}. Batch-level rules (unique) still hard-fail via
+        ``check_batch`` on the CLEAN slice — a duplicate key is not a row
+        you can route, it is an upstream bug."""
+        bad_pred = self._violation_pred(df)
+        good = df.filter(~bad_pred)
+        bad = df.filter(bad_pred)
+        n_bad = bad.count()
+        if n_bad:
+            quarantine.append(bad)
+        checks, self.table_checks = self.table_checks, [
+            c for c in self.table_checks if c[0] == "unique"
+        ]
+        try:
+            self.append(good, evolve=evolve)
+        finally:
+            self.table_checks = checks
+        return {"appended": good.count(), "quarantined": n_bad}
+
     def append(self, df: DataFrame, evolve: bool = False) -> None:
         """Append a batch with Delta-style schema handling (see
         ``_align_to_live``) and table-constraint enforcement

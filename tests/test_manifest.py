@@ -740,3 +740,36 @@ def test_table_constraints_reject_bad_batch_at_append(spark, tmp_path):
     t.append(o.limit(3).withColumn(
         "o_orderkey", F.col("o_orderkey") + 1_000_000))
     assert t.read().count() == n + 3
+
+
+def test_append_with_quarantine_routes_bad_rows(spark, tmp_path):
+    """Violating rows land in the quarantine table, clean rows append,
+    counts report both, and a batch-level duplicate key still hard-fails."""
+    import pytest
+
+    o = Catalog(spark, SF_DIR).table("orders").limit(20)
+    t = ManifestTable(spark, str(tmp_path), "main", ["o_orderkey"])
+    t.create(o)
+    q = ManifestTable(spark, str(tmp_path), "quarantine", ["o_orderkey"])
+    q.create(o.limit(0))
+    t.table_checks = [("enum", "o_orderstatus", ["O", "F", "P"]),
+                      ("unique", ["o_orderkey"])]
+    n = t.read().count()
+    batch = (
+        o.limit(6)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("ZZZ"))
+            .otherwise(F.col("o_orderstatus")),
+        )
+    )
+    res = t.append_with_quarantine(batch, q)
+    assert res["appended"] + res["quarantined"] == 6
+    assert res["quarantined"] > 0
+    assert t.read().count() == n + res["appended"]
+    assert q.read().count() == res["quarantined"]
+    assert t.read().filter(F.col("o_orderstatus") == "ZZZ").count() == 0
+    dup = o.limit(2).withColumn("o_orderkey", F.lit(7))
+    with pytest.raises(ValueError, match="unique"):
+        t.append_with_quarantine(dup, q)
