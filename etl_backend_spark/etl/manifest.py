@@ -496,9 +496,11 @@ class ManifestTable:
         parent, manifest = self._snapshot()
         if txn in manifest.get("txns", {}):
             return False  # replayed batch — already committed
-        # same alignment contract as append (a streaming producer that
-        # missed an ADD COLUMN keeps working; drift still rejected)
+        # same alignment AND constraint contract as append (a streaming
+        # producer that missed an ADD COLUMN keeps working; drift and
+        # declared-check violations still rejected before any file lands)
         df, _ = self._align_to_live(df, manifest, evolve=False)
+        self.check_batch(df)
         new = self._write_files(df)
         self._commit_or_discard(
             manifest["entries"] + new, new, parent=parent, txn=txn,
