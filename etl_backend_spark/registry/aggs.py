@@ -1815,3 +1815,37 @@ def q_tpch_q21_shape(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, round(value, 2) AS value
+    FROM (
+      UNPIVOT (SELECT c_custkey, c_acctbal,
+                      CAST(c_nationkey AS DOUBLE) AS nation_id
+               FROM customer)
+      ON c_acctbal, nation_id
+      INTO NAME metric VALUE value
+    )
+    ORDER BY c_custkey, metric
+    """,
+)
+def q_agg_unpivot(spark, sf_dir):
+    """Unpivot / melt — pivot's inverse (wide metrics to tidy long form,
+    the shape feature stores and plotting layers want). Spark's native
+    ``unpivot`` is a NARROW transformation: each input row fans out to
+    one row per value column inside the scan stage, no shuffle at any
+    scale; the only exchange here is the gate's presentation sort."""
+    c = Catalog(spark, sf_dir).table("customer")
+    wide = c.select(
+        "c_custkey", "c_acctbal",
+        F.col("c_nationkey").cast("double").alias("nation_id"),
+    )
+    return (
+        wide.unpivot(
+            "c_custkey", ["c_acctbal", "nation_id"], "metric", "value"
+        )
+        .select("c_custkey", "metric", F.round("value", 2).alias("value"))
+        .orderBy("c_custkey", "metric")
+    )
