@@ -223,20 +223,52 @@ def q_seq_pack(spark, sf_dir):
     """,
 )
 def q_seq_pack_exact(spark, sf_dir):
-    """Sequence packing, single-cursor form: one global running-total window
-    (Exchange SinglePartition — one task walks the whole corpus). Kept for
-    oracle-exact global sequence ids on small data; ``seq_pack`` is the
-    registered scale path."""
+    """Sequence packing with EXACT global running totals as a DISTRIBUTED
+    prefix sum — the classic two-phase scan that replaces the old
+    Exchange-SinglePartition window (one task walking the whole corpus):
+
+    1. range-partition by the global (k, doc_id) order — a parallel
+       shuffle, every partition holds a contiguous slice of the order;
+    2. per-partition running sums under a partition-local window (the
+       sort each partition needs anyway);
+    3. per-partition TOTALS (tiny — one row per partition) broadcast
+       back as starting offsets via a driver-computed prefix sum.
+
+    Identical output to a single global cursor (the oracle), but the
+    only single-point work is the |partitions|-row offset scan. This is
+    the at-scale form of every exact-global-position problem (token
+    offsets, byte offsets in concatenated shards, exact row numbers)."""
     d = Catalog(spark, sf_dir).table("documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
-    t = d.select("doc_id", n_tokens.alias("n_tokens"), k.alias("k"))
+    t = (
+        d.select("doc_id", n_tokens.alias("n_tokens"), k.alias("k"))
+        .repartitionByRange(16, F.col("k"), F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
     w = (
-        Window.orderBy("k", "doc_id")
+        Window.partitionBy("__pid").orderBy("k", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    return t.select(
+    local = t.withColumn("__cum_local", F.sum("n_tokens").over(w))
+    totals = sorted(
+        (r["__pid"], r["__tot"])
+        for r in t.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in totals:
+        offsets[pid] = acc
+        acc += tot
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in offsets]),
+            F.array(*[F.lit(v) for v in offsets.values()]),
+        ),
+        F.col("__pid"),
+    )
+    cum = F.col("__cum_local") + off
+    return local.select(
         "doc_id", "n_tokens",
         F.floor((cum - F.col("n_tokens")) / 512.0).cast("long").alias("seq_id"),
     )

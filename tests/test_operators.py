@@ -408,8 +408,8 @@ def test_events_time_range_pushdown(spark):
 
 def test_seq_pack_has_no_single_partition_window(spark):
     """The registered seq_pack packs within md5-key ranges (keyed window →
-    hash exchange); only seq_pack_exact is allowed the single-cursor global
-    window (Exchange SinglePartition)."""
+    hash exchange); seq_pack_exact gets exact GLOBAL ids without a single
+    cursor (distributed prefix sum)."""
     from etl_backend_spark.registry import QUERIES
 
     keyed = QUERIES["seq_pack"](spark, SF_DIR)
@@ -417,9 +417,12 @@ def test_seq_pack_has_no_single_partition_window(spark):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(pack_range" in plan
 
+    # the exact form is now a DISTRIBUTED prefix sum: range partition +
+    # partition-local windows + broadcast offsets — no single cursor
     exact = QUERIES["seq_pack_exact"](spark, SF_DIR)
     exact_plan = exact._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" in exact_plan
+    assert "SinglePartition" not in exact_plan
+    assert "rangepartitioning" in exact_plan
 
     # range-local packing agrees with the global cursor within each range:
     # every (pack_range, seq_id) sequence is <= budget except where a single
