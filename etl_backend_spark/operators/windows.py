@@ -54,3 +54,96 @@ def running_sum(df: DataFrame, group: str, ts_col: str, tie: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(alias, F.sum(F.col(value_col)).over(w))
+
+
+def distributed_global_prefix_sum(df: DataFrame, order_cols: list[str],
+                                  value_col: str,
+                                  n_parts: int = 16) -> tuple[DataFrame, int]:
+    """Exact global running SUM of ``value_col`` over a unique total order
+    — the weighted sibling of ``distributed_global_rank`` (same
+    range-partition + local-window + broadcast-offsets shape; offsets are
+    per-partition value TOTALS instead of row counts). Returns
+    (df + '__cum' long, grand total)."""
+    cols = [F.col(c) for c in order_cols]
+    t = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # see distributed_global_rank
+    )
+    w = (
+        Window.partitionBy("__pid").orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__cum_local", F.sum(value_col).over(w))
+    totals = sorted(
+        (r["__pid"], r["__tot"])
+        for r in t.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in totals:
+        offsets[pid] = acc
+        acc += tot
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in offsets]),
+            F.array(*[F.lit(int(v)) for v in offsets.values()]),
+        ),
+        F.col("__pid"),
+    )
+    return (
+        local.withColumn("__cum",
+                         (F.col("__cum_local") + off).cast("long"))
+        .drop("__cum_local", "__pid"),
+        int(acc),
+    )
+
+
+def distributed_global_rank(df: DataFrame, order_cols: list[str],
+                            n_parts: int = 16) -> tuple[DataFrame, int]:
+    """Exact GLOBAL rank over a unique total order WITHOUT a single-
+    partition window — the distributed prefix-sum recipe (shared by
+    seq_pack_exact, window_ntile, window_distribution):
+
+    1. range-partition by the order (parallel shuffle; partition i holds
+       a contiguous slice of the order, ids increase with the order);
+    2. per-partition row_number under a partition-local window;
+    3. per-partition COUNTS (one row each) prefix-summed on the driver
+       and broadcast back as offsets.
+
+    Returns (df + '__rank' long, total row count). Requires the order to
+    be UNIQUE (append a key column as tie-break) — rank functions with
+    ties need group-count logic this helper deliberately omits."""
+    cols = [F.col(c) for c in order_cols]
+    t = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # materialize ONCE: range boundaries come from sampling, and the
+        # counts job re-planning the shuffle could draw DIFFERENT
+        # boundaries than the rank job — offsets computed against one
+        # partitioning applied to another silently shift every rank
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = t.withColumn("__rn", F.row_number().over(w))
+    counts = sorted(
+        (r["__pid"], r["__n"])
+        for r in t.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in offsets]),
+            F.array(*[F.lit(v) for v in offsets.values()]),
+        ),
+        F.col("__pid"),
+    )
+    return (
+        local.withColumn("__rank", (F.col("__rn") + off).cast("long"))
+        .drop("__rn", "__pid"),
+        acc,
+    )

@@ -723,14 +723,35 @@ def q_agg_grouping_sets(spark, sf_dir):
     """,
 )
 def q_window_ntile(spark, sf_dir):
-    """ntile quartiles over a total order (single-partition window — fine
-    for ranked reporting output, NOT for 100 TB fact tables; at scale use
-    approx percentiles to bucket instead)."""
-    from pyspark.sql import Window
+    """ntile quartiles over a total order — EXACT and distributed: the
+    global rank comes from the shared prefix-sum helper (range partition
+    + local row_numbers + broadcast offsets,
+    operators/windows.distributed_global_rank), and ntile(k) over a
+    unique order is floor((rank-1)*k / n) + 1. No SinglePartition
+    exchange anywhere (plan-asserted); approx-percentile bucketing
+    (agg_approx_quantile) remains the sketch alternative when a rank
+    shuffle per query is too much."""
+    from ..operators.windows import distributed_global_rank
 
     o = Catalog(spark, sf_dir).table("orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    ranked, n = distributed_global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    # SQL ntile: the first (n mod k) buckets get ceil(n/k) rows — NOT the
+    # even-spread floor((rank-1)*k/n) tiling, which disagrees whenever
+    # k does not divide n
+    k = 4
+    q, r = divmod(n, k)
+    big = (q + 1) * r
+    rank = F.col("__rank")
+    quart = (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(F.lit(r) + ((rank - big - 1) / q).cast("long") + 1)
+    )
+    return ranked.select(
+        "o_orderkey", quart.cast("int").alias("quartile")
+    )
 
 
 @register(
@@ -980,20 +1001,30 @@ def q_window_distribution_keyed(spark, sf_dir):
     """,
 )
 def q_window_distribution(spark, sf_dir):
-    """Distribution window functions: percent_rank / cume_dist /
-    first_value / nth_value over a total price order (reporting-output
-    scale, like window_ntile)."""
-    from pyspark.sql import Window
+    """Distribution window functions over a total price order, EXACT and
+    distributed: with a UNIQUE order (orderkey tie-break) percent_rank is
+    (rank-1)/(n-1) and cume_dist is rank/n over the prefix-sum global
+    rank — no ties, no SinglePartition window. first/nth_value over the
+    cumulative frame are the global rank-1 and rank-2 rows: one bounded
+    2-row collect, broadcast as literals."""
+    from ..operators.windows import distributed_global_rank
 
     o = Catalog(spark, sf_dir).table("orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return o.select(
+    ranked, n = distributed_global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    head = {
+        r["__rank"]: r["o_orderkey"]
+        for r in ranked.filter(F.col("__rank") <= 2).collect()
+    }
+    rank = F.col("__rank")
+    return ranked.select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.first("o_orderkey").over(wf).alias("cheapest_key"),
-        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.round((rank - 1) / F.lit(n - 1), 6).alias("pr"),
+        F.round(rank / F.lit(n), 6).alias("cd"),
+        F.lit(head[1]).alias("cheapest_key"),
+        F.when(rank >= 2, F.lit(head.get(2))).alias("second_key"),
     )
 
 

@@ -238,37 +238,17 @@ def q_seq_pack_exact(spark, sf_dir):
     only single-point work is the |partitions|-row offset scan. This is
     the at-scale form of every exact-global-position problem (token
     offsets, byte offsets in concatenated shards, exact row numbers)."""
+    from ..operators.windows import distributed_global_prefix_sum
+
     d = Catalog(spark, sf_dir).table("documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
-    t = (
-        d.select("doc_id", n_tokens.alias("n_tokens"), k.alias("k"))
-        .repartitionByRange(16, F.col("k"), F.col("doc_id"))
-        .withColumn("__pid", F.spark_partition_id())
+    t = d.select("doc_id", n_tokens.alias("n_tokens"), k.alias("k"))
+    summed, _ = distributed_global_prefix_sum(
+        t, ["k", "doc_id"], "n_tokens"
     )
-    w = (
-        Window.partitionBy("__pid").orderBy("k", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = t.withColumn("__cum_local", F.sum("n_tokens").over(w))
-    totals = sorted(
-        (r["__pid"], r["__tot"])
-        for r in t.groupBy("__pid")
-        .agg(F.sum("n_tokens").alias("__tot")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, tot in totals:
-        offsets[pid] = acc
-        acc += tot
-    off = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(p) for p in offsets]),
-            F.array(*[F.lit(v) for v in offsets.values()]),
-        ),
-        F.col("__pid"),
-    )
-    cum = F.col("__cum_local") + off
-    return local.select(
+    cum = F.col("__cum")
+    return summed.select(
         "doc_id", "n_tokens",
         F.floor((cum - F.col("n_tokens")) / 512.0).cast("long").alias("seq_id"),
     )

@@ -422,7 +422,10 @@ def test_seq_pack_has_no_single_partition_window(spark):
     exact = QUERIES["seq_pack_exact"](spark, SF_DIR)
     exact_plan = exact._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in exact_plan
-    assert "rangepartitioning" in exact_plan
+    # the range shuffle sits BEFORE the materialized checkpoint (plan
+    # shows the checkpointed RDD scan); the visible window runs on the
+    # partition-local key, never a global order
+    assert "ExistingRDD" in exact_plan and "__pid" in exact_plan
 
     # range-local packing agrees with the global cursor within each range:
     # every (pack_range, seq_id) sequence is <= budget except where a single
