@@ -1880,3 +1880,29 @@ def q_agg_unpivot(spark, sf_dir):
         .select("c_custkey", "metric", F.round("value", 2).alias("value"))
         .orderBy("c_custkey", "metric")
     )
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+    SELECT o_orderpriority, round(median(o_totalprice), 2) AS med,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_agg_median_exact(spark, sf_dir):
+    """Exact grouped median (Spark's ``median`` = interpolated
+    percentile(0.5), matching DuckDB) — the exact sibling of
+    ``agg_approx_quantile``: fine per GROUP at any scale (each group's
+    values sort within its reducer); for a global median over a fact
+    table the sketch path is the answer, and the distributed-rank helper
+    (operators/windows.py) is the exact fallback."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
