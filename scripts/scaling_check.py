@@ -63,7 +63,8 @@ EXTRA = [
     "events_rollup_cascade", "find_many_dsl", "etl_check_constraints",
     "multimodal_resize_real", "multimodal_png", "sample_stratified",
     "sim_topk_pq_indexed", "tpch_q8_shape", "tpch_q21_shape",
-    "etl_bloom_pruned_read", "find_many_included",
+    "etl_bloom_pruned_read", "find_many_included", "agg_unpivot",
+    "agg_median_exact",
 ]
 
 
