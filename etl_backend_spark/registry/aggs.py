@@ -1906,3 +1906,43 @@ def q_agg_median_exact(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), m AS (SELECT o_orderpriority, max(n) AS mx FROM c
+             GROUP BY o_orderpriority)
+    SELECT c.o_orderpriority,
+           min(o_orderstatus) AS mode_status,
+           CAST(max(n) AS BIGINT) AS n
+    FROM c JOIN m ON c.o_orderpriority = m.o_orderpriority AND c.n = m.mx
+    GROUP BY c.o_orderpriority
+    ORDER BY c.o_orderpriority
+    """,
+)
+def q_agg_mode_deterministic(spark, sf_dir):
+    """Grouped MODE with a DETERMINISTIC tie-break (lexicographic min
+    among max-frequency values) — engines' native mode() leaves ties
+    implementation-defined, which is exactly the nondeterminism a
+    value-hashed pipeline can't ship. Two tiny aggregations over the
+    (group, value) count table; the shuffle carries one row per distinct
+    pair, never the fact."""
+    o = Catalog(spark, sf_dir).table("orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = c.groupBy("o_orderpriority").agg(F.max("n").alias("mx"))
+    return (
+        c.join(m, ["o_orderpriority"])
+        .filter(F.col("n") == F.col("mx"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_orderstatus").alias("mode_status"),
+            F.max("n").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
