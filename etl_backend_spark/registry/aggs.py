@@ -1946,3 +1946,109 @@ def q_agg_mode_deterministic(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "tpch_q9_shape",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9_shape(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year;
+    0.6 * p_retailprice stands in for ps_supplycost — the testdata lacks
+    partsupp — keeping the revenue-minus-cost expression structure): the
+    part-name LIKE filter prunes the broadcast dim before the join, the
+    5-table star groups on (supplier nation, order year), and the profit
+    arithmetic runs inside the single grouped aggregation pass."""
+    cat = Catalog(spark, sf_dir)
+    li, o, s = (cat.table("lineitem"), cat.table("orders"),
+                cat.table("supplier"))
+    p = cat.tbl("part").filter(F.col("p_name").like("%red%"))
+    n = cat.tbl("nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q20_shape",
+    oracle="""
+    WITH promo AS (
+      SELECT l_suppkey, sum(l_quantity) AS promo_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey
+    ), total AS (
+      SELECT l_suppkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND s_suppkey IN (
+        SELECT promo.l_suppkey FROM promo JOIN total
+          ON promo.l_suppkey = total.l_suppkey
+        WHERE promo_qty * 6 > total_qty
+      )
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess stock of filtered parts;
+    shipped-quantity SHARE stands in for ps_availqty > 0.5*sum(qty) —
+    suppliers whose PROMO-part volume exceeds a sixth of their total — the distribution's mean, so the threshold splits the population): the
+    nested-IN structure — a correlated per-supplier aggregate threshold
+    feeding a semi join into the dim-filtered supplier list. Both
+    aggregates shuffle one row per supplier; the final IN is a broadcast
+    semi join."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    p = cat.tbl("part").filter(F.col("p_type") == "PROMO")
+    promo = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+    )
+    total = li.groupBy(F.col("l_suppkey").alias("__sk")).agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    excess = (
+        promo.join(total, promo["l_suppkey"] == F.col("__sk"))
+        .filter(F.col("promo_qty") * 6 > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    s = cat.table("supplier")
+    n = cat.tbl("nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, s["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
