@@ -138,6 +138,8 @@ def find_many_full(df: DataFrame, where: dict | None = None,
                    select: list[str] | None = None,
                    include: list[tuple[DataFrame, str, str, list[str]]]
                    | None = None,
+                   include_list: list[tuple[DataFrame, str, str, "Column", str]]
+                   | None = None,
                    count_relations: list[tuple[DataFrame, str, str, str]]
                    | None = None,
                    order_by: list[tuple[str, str]] | None = None,
@@ -150,6 +152,13 @@ def find_many_full(df: DataFrame, where: dict | None = None,
     broadcast-eligible equi-join projecting ``cols`` (Prisma's nested
     object, flattened — columnar engines don't nest structs for free and
     every consumer immediately destructures anyway).
+    ``include_list``: [(child_df, local_key, child_fk, item_expr,
+    alias)] — Prisma's 1:n include (nested child arrays): the child
+    pre-aggregates ``sort_array(collect_list(item_expr))`` on its FK and
+    joins back ONE row per parent — the shuffle carries one assembled
+    array per key, and the sorted order makes the array deterministic
+    under any partitioning. Parents with no children get an empty array
+    (Prisma returns [], not null).
     ``count_relations``: [(child_df, local_key, child_fk, alias)] —
     Prisma's ``_count``: the child pre-aggregates on its FK and joins
     back one row per key, so the shuffle carries counts, not child rows.
@@ -163,6 +172,18 @@ def find_many_full(df: DataFrame, where: dict | None = None,
     for dim, fk, pk, cols in include or []:
         dim_proj = dim.select(pk, *cols)
         out = out.join(dim_proj, out[fk] == dim_proj[pk], "left").drop(pk)
+    for child, local_key, child_fk, item, alias in include_list or []:
+        arrs = child.groupBy(child_fk).agg(
+            F.sort_array(F.collect_list(item)).alias(alias)
+        )
+        out = (
+            out.join(arrs, out[local_key] == arrs[child_fk], "left")
+            .drop(child_fk)
+            .withColumn(
+                alias,
+                F.coalesce(alias, F.array().cast(f"array<string>")),
+            )
+        )
     for child, local_key, child_fk, alias in count_relations or []:
         counts = child.groupBy(child_fk).agg(
             F.count(F.lit(1)).alias(alias)

@@ -11,6 +11,8 @@ column drops, envelope shape) is value-checked against DuckDB too.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..engine import MarketplaceEngine
 from . import register
 
@@ -233,4 +235,49 @@ def q_find_many_included(spark, sf_dir):
                 "n_items"],
         order_by=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
         take=25,
+    )
+
+
+@register(
+    "find_many_nested",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))),
+                           ',') AS items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 200000.0
+    GROUP BY o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_find_many_nested(spark, sf_dir):
+    """Prisma's 1:n include through the generic compiler: the filtered
+    parents hydrate a SORTED child array per row (chat.ts:108-111's
+    nested messages), assembled by a per-FK pre-aggregation — one array
+    row per parent through the join, never the exploded child rows. The
+    gate serializes the array sorted so the value hash is partition-
+    independent; parents keeping children is the INNER-like subset here
+    (the SQL oracle's join drops childless parents, so the builder
+    filters empty arrays — Prisma's [] semantics are pytest-covered in
+    the where-grammar suite)."""
+    from ..plans.find_many import find_many_full
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    out = find_many_full(
+        cat.table("orders"),
+        where={"o_orderstatus": "F",
+               "o_totalprice": {"gte": 200000.0}},
+        include_list=[(cat.table("lineitem"), "o_orderkey", "l_orderkey",
+                       F.col("l_linenumber").cast("string"), "items_arr")],
+        order_by=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        take=20,
+    )
+    return (
+        out.filter(F.size("items_arr") > 0)
+        .select(
+            "o_orderkey", "o_totalprice",
+            F.array_join("items_arr", ",").alias("items"),
+        )
     )

@@ -126,3 +126,20 @@ def test_find_many_where_grammar(spark):
         compile_where({"o_orderstatus": {"regex": "x"}})
     with _pytest.raises(WhereError):
         compile_where({"OR": []})
+
+
+def test_include_list_gives_childless_parents_empty_arrays(spark):
+    """Prisma's 1:n include returns [] for childless parents, never null."""
+    from etl_backend_spark.plans.find_many import find_many_full
+
+    parents = spark.createDataFrame([(1,), (2,), (3,)], "pid long")
+    children = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (3, "c")], "fk long, v string"
+    )
+    out = find_many_full(
+        parents,
+        include_list=[(children, "pid", "fk", F.col("v"), "vs")],
+        order_by=[("pid", "asc")],
+    ).collect()
+    got = {r.pid: list(r.vs) for r in out}
+    assert got == {1: ["a", "b"], 2: [], 3: ["c"]}
