@@ -786,3 +786,52 @@ def q_events_gapfill_locf_bucketed(spark, sf_dir):
         .alias("avg_value"),
         F.col("v").alias("filled_value"),
     )
+
+
+@register(
+    "events_outliers_mad",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+    ), d AS (
+      SELECT e.user_id, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN m ON e.user_id = m.user_id
+    ), s AS (
+      SELECT user_id, median(dev) AS mad FROM d GROUP BY user_id
+    )
+    SELECT d.user_id, event_id, round(value, 2) AS value,
+           round(med, 4) AS med, round(mad, 4) AS mad
+    FROM d JOIN s ON d.user_id = s.user_id
+    WHERE dev > 3 * mad AND mad > 0
+    ORDER BY d.user_id, event_id
+    """,
+)
+def q_events_outliers_mad(spark, sf_dir):
+    """Robust per-user outlier detection via median absolute deviation —
+    the z-score's (events_zscore) heavy-tail-safe sibling: a single hot
+    value can't drag the center or the spread the way it drags
+    mean/stddev. Two grouped exact medians (center, then deviation
+    spread), each one shuffle row per user; the deviation join reuses
+    the user partitioning. Cross-engine exact: medians interpolate the
+    same doubles identically, and the 3x threshold compares values both
+    engines computed bit-for-bit."""
+    ev = Catalog(spark, sf_dir).table("events")
+    m = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    d = ev.join(m, "user_id").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    s = d.groupBy(F.col("user_id").alias("__u")).agg(
+        F.median("dev").alias("mad")
+    )
+    return (
+        d.join(s, d["user_id"] == F.col("__u"))
+        .filter((F.col("dev") > 3 * F.col("mad")) & (F.col("mad") > 0))
+        .select(
+            "user_id", "event_id",
+            F.round("value", 2).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -65,7 +65,7 @@ EXTRA = [
     "sim_topk_pq_indexed", "tpch_q8_shape", "tpch_q21_shape",
     "etl_bloom_pruned_read", "find_many_included", "agg_unpivot",
     "agg_median_exact", "agg_mode_deterministic", "tpch_q9_shape",
-    "tpch_q20_shape",
+    "tpch_q20_shape", "events_outliers_mad", "find_many_nested",
 ]
 
 
