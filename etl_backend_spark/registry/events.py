@@ -835,3 +835,29 @@ def q_events_outliers_mad(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 50.0), 9) AS INT) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q_events_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (10 buckets of 50, top
+    bucket open-ended): the monitoring-dashboard shape — one grouped
+    count whose key space is |types| x |buckets| regardless of event
+    volume, so the shuffle is constant-size at any scale. Integer-exact
+    bucket arithmetic on both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )

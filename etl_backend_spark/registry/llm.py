@@ -1420,3 +1420,72 @@ def q_sim_topk_pq_indexed(spark, sf_dir):
         ann_index.build_pq_index(spark, sf_dir, d)
         _PQ_INDEX_DIRS[key] = d
     return ann_index.query_pq_index(spark, sf_dir, d)
+
+
+@register(
+    "doc_keywords_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE len(term) > 2 GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rnk AS INT) AS rnk,
+           round(score, 4) AS score
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def q_doc_keywords_tfidf(spark, sf_dir):
+    """Per-document keyword extraction by TF-IDF — the classic text-
+    pipeline feature (dataset cards, dedup explanations, topic routing):
+    term frequencies per doc, smoothed inverse document frequency
+    ln((N+1)/(df+1)) joined back (the df table is one row per distinct
+    term — broadcast-eligible), top-3 per doc under a total order
+    (score desc, term asc — integer tf x shared idf makes the float
+    scores bit-identical cross-engine, and the term tie-break settles
+    equal scores). Shuffles carry (doc, term) pairs, never text."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 2)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy(F.col("term").alias("__t")).agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_t), tf["term"] == F.col("__t")).select(
+        "doc_id", "term",
+        (F.col("tf")
+         * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.col("rnk").cast("int").alias("rnk"),
+                F.round("score", 4).alias("score"))
+        .orderBy("doc_id", "rnk")
+    )

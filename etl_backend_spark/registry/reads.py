@@ -1200,3 +1200,35 @@ def q_join_null_skew(spark, sf_dir):
         "o_orderkey", F.lit(None).cast("string").alias("c_name")
     )
     return matched.unionByName(null_side)
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 5 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_custkey % 5), 4) END AS per_unit,
+           TRY_CAST(o_orderpriority AS INTEGER) AS pri_num
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def q_fn_try_arith(spark, sf_dir):
+    """Error-safe arithmetic: ``try_divide`` nulls division-by-zero and
+    ``try_cast`` nulls unparseable strings instead of failing the job —
+    at 100 TB a single malformed row must never kill a 10-hour stage
+    (the quarantine philosophy applied to expressions). DuckDB's
+    division returns inf rather than erroring, so the oracle states the
+    same NULL semantics with CASE/TRY_CAST."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(
+                F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5),
+                4,
+            ).alias("per_unit"),
+            F.col("o_orderpriority").try_cast("int").alias("pri_num"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )

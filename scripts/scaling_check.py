@@ -66,6 +66,7 @@ EXTRA = [
     "etl_bloom_pruned_read", "find_many_included", "agg_unpivot",
     "agg_median_exact", "agg_mode_deterministic", "tpch_q9_shape",
     "tpch_q20_shape", "events_outliers_mad", "find_many_nested",
+    "doc_keywords_tfidf", "events_value_histogram", "fn_try_arith",
 ]
 
 
