@@ -656,6 +656,37 @@ class ManifestTable:
                 mid = json.load(f).get("parent")
         return out
 
+    def restore(self, manifest_id: str) -> str:
+        """Delta RESTORE analog: make a PAST snapshot live again by
+        committing a NEW manifest that references the old snapshot's
+        files and schema — history moves forward (the bad commits stay
+        inspectable in the parent chain; nothing is rewritten or
+        deleted), only the pointer's view changes. Zero data I/O: the
+        restore commit carries file references. Raises if the target
+        snapshot's files were already vacuumed away."""
+        try:
+            with open(os.path.join(self.manifest_dir, manifest_id)) as f:
+                target = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot restore {manifest_id}: the manifest itself was "
+                "vacuumed — only snapshots still in the manifest dir are "
+                "restorable"
+            ) from None
+        missing = [e["path"] for e in target["entries"]
+                   if not os.path.exists(e["path"])]
+        if missing:
+            raise ValueError(
+                f"cannot restore {manifest_id}: {len(missing)} data files "
+                f"were vacuumed (first: {missing[0]})"
+            )
+        parent, _ = self._snapshot()
+        self._commit_or_discard(
+            target["entries"], [], parent=parent,
+            schema_json=target.get("schema"),
+        )
+        return self._live_id()
+
     def read_at(self, manifest_id: str) -> DataFrame:
         """Read the table as of a past commit (files from that manifest —
         valid until ``vacuum`` reclaims non-live data). Reads with the

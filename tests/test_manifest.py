@@ -773,3 +773,29 @@ def test_append_with_quarantine_routes_bad_rows(spark, tmp_path):
     dup = o.limit(2).withColumn("o_orderkey", F.lit(7))
     with pytest.raises(ValueError, match="unique"):
         t.append_with_quarantine(dup, q)
+
+
+def test_restore_makes_past_snapshot_live_again(spark, tmp_path):
+    """RESTORE: after a delete, restoring the pre-delete manifest brings
+    the data back via a NEW forward commit (history intact, zero data
+    I/O), and restore refuses when the target's files were vacuumed."""
+    import pytest
+
+    from etl_backend_spark.etl.manifest import vacuum
+
+    o = Catalog(spark, SF_DIR).table("orders").limit(100)
+    t = ManifestTable(spark, str(tmp_path), "r_orders", ["o_orderkey"])
+    t.create(o)
+    before = t._live_id()
+    n0 = t.read().count()
+    t.delete(F.col("o_orderkey") >= 0, "o_orderkey")  # nuke everything
+    assert t.read().count() == 0
+    new_id = t.restore(before)
+    assert t.read().count() == n0
+    # history moved FORWARD: the delete commit is still an ancestor
+    assert before in t.history() and new_id == t.history()[0]
+    # vacuumed target refuses loudly
+    t.delete(F.col("o_orderkey") >= 0, "o_orderkey")
+    vacuum(t)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(new_id)
