@@ -720,3 +720,46 @@ def q_sample_stratified(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_report",
+    oracle="""
+    WITH h AS (
+      SELECT source, lang, n_chars, sha256(text) AS th FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(count(*) - count(DISTINCT th) AS BIGINT) AS n_dup_docs,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS en_share
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_report(spark, sf_dir):
+    """The dataset-card report: per-source doc counts, language
+    diversity, length profile, exact-duplicate volume (docs minus
+    distinct content hashes), and dominant-language share — the one-page
+    summary every training-data drop ships with. ONE grouped pass; the
+    two distinct-counts expand map-side to (source, lang) and
+    (source, hash) partials, so the shuffle carries distinct pairs, not
+    documents."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            (F.count(F.lit(1))
+             - F.count_distinct(F.sha2(F.col("text"), 256)))
+            .alias("n_dup_docs"),
+            F.round(
+                F.sum((F.col("lang") == "en").cast("int")) * 1.0
+                / F.count(F.lit(1)), 4,
+            ).alias("en_share"),
+        )
+        .orderBy("source")
+    )
