@@ -2052,3 +2052,30 @@ def q_tpch_q20_shape(spark, sf_dir):
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "agg_quartiles",
+    oracle="""
+    SELECT c_mktsegment,
+           list_transform(quantile_cont(c_acctbal, [0.25, 0.5, 0.75]),
+                          x -> round(x, 2)) AS quartiles
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_agg_quartiles(spark, sf_dir):
+    """Grouped quartile BANDS in one pass: ``percentile(col, array(...))``
+    computes all three interpolated quantiles from a single per-group
+    sort — the box-plot/SLA-band shape. One aggregate, one shuffle row
+    per group; both engines interpolate identically (continuous
+    quantile over the same doubles)."""
+    c = Catalog(spark, sf_dir).table("customer")
+    q = F.expr(
+        "transform(percentile(c_acctbal, array(0.25D, 0.5D, 0.75D)), "
+        "x -> round(x, 2))"
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(q.alias("quartiles"))
+        .orderBy("c_mktsegment")
+    )
