@@ -861,3 +861,70 @@ def q_events_value_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, NULL::BIGINT AS rv,
+             NULL::TIMESTAMP AS rts, 1 AS side
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, event_id, ts, 0
+      FROM events WHERE event_type = 'signup'
+    ), w AS (
+      SELECT *,
+        last_value(rv IGNORE NULLS) OVER win AS m_id,
+        last_value(rts IGNORE NULLS) OVER win AS m_ts
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, rv ASC
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN m_ts IS NOT NULL
+                 AND date_diff('second', m_ts, ts) <= 604800
+                THEN m_id END AS asof_signup_7d
+    FROM w WHERE side = 1
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=…)):
+    each purchase takes the user's latest signup at-or-before it ONLY if
+    it happened within 7 days — stale matches null out, exactly the
+    freshness contract feature-store point-in-time lookups need. Same
+    union + running-last(ignorenulls) shape as join_asof (one shuffle,
+    no inequality join); the matched TIMESTAMP rides along so the gap
+    check is a post-window expression, not a second pass."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("rv"),
+        F.lit(None).cast("timestamp").alias("rts"),
+        F.lit(1).alias("side"),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id",
+        F.col("event_id").alias("rv"), F.col("ts").alias("rts"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("rv").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = p.unionByName(s).select(
+        "*",
+        F.last("rv", ignorenulls=True).over(w).alias("m_id"),
+        F.last("rts", ignorenulls=True).over(w).alias("m_ts"),
+    )
+    gap_ok = (
+        F.unix_timestamp("ts") - F.unix_timestamp("m_ts")
+    ) <= 604800
+    return u.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("m_ts").isNotNull() & gap_ok, F.col("m_id"))
+        .alias("asof_signup_7d"),
+    )

@@ -67,7 +67,7 @@ EXTRA = [
     "agg_median_exact", "agg_mode_deterministic", "tpch_q9_shape",
     "tpch_q20_shape", "events_outliers_mad", "find_many_nested",
     "doc_keywords_tfidf", "events_value_histogram", "fn_try_arith",
-    "corpus_report",
+    "corpus_report", "agg_quartiles", "join_asof_tolerance",
 ]
 
 
