@@ -928,3 +928,30 @@ def q_join_asof_tolerance(spark, sf_dir):
         F.when(F.col("m_ts").isNotNull() & gap_ok, F.col("m_id"))
         .alias("asof_signup_7d"),
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY dow, hod ORDER BY dow, hod
+    """,
+)
+def q_events_dow_hour_heatmap(spark, sf_dir):
+    """Day-of-week x hour-of-day activity heatmap — the ops-dashboard
+    staple: one grouped pass with a FIXED 7x24 key space, so the shuffle
+    is constant-size at any volume. Engine note: Spark's dayofweek is
+    1-based (Sunday=1) where DuckDB's is 0-based (Sunday=0) — the
+    builder subtracts 1 so both sides hash the same convention."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("dow", "hod")
+    )

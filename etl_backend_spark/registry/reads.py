@@ -1232,3 +1232,28 @@ def q_fn_try_arith(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(1000)
     )
+
+
+@register(
+    "fn_fuzzy_lookup",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000042') AS INT) AS d
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+    ORDER BY d, c_custkey
+    """,
+)
+def q_fn_fuzzy_lookup(spark, sf_dir):
+    """Typo-tolerant point lookup: edit distance ≤ 2 against a probe
+    string — the 'did you mean' search fallback. levenshtein is a
+    JVM-side built-in (codegen, no Python); at 100 TB you'd prefilter
+    with a cheap length/prefix band before paying O(len²) per row —
+    here the full scan IS the demonstration."""
+    c = Catalog(spark, sf_dir).table("customer")
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return (
+        c.select("c_custkey", "c_name", d.cast("int").alias("d"))
+        .filter(F.col("d") <= 2)
+        .orderBy("d", "c_custkey")
+    )
