@@ -175,3 +175,16 @@ def test_window_rolling_range_salted_matches_and_splits_key(spark):
     a = sorted(map(tuple, base.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b and len(a) > 0
+
+
+def test_bench_and_sweep_lists_reference_registered_keys():
+    """A typo in bench.HEADLINE or scaling_check's lists must fail HERE,
+    not silently skip a query from the measurement artifacts."""
+    import bench
+    from scripts import scaling_check as sc
+    from etl_backend_spark.registry import QUERIES
+
+    for name in bench.HEADLINE:
+        assert name in QUERIES, f"bench.HEADLINE: {name}"
+    for name in sc.SF1_QUERIES + sc.EXTRA:
+        assert name in QUERIES, f"scaling_check: {name}"
