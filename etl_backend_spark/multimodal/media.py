@@ -716,3 +716,91 @@ def synthesize_png_media(df: DataFrame, id_col: str,
 
     return df.select(F.col(id_col).cast("long").alias("media_id")) \
              .mapInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------ perceptual dedup
+
+def ahash64(px: np.ndarray) -> int:
+    """64-bit average hash: box-resample luma to 8x8, threshold at the
+    mean — the classic perceptual fingerprint (near-identical images
+    collide, distinct content does not). Deterministic given pixels."""
+    if px.ndim == 3:
+        luma = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+                + 0.114 * px[..., 2])
+    else:
+        luma = px.astype(np.float64)
+    small = box_resize(luma, 8, 8)
+    bits = (small >= small.mean()).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def _noise_pixels(key: int, w: int, h: int) -> np.ndarray:
+    """Deterministic per-key noise field (counter-mode digest stream —
+    full entropy, no tiling period to collide perceptual hashes) — every
+    content key gets a distinct texture, so perceptual hashes separate
+    keys while staying identical across copies of the same key."""
+    need = w * h * 3
+    stream = b"".join(
+        hashlib.sha256(f"img:{key}:{i}".encode()).digest()
+        for i in range(need // 32 + 1)
+    )
+    return np.frombuffer(stream[:need], dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def synthesize_jpeg_corpus(df: DataFrame, id_col: str, n_contents: int,
+                           batch_size: int = 64) -> DataFrame:
+    """Image corpus with PLANTED duplicates: content is keyed by
+    id % n_contents, so every content key appears ~|ids|/n_contents
+    times — the ground truth the perceptual dedup must recover."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            ids = [int(x) for x in pdf["media_id"]]
+            blobs = []
+            for i in ids:
+                key = i % n_contents
+                blob = cache.get(key)
+                if blob is None:
+                    blob = jpeg.encode_jpeg(_noise_pixels(key, 16, 16),
+                                            quality=_AVI_QUALITY)
+                    cache[key] = blob
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")) \
+             .mapInPandas(run, schema=schema)
+
+
+def image_phash(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """REAL decode + perceptual hash per image: (media_id, phash)."""
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "phash": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px = jpeg.decode_jpeg(bytes(content))
+                h = ahash64(px)
+                out["media_id"].append(media_id)
+                # store as signed 64-bit for the LongType column
+                out["phash"].append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=schema)

@@ -406,3 +406,41 @@ def q_multimodal_png(spark, sf_dir):
             F.col("features"), F.array_max(F.col("features"))
         ) - 1).cast("int").alias("top_bin"),
     )
+
+
+@register(
+    "dedup_images_phash",
+    oracle="""
+    SELECT p_partkey % 40 AS content_key,
+           min(p_partkey) AS keep_id, count(*) AS n
+    FROM part WHERE p_partkey < 1000
+    GROUP BY content_key ORDER BY content_key
+    """,
+)
+def q_dedup_images_phash(spark, sf_dir):
+    """Image near-dup removal by perceptual hash over REAL decoded
+    pixels — the multimodal member of the dedup family: the corpus
+    plants duplicates (content keyed by id % 40), every image is
+    entropy-decoded for real and fingerprinted with the classic 64-bit
+    average hash (8x8 box-resampled luma thresholded at its mean), and
+    dedup groups by the fingerprint. The gate is the ground-truth check:
+    grouping by the PIXEL hash must reproduce exactly the content-key
+    group structure (same keep ids, same copy counts) — identical
+    content always decodes to identical pixels (deterministic codec), so
+    any mismatch means the decode or the hash broke. groupBy(phash)
+    shuffles one row per image; fingerprints are 8 bytes regardless of
+    image size."""
+    p = Catalog(spark, sf_dir).table("part").filter(
+        F.col("p_partkey") < 1000
+    )
+    media = M.synthesize_jpeg_corpus(p, "p_partkey", n_contents=40)
+    hashed = M.image_phash(media)
+    return (
+        hashed.groupBy("phash")
+        .agg(F.min("media_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.col("keep_id") % 40).alias("content_key"), "keep_id", "n",
+        )
+        .orderBy("content_key")
+    )

@@ -545,3 +545,20 @@ def test_box_resize_exact_and_jpeg_fidelity():
     want = M.box_resize(src, 8, 8)
     assert got.shape == want.shape == (8, 8, 3)
     assert np.abs(got - want).mean() < 3.0
+
+
+def test_ahash_separates_content_and_survives_jpeg():
+    """The perceptual hash must be stable across the JPEG round trip
+    (same content -> same hash) and distinct across content keys."""
+    from etl_backend_spark.multimodal import jpeg
+    from etl_backend_spark.multimodal import media as M
+
+    hashes = set()
+    for key in range(25):
+        src = M._noise_pixels(key, 16, 16)
+        blob = jpeg.encode_jpeg(src, quality=M._AVI_QUALITY)
+        h1 = M.ahash64(jpeg.decode_jpeg(blob))
+        h2 = M.ahash64(jpeg.decode_jpeg(blob))
+        assert h1 == h2  # decode is deterministic
+        hashes.add(h1)
+    assert len(hashes) == 25  # no collisions across contents
