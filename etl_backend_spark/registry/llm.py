@@ -1489,3 +1489,52 @@ def q_doc_keywords_tfidf(spark, sf_dir):
                 F.round("score", 4).alias("score"))
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH p AS (SELECT doc_id, lang,
+                      ' ' || lower(text) || ' ' AS pt FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(pt, ' the ')) + len(regexp_extract_all(pt, ' and '))
+          + len(regexp_extract_all(pt, ' of ')) AS h_en,
+        len(regexp_extract_all(pt, ' le ')) + len(regexp_extract_all(pt, ' la '))
+          + len(regexp_extract_all(pt, ' et ')) AS h_fr,
+        len(regexp_extract_all(pt, ' el ')) + len(regexp_extract_all(pt, ' los '))
+          + len(regexp_extract_all(pt, ' y ')) AS h_es,
+        len(regexp_extract_all(pt, ' der ')) + len(regexp_extract_all(pt, ' und '))
+          + len(regexp_extract_all(pt, ' die ')) AS h_de
+      FROM p
+    ), pred AS (
+      SELECT lang,
+        CASE
+          WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+          WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+          WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+          WHEN h_es >= h_fr THEN 'es'
+          ELSE 'fr'
+        END AS lang_pred
+      FROM h
+    )
+    SELECT lang, lang_pred, count(*) AS n
+    FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
+def q_lang_id_confusion(spark, sf_dir):
+    """Classifier-vs-label CONFUSION MATRIX — the model-validation shape
+    every heuristic filter in a training pipeline needs before it gates
+    data: the lang_id prediction crossed with the corpus's labeled lang,
+    counted per cell. One grouped pass over the per-doc predictions;
+    the matrix is |langs|² rows regardless of corpus size. Reading it at
+    sf0.01: the diagonal dominates and 'und' absorbs short docs — the
+    audit that tells you a filter's failure mode BEFORE it drops a
+    terabyte."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return (
+        d.select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
