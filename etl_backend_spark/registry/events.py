@@ -955,3 +955,42 @@ def q_events_dow_hour_heatmap(spark, sf_dir):
              F.round(F.avg("value"), 4).alias("avg_value"))
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "events_wau_exact",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d ORDER BY day
+    """,
+)
+def q_events_wau_exact(spark, sf_dir):
+    """Rolling 7-day active users per day (WAU) — the growth metric no
+    plain window can give you (COUNT(DISTINCT) has no sliding-frame
+    form): dedup to DAILY (day, user) pairs first (the only corpus-sized
+    pass), then an interval join against the tiny broadcast day grid
+    re-counts distinct users per 7-day window — the fan-out is
+    |daily pairs| x 7, independent of raw event volume. At larger
+    windows/cardinalities the sketch path is ``agg_hll_mergeable``'s
+    per-day HLLs unioned over the window."""
+    ev = Catalog(spark, sf_dir).table("events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
