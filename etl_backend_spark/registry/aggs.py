@@ -2079,3 +2079,47 @@ def q_agg_quartiles(spark, sf_dir):
         .agg(q.alias("quartiles"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "orders_cohort_revenue",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_m,
+           CAST(date_diff('day', cohort_m,
+                          date_trunc('month', o_orderdate)) AS INT)
+             AS day_offset,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_buyers
+    FROM orders o JOIN first ON o.o_custkey = first.o_custkey
+    GROUP BY cohort_m, day_offset
+    ORDER BY cohort_m, day_offset
+    """,
+)
+def q_orders_cohort_revenue(spark, sf_dir):
+    """Revenue cohorts (LTV curve input): customers grouped by
+    first-order month, revenue and distinct buyers per subsequent month
+    — the retention-cohort machinery pointed at money. Month offsets are
+    day-difference integers (month arithmetic differs across engines;
+    day diffs of month-truncated dates are exact everywhere). Two
+    shuffles: first-order aggregate, then the (cohort, offset) rollup."""
+    o = Catalog(spark, sf_dir).table("orders")
+    first = o.groupBy(F.col("o_custkey").alias("__ck")).agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_m")
+    )
+    return (
+        o.join(first, o["o_custkey"] == F.col("__ck"))
+        .groupBy(
+            "cohort_m",
+            F.datediff(F.date_trunc("month", F.col("o_orderdate")),
+                       F.col("cohort_m")).cast("int").alias("day_offset"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_distinct("o_custkey").alias("n_buyers"),
+        )
+        .orderBy("cohort_m", "day_offset")
+    )

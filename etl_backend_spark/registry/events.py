@@ -994,3 +994,56 @@ def q_events_wau_exact(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau
+            FROM du GROUP BY d),
+    wau AS (
+      SELECT days.d AS day, count(DISTINCT du.user_id) AS wau
+      FROM days JOIN du
+        ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    )
+    SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           round(dau * 1.0 / wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+)
+def q_events_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    watch: daily actives over rolling-7-day actives, both derived from
+    ONE daily-pair dedup of the fact (the only corpus-sized pass; the
+    dau aggregate and the day-grid interval join both read it)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    dau = du.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    days = du.select(F.col("d").alias("wday")).distinct()
+    wau = (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("wday"))
+            & (F.col("d") >= F.col("wday") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 4)
+            .alias("stickiness"),
+        )
+        .orderBy("day")
+    )
