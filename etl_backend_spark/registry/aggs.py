@@ -2123,3 +2123,74 @@ def q_orders_cohort_revenue(spark, sf_dir):
         )
         .orderBy("cohort_m", "day_offset")
     )
+
+
+@register(
+    "orders_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       TIMESTAMP '2002-01-01') AS recency,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rb,
+             quantile_cont(frequency * 1.0, [0.25, 0.5, 0.75]) AS fb,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+      FROM base
+    )
+    SELECT o_custkey,
+           CAST(CASE WHEN recency <= rb[1] THEN 1 WHEN recency <= rb[2]
+                THEN 2 WHEN recency <= rb[3] THEN 3 ELSE 4 END AS INT) AS r,
+           CAST(CASE WHEN frequency <= fb[1] THEN 1 WHEN frequency <= fb[2]
+                THEN 2 WHEN frequency <= fb[3] THEN 3 ELSE 4 END AS INT) AS f,
+           CAST(CASE WHEN monetary <= mb[1] THEN 1 WHEN monetary <= mb[2]
+                THEN 2 WHEN monetary <= mb[3] THEN 3 ELSE 4 END AS INT) AS m
+    FROM base CROSS JOIN b
+    ORDER BY o_custkey
+    """,
+)
+def q_orders_rfm(spark, sf_dir):
+    """RFM segmentation — the classic customer scoring: per-customer
+    recency/frequency/monetary, bucketed 1-4 against the corpus quartile
+    boundaries. The boundaries are ONE 1-row aggregate broadcast back
+    (never a global-order window), so the whole query is two passes:
+    per-customer rollup, then bucket-by-comparison. At 100 TB the exact
+    percentile boundaries become approxQuantile with the same compare —
+    the plan shape is unchanged. (Interpolated boundaries vs 2-decimal
+    money/integer counts make cross-engine boundary ties a measure-zero
+    event; the gate hash confirms.)"""
+    o = Catalog(spark, sf_dir).table("orders")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(F.to_timestamp(F.lit("2002-01-01")),
+                   F.max("o_orderdate")).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    bounds = base.agg(
+        F.expr("percentile(recency, array(0.25D, 0.5D, 0.75D))").alias("rb"),
+        F.expr("percentile(frequency * 1.0, array(0.25D, 0.5D, 0.75D))")
+        .alias("fb"),
+        F.expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").alias("mb"),
+    )
+
+    def bucket(c, b):
+        return (
+            F.when(F.col(c) <= F.element_at(F.col(b), 1), 1)
+            .when(F.col(c) <= F.element_at(F.col(b), 2), 2)
+            .when(F.col(c) <= F.element_at(F.col(b), 3), 3)
+            .otherwise(4)
+        ).cast("int")
+
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            bucket("recency", "rb").alias("r"),
+            bucket("frequency", "fb").alias("f"),
+            bucket("monetary", "mb").alias("m"),
+        )
+        .orderBy("o_custkey")
+    )
