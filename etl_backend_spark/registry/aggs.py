@@ -2194,3 +2194,46 @@ def q_orders_rfm(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+    WITH ot AS (
+      SELECT DISTINCT l_orderkey, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_orders
+    FROM ot a JOIN ot b
+      ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_orders_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: how often two part types appear in
+    the SAME order — association-mining support counts. The scale shape
+    is the shingle-pair recipe from the dedup family applied
+    relationally: dedup to (order, type) pairs first (bounding the
+    per-order set by |types|, not line items), then expand pairs INSIDE
+    the per-order group via a self-join on the already-shuffled key —
+    fan-out is ≤ C(|types|, 2) per order regardless of order width."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    p = cat.tbl("part")
+    ot = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a = ot.select(F.col("l_orderkey").alias("k"),
+                  F.col("p_type").alias("type_a"))
+    b = ot.select(F.col("l_orderkey").alias("k2"),
+                  F.col("p_type").alias("type_b"))
+    return (
+        a.join(b, (F.col("k") == F.col("k2"))
+               & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("type_a", "type_b")
+    )
