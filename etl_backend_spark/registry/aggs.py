@@ -2237,3 +2237,59 @@ def q_orders_market_basket(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "orders_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey ASC)
+               AS decile
+      FROM rev
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           round(sum(revenue), 2) AS revenue,
+           round(sum(revenue) / (SELECT sum(revenue) FROM rev), 4)
+             AS share
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+)
+def q_orders_pareto(spark, sf_dir):
+    """Revenue concentration (Pareto curve): customers ranked by spend,
+    rolled into deciles with each decile's share of total revenue — the
+    'top 10% of customers drive X%' report. The global rank comes from
+    the distributed prefix-sum helper (no SinglePartition window); the
+    revenue is pre-rounded so rank ties can't split across engines, and
+    decile assignment uses exact SQL ntile arithmetic."""
+    from ..operators.windows import distributed_global_rank
+
+    o = Catalog(spark, sf_dir).table("orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    ).withColumn("neg_rev", -F.col("revenue"))
+    ranked, n = distributed_global_rank(rev, ["neg_rev", "o_custkey"])
+    k = 10
+    q, r = divmod(n, k)
+    big = (q + 1) * r
+    rank = F.col("__rank")
+    decile = (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(F.lit(r) + ((rank - big - 1) / q).cast("long") + 1)
+    ).cast("int")
+    total = rev.agg(F.sum("revenue").alias("__t"))
+    return (
+        ranked.select(decile.alias("decile"), "revenue")
+        .groupBy("decile")
+        .agg(F.round(F.sum("revenue"), 2).alias("revenue"),
+             F.sum("revenue").alias("__raw"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile", "revenue",
+            F.round(F.col("__raw") / F.col("__t"), 4).alias("share"),
+        )
+        .orderBy("decile")
+    )
