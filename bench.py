@@ -70,8 +70,12 @@ def run_full(df) -> None:
     """Force FULL evaluation of every output column. ``count()`` is wrong
     here: Catalyst prunes projections the action doesn't need, so map-only
     queries would time the scan, not the work. The noop sink computes every
-    row and discards it."""
+    row and discards it. Afterwards, release any localCheckpoint blocks the
+    plan created (distributed prefix-sum helpers) — a bench loop must not
+    accumulate executor storage across iterations."""
     df.write.format("noop").mode("overwrite").save()
+    from etl_backend_spark.operators.windows import release_plan_checkpoints
+    release_plan_checkpoints(df)
 
 
 def time_query(fn, spark, sf_dir: str) -> float:

@@ -244,6 +244,13 @@ class ManifestTable:
                         bits[pos // 8] |= 1 << (pos % 8)
                 entries[-1]["bloom"] = {
                     "col": self.bloom_col,
+                    # k is recorded per entry so a reader probes with the
+                    # geometry the file was WRITTEN with (m is recovered
+                    # from the bit-array length); a handle opened with
+                    # different BLOOM_BITS/BLOOM_K must not change how
+                    # existing entries are probed — a mod-wrong-m miss
+                    # would silently prune files that DO contain the value
+                    "k": self.BLOOM_K,
                     "bits": base64.b64encode(bytes(bits)).decode(),
                 }
         return sorted(entries, key=lambda e: e["path"])
@@ -451,21 +458,37 @@ class ManifestTable:
         only clean rows enter this table. Returns {'appended': n,
         'quarantined': m}. Batch-level rules (unique) still hard-fail via
         ``check_batch`` on the CLEAN slice — a duplicate key is not a row
-        you can route, it is an upstream bug."""
-        bad_pred = self._violation_pred(df)
-        good = df.filter(~bad_pred)
-        bad = df.filter(bad_pred)
-        n_bad = bad.count()
-        if n_bad:
-            quarantine.append(bad)
-        checks, self.table_checks = self.table_checks, [
-            c for c in self.table_checks if c[0] == "unique"
-        ]
+        you can route, it is an upstream bug.
+
+        Ordering and determinism contract: the input is materialized ONCE
+        (persisted, released in the finally), so a non-deterministic
+        source cannot route rows differently between the two tables, and
+        the unique rule is checked on the clean slice BEFORE either table
+        commits — a batch with both row-level violations and duplicate
+        keys aborts with NOTHING durably written, instead of leaving bad
+        rows committed to quarantine while the main append raises."""
+        df = df.persist()
         try:
-            self.append(good, evolve=evolve)
+            bad_pred = self._violation_pred(df)
+            good = df.filter(~bad_pred)
+            bad = df.filter(bad_pred)
+            n_bad = bad.count()  # materializes the persisted split once
+            n_good = good.count()
+            checks = self.table_checks
+            self.table_checks = [c for c in checks if c[0] == "unique"]
+            try:
+                self.check_batch(good)  # hard-fail BEFORE any commit
+                if n_bad:
+                    quarantine.append(bad)
+                # row checks don't apply to good by construction and
+                # unique was just verified — skip the re-check in append
+                self.table_checks = []
+                self.append(good, evolve=evolve)
+            finally:
+                self.table_checks = checks
+            return {"appended": n_good, "quarantined": n_bad}
         finally:
-            self.table_checks = checks
-        return {"appended": good.count(), "quarantined": n_bad}
+            df.unpersist()
 
     def append(self, df: DataFrame, evolve: bool = False) -> None:
         """Append a batch with Delta-style schema handling (see
@@ -542,8 +565,15 @@ class ManifestTable:
         nothing). A bloom miss is definitive — the value is NOT in the
         file; a hit is probabilistic, and the residual filter remains
         Spark-side. Probe positions are md5-derived in pure Python,
-        bit-identical to the write side's Spark expressions."""
-        positions = bloom_positions(value, self.BLOOM_K, self.BLOOM_BITS)
+        bit-identical to the write side's Spark expressions.
+
+        Probe geometry comes from EACH ENTRY, not from this handle: m is
+        the stored bit-array's length and k the recorded probe count, so a
+        reader opened with different ``bloom_bits`` than the writer (the
+        8192 default vs a scaled table) still probes the geometry the file
+        was written with. Legacy entries without a recorded k fall back to
+        the class default (the only k any previous writer used)."""
+        pos_by_geom: dict[tuple[int, int], list[int]] = {}
         keep, skipped = [], 0
         for e in self.files():
             b = e.get("bloom")
@@ -551,6 +581,10 @@ class ManifestTable:
                 keep.append(e["path"])
                 continue
             bits = base64.b64decode(b["bits"])
+            geom = (b.get("k", ManifestTable.BLOOM_K), len(bits) * 8)
+            positions = pos_by_geom.get(geom)
+            if positions is None:
+                positions = pos_by_geom[geom] = bloom_positions(value, *geom)
             if all(bits[p // 8] & (1 << (p % 8)) for p in positions):
                 keep.append(e["path"])
             else:

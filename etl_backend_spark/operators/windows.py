@@ -99,6 +99,33 @@ def distributed_global_prefix_sum(df: DataFrame, order_cols: list[str],
     )
 
 
+def release_plan_checkpoints(df: DataFrame) -> int:
+    """Best-effort release of localCheckpoint blocks reachable from ``df``'s
+    logical plan (the LogicalRDD leaves that
+    ``distributed_global_rank``/``distributed_global_prefix_sum`` create).
+
+    Lifetime contract: the helpers above MUST keep their checkpoint alive
+    until the returned DataFrame is consumed — the lineage is truncated, so
+    releasing early would fail the job, not silently drift. Once a caller
+    has collected/written the result, the blocks are dead weight; loop
+    callers (bench, scaling sweeps) that skip this rely on the JVM
+    ContextCleaner, which only fires after GC and can lag a tight loop by
+    many iterations. Returns the number of RDDs unpersisted; swallows
+    reflection errors (plan-walking touches Spark internals — on any
+    mismatch the worst case is the old behavior, blocks living until GC)."""
+    try:
+        leaves = df._jdf.queryExecution().logical().collectLeaves()
+        n = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith(".LogicalRDD"):
+                leaf.rdd().unpersist(False)
+                n += 1
+        return n
+    except Exception:
+        return 0
+
+
 def distributed_global_rank(df: DataFrame, order_cols: list[str],
                             n_parts: int = 16) -> tuple[DataFrame, int]:
     """Exact GLOBAL rank over a unique total order WITHOUT a single-
@@ -113,7 +140,11 @@ def distributed_global_rank(df: DataFrame, order_cols: list[str],
 
     Returns (df + '__rank' long, total row count). Requires the order to
     be UNIQUE (append a key column as tie-break) — rank functions with
-    ties need group-count logic this helper deliberately omits."""
+    ties need group-count logic this helper deliberately omits.
+
+    The checkpoint backs the RETURNED DataFrame; after consuming it, call
+    ``release_plan_checkpoints(result)`` to free the blocks (loop callers
+    otherwise accumulate them until the ContextCleaner's GC-driven sweep)."""
     cols = [F.col(c) for c in order_cols]
     t = (
         df.repartitionByRange(n_parts, *cols)

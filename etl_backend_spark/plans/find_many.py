@@ -176,13 +176,14 @@ def find_many_full(df: DataFrame, where: dict | None = None,
         arrs = child.groupBy(child_fk).agg(
             F.sort_array(F.collect_list(item)).alias(alias)
         )
+        # empty-array fallback typed from the child aggregate itself, so a
+        # non-string item_expr (numeric child column, struct, ...) keeps
+        # the coalesce type-consistent instead of failing analysis
+        empty = F.array().cast(arrs.schema[alias].dataType)
         out = (
             out.join(arrs, out[local_key] == arrs[child_fk], "left")
             .drop(child_fk)
-            .withColumn(
-                alias,
-                F.coalesce(alias, F.array().cast(f"array<string>")),
-            )
+            .withColumn(alias, F.coalesce(alias, empty))
         )
     for child, local_key, child_fk, alias in count_relations or []:
         counts = child.groupBy(child_fk).agg(

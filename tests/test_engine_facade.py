@@ -143,3 +143,24 @@ def test_include_list_gives_childless_parents_empty_arrays(spark):
     ).collect()
     got = {r.pid: list(r.vs) for r in out}
     assert got == {1: ["a", "b"], 2: [], 3: ["c"]}
+
+
+def test_include_list_non_string_item_expr(spark):
+    """The empty-array fallback is typed from the child aggregate, so a
+    NUMERIC (or struct) item expression analyzes and childless parents
+    still get a typed empty array (ADVICE r5, low)."""
+    from etl_backend_spark.plans.find_many import find_many_full
+
+    parents = spark.createDataFrame([(1,), (2,)], "pid long")
+    children = spark.createDataFrame([(1, 10), (1, 20)], "fk long, n long")
+    out = find_many_full(
+        parents,
+        include_list=[
+            (children, "pid", "fk", F.col("n"), "ns"),
+            (children, "pid", "fk",
+             F.struct(F.col("n").alias("n")), "objs"),
+        ],
+        order_by=[("pid", "asc")],
+    ).collect()
+    assert [list(r.ns) for r in out] == [[10, 20], []]
+    assert [len(r.objs) for r in out] == [2, 0]

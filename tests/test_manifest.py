@@ -775,6 +775,62 @@ def test_append_with_quarantine_routes_bad_rows(spark, tmp_path):
         t.append_with_quarantine(dup, q)
 
 
+def test_quarantine_commits_nothing_when_clean_slice_has_dup_keys(
+        spark, tmp_path):
+    """A batch carrying BOTH row-level violations and duplicate keys in the
+    clean slice must abort with NOTHING durably written: the unique check
+    runs on the clean slice BEFORE the quarantine commit, so the bad rows
+    are not left committed to quarantine while the main append raises."""
+    import pytest
+
+    o = Catalog(spark, SF_DIR).table("orders").limit(20)
+    t = ManifestTable(spark, str(tmp_path), "main2", ["o_orderkey"])
+    t.create(o)
+    q = ManifestTable(spark, str(tmp_path), "quarantine2", ["o_orderkey"])
+    q.create(o.limit(0))
+    t.table_checks = [("enum", "o_orderstatus", ["O", "F", "P"]),
+                      ("unique", ["o_orderkey"])]
+    n_main, n_q = t.read().count(), q.read().count()
+    # 2 clean rows sharing one key (duplicate) + 2 enum-violating rows
+    batch = (
+        o.limit(2).withColumn("o_orderkey", F.lit(9_000_000))
+        .unionByName(
+            o.limit(2)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 8_000_000)
+            .withColumn("o_orderstatus", F.lit("ZZZ"))
+        )
+    )
+    with pytest.raises(ValueError, match="unique"):
+        t.append_with_quarantine(batch, q)
+    assert t.read().count() == n_main  # main untouched
+    assert q.read().count() == n_q     # quarantine untouched too
+
+
+def test_bloom_probe_uses_written_geometry(spark, tmp_path):
+    """A reader opened with DIFFERENT bloom geometry than the writer must
+    probe each entry with the geometry the file was WRITTEN with (m from
+    the stored bit-array length, k from the entry) — probing mod the wrong
+    m turns real hits into definitive misses and silently drops files that
+    DO contain the value (ADVICE r5, medium)."""
+    o = Catalog(spark, SF_DIR).table("orders").repartition(8)
+    writer = ManifestTable(spark, str(tmp_path), "geom", ["o_orderkey"],
+                           bloom_col="o_orderkey", bloom_bits=65536)
+    writer.create(o)
+    key = o.limit(1).collect()[0].o_orderkey
+    want = o.filter(F.col("o_orderkey") == key).count()
+
+    # reopen with the 8192 default — entry geometry must win
+    reader = ManifestTable(spark, str(tmp_path), "geom", ["o_orderkey"],
+                           bloom_col="o_orderkey")
+    df, skipped = reader.read_pruned_bloom(key)
+    got = df.filter(F.col("o_orderkey") == key).count()
+    assert got == want > 0   # no silently-pruned files
+    assert skipped > 0       # and the bloom still prunes
+    # absent key: every entry skipped under the written geometry too
+    _, skipped_all = reader.read_pruned_bloom(-123456789)
+    assert skipped_all == len(reader.files())
+
+
 def test_restore_makes_past_snapshot_live_again(spark, tmp_path):
     """RESTORE: after a delete, restoring the pre-delete manifest brings
     the data back via a NEW forward commit (history intact, zero data

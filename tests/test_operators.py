@@ -697,3 +697,24 @@ def test_events_funnel_single_user_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_release_plan_checkpoints_frees_prefix_sum_blocks(spark):
+    """distributed_global_rank localCheckpoints its shuffled input (the
+    anti-resample-drift materialization); after the result is consumed,
+    release_plan_checkpoints must actually drop those blocks so loop
+    callers (bench, sweeps) don't accumulate executor storage."""
+    from etl_backend_spark.operators.windows import (
+        distributed_global_rank, release_plan_checkpoints)
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    df = spark.range(10_000).withColumn("k", F.col("id") % 100)
+    ranked, total = distributed_global_rank(df, ["k", "id"], n_parts=8)
+    rows = ranked.count()
+    assert rows == total == 10_000
+    assert n_persistent() > base            # checkpoint is live
+    assert release_plan_checkpoints(ranked) >= 1
+    assert n_persistent() == base           # and now it is gone
