@@ -53,8 +53,9 @@ HEADLINE = [
     "join_two_hop_bucketed",   # co-located fact join (zero-shuffle layout)
     "tpch_q5_bucketed",        # Q5 over the co-located layout (1 exchange)
     "tpch_q3_bucketed",        # Q3 over the layout (0 exchanges end-to-end)
-    "join_1n_nested",          # collect_list nested include (2 shuffles)
-    "join_1n_nested_bucketed", # same over the co-located layout (0 shuffles)
+    "join_1n_nested",          # nested include, bucketed-default (0 shuffles)
+    "join_1n_nested_plain",    # same over plain parquet (repart-first collect)
+    "join_1n_nested_bucketed", # explicit co-located layout (0 shuffles)
     "window_rolling_range",    # 1h trailing interval frame per key
     "window_latest_per_group_bucketed",  # keyed window, zero-shuffle layout
     "events_user_daily",       # combined layout: pruned dirs + 0 exchanges

