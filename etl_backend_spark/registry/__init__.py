@@ -133,7 +133,8 @@ PRIORITY: list[str] = [
     "events_time_range",
     "sample_hash_fraction",
     "embed_norms",
-    "udtf_sentences",
+    "sentences",            # canonical JVM split+posexplode form
+    "udtf_sentences",       # same output via the Python UDTF API (demo)
     "sim_pairs_threshold",
     "sim_topk_pandas",
     "sim_topk_ivf",

@@ -718,3 +718,19 @@ def test_release_plan_checkpoints_frees_prefix_sum_blocks(spark):
     assert n_persistent() > base            # checkpoint is live
     assert release_plan_checkpoints(ranked) >= 1
     assert n_persistent() == base           # and now it is gone
+
+
+def test_sentences_jvm_twin_matches_udtf_and_stays_python_free(spark):
+    """The canonical `sentences` key must produce the UDTF demo's exact
+    rows with ZERO Python in the plan (VERDICT r5 task 2): the UDTF stays
+    registered as the API demo, the JVM form is what pipelines call."""
+    from etl_backend_spark.registry import QUERIES
+
+    jvm = QUERIES["sentences"](spark, SF_DIR)
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan, plan
+    assert "Generate posexplode" in plan or "posexplode" in plan, plan
+
+    a = sorted(map(tuple, jvm.collect()))
+    b = sorted(map(tuple, QUERIES["udtf_sentences"](spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0

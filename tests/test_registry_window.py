@@ -188,3 +188,18 @@ def test_bench_and_sweep_lists_reference_registered_keys():
         assert name in QUERIES, f"bench.HEADLINE: {name}"
     for name in sc.SF1_QUERIES + sc.EXTRA:
         assert name in QUERIES, f"scaling_check: {name}"
+
+
+def test_first_50_sequence_equals_correctness_r05_key_list():
+    """The driver window has been byte-stable for three rounds; an import
+    reorder could silently rotate it. Pin the EXACT first-50 sequence to
+    the key list the driver recorded in CORRECTNESS_r05.json (VERDICT r5
+    task 8)."""
+    import json
+    import pathlib
+
+    r05 = json.loads(
+        (pathlib.Path(__file__).parent.parent / "CORRECTNESS_r05.json")
+        .read_text()
+    )
+    assert window_keys() == list(r05)[:WINDOW]
