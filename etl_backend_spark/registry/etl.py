@@ -700,6 +700,61 @@ def q_etl_incremental_cascade(spark, sf_dir):
     ).orderBy("user_id", "m")
 
 
+def ensure_bloom_table(spark, sf_dir):
+    """Build-once accessor for the UNSORTED bloomed orders table — the
+    persisted-index half of the build/query split (VERDICT r5 task 3,
+    mirroring sim_topk_pq_indexed / ann/index.py). The table is written
+    round-robin (so zone maps are useless on o_orderkey) with per-file
+    blooms sized to the keys-per-file load, into a tmp dir keyed by the
+    SOURCE FINGERPRINT — rebuilds happen only when the testdata changes,
+    every other call (including every timed lookup) just reopens the
+    manifest. Returns (ManifestTable, built: bool)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..etl.manifest import ManifestTable
+    from ..sources.cache import file_fingerprint
+
+    src = f"{sf_dir}/orders.parquet"
+    key = hashlib.md5(f"v1:{file_fingerprint(src)}".encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-bloomtbl-{key}"
+    )
+    o = Catalog(spark, sf_dir).table("orders")
+    if os.path.exists(os.path.join(root, "orders", "_CURRENT")):
+        # reopen: probe geometry comes from the manifest entries, so the
+        # constructor defaults don't need to match the writer's
+        return ManifestTable(spark, root, "orders", ["o_orderkey"],
+                             bloom_col="o_orderkey"), False
+    # keep keys-per-file inside the bloom's design load at every SF:
+    # ~10 bits per key (saturation = no pruning). File count is capped
+    # and the BITS scale instead — at the sf1 decade that is 256 files
+    # with 8 KiB blooms, not 1,875 tiny files.
+    n = int(o.count())
+    n_files = min(256, max(8, n // 800))
+    bits = max(8192, ((10 * (n // n_files) + 63) // 64) * 64)
+    t = ManifestTable(spark, root, "orders", ["o_orderkey"],
+                      bloom_col="o_orderkey", bloom_bits=bits)
+    t.create(o.repartition(n_files))
+    return t, True
+
+
+@register("etl_bloom_build")  # rows-only: a build artifact, not a query
+def q_etl_bloom_build(spark, sf_dir):
+    """The BUILD half of the bloom index split: write (or reuse) the
+    bloomed unsorted table and report its geometry. One row —
+    (n_files, rows, reused) — so the gate pins that the artifact exists
+    and that repeat calls hit the fingerprint cache instead of
+    rewriting."""
+    t, built = ensure_bloom_table(spark, sf_dir)
+    files = t.files()
+    return spark.createDataFrame(
+        [(len(files), int(sum(e["rows"] for e in files)), not built)],
+        "n_files INT, rows LONG, reused BOOLEAN",
+    )
+
+
 @register(
     "etl_bloom_pruned_read",
     oracle="""
@@ -708,49 +763,34 @@ def q_etl_incremental_cascade(spark, sf_dir):
     """,
 )
 def q_etl_bloom_pruned_read(spark, sf_dir):
-    """Per-file BLOOM point-lookup, value-checked by the gate: the table
-    is written UNSORTED (round-robin repartition), so file [min, max]
-    o_orderkey intervals span ~the whole domain and manifest zone maps
-    are nearly useless (their only skips are domain-edge accidents) —
-    the builder asserts the 1 KiB-per-file bloom (md5-probe positions
-    collected in the same distributed stats job as min/max) strictly
-    out-prunes them. This is the
+    """Per-file BLOOM point-lookup, value-checked by the gate — the
+    LOOKUP half of the build/query split: the bloomed table is persisted
+    once per corpus (``ensure_bloom_table``), so this key measures what a
+    user actually runs per lookup — manifest probe + pruned read — not an
+    index rebuild (the r5 sweep's 1.71x/decade slope was the rebuild).
+
+    The table is UNSORTED (round-robin), so file [min, max] o_orderkey
+    intervals span ~the whole domain and zone maps are nearly useless
+    (their only skips are domain-edge accidents) — the lookup asserts the
+    per-file bloom (md5-probe positions collected in the build's
+    distributed stats job) strictly out-prunes them. This is the
     reference's PK index (prisma/schema.prisma:37-57 id lookups at
     src/routes/ads.ts:176-210) for a lakehouse: at 100 TB it is the
     difference between a point lookup opening 3 files or 30,000 when the
     data isn't (and can't be — it's z-ordered/clustered for OTHER
     predicates) sorted by this key. (etl/manifest.py: bloom_col,
     read_pruned_bloom.)"""
-    import shutil
-    import tempfile
-
-    from ..etl.manifest import ManifestTable
-
-    o = Catalog(spark, sf_dir).table("orders")
-    root = tempfile.mkdtemp(prefix="etlbs-bloom-")
-    try:
-        # keep keys-per-file inside the bloom's design load at every SF:
-        # ~10 bits per key (saturation = no pruning). File count is capped
-        # and the BITS scale instead — at the sf1 decade that is 256 files
-        # with 8 KiB blooms, not 1,875 tiny files.
-        n = int(o.count())
-        n_files = min(256, max(8, n // 800))
-        bits = max(8192, ((10 * (n // n_files) + 63) // 64) * 64)
-        t = ManifestTable(spark, root, "orders", ["o_orderkey"],
-                          bloom_col="o_orderkey", bloom_bits=bits)
-        t.create(o.repartition(n_files))
-        _, zm = t.read_pruned("o_orderkey", lo=42, hi=42)
-        df, skipped = t.read_pruned_bloom(42)
-        # the claim: on an UNSORTED key the bloom strictly out-prunes the
-        # zone maps (whose only skips here are domain-edge accidents)
-        assert skipped > zm, (zm, skipped)
-        rows = (
-            df.filter(F.col("o_orderkey") == 42)
-            .select("o_orderkey", "o_custkey", "o_totalprice")
-            .collect()
-        )
-        return spark.createDataFrame(
-            rows, "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE"
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    t, _ = ensure_bloom_table(spark, sf_dir)
+    _, zm = t.read_pruned("o_orderkey", lo=42, hi=42)
+    df, skipped = t.read_pruned_bloom(42)
+    # the claim: on an UNSORTED key the bloom strictly out-prunes the
+    # zone maps (whose only skips here are domain-edge accidents)
+    assert skipped > zm, (zm, skipped)
+    rows = (
+        df.filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    )
+    return spark.createDataFrame(
+        rows, "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE"
+    )
