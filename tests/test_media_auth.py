@@ -562,3 +562,41 @@ def test_ahash_separates_content_and_survives_jpeg():
         assert h1 == h2  # decode is deterministic
         hashes.add(h1)
     assert len(hashes) == 25  # no collisions across contents
+
+
+def test_codec_wall_time_budgets(spark):
+    """Fixed-corpus decode budgets (VERDICT r5 task 4): the real-codec
+    rows have no meaningful oracle ratio (the oracle validates values via
+    digest arithmetic and decodes nothing), so codec regressions are
+    caught here the way plan regressions are caught by explain asserts.
+    Budgets are ~5x the measured medians (4.7 ms/image phash, 6.5
+    ms/frame MJPEG sample at r6, including the per-action floor) — loose
+    enough for this VM's 2.5-4x ambient noise, tight enough that an
+    accidental quadratic parse or a per-row Python fallback trips them."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_backend_spark.registry.media import M
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    p = Catalog(spark, SF_DIR).table("part").limit(200)
+
+    corpus = M.synthesize_jpeg_corpus(p, "p_partkey", n_contents=40)
+    M.image_phash(corpus).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    M.image_phash(corpus).write.format("noop").mode("overwrite").save()
+    per_image_ms = (time.perf_counter() - t0) / 200 * 1000
+    assert per_image_ms < 25, f"phash {per_image_ms:.1f} ms/image (budget 25)"
+
+    clips = M.synthesize_avi_media(
+        Catalog(spark, SF_DIR).table("part").limit(32), "p_partkey"
+    )
+    M.frame_sample_mjpeg(clips, n_frames=3).write.format("noop").mode(
+        "overwrite").save()
+    t0 = time.perf_counter()
+    M.frame_sample_mjpeg(clips, n_frames=3).write.format("noop").mode(
+        "overwrite").save()
+    per_frame_ms = (time.perf_counter() - t0) / 96 * 1000
+    assert per_frame_ms < 35, f"video {per_frame_ms:.1f} ms/frame (budget 35)"
