@@ -165,20 +165,51 @@ def find_many_full(df: DataFrame, where: dict | None = None,
 
     Order of application mirrors Prisma/SQL semantics: WHERE filters the
     base rows first; includes/counts hydrate; sort+page run LAST over the
-    hydrated frame (an orderBy on an included column is legal)."""
+    hydrated frame (an orderBy on an included column is legal).
+
+    Page-before-hydrate (r6): when every orderBy column lives on the BASE
+    frame and ``take`` is set, the parent set is cut to the page
+    (top skip+take via TakeOrderedAndProject — distributed top-k, no
+    global sort) BEFORE includes/counts run, so child arrays are
+    assembled for the page only, not for every matching parent (the r6
+    fifth-decade sweep measured the difference at 4.8x/decade vs flat).
+    Hydration is row-count-preserving (n:1 include on a unique pk, 1:n
+    and _count pre-aggregate to one row per key), so the page cut
+    commutes with it; the final sort/skip/take still run last, over the
+    hydrated page. An orderBy that references an included column keeps
+    the unpushed path."""
     out = df
     if where:
         out = out.filter(compile_where(where))
+    if (
+        take is not None and order_by
+        and all(c in out.columns for c, _ in order_by)
+    ):
+        out = out.orderBy(*[
+            F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
+            for c, d in order_by
+        ]).limit(skip + take)
     for dim, fk, pk, cols in include or []:
         dim_proj = dim.select(pk, *cols)
         out = out.join(dim_proj, out[fk] == dim_proj[pk], "left").drop(pk)
     for child, local_key, child_fk, item, alias in include_list or []:
-        # repartition-first: partial_collect_list cannot combine (the
-        # buffer carries every element), so the default plan serializes
-        # per-element buffers through the shuffle for nothing; shipping
-        # raw rows and collecting once post-shuffle measured 2.1x faster
-        # (r6). Column-only repartition keeps AQE free to size partitions.
-        arrs = child.repartition(F.col(child_fk)).groupBy(child_fk).agg(
+        # Two scale rules Catalyst cannot apply for us here:
+        # 1. SEMI-PRUNE the child to surviving parents BEFORE the grouped
+        #    collect — the parent WHERE sits on non-key columns behind a
+        #    left join, so no optimizer rule transfers it to the child,
+        #    and without it the plan assembles arrays for EVERY parent in
+        #    the table to keep 20 (r6 fifth-decade sweep: 7.1x/decade at
+        #    sf10, superlinear purely from collecting the unfiltered
+        #    child). With a selective WHERE the key set broadcasts and
+        #    the child scan drops to the matching fraction.
+        # 2. repartition-first: partial_collect_list cannot combine (the
+        #    buffer carries every element), so the default plan serializes
+        #    per-element buffers through the shuffle for nothing; shipping
+        #    raw rows and collecting once post-shuffle measured 2.1x
+        #    faster. Column-only repartition keeps AQE sizing partitions.
+        keys = out.select(F.col(local_key).alias(child_fk))
+        pruned = child.join(keys, on=child_fk, how="left_semi")
+        arrs = pruned.repartition(F.col(child_fk)).groupBy(child_fk).agg(
             F.sort_array(F.collect_list(item)).alias(alias)
         )
         # empty-array fallback typed from the child aggregate itself, so a

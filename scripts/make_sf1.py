@@ -40,9 +40,15 @@ from pyspark.sql import functions as F  # noqa: E402
 from etl_backend_spark.session import get_spark  # noqa: E402
 from etl_backend_spark.sources.catalog import load_table  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
+# Generalized (r6): SRC/OUT/REPLICAS come from the environment, so the
+# same key-shifted replication builds the FIFTH decade too —
+#   SPARK_GRAFT_SFSRC_DIR=/tmp/etlbs-sf1 SPARK_GRAFT_SF1_DIR=/tmp/etlbs-sf10 \
+#   python scripts/make_sf1.py
+# (replicating sf1 by 10; all invariants — FK integrity, disjoint vocab,
+# per-replica isometry — compose across applications).
+SRC = os.environ.get("SPARK_GRAFT_SFSRC_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/etlbs-sf1")
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 
 # per-table key columns and the key family each belongs to; every column in
 # one family shifts by the same per-replica offset so joins stay intact
