@@ -6,9 +6,11 @@ allow-list + path metadata).
 
 Codec status: PNG decodes for REAL via the stdlib decoder in
 ``multimodal/png.py`` (zlib inflate + scanline unfilter; dims, channels,
-and a luminance-histogram feature vector come from actual pixels);
-jpeg/webp raise a loud unsupported-codec ``NotImplementedError`` (their
-entropy coders need native libs this container lacks); non-image payloads
+and a luminance-histogram feature vector come from actual pixels), and so
+do baseline JPEG (``multimodal/jpeg.py``) and LOSSLESS WebP/VP8L
+(``multimodal/webp.py`` — huffman + LZ77 + all four transforms); LOSSY
+WebP ('VP8 ' chunks, a full video intra codec) raises the loud
+unsupported-codec ``NotImplementedError``; non-image payloads
 (the synthesized gate-row digests) fall back to the clearly-marked
 deterministic fake decoder. The media schema, binary intake, batch
 iterator shape, partition sizing, and feature pipeline are real Spark
@@ -35,7 +37,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from . import jpeg, png, wav
+from . import jpeg, png, wav, webp
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -185,10 +187,18 @@ def decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
         h, w, c = px.shape
         return w, h, c, _luma_histogram(px)
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
-        raise NotImplementedError(
-            "webp decode unsupported: no stdlib VP8 decoder; install "
-            "Pillow and swap the codec behind decode_one"
-        )
+        try:
+            px = webp.decode_webp(content)  # (h, w, 4) RGBA, lossless only
+        except webp.WebpError as e:
+            msg = str(e)
+            if "lossy" in msg or "no VP8L" in msg:
+                # lossy VP8 stays out of scope (a full video intra codec)
+                raise NotImplementedError(
+                    f"webp decode unsupported for this payload: {msg}"
+                ) from e
+            raise  # malformed VP8L is a data error, loud as WebpError
+        h, w, c = px.shape
+        return w, h, c, _luma_histogram(px)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         raise TypeError(
             "audio payload routed to the image decode path — use "
@@ -674,6 +684,51 @@ def resize_media_real(media: DataFrame, out_w: int = 8, out_h: int = 8,
     )
     return media.select("media_id", "content").mapInPandas(
         resize_real_batches(out_w, out_h), schema=RESIZED_REAL_SCHEMA
+    )
+
+
+def synthesize_webp_media(df: DataFrame, id_col: str,
+                          batch_size: int = 64) -> DataFrame:
+    """Real lossless-WebP (VP8L) payload per id: solid digest-derived RGBA
+    at digest-derived dims, emitted by the VP8L encoder (subtract-green +
+    color cache + run LZ77 both distance forms). Losslessness is the
+    point — decoded pixels equal synthesized ones bit-exactly, so the
+    luminance features are oracle-replicable arithmetic, same contract as
+    synthesize_png_media."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["media_id"]]
+            blobs = []
+            for i in ids:
+                digest = hashlib.sha256(str(i).encode()).digest()
+                w, h = _avi_dims(digest)
+                px = np.empty((h, w, 4), dtype=np.uint8)
+                px[..., 0] = digest[2]
+                px[..., 1] = digest[3]
+                px[..., 2] = digest[4]
+                px[..., 3] = 255
+                blobs.append(webp.encode_webp_lossless(px, cache_bits=4))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["image"] * len(ids),
+                "path": [f"/media/{i}.webp" for i in ids],
+                "content": blobs,
+                "n_bytes": [len(b) for b in blobs],
+            })
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        run, schema=schema
     )
 
 

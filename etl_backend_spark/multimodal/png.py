@@ -4,8 +4,8 @@ The container has no Pillow/libpng, but PNG is decodable with nothing beyond
 ``zlib`` and ``struct`` — this gives the multimodal decode path a REAL codec
 for the format the reference's upload intake accepts first
 (reference src/routes/ads.ts:30-32, multer jpeg|jpg|png|webp allow-list);
-jpeg/webp stay behind a loud unsupported-codec error (their entropy coders
-are not stdlib-expressible).
+baseline JPEG and lossless WebP/VP8L decode for real too (jpeg.py,
+webp.py); only lossy WebP stays behind a loud unsupported-codec error.
 
 Supported subset (raises ``PngError`` loudly on anything else):
 - bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),

@@ -362,6 +362,55 @@ def q_multimodal_resize_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_webp",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             sha256(CAST(p_partkey AS VARCHAR)) AS dh
+      FROM part WHERE p_partkey % 97 = 0
+    ), d AS (
+      SELECT media_id,
+        list_transform(generate_series(0, 4),
+          j -> (strpos('0123456789abcdef', substr(dh, 2*j + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(dh, 2*j + 2, 1)) - 1))
+          AS b
+      FROM m
+    )
+    SELECT media_id,
+           CAST(16 + (b[1] % 2) * 8 AS INTEGER) AS width,
+           CAST(16 + (b[2] % 2) * 8 AS INTEGER) AS height,
+           CAST(4 AS INTEGER) AS channels,
+           CAST((((299 * b[3] + 587 * b[4] + 114 * b[5]) // 1000) * 16)
+                // 256 AS INTEGER) AS top_bin
+    FROM d
+    """,
+)
+def q_multimodal_webp(spark, sf_dir):
+    """REAL lossless WebP (VP8L) decode, value-checked to the PIXEL level
+    (r6, VERDICT r5 task 6 — the last upload-allow-list format,
+    reference src/routes/ads.ts:30-32): the engine synthesizes VP8L
+    payloads (multimodal/webp.py encoder: subtract-green transform, color
+    cache, run LZ77 over both distance-code forms), the distributed
+    ``decode_media`` path huffman-decodes and inverse-transforms each one
+    for real, and because VP8L is lossless the luminance histogram is
+    EXACT — top_bin hash-matches the oracle's integer Rec.601 arithmetic
+    from the same digest bytes, the same contract as multimodal_png.
+    Lossy WebP stays behind the loud unsupported-codec error
+    (pytest-pinned)."""
+    p = Catalog(spark, sf_dir).table("part").filter(
+        F.col("p_partkey") % 97 == 0
+    )
+    media = M.synthesize_webp_media(p, "p_partkey")
+    decoded = M.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height", "channels",
+        (F.array_position(
+            F.col("features"), F.array_max(F.col("features"))
+        ) - 1).cast("int").alias("top_bin"),
+    )
+
+
+@register(
     "multimodal_png",
     oracle="""
     WITH m AS (

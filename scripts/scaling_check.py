@@ -41,7 +41,7 @@ SF1_QUERIES = [
     "join_null_skew", "multimodal_video", "events_funnel",
     "events_retention_cohort", "events_gapfill_locf", "events_interp_linear",
     "find_many_dsl", "etl_check_constraints", "multimodal_resize_real",
-    "multimodal_png", "events_rollup_cascade", "events_gapfill_locf_bucketed",
+    "multimodal_png", "multimodal_webp", "events_rollup_cascade", "events_gapfill_locf_bucketed",
     "sample_stratified", "sim_topk_pq_indexed", "tpch_q8_shape",
     "tpch_q21_shape", "etl_bloom_pruned_read", "find_many_included",
 ]
@@ -62,7 +62,7 @@ EXTRA = [
     "events_retention_cohort", "events_gapfill_locf",
     "events_gapfill_locf_bucketed", "events_interp_linear",
     "events_rollup_cascade", "find_many_dsl", "etl_check_constraints",
-    "multimodal_resize_real", "multimodal_png", "sample_stratified",
+    "multimodal_resize_real", "multimodal_png", "multimodal_webp", "sample_stratified",
     "sim_topk_pq_indexed", "tpch_q8_shape", "tpch_q21_shape",
     "etl_bloom_pruned_read", "find_many_included", "agg_unpivot",
     "agg_median_exact", "agg_mode_deterministic", "tpch_q9_shape",

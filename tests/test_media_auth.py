@@ -600,3 +600,99 @@ def test_codec_wall_time_budgets(spark):
         "overwrite").save()
     per_frame_ms = (time.perf_counter() - t0) / 96 * 1000
     assert per_frame_ms < 35, f"video {per_frame_ms:.1f} ms/frame (budget 35)"
+
+
+def _rt_webp(px, **kw):
+    import numpy as np
+
+    from etl_backend_spark.multimodal import webp
+
+    out = webp.decode_webp(webp.encode_webp_lossless(px, **kw))
+    assert out.shape == px.shape
+    assert np.array_equal(out, px)
+
+
+def test_webp_vp8l_roundtrip_entropy_paths():
+    """VP8L entropy layer is pixel-exact across: literals, simple and
+    normal huffman codes, color cache (1..11 bits), and LZ77 runs via
+    BOTH distance forms (the mapped neighborhood code and the direct
+    120+d code — the encoder alternates them)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    _rt_webp(rng.integers(0, 256, (13, 17, 4), dtype=np.uint8))
+    _rt_webp(rng.integers(0, 256, (13, 17, 4), dtype=np.uint8),
+             use_subtract_green=False)
+    _rt_webp(rng.integers(0, 256, (31, 29, 4), dtype=np.uint8), cache_bits=8)
+    _rt_webp(np.full((9, 31, 4), 200, dtype=np.uint8), cache_bits=4)
+    st = np.zeros((16, 16, 4), dtype=np.uint8)
+    st[::2] = [10, 20, 30, 255]
+    st[1::2] = [200, 100, 50, 255]
+    _rt_webp(st, cache_bits=5)
+    _rt_webp(rng.integers(0, 256, (1, 1, 4), dtype=np.uint8))
+    _rt_webp((rng.integers(0, 4, (8, 8, 4), dtype=np.uint8) * 60).astype("uint8"),
+             cache_bits=1)
+    _rt_webp(rng.integers(0, 256, (24, 24, 4), dtype=np.uint8), cache_bits=11)
+
+
+def test_webp_vp8l_roundtrip_all_transforms():
+    """All four VP8L transforms invert pixel-exactly: predictor (tile
+    modes cycle through all 14), cross-color (positive and negative
+    signed deltas), subtract-green, and color-indexing at every packing
+    width (8/4/2/1 pixels per byte), alone and stacked."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:24, 0:31]
+    grad = np.stack([(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256,
+                     np.full_like(xx, 255)], axis=-1).astype(np.uint8)
+    _rt_webp(grad, predictor_bits=3, use_subtract_green=False)
+    _rt_webp(grad, predictor_bits=2, use_subtract_green=True)
+    _rt_webp(grad, cross_color_bits=3, use_subtract_green=False)
+    _rt_webp(grad, cross_color_bits=3, predictor_bits=2,
+             use_subtract_green=True, cache_bits=5)
+    _rt_webp(rng.integers(0, 256, (9, 9, 4), dtype=np.uint8),
+             predictor_bits=2, use_subtract_green=False)
+    pal_colors = np.array(
+        [[10, 20, 30, 255], [200, 100, 50, 255], [0, 0, 0, 128],
+         [255, 255, 255, 255], [1, 2, 3, 4], [5, 6, 7, 8],
+         [9, 10, 11, 12], [13, 14, 15, 16]], dtype=np.uint8)
+    for n in (2, 3, 7, 8):  # pbits 3/2/1/1
+        img = pal_colors[rng.integers(0, n, (11, 13))]
+        _rt_webp(img, use_palette=True, use_subtract_green=False)
+    cols = rng.integers(0, 256, (40, 4), dtype=np.uint8)  # pbits 0
+    _rt_webp(cols[rng.integers(0, 40, (10, 17))], use_palette=True,
+             use_subtract_green=False)
+
+
+def test_webp_lossy_stays_loud():
+    """Lossy WebP ('VP8 ' chunk) and VP8X containers are documented out
+    of scope — the error must stay loud, never a silent fake decode."""
+    import struct
+
+    import pytest as _pytest
+
+    from etl_backend_spark.multimodal import media as M
+    from etl_backend_spark.multimodal import webp
+
+    lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    with _pytest.raises(webp.WebpError, match="lossy"):
+        webp.decode_webp(lossy)
+    with _pytest.raises(NotImplementedError, match="webp"):
+        M.decode_one(lossy)
+
+
+def test_webp_decode_one_real_pixels():
+    """decode_one routes VP8L payloads through the real decoder: solid
+    16x16 color -> exact dims, 4 channels, histogram mass in one bin."""
+    import numpy as np
+
+    from etl_backend_spark.multimodal import media as M
+    from etl_backend_spark.multimodal import webp
+
+    px = np.empty((16, 24, 4), dtype=np.uint8)
+    px[...] = [40, 80, 120, 255]
+    w, h, c, feats = M.decode_one(webp.encode_webp_lossless(px))
+    assert (w, h, c) == (24, 16, 4)
+    assert abs(float(feats.max()) - 1.0) < 1e-6  # all pixels in one bin
