@@ -140,9 +140,13 @@ class ManifestTable:
                     ) from None
                 time.sleep(0.05)
 
+    #: sentinel: commit inherits the parent manifest's deletion vectors
+    _INHERIT_DVS = object()
+
     def _commit(self, entries: list[dict], parent: str | None,
                 txn: str | None = None,
-                schema_json: str | None = None) -> None:
+                schema_json: str | None = None,
+                dvs=_INHERIT_DVS) -> None:
         """Atomic pointer swap with optimistic concurrency: `parent` is the
         manifest id this commit was derived from (None = table creation).
         A short-lived O_EXCL lock file serializes the check-and-swap, and
@@ -166,11 +170,15 @@ class ManifestTable:
         # the column set AS OF that snapshot
         if schema_json is None:
             schema_json = pm.get("schema")
+        # deletion vectors inherit from the parent unless the commit says
+        # otherwise (delete_dv appends one; compact_dv clears them)
+        if dvs is ManifestTable._INHERIT_DVS:
+            dvs = pm.get("dvs", [])
         mpath = os.path.join(self.manifest_dir, mid)
         with open(mpath, "w") as f:
             json.dump(
                 {"entries": entries, "parent": parent, "txns": txns,
-                 "schema": schema_json},
+                 "schema": schema_json, "dvs": dvs},
                 f,
             )
         lock = self._pointer() + ".lock"
@@ -268,12 +276,13 @@ class ManifestTable:
 
     def _commit_or_discard(self, entries: list[dict], new: list[dict],
                            parent: str | None, txn: str | None = None,
-                           schema_json: str | None = None) -> None:
+                           schema_json: str | None = None,
+                           dvs=_INHERIT_DVS) -> None:
         """_commit, deleting this writer's just-written data files if the
         CAS loses (the retry will rewrite them from the caller's df)."""
         try:
             self._commit(entries, parent=parent, txn=txn,
-                         schema_json=schema_json)
+                         schema_json=schema_json, dvs=dvs)
         except CommitConflict:
             self._discard_batches(new)
             raise
@@ -535,9 +544,104 @@ class ManifestTable:
 
     def read(self) -> DataFrame:
         manifest = self._live_manifest()
-        return self._read_entries(
-            manifest["entries"], schema=self._schema_of(manifest)
+        return self._apply_dvs(
+            self._read_entries(
+                manifest["entries"], schema=self._schema_of(manifest)
+            ),
+            manifest,
         )
+
+    # ------------------------------------------------- deletion vectors
+
+    def _apply_dvs(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Merge-on-read: anti-join out the (file, row_index) positions
+        recorded by ``delete_dv`` commits. The DV table is tiny relative
+        to the data (it lists deleted POSITIONS, not rows), so the
+        anti-join broadcasts; with no DVs the plan is untouched."""
+        dvs = manifest.get("dvs") or []
+        if not dvs:
+            return df
+        dv = self.spark.read.parquet(*dvs)
+        keyed = df.withColumn(
+            "__dv_path", F.col("_metadata.file_path")
+        ).withColumn("__dv_row", F.col("_metadata.row_index"))
+        return keyed.join(
+            F.broadcast(dv),
+            (keyed["__dv_path"] == dv["path"])
+            & (keyed["__dv_row"] == dv["row_index"]),
+            "left_anti",
+        ).drop("__dv_path", "__dv_row")
+
+    def _require_no_dvs(self, op: str, manifest: dict) -> None:
+        if manifest.get("dvs"):
+            raise ValueError(
+                f"{op} on a table with live deletion vectors would "
+                "rewrite files the DVs reference by ROW INDEX, silently "
+                "resurrecting or double-deleting rows — run compact_dv() "
+                "first to fold the DVs into the data"
+            )
+
+    def delete_dv(self, where: Column) -> dict:
+        """Merge-on-read DELETE (Delta/Iceberg deletion-vector pattern):
+        instead of rewriting every touched file (copy-on-write ``delete``),
+        record the matching rows' (file, row_index) positions in a sidecar
+        parquet and commit only the manifest pointer. Cost is one scan +
+        one tiny write regardless of how many multi-GB files contain a
+        matching row — at 100 TB this is the difference between a
+        GDPR-delete rewriting 30 TB and writing 3 MB. Readers apply the
+        DVs as a broadcast anti-join on (_metadata.file_path,
+        _metadata.row_index); ``compact_dv`` folds them back into data
+        files. SQL DELETE semantics: NULL predicates retain the row."""
+        parent, manifest = self._snapshot()
+        live = self._schema_of(manifest)
+        df = self._read_entries(manifest["entries"], schema=live)
+        marked = (
+            df.filter(F.coalesce(where, F.lit(False)))
+            .select(
+                F.col("_metadata.file_path").alias("path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+        )
+        dv_dir = os.path.join(self.dir, "dv", f"dv-{uuid.uuid4().hex}")
+        marked.write.mode("errorifexists").parquet(dv_dir)
+        n = int(self.spark.read.parquet(dv_dir).count())
+        if n == 0:
+            import shutil
+
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return {"marked": 0}
+        self._commit(
+            manifest["entries"], parent=parent,
+            dvs=(manifest.get("dvs") or []) + [dv_dir],
+        )
+        return {"marked": n}
+
+    def compact_dv(self) -> dict:
+        """Fold live deletion vectors into the data (merge-on-read ->
+        copy-on-write): rewrite ONLY the files a DV references, carry
+        every other entry with zero I/O, clear the DV list. The sidecar
+        dirs are left for time travel; vacuum reclaims them."""
+        parent, manifest = self._snapshot()
+        dvs = manifest.get("dvs") or []
+        if not dvs:
+            return {"rewritten": 0, "carried": len(manifest["entries"])}
+        dv = self.spark.read.parquet(*dvs)
+        # file_path is a URI; entries store plain paths
+        touched_paths = {
+            unquote(urlparse(r.path).path)
+            for r in dv.select("path").distinct().collect()
+        }
+        touched = [e for e in manifest["entries"] if e["path"] in touched_paths]
+        carried = [e for e in manifest["entries"] if e["path"] not in touched_paths]
+        live = self._schema_of(manifest)
+        remaining = self._apply_dvs(
+            self._read_entries(touched, schema=live), manifest
+        )
+        new = self._write_files(remaining)
+        self._commit_or_discard(
+            carried + new, new, parent=parent, dvs=[],
+        )
+        return {"rewritten": len(touched), "carried": len(carried)}
 
     def read_pruned(self, col: str, lo=None, hi=None) -> tuple[DataFrame, int]:
         """Manifest-stats pruning: load only files whose [min,max] for `col`
@@ -554,9 +658,10 @@ class ManifestTable:
             keep.append(e["path"])
         if not keep:
             return self._empty_df(), skipped
-        live = self._schema_of(self._live_manifest())
+        manifest = self._live_manifest()
+        live = self._schema_of(manifest)
         reader = self.spark.read if live is None else self.spark.read.schema(live)
-        return reader.parquet(*keep), skipped
+        return self._apply_dvs(reader.parquet(*keep), manifest), skipped
 
     def read_pruned_bloom(self, value) -> tuple[DataFrame, int]:
         """Point-lookup file skipping by the per-file BLOOM, the prune that
@@ -591,15 +696,17 @@ class ManifestTable:
                 skipped += 1
         if not keep:
             return self._empty_df(), skipped
-        live = self._schema_of(self._live_manifest())
+        manifest = self._live_manifest()
+        live = self._schema_of(manifest)
         reader = self.spark.read if live is None else self.spark.read.schema(live)
-        return reader.parquet(*keep), skipped
+        return self._apply_dvs(reader.parquet(*keep), manifest), skipped
 
     def delete(self, where: Column, col: str, lo=None, hi=None) -> dict:
         """File-granular delete: rewrite only files whose stats interval for
         `col` can contain matching rows; every other manifest entry carries
         over with zero I/O. Returns {'rewritten': n, 'carried': m}."""
         parent, manifest = self._snapshot()
+        self._require_no_dvs("delete", manifest)
         touched, carried = [], []
         for e in manifest["entries"]:
             mn, mx = e["stats"][col]
@@ -641,6 +748,7 @@ class ManifestTable:
         declared-schema reads), missing columns null-fill, and type drift
         raises at write time."""
         parent, manifest = self._snapshot()
+        self._require_no_dvs("upsert", manifest)
         incoming, _ = self._align_to_live(incoming, manifest, evolve=False)
         lo, hi, n, n_keys = incoming.agg(
             F.min(key), F.max(key), F.count(F.lit(1)), F.count_distinct(key)
@@ -728,8 +836,11 @@ class ManifestTable:
         appear in an older snapshot."""
         with open(os.path.join(self.manifest_dir, manifest_id)) as f:
             manifest = json.load(f)
-        return self._read_entries(
-            manifest["entries"], schema=self._schema_of(manifest)
+        return self._apply_dvs(
+            self._read_entries(
+                manifest["entries"], schema=self._schema_of(manifest)
+            ),
+            manifest,
         )
 
     def compact(self, target_rows: int = 100_000) -> dict:
@@ -738,6 +849,7 @@ class ManifestTable:
         files carry over untouched. The 100 TB hygiene job that keeps scan
         task counts sane after many streaming appends."""
         parent, manifest = self._snapshot()
+        self._require_no_dvs("compact", manifest)
         entries = manifest["entries"]
         small = [e for e in entries if e["rows"] < target_rows]
         large = [e for e in entries if e["rows"] >= target_rows]

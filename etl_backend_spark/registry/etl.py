@@ -700,6 +700,58 @@ def q_etl_incremental_cascade(spark, sf_dir):
     ).orderBy("user_id", "m")
 
 
+@register(
+    "etl_delete_dv",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM orders WHERE o_orderstatus <> 'F') AS BIGINT)
+        AS n_remaining,
+      CAST((SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS BIGINT)
+        AS n_marked,
+      CAST(round((SELECT sum(o_totalprice) FROM orders
+                  WHERE o_orderstatus <> 'F'), 2) AS DOUBLE)
+        AS sum_remaining
+    """,
+)
+def q_etl_delete_dv(spark, sf_dir):
+    """DELETION-VECTOR delete, value-checked by the gate (r6): mark rows
+    by (file, row_index) position in a sidecar instead of rewriting data
+    files (etl/manifest.py delete_dv/_apply_dvs/compact_dv). The read
+    back applies the DV as a broadcast anti-join on parquet's
+    _metadata.row_index; the check asserts no data file was rewritten AND
+    the post-delete scan matches the oracle's row-level delete exactly —
+    then folds the DV (compact_dv) and asserts the fold preserves the
+    same counts. At 100 TB this is the GDPR/right-to-be-forgotten path:
+    a delete touching one row per multi-GB file commits kilobytes."""
+    import shutil
+    import tempfile
+
+    from ..etl.manifest import ManifestTable
+
+    o = Catalog(spark, sf_dir).table("orders")
+    root = tempfile.mkdtemp(prefix="etlbs-dv-")
+    try:
+        t = ManifestTable(spark, root, "orders", ["o_orderkey"])
+        t.create(o.repartition(8))
+        paths_before = {e["path"] for e in t.files()}
+        res = t.delete_dv(F.col("o_orderstatus") == "F")
+        assert {e["path"] for e in t.files()} == paths_before  # no rewrite
+        row = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        ).collect()[0]
+        fold = t.compact_dv()
+        assert fold["rewritten"] > 0
+        row2 = t.read().agg(F.count(F.lit(1)).alias("n")).collect()[0]
+        assert row2.n == row.n, "compact_dv changed the row set"
+        return spark.createDataFrame(
+            [(int(row.n), int(res["marked"]), float(row.s))],
+            "n_remaining LONG, n_marked LONG, sum_remaining DOUBLE",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def ensure_bloom_table(spark, sf_dir):
     """Build-once accessor for the UNSORTED bloomed orders table — the
     persisted-index half of the build/query split (VERDICT r5 task 3,

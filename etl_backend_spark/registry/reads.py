@@ -570,6 +570,9 @@ def q_join_1n_nested_salted(spark, sf_dir):
     o, li = cat.table("orders"), cat.table("lineitem")
     partial = (
         li.withColumn("__salt", (F.col("l_linenumber") % S).cast("int"))
+        # repartition-first, same rationale as nested_1n: collect_list
+        # partials can't combine, so ship raw rows once
+        .repartition(F.col("l_orderkey"), F.col("__salt"))
         .groupBy("l_orderkey", "__salt")
         .agg(F.collect_list("l_linenumber").alias("part"))
     )

@@ -64,7 +64,7 @@ EXTRA = [
     "events_rollup_cascade", "find_many_dsl", "etl_check_constraints",
     "multimodal_resize_real", "multimodal_png", "multimodal_webp", "sample_stratified",
     "sim_topk_pq_indexed", "tpch_q8_shape", "tpch_q21_shape",
-    "etl_bloom_pruned_read", "find_many_included", "agg_unpivot",
+    "etl_bloom_pruned_read", "etl_delete_dv", "find_many_included", "agg_unpivot",
     "agg_median_exact", "agg_mode_deterministic", "tpch_q9_shape",
     "tpch_q20_shape", "events_outliers_mad", "find_many_nested",
     "doc_keywords_tfidf", "events_value_histogram", "fn_try_arith",

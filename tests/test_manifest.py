@@ -855,3 +855,56 @@ def test_restore_makes_past_snapshot_live_again(spark, tmp_path):
     vacuum(t)
     with pytest.raises(ValueError, match="vacuumed"):
         t.restore(new_id)
+
+
+def test_deletion_vectors_merge_on_read_and_compact(spark, tmp_path):
+    """Merge-on-read DELETE: delete_dv commits positions, not rewrites —
+    reads (plain, pruned, time-travel) apply the anti-join; stacked DVs
+    compose; copy-on-write mutations refuse until compact_dv folds the
+    vectors back into data files; after folding the data files actually
+    shrank and reads are unchanged."""
+    import pytest
+
+    o = Catalog(spark, SF_DIR).table("orders")
+    t = ManifestTable(spark, str(tmp_path), "dv_orders", ["o_orderkey"])
+    t.create(o.repartition(4))
+    pre_mid = t._live_id()
+    n0 = t.read().count()
+    n_f = o.filter(F.col("o_orderstatus") == "F").count()
+
+    res = t.delete_dv(F.col("o_orderstatus") == "F")
+    assert res["marked"] == n_f > 0
+    assert t.read().count() == n0 - n_f
+    assert t.read().filter(F.col("o_orderstatus") == "F").count() == 0
+    # no data file was rewritten — same entry list as before
+    assert {e["path"] for e in t.files()} == {
+        e["path"] for e in t._manifest_at(pre_mid)["entries"]
+    }
+    # pruned reads apply DVs too
+    key = int(o.filter(F.col("o_orderstatus") == "F")
+              .limit(1).collect()[0].o_orderkey)
+    df, _ = t.read_pruned("o_orderkey", lo=key, hi=key)
+    assert df.filter(F.col("o_orderkey") == key).count() == 0
+    # time travel: the pre-delete snapshot still has every row
+    assert t.read_at(pre_mid).count() == n0
+
+    # stacked second DV
+    n_p = t.read().filter(F.col("o_orderpriority") == "1-URGENT").count()
+    t.delete_dv(F.col("o_orderpriority") == "1-URGENT")
+    assert t.read().count() == n0 - n_f - n_p
+
+    # copy-on-write ops refuse while DVs are live
+    with pytest.raises(ValueError, match="compact_dv"):
+        t.delete(F.col("o_orderkey") < 0, "o_orderkey", lo=None, hi=0)
+    with pytest.raises(ValueError, match="compact_dv"):
+        t.upsert(o.limit(1), "o_orderkey")
+
+    expect = sorted(map(tuple, t.read().collect()))
+    res = t.compact_dv()
+    assert res["rewritten"] > 0
+    assert not t._live_manifest().get("dvs")
+    assert sorted(map(tuple, t.read().collect())) == expect
+    # and the fold really dropped the rows from the files
+    assert sum(e["rows"] for e in t.files()) == n0 - n_f - n_p
+    # rewrite ops work again
+    t.delete(F.col("o_orderkey") < 0, "o_orderkey", lo=None, hi=0)
