@@ -797,3 +797,120 @@ def q_corpus_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "lm_quality_trigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), tg AS (
+      SELECT doc_id,
+             array_to_string(w[i:i+2], ' ') AS tg
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      )
+    ), freq AS (
+      SELECT tg, count(*) AS c FROM tg GROUP BY tg HAVING count(*) >= 2
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tg,
+           CAST(coalesce(sum(f.c), 0) AS BIGINT) AS sum_freq,
+           CAST(sum(CASE WHEN f.tg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen
+    FROM tg t LEFT JOIN freq f ON t.tg = f.tg
+    GROUP BY t.doc_id
+    """,
+)
+def q_lm_quality_trigram(spark, sf_dir):
+    """Corpus-trained trigram LANGUAGE-MODEL quality signal — the
+    CCNet-style filter (Wenzek et al.: score documents by an LM trained
+    on the corpus/reference, drop the tail): pass 1 builds the trigram
+    frequency table (one groupBy, min-count 2 so singleton noise gets the
+    unseen floor AND the model table stays bounded for broadcast); pass 2
+    scores every document by joining its trigram instances against the
+    model and aggregating. Outputs are INTEGER-EXACT on purpose —
+    (n_tg, sum_freq, n_unseen) carry the full signal (mean corpus
+    frequency and unseen ratio are derivable), while a float mean-logprob
+    would be a continuous blend whose rounding can differ cross-engine
+    (measurement rules); a production deployment broadcasts KenLM
+    log-weights through exactly this join shape. Scale: trigram explode
+    is codegen'd (shingle_rows), the model groupBy is one keyed shuffle,
+    the min-count/top-K cap bounds the broadcast, and the score join +
+    per-doc aggregate ride one exchange."""
+    d = Catalog(spark, sf_dir).table("documents")
+    tg = T.shingle_rows(d, "doc_id", "text", k=3, distinct=False).select(
+        "doc_id", F.col("shingle").alias("tg")
+    )
+    freq = (
+        tg.groupBy("tg").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    # no broadcast HINT: the model table grows with the corpus, so
+    # forcing broadcast is a 100-TB OOM — AQE broadcasts while it fits
+    # (it does at test SFs) and falls back to a keyed join beyond;
+    # production caps the model at top-K rows first
+    joined = tg.join(freq, "tg", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tg"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("sum_freq"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_unseen"),
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS span
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+      )
+    ), shared AS (
+      SELECT span FROM sp GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_spans
+    FROM sp s LEFT JOIN shared sh ON s.span = sh.span
+    GROUP BY s.doc_id
+    """,
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    """Repeated-SUBSTRING flagging (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): document-level dedup misses the
+    boilerplate duplicated INSIDE otherwise-distinct documents (headers,
+    licenses, templates); the fix is span-level. Every 8-word span is
+    keyed; spans occurring in >= 2 DISTINCT documents are "shared", and
+    each doc reports how many of its span instances are shared — the
+    removal mask a substring-dedup pass consumes. Spark shape: codegen'd
+    span explode, one count-distinct groupBy on the span key (the only
+    corpus-sized shuffle), shared-set broadcast back, per-doc aggregate.
+    The full suffix-array construction of the paper is the exact variant;
+    the fixed-width span key is the bounded-shuffle approximation that
+    scales linearly and catches any duplication >= 8 words."""
+    d = Catalog(spark, sf_dir).table("documents")
+    sp = T.shingle_rows(d, "doc_id", "text", k=8, distinct=False).select(
+        "doc_id", F.col("shingle").alias("span")
+    )
+    shared = (
+        sp.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    # same no-hint rationale as lm_quality_trigram: shared-span set size
+    # tracks corpus duplication, AQE decides broadcast vs keyed join
+    joined = sp.join(shared.withColumn("__hit", F.lit(1)), "span", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long").alias("n_dup_spans"),
+    )
