@@ -127,3 +127,154 @@ def query_pq_index(spark: SparkSession, sf_dir: str, index_dir: str,
         .filter(F.col("rn") <= topk)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
+                      n_cells: int = 8, m: int = 8, k: int = 16) -> dict:
+    """FAISS-style IVF-PQ composed for a lake (Jegou et al. §V: coarse
+    quantizer + product-quantized RESIDUALS):
+
+    - coarse centroids fit on the bounded sample (k-means via the same
+      deterministic per-subspace Lloyd core, m=1);
+    - every vector is assigned to its nearest cell and its RESIDUAL
+      (v - centroid) is PQ-encoded — residual codebooks are tighter than
+      raw-vector codebooks because cells remove the coarse structure;
+    - the codes table persists PARTITIONED BY CELL: the inverted lists
+      ARE hive partitions, so probing nprobe cells is parquet partition
+      pruning — unprobed directories are never opened (plan-asserted in
+      tests). At 100 TB each cell is further split into many files and
+      the scan parallelism stays full.
+    """
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count()
+    fit_df = corpus.select("nv")
+    if n > _FIT_CAP:
+        fit_df = fit_df.sample(fraction=min(1.0, 1.1 * _FIT_CAP / n),
+                               seed=42).limit(_FIT_CAP)
+    sample = np.array([r.nv for r in fit_df.collect()])
+    cents = pq.fit_codebooks(sample, m=1, k=n_cells, iters=10, seed=7)[0]
+    # residuals of the SAME sample fit the PQ codebooks
+    d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    books = pq.fit_codebooks(sample - cents[assign], m=m, k=k,
+                             iters=10, seed=42)
+
+    import pandas as pd
+
+    def encode_run(batches):
+        for pdf in batches:
+            mat = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            dd = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = dd.argmin(axis=1)
+            codes = pq.encode(mat - cents[cell], books)
+            yield pd.DataFrame({
+                "vec_id": ids, "cell": cell.astype(np.int32),
+                "codes": list(codes),
+            })
+
+    (
+        corpus.select("vec_id", "nv")
+        .mapInPandas(encode_run, schema="vec_id long, cell int, codes array<int>")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    manifest = {"n_cells": n_cells, "m": m, "k": k, "n": n,
+                "dim": int(sample.shape[1]),
+                "cents": cents.tolist(), "books": books.tolist()}
+    tmp = os.path.join(index_dir, "_ivfpq.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "ivfpq.json"))
+    return manifest
+
+
+def query_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
+                      n_queries: int = 5, topk: int = 10,
+                      shortlist: int = 64, nprobe: int = 2) -> DataFrame:
+    """Top-k from the persisted IVF-PQ index. ADC decomposition for
+    residual codes: q·x = q·cent(cell) + q·residual, so each query needs
+    ONE (m x k) residual lookup table plus a per-cell scalar constant —
+    cross-cell candidate ranking stays consistent. The codes scan is
+    partition-pruned to the union of all queries' nprobe cells."""
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "ivfpq.json")) as f:
+        man = json.load(f)
+    cents = np.array(man["cents"], dtype=np.float64)
+    books = np.array(man["books"], dtype=np.float64)
+    corpus = _corpus(spark, sf_dir)
+    qrows = sorted(
+        (r.vec_id, [float(x) for x in r.v], np.array(r.nv))
+        for r in corpus.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "v", "nv").collect()
+    )
+    q_ids = [q for q, _, _ in qrows]
+    qmat = np.stack([nv for _, _, nv in qrows])
+    tables = pq.adc_tables(qmat, books)          # (nq, m, k) residual tables
+    cell_const = qmat @ cents.T                   # (nq, n_cells)
+    # nprobe nearest cells per query BY DOT PRODUCT (normalized queries:
+    # max dot == min euclidean on the unit sphere up to centroid norms;
+    # use true euclidean for fidelity to the assignment metric)
+    dd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probed = [np.argsort(dd[qi])[:nprobe].tolist()
+              for qi in range(len(q_ids))]
+    probe_union = sorted({c for ps in probed for c in ps})
+    probe_mask = {qi: set(ps) for qi, ps in enumerate(probed)}
+
+    def scan_run(batches):
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int32)
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            res_scores = pq.adc_scores(codes, tables)   # (n, nq)
+            out = {"qi": [], "vec_id": [], "adc": []}
+            for qi in range(len(q_ids)):
+                keep = np.fromiter(
+                    (c in probe_mask[qi] for c in cells), bool, len(cells)
+                )
+                keep &= ids != q_ids[qi]  # self-match never burns a slot
+                s = res_scores[keep, qi] + cell_const[qi, cells[keep]]
+                cand = ids[keep]
+                order = np.lexsort((cand, -s))[:shortlist]
+                out["qi"].extend([qi] * len(order))
+                out["vec_id"].extend(cand[order].tolist())
+                out["adc"].extend(s[order].tolist())
+            yield pd.DataFrame(out)
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("cell").isin([int(c) for c in probe_union])
+    )
+    id_map = F.array(*[F.lit(q) for q in q_ids])
+    local_topk = codes.mapInPandas(
+        scan_run, schema="qi int, vec_id long, adc double",
+    ).select(
+        F.element_at(id_map, F.col("qi") + 1).alias("q_id"), "vec_id", "adc"
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
+                                               F.col("vec_id").asc())
+    candidates = (
+        local_topk.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= shortlist)
+        .select("q_id", "vec_id")
+    )
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v, _ in qrows], "q_id long, qv array<double>",
+    )
+    reranked = (
+        candidates.join(corpus.select("vec_id", "v"), on="vec_id")
+        .join(F.broadcast(qdf), on="q_id")
+        .select(
+            "q_id", "vec_id",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("vec_id").asc())
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", "vec_id", "cos_sim")
+    )

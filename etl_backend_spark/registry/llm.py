@@ -1467,6 +1467,37 @@ def q_sim_topk_pq_indexed(spark, sf_dir):
     return ann_index.query_pq_index(spark, sf_dir, d)
 
 
+_IVFPQ_INDEX_DIRS: dict = {}
+
+
+@register("sim_topk_ivfpq")  # rows-only, same standing as sim_topk_pq
+def q_sim_topk_ivfpq(spark, sf_dir):
+    """ANN top-k from the persisted IVF-PQ index (ann/index.py,
+    build_ivfpq_index/query_ivfpq_index) — the full FAISS production
+    composition the separate sim_topk_ivf (partition pruning) and
+    sim_topk_pq (memory compression) halves build up to: coarse cells
+    prune the scan via HIVE PARTITIONS (probing nprobe cells is parquet
+    directory pruning, plan-asserted in tests), product-quantized
+    RESIDUALS compress what remains ~64x, and the ADC decomposition
+    q·x = q·cent(cell) + q·residual keeps cross-cell ranking consistent
+    with one lookup table per query plus a per-cell scalar. Exact-cosine
+    rerank on <= 64 rows per query; recall vs brute pytest-asserted;
+    build/query split cached per corpus like sim_topk_pq_indexed."""
+    import tempfile
+
+    from ..ann import index as ann_index
+
+    key = (sf_dir,)
+    d = _IVFPQ_INDEX_DIRS.get(key)
+    if d is None or not __import__("os").path.exists(
+        __import__("os").path.join(d, "ivfpq.json")
+    ):
+        d = tempfile.mkdtemp(prefix="etlbs-ivfpq-")
+        ann_index.build_ivfpq_index(spark, sf_dir, d)
+        _IVFPQ_INDEX_DIRS[key] = d
+    return ann_index.query_ivfpq_index(spark, sf_dir, d)
+
+
 @register(
     "doc_keywords_tfidf",
     oracle="""

@@ -43,7 +43,8 @@ SF1_QUERIES = [
     "find_many_dsl", "etl_check_constraints", "multimodal_resize_real",
     "multimodal_png", "multimodal_webp", "events_rollup_cascade", "events_gapfill_locf_bucketed",
     "sample_stratified", "sim_topk_pq_indexed", "tpch_q8_shape",
-    "lm_quality_trigram", "dedup_substring_spans",
+    "lm_quality_trigram", "dedup_substring_spans", "sim_topk_ivfpq",
+    "etl_delete_dv",
     "tpch_q21_shape", "etl_bloom_pruned_read", "find_many_included",
 ]
 
@@ -70,7 +71,7 @@ EXTRA = [
     "tpch_q20_shape", "events_outliers_mad", "find_many_nested",
     "doc_keywords_tfidf", "events_value_histogram", "fn_try_arith",
     "corpus_report", "agg_quartiles", "join_asof_tolerance",
-    "lm_quality_trigram", "dedup_substring_spans",
+    "lm_quality_trigram", "dedup_substring_spans", "sim_topk_ivfpq",
 ]
 
 

@@ -507,3 +507,38 @@ def test_min_label_components_long_chain_converges_logarithmically(spark):
     release_plan_checkpoints(labels)
     assert all(got[i] == 0 for i in range(100))
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+
+
+def test_sim_topk_ivfpq_recall_and_partition_pruning(spark):
+    """The composed IVF-PQ index: (a) recall@10 vs exact brute-force stays
+    above the multiprobe bar on the probed fraction of the corpus; (b) the
+    codes scan is PARTITION-pruned to the probed cells (hive-partitioned
+    inverted lists — unprobed directories never open); (c) repeat queries
+    reuse the persisted artifact."""
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.registry.llm import _IVFPQ_INDEX_DIRS
+    from tests.conftest import SF_DIR
+
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in QUERIES["sim_topk_brute"](spark, SF_DIR).collect()
+    }
+    got_df = QUERIES["sim_topk_ivfpq"](spark, SF_DIR)
+    got = {(r.q_id, r.vec_id) for r in got_df.collect()}
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"IVF-PQ recall@10 {recall:.2f} under bar"
+
+    # partition pruning visible in the plan of the scan
+    import os
+
+    from etl_backend_spark.ann import index as ann_index
+
+    d = _IVFPQ_INDEX_DIRS[(SF_DIR,)]
+    assert os.path.exists(os.path.join(d, "ivfpq.json"))
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    # determinism across invocations (artifact reuse, same seeds)
+    again = {(r.q_id, r.vec_id)
+             for r in QUERIES["sim_topk_ivfpq"](spark, SF_DIR).collect()}
+    assert again == got
