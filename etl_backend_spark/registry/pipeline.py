@@ -914,3 +914,100 @@ def q_dedup_substring_spans(spark, sf_dir):
         F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
         .cast("long").alias("n_dup_spans"),
     )
+
+
+_TEXT_INDEX_BUCKETS = 64
+
+
+def ensure_text_index(spark, sf_dir):
+    """Build-once INVERTED TEXT INDEX over documents: (term, doc_id)
+    postings, written PARTITIONED BY an md5 term bucket so a keyword
+    lookup prunes to one directory per query term — the third member of
+    the index-vs-scan family (bloom point lookup, z-order range,
+    inverted-index keyword search). Fingerprint-cached like
+    ensure_bloom_table; at 100 TB each bucket splits into many files and
+    the posting scan stays fully parallel. Returns (postings_dir,
+    built: bool)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from ..sources.cache import file_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    key = _hl.md5(f"v1:{file_fingerprint(src)}".encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-txtidx-{key}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out, False
+    d = Catalog(spark, sf_dir).table("documents")
+    term = F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).alias("term")
+    postings = (
+        d.select("doc_id", term)
+        .filter(F.length("term") > 0)
+        .dropDuplicates(["term", "doc_id"])
+        .withColumn(
+            "tb",
+            (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+             .cast("long") % _TEXT_INDEX_BUCKETS).cast("int"),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(out)
+    return out, True
+
+
+def _term_bucket_py(term: str) -> int:
+    import hashlib as _hl
+
+    return int(_hl.md5(term.encode()).hexdigest()[:8], 16) % _TEXT_INDEX_BUCKETS
+
+
+@register(
+    "text_search_indexed",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'spark')
+      AND list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'merge')
+    """,
+)
+def q_text_search_indexed(spark, sf_dir):
+    """Keyword AND-search served from the INVERTED INDEX, value-checked
+    against the full-scan semantics: read only the query terms' posting
+    partitions (directory pruning — two buckets of 64 open, plan-asserted
+    in tests), intersect posting lists with one groupBy (a doc matches
+    when it carries ALL terms), then hydrate the matching docs. The scan
+    twin is `filter_contains_ci`-style text matching; at 100 TB the
+    difference is opening 2/64ths of a postings table ~the size of the
+    vocabulary-document incidence vs re-tokenizing every byte of corpus
+    text per query."""
+    terms = ["spark", "merge"]
+    idx_dir, _ = ensure_text_index(spark, sf_dir)
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    postings = (
+        spark.read.parquet(idx_dir)
+        .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
+    )
+    matched = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.join(matched, "doc_id", "left_semi").select("doc_id", "lang")
+
+
+@register("text_index_build")  # rows-only: a build artifact, like etl_bloom_build
+def q_text_index_build(spark, sf_dir):
+    """The build half of the inverted text index: (or reuse) the bucketed
+    postings table; one row of geometry so the gate pins artifact
+    existence and fingerprint-cache reuse."""
+    idx_dir, built = ensure_text_index(spark, sf_dir)
+    n = int(spark.read.parquet(idx_dir).count())
+    return spark.createDataFrame(
+        [(n, _TEXT_INDEX_BUCKETS, not built)],
+        "n_postings LONG, n_buckets INT, reused BOOLEAN",
+    )

@@ -542,3 +542,34 @@ def test_sim_topk_ivfpq_recall_and_partition_pruning(spark):
     again = {(r.q_id, r.vec_id)
              for r in QUERIES["sim_topk_ivfpq"](spark, SF_DIR).collect()}
     assert again == got
+
+
+def test_text_search_indexed_prunes_partitions_and_reuses(spark):
+    """The inverted-index keyword search opens ONLY the query terms'
+    posting buckets (hive-partition pruning on tb) and the build is
+    fingerprint-cached."""
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.registry.pipeline import (
+        _term_bucket_py, ensure_text_index)
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["text_search_indexed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan, plan
+
+    idx_dir, built = ensure_text_index(spark, SF_DIR)
+    assert not built  # second call reused the artifact
+    buckets = {_term_bucket_py(t) for t in ("spark", "merge")}
+    # the plan prunes on the bucket key (inputFiles() is pre-pruning, so
+    # assert through the executed plan + a semantic equivalence check:
+    # pruned-bucket postings == full-table postings for the query terms)
+    full = spark.read.parquet(idx_dir).filter(
+        F.col("term").isin(["spark", "merge"])
+    )
+    pruned = full.filter(F.col("tb").isin(sorted(buckets)))
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tb" in pplan.replace("cast(tb", "tb") or \
+        "tb#" in pplan.split("PartitionFilters")[1][:120], pplan
+    a = sorted(map(tuple, pruned.select("term", "doc_id").collect()))
+    b = sorted(map(tuple, full.select("term", "doc_id").collect()))
+    assert a == b and len(a) > 0
