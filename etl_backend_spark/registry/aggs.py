@@ -2293,3 +2293,50 @@ def q_orders_pareto(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "udaf_median_pandas",
+    oracle="""
+    SELECT o_orderpriority, round(median(o_totalprice), 2) AS med,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_udaf_median_pandas(spark, sf_dir):
+    """Pandas GROUPED-AGG UDAF — the one §2.10 UDF API surface the
+    registry didn't yet demonstrate (scalar pandas UDF: auth; UDTF:
+    sentences; mapInPandas: codecs; applyInPandas(+WithState): zscore /
+    streaming). A custom aggregate runs as an Arrow-batched reduction
+    per group; the oracle is the SAME SQL as agg_median_exact, so the
+    UDAF path is value-checked against both DuckDB and (transitively)
+    the built-in F.median form. Median is chosen deliberately: an order
+    statistic is exact (no accumulation-order float drift), keeping the
+    cross-engine hash byte-stable where a UDAF mean/geomean would not
+    be. Scale note: GROUPED_AGG materializes each group in one worker —
+    correct for bounded groups (these are 5 priority buckets); unbounded
+    groups belong to the built-in partial aggregates."""
+    import pandas as pd
+
+    def _median(v: pd.Series) -> float:
+        return float(v.median())
+
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    # typed via the explicit signature (the string-annotation form trips
+    # PySpark's signature parser for GROUPED_AGG); Spark refuses to mix
+    # GROUPED_AGG UDAFs with built-in aggregates in one agg(), so the
+    # count rides a second UDAF instead of F.count
+    median_udaf = F.pandas_udf(_median, "double", F.PandasUDFType.GROUPED_AGG)
+    count_udaf = F.pandas_udf(_n, "long", F.PandasUDFType.GROUPED_AGG)
+
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(median_udaf("o_totalprice"), 2).alias("med"),
+            count_udaf("o_totalprice").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
