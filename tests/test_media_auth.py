@@ -696,3 +696,21 @@ def test_webp_decode_one_real_pixels():
     w, h, c, feats = M.decode_one(webp.encode_webp_lossless(px))
     assert (w, h, c) == (24, 16, 4)
     assert abs(float(feats.max()) - 1.0) < 1e-6  # all pixels in one bin
+
+
+def test_webp_meta_huffman_roundtrip():
+    """META-Huffman (multiple huffman groups over a tile grid — the one
+    VP8L entropy path the earlier fixtures didn't drive): a checkerboard
+    of two groups roundtrips pixel-exactly, alone, with cache+runs, and
+    stacked under predictor + subtract-green."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    _rt_webp(rng.integers(0, 256, (20, 27, 4), dtype=np.uint8), meta_bits=3)
+    _rt_webp(
+        np.repeat(rng.integers(0, 4, (12, 5, 4), dtype=np.uint8) * 70,
+                  5, axis=1),
+        meta_bits=2, cache_bits=4,
+    )
+    _rt_webp(rng.integers(0, 256, (16, 16, 4), dtype=np.uint8),
+             meta_bits=2, predictor_bits=2, use_subtract_green=True)
