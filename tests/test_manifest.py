@@ -908,3 +908,24 @@ def test_deletion_vectors_merge_on_read_and_compact(spark, tmp_path):
     assert sum(e["rows"] for e in t.files()) == n0 - n_f - n_p
     # rewrite ops work again
     t.delete(F.col("o_orderkey") < 0, "o_orderkey", lo=None, hi=0)
+
+
+def test_delete_dv_conflicts_with_concurrent_commit(spark, tmp_path):
+    """delete_dv rides the same CAS as every other mutation: a commit
+    landing between its snapshot and its pointer swap must raise
+    CommitConflict, never silently drop either change."""
+    import pytest
+
+    from etl_backend_spark.etl.manifest import CommitConflict
+
+    o = Catalog(spark, SF_DIR).table("orders").limit(50)
+    t = ManifestTable(spark, str(tmp_path), "dvc", ["o_orderkey"])
+    t.create(o)
+    parent, manifest = t._snapshot()
+    # competing writer lands first
+    t.append(o.limit(3).withColumn("o_orderkey",
+                                   F.col("o_orderkey") + 5_000_000))
+    with pytest.raises(CommitConflict):
+        t._commit(manifest["entries"], parent=parent, dvs=["bogus-dv"])
+    # the losing DV never became visible
+    assert not t._live_manifest().get("dvs")

@@ -714,3 +714,23 @@ def test_webp_meta_huffman_roundtrip():
     )
     _rt_webp(rng.integers(0, 256, (16, 16, 4), dtype=np.uint8),
              meta_bits=2, predictor_bits=2, use_subtract_green=True)
+
+
+def test_webp_decoder_never_hangs_or_crashes_on_truncation():
+    """Corrupt-input robustness: every strict prefix of a valid VP8L file
+    either raises WebpError (or the container IndexError-free variants)
+    or — for prefixes that still contain every pixel — decodes; it must
+    never raise a non-codec exception or loop forever."""
+    import numpy as np
+
+    from etl_backend_spark.multimodal import webp
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    data = webp.encode_webp_lossless(px, cache_bits=4)
+    for cut in range(0, len(data), max(1, len(data) // 40)):
+        try:
+            out = webp.decode_webp(data[:cut])
+            assert out.shape == px.shape  # only full-pixel prefixes succeed
+        except webp.WebpError:
+            pass  # the loud, typed failure is the contract
