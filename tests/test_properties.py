@@ -258,3 +258,29 @@ def test_find_many_where_tree_matches_python_reference(spark_session, tree):
     got = sorted((r.a, r.b) for r in df.filter(compile_where(tree)).collect())
     want = sorted((r["a"], r["b"]) for r in rows if _py_eval(tree, r))
     assert got == want, tree
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    sg=st.booleans(),
+    cache=st.sampled_from([0, 1, 4, 8]),
+    pred=st.sampled_from([None, 2, 3]),
+    meta=st.sampled_from([None, 2, 3]),
+)
+def test_webp_roundtrip_property(w, h, seed, sg, cache, pred, meta):
+    """Any image, any flag combination: encode->decode is the identity.
+    (The codec pair is self-validating — this is the fuzz half of that
+    contract; pixel-exact over random dims, seeds, and feature flags.)"""
+    import numpy as np
+
+    from etl_backend_spark.multimodal import webp
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    data = webp.encode_webp_lossless(
+        px, use_subtract_green=sg, cache_bits=cache,
+        predictor_bits=pred, meta_bits=meta,
+    )
+    assert np.array_equal(webp.decode_webp(data), px)
