@@ -1011,3 +1011,38 @@ def q_text_index_build(spark, sf_dir):
         [(n, _TEXT_INDEX_BUCKETS, not built)],
         "n_postings LONG, n_buckets INT, reused BOOLEAN",
     )
+
+
+_BPE_MERGES_CACHE: dict = {}
+
+
+@register("tokenize_bpe")  # rows-only: 32 data-dependent iterative merges
+# are not SQL-expressible; exactness is pinned instead by a pure-Python
+# reference-BPE equality pytest (tests/test_llm_ops.py)
+def q_tokenize_bpe(spark, sf_dir):
+    """REAL BPE tokenization (Sennrich et al. 2016 — the GPT-2 tokenizer
+    family): train 32 merges on the corpus word-frequency table (the
+    sampled-fit pattern: one groupBy to (word, count), top-4096 rows to
+    the driver, greedy pair-merging there; a 100 TB corpus trains from
+    the same capped table), then count subword tokens per document with
+    an Arrow-batched UDF whose per-batch memoization tokenizes each
+    DISTINCT word once. Output (doc_id, n_words, n_tokens) is
+    integer-exact; n_tokens < n_chars and > n_words by construction.
+    functions/bpe.py; merge list cached per corpus fingerprint."""
+    from ..functions import bpe
+    from ..sources.cache import file_fingerprint
+
+    key = file_fingerprint(f"{sf_dir}/documents.parquet")
+    merges = _BPE_MERGES_CACHE.get(key)
+    if merges is None:
+        d = Catalog(spark, sf_dir).table("documents")
+        merges = bpe.train_merges(bpe.word_freq_table(d), n_merges=32)
+        _BPE_MERGES_CACHE[key] = merges
+
+    d = Catalog(spark, sf_dir).table("documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        bpe.token_count_udf(merges)(words).alias("n_tokens"),
+    )

@@ -573,3 +573,50 @@ def test_text_search_indexed_prunes_partitions_and_reuses(spark):
     a = sorted(map(tuple, pruned.select("term", "doc_id").collect()))
     b = sorted(map(tuple, full.select("term", "doc_id").collect()))
     assert a == b and len(a) > 0
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """The distributed BPE path (capped-frequency-table train + memoized
+    Arrow apply) must equal an end-to-end pure-Python BPE on the same
+    corpus: same merges, same per-doc token counts. Also pins the
+    algebraic invariants (chars >= tokens >= words) and determinism."""
+    from etl_backend_spark.functions import bpe
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    docs = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in Catalog(spark, SF_DIR).table("documents")
+        .select("doc_id", "text").collect()
+    }
+    # pure-Python reference: full-corpus frequency table (the corpus
+    # vocab is far under the 4096 cap, so capped == full here), then
+    # the same greedy trainer
+    freqs: dict[str, int] = {}
+    for ws in docs.values():
+        for w in ws:
+            freqs[w] = freqs.get(w, 0) + 1
+    ref_freqs = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:4096]
+    ref_merges = bpe.train_merges(ref_freqs, n_merges=32)
+
+    spark_merges = bpe.train_merges(
+        bpe.word_freq_table(Catalog(spark, SF_DIR).table("documents")),
+        n_merges=32,
+    )
+    assert spark_merges == ref_merges  # identical artifact
+
+    got = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in QUERIES["tokenize_bpe"](spark, SF_DIR).collect()}
+    for doc_id, ws in docs.items():
+        want = sum(len(bpe.encode_word(w, ref_merges)) for w in ws)
+        assert got[doc_id] == (len(ws), want), doc_id
+        n_chars = sum(len(w) + 1 for w in ws)  # + EOW sentinel
+        assert len(ws) <= want <= n_chars
+    # merges actually compress: tokens strictly under raw chars somewhere
+    assert any(got[d][1] < sum(len(w) + 1 for w in ws)
+               for d, ws in docs.items())
+
+    again = {r.doc_id: (r.n_words, r.n_tokens)
+             for r in QUERIES["tokenize_bpe"](spark, SF_DIR).collect()}
+    assert again == got
