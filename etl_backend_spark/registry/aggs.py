@@ -2340,3 +2340,35 @@ def q_udaf_median_pandas(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register("agg_cms_heavy_hitters")  # rows-only: CMS bit layout is
+# engine-specific; the estimate bounds are pytest-pinned instead
+def q_agg_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters — completing the mergeable-sketch
+    family (HLL distinct, approx quantile, bloom membership, now CMS
+    frequency): ONE pass builds a fixed-size sketch (count_min_sketch is
+    algebraic — partials merge associatively, so at 100 TB every
+    partition contributes a sketch and the driver merges KBs); the
+    serialized sketch is then probed driver-side through Spark's own
+    CountMinSketch reader (no SQL estimate function exists yet in 4.1).
+    Estimates are deterministic (fixed seed) and obey the CMS contract:
+    estimate >= true count, overshoot <= eps * N (pytest-bounded)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    row = o.agg(
+        F.count_min_sketch(
+            "o_orderpriority", F.lit(0.01), F.lit(0.99), F.lit(42)
+        ).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytes(row.sk))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    keys = sorted(
+        r.o_orderpriority
+        for r in o.select("o_orderpriority").distinct().collect()
+    )
+    return spark.createDataFrame(
+        [(k, int(cms.estimateCount(k)), int(row.n)) for k in keys],
+        "o_orderpriority STRING, est LONG, n LONG",
+    )

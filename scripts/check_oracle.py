@@ -94,7 +94,14 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            sdf = df.toPandas()
+            # free any localCheckpoint blocks the plan made (prefix-sum
+            # ranks, label propagation) — a 250-query loop must not
+            # accumulate executor storage
+            from etl_backend_spark.operators.windows import (
+                release_plan_checkpoints)
+            release_plan_checkpoints(df)
         except Exception as e:
             failed.append(name)
             print(f"FAIL  {name}: spark error: {e}")

@@ -734,3 +734,23 @@ def test_sentences_jvm_twin_matches_udtf_and_stays_python_free(spark):
     a = sorted(map(tuple, jvm.collect()))
     b = sorted(map(tuple, QUERIES["udtf_sentences"](spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_cms_estimates_bounded(spark):
+    """Count-min sketch contract: estimate >= exact, overshoot <= eps*N
+    (eps=0.01 at 99% confidence), per key — the sketch never undercounts
+    and its bias is bounded."""
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+
+    exact = {
+        r.o_orderpriority: r.n
+        for r in Catalog(spark, SF_DIR).table("orders")
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = QUERIES["agg_cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert {r.o_orderpriority for r in rows} == set(exact)
+    for r in rows:
+        true = exact[r.o_orderpriority]
+        assert true <= r.est <= true + 0.01 * r.n + 1, (r, true)
