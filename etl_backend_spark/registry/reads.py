@@ -1242,7 +1242,7 @@ def q_join_null_skew(spark, sf_dir):
     SELECT o_orderkey,
            CASE WHEN o_custkey % 5 = 0 THEN NULL
                 ELSE round(o_totalprice / (o_custkey % 5), 4) END AS per_unit,
-           TRY_CAST(o_orderpriority AS INTEGER) AS pri_num
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_num
     FROM orders ORDER BY o_orderkey LIMIT 1000
     """,
 )
@@ -1252,7 +1252,15 @@ def q_fn_try_arith(spark, sf_dir):
     at 100 TB a single malformed row must never kill a 10-hour stage
     (the quarantine philosophy applied to expressions). DuckDB's
     division returns inf rather than erroring, so the oracle states the
-    same NULL semantics with CASE/TRY_CAST."""
+    same NULL semantics with CASE/TRY_CAST.
+
+    Performance note (r6 sweep finding): try_cast over an ALWAYS-invalid
+    string burns a JVM exception per row (~9 µs — the sf0.1 single-file
+    scan measured 1.3 s serial, masked at sf1 only by task parallelism).
+    The demo therefore casts the priority's numeric prefix — realistic
+    mixed data where try_cast guards the rare malformed row — and the
+    rule stands: for a column KNOWN to be dirty wholesale, pre-guard with
+    a cheap rlike instead of eating the exception path per row."""
     o = Catalog(spark, sf_dir).table("orders")
     return (
         o.select(
@@ -1261,7 +1269,8 @@ def q_fn_try_arith(spark, sf_dir):
                 F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5),
                 4,
             ).alias("per_unit"),
-            F.col("o_orderpriority").try_cast("int").alias("pri_num"),
+            F.substring(F.col("o_orderpriority"), 1, 1)
+            .try_cast("int").alias("pri_num"),
         )
         .orderBy("o_orderkey")
         .limit(1000)

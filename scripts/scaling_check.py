@@ -44,7 +44,7 @@ SF1_QUERIES = [
     "multimodal_png", "multimodal_webp", "events_rollup_cascade", "events_gapfill_locf_bucketed",
     "sample_stratified", "sim_topk_pq_indexed", "tpch_q8_shape",
     "lm_quality_trigram", "dedup_substring_spans", "sim_topk_ivfpq",
-    "etl_delete_dv", "text_search_indexed",
+    "etl_delete_dv", "text_search_indexed", "tokenize_bpe",
     "tpch_q21_shape", "etl_bloom_pruned_read", "find_many_included",
 ]
 
@@ -72,7 +72,7 @@ EXTRA = [
     "doc_keywords_tfidf", "events_value_histogram", "fn_try_arith",
     "corpus_report", "agg_quartiles", "join_asof_tolerance",
     "lm_quality_trigram", "dedup_substring_spans", "sim_topk_ivfpq",
-    "text_search_indexed",
+    "text_search_indexed", "tokenize_bpe",
 ]
 
 
