@@ -1046,3 +1046,78 @@ def q_tokenize_bpe(spark, sf_dir):
         F.size(words).cast("long").alias("n_words"),
         bpe.token_count_udf(merges)(words).alias("n_tokens"),
     )
+
+
+@register("quality_classifier_lr")  # rows-only: LBFGS weight floats are
+# not cross-engine replicable; accuracy/consistency pytest-pinned
+def q_quality_classifier_lr(spark, sf_dir):
+    """LEARNED quality filter — the classifier stage of the CCNet /
+    GPT-3-era pipelines (a linear model over cheap doc features scores
+    every page; the rule battery bootstraps its labels): features are
+    the gopher_rules inputs (word count, mean word length, symbol ratio,
+    stopword hit) computed in pure JVM expressions, labels are the
+    rule gate's keep decision on a deterministic md5-bucket TRAIN split,
+    pyspark.ml LogisticRegression (fixed maxIter/regParam, no sampling)
+    fits distributed, and the model scores EVERY document. Output:
+    per-(split, label-agreement) counts — at 100 TB the point of the
+    learned form is exactly this shape: fit once on the labeled slice,
+    broadcast KB-scale weights, score the corpus in one map pass with
+    no shuffle. Accuracy vs the rule labels is pytest-bounded (the
+    features determine the labels, so a well-fit LR must agree on
+    held-out docs)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    d = Catalog(spark, sf_dir).table("documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")
+        ) / n_words,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+        .cast("double") / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is"]])
+    keep = (
+        n_words.between(10, 100000)
+        & mean_word_len.between(2.0, 12.0)
+        & (symbol_ratio <= 0.2)
+        & F.arrays_overlap(words, stop)
+    )
+    split = F.when(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("qlr:"), F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 100 < 80,
+        "train",
+    ).otherwise("heldout")
+    feats = d.select(
+        "doc_id",
+        split.alias("split"),
+        keep.cast("double").alias("label"),
+        n_words.cast("double").alias("f_nwords"),
+        mean_word_len.alias("f_wordlen"),
+        symbol_ratio.alias("f_symbols"),
+        F.arrays_overlap(words, stop).cast("double").alias("f_stop"),
+    )
+    asm = VectorAssembler(
+        inputCols=["f_nwords", "f_wordlen", "f_symbols", "f_stop"],
+        outputCol="features",
+    )
+    vec = asm.transform(feats)
+    lr = LogisticRegression(maxIter=50, regParam=0.0, standardization=True)
+    model = lr.fit(vec.filter(F.col("split") == "train"))
+    scored = model.transform(vec)
+    return (
+        scored.groupBy(
+            "split",
+            (F.col("prediction") == F.col("label")).alias("agree"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "agree")
+    )

@@ -72,7 +72,7 @@ EXTRA = [
     "doc_keywords_tfidf", "events_value_histogram", "fn_try_arith",
     "corpus_report", "agg_quartiles", "join_asof_tolerance",
     "lm_quality_trigram", "dedup_substring_spans", "sim_topk_ivfpq",
-    "text_search_indexed", "tokenize_bpe",
+    "text_search_indexed", "tokenize_bpe", "quality_classifier_lr",
 ]
 
 

@@ -620,3 +620,23 @@ def test_bpe_matches_pure_python_reference(spark):
     again = {r.doc_id: (r.n_words, r.n_tokens)
              for r in QUERIES["tokenize_bpe"](spark, SF_DIR).collect()}
     assert again == got
+
+
+def test_quality_classifier_learns_rule_labels(spark):
+    """The learned quality filter must agree with the rule labels it was
+    bootstrapped from on HELD-OUT documents (features determine labels,
+    so a fit LR should generalize near-perfectly), and both classes must
+    actually occur in the corpus (no degenerate single-class fit)."""
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    labels = QUERIES["gopher_rules"](spark, SF_DIR).groupBy("keep").count()
+    assert labels.count() == 2  # both classes present
+
+    rows = QUERIES["quality_classifier_lr"](spark, SF_DIR).collect()
+    stats = {(r.split, r.agree): r.n for r in rows}
+    for split in ("train", "heldout"):
+        agree = stats.get((split, True), 0)
+        total = agree + stats.get((split, False), 0)
+        assert total > 0
+        assert agree / total >= 0.95, (split, stats)
