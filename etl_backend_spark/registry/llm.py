@@ -1614,3 +1614,85 @@ def q_lang_id_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                              i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ), keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {_JACCARD_DF_CAP}
+    ), shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), e AS (
+      SELECT doc_a AS s, doc_b AS d FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ), deg AS (
+      SELECT n, count(*) AS dg FROM (
+        SELECT s AS n FROM e UNION ALL SELECT d FROM e
+      ) GROUP BY n
+    )
+    SELECT
+      CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+      CAST((SELECT count(*) FROM e e1
+            JOIN e e2 ON e2.s = e1.d
+            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d) AS BIGINT)
+        AS n_triangles,
+      CAST((SELECT coalesce(sum(dg * (dg - 1) / 2), 0) FROM deg) AS BIGINT)
+        AS n_wedges
+    """,
+)
+def q_dedup_graph_triangles(spark, sf_dir):
+    """TRIANGLE COUNT over the near-dup pair graph — the clique-structure
+    diagnostic a dedup pipeline runs on its own output: true duplicate
+    groups are (near-)cliques, so triangle density ≈ wedge count x
+    closure; a pair graph whose components are long triangle-free chains
+    is the signature of hash collisions or a threshold set too low.
+    Spark shape is the classic ordered wedge-join (edges kept as s < d;
+    wedge = e1(s,d) ⋈ e2(d,t); closure checked against the edge set by a
+    second equi-join — never an all-pairs product), plus degrees for the
+    wedge total. All three outputs are integers; the oracle replays the
+    same graph and joins in DuckDB."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    e = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    e = e.localCheckpoint(eager=True)  # 3 self-joins reuse one materialization
+    e1 = e.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = e.select(F.col("s").alias("b2"), F.col("d").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    closed = wedges.join(
+        e.select(F.col("s").alias("a2"), F.col("d").alias("c2")),
+        (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        "left_semi",
+    )
+    deg = (
+        e.select(F.col("s").alias("n"))
+        .union(e.select(F.col("d").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("dg"))
+    )
+    out = (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(deg.agg(
+            F.coalesce(
+                F.sum((F.col("dg") * (F.col("dg") - 1) / 2).cast("long")),
+                F.lit(0),
+            ).alias("n_wedges")
+        ))
+    )
+    # the checkpoint is a leaf of `out`'s plan — bench/gate consumers free
+    # it via release_plan_checkpoints(result) after the action
+    return out
