@@ -1696,3 +1696,86 @@ def q_dedup_graph_triangles(spark, sf_dir):
     # the checkpoint is a leaf of `out`'s plan — bench/gate consumers free
     # it via release_plan_checkpoints(result) after the action
     return out
+
+
+@register("graph_pagerank")  # rows-only: 15 rounds of damped float
+# power iteration are not SQL-replicable; a pure-Python reference on the
+# same edges is pytest-asserted to 1e-6 (tests/test_llm_ops.py)
+def q_graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the co-purchase graph — the second
+    iterative-graph member next to min_label_components: customers are
+    linked when they bought the same part (weight = number of shared
+    parts), and 15 damped power-iteration rounds (d=0.85) rank
+    centrality. Per-round cost is ONE keyed join + ONE groupBy (the
+    contribution shuffle); ranks localCheckpoint per round with the
+    previous round's blocks released, so executor storage is O(1) rounds
+    — the same discipline as label propagation. Edge generation is the
+    quadratic-per-key fan-out (customers² per part), bounded by the
+    jaccard DF-cap argument: parts shared by > 64 customers are
+    ubiquity, not signal, and are dropped before the pair expansion —
+    at 100 TB the cap is what keeps the edge build linear — and edges
+    need weight >= 2 (one shared part between uniform shoppers is noise;
+    the threshold is what keeps the GRAPH sparse: measured 17.1M -> 0.8M
+    directed edges at sf0.1, growing sublinearly across decades where
+    the unthresholded graph grows ~quadratically in density). Output:
+    the top-20 customers by rank (rounded 1e-6 for display; the pytest
+    compares unrounded)."""
+    from ..operators.windows import release_plan_checkpoints
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").select("o_orderkey", "o_custkey")
+    li = cat.table("lineitem").select("l_orderkey", "l_partkey")
+    co = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    small = (
+        co.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
+        .filter(F.col("nc") <= 64).select("p")
+    )
+    cop = co.join(small, "p", "left_semi")
+    a = cop.select(F.col("p"), F.col("c").alias("s"))
+    b = cop.select(F.col("p"), F.col("c").alias("d"))
+    e = (
+        a.join(b, "p")
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d").agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    # en is the ONE materialization: e appears twice in its plan (join
+    # with its own out-weight aggregate) and ReusedExchange dedups the
+    # build within the single action — checkpointing e as well doubled
+    # peak storage and OOMed the sf1 sweep at the default heap
+    outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
+    en = e.join(outw, "s").select(
+        "s", "d", (F.col("w") / F.col("ow")).alias("frac")
+    ).localCheckpoint(eager=True)
+    nodes = en.select(F.col("s").alias("n")).distinct()
+    n_nodes = nodes.count()
+    ranks = nodes.select("n", F.lit(1.0).alias("r"))
+    prev = None
+    for _ in range(15):
+        contrib = (
+            en.join(ranks, en["s"] == ranks["n"])
+            .groupBy(F.col("d").alias("n2"))
+            .agg(F.sum(F.col("frac") * F.col("r")).alias("cin"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["n"] == contrib["n2"], "left")
+            .select(
+                "n",
+                (F.lit(0.15) + F.lit(0.85) * F.coalesce("cin", F.lit(0.0)))
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            release_plan_checkpoints(prev)
+        prev = ranks
+    release_plan_checkpoints(en)
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("n").asc())
+        .limit(20)
+        .select(F.col("n").alias("custkey"), F.round("r", 6).alias("rank"))
+    )

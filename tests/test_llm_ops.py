@@ -640,3 +640,48 @@ def test_quality_classifier_learns_rule_labels(spark):
         total = agree + stats.get((split, False), 0)
         assert total > 0
         assert agree / total >= 0.95, (split, stats)
+
+
+def test_graph_pagerank_matches_reference_power_iteration(spark):
+    """The distributed damped power iteration must match a pure-Python
+    reference on the SAME normalized edge list to 1e-6 — same rounds,
+    same damping, same teleport — and the top-20 ordering must agree."""
+    from collections import defaultdict
+
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark, SF_DIR)
+    o = cat.table("orders").select("o_orderkey", "o_custkey")
+    li = cat.table("lineitem").select("l_orderkey", "l_partkey")
+    co = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    small = (co.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
+             .filter(F.col("nc") <= 64).select("p"))
+    cop = co.join(small, "p", "left_semi")
+    a = cop.select("p", F.col("c").alias("s"))
+    b = cop.select("p", F.col("c").alias("d"))
+    e = (a.join(b, "p").filter(F.col("s") != F.col("d"))
+         .groupBy("s", "d").agg(F.count(F.lit(1)).alias("w"))
+         .filter(F.col("w") >= 2))
+    rows = e.collect()
+    outw = defaultdict(float)
+    for r in rows:
+        outw[r.s] += r.w
+    nodes = sorted(outw)
+    ranks = {n: 1.0 for n in nodes}
+    for _ in range(15):
+        cin = defaultdict(float)
+        for r in rows:
+            cin[r.d] += (r.w / outw[r.s]) * ranks[r.s]
+        ranks = {n: 0.15 + 0.85 * cin.get(n, 0.0) for n in nodes}
+
+    got = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    want = sorted(nodes, key=lambda n: (-ranks[n], n))[:20]
+    assert [r.custkey for r in got] == want
+    for r in got:
+        assert abs(r.rank - ranks[r.custkey]) < 1e-5, (r, ranks[r.custkey])
