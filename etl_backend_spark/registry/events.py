@@ -1047,3 +1047,60 @@ def q_events_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value
+      FROM events ORDER BY user_id, ts, event_id
+    ), l AS (
+      SELECT user_id, list(value) AS vs FROM ordered GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n,
+           list_reduce(vs, (a, x) -> (a + x) / 2) AS ewma_last
+    FROM l
+    """,
+)
+def q_events_ewma(spark, sf_dir):
+    """Per-user EWMA (alpha = 1/2) — the sequential recurrence no window
+    frame expresses, folded as a higher-order-function aggregate over the
+    per-key ordered array: e_0 = v_0, e_t = (e_{t-1} + v_t) / 2. The
+    dyadic alpha is chosen deliberately: add-then-halve is EXACT IEEE
+    arithmetic applied in the identical order on both engines, so the
+    gate hash-matches the raw doubles with no rounding — the one way a
+    continuous blend can be value-checked bit-for-bit (measurement
+    rules). Scale shape: one keyed shuffle (repartition-first grouped
+    collect — collect_list has no combine benefit), per-user arrays stay
+    bounded by per-user event counts, and the fold is codegen-free HOF
+    but allocation-light. DuckDB replays the same fold via list_reduce
+    (whose seed is the first element, matching e_0 = v_0)."""
+    from ..sources.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).table("events")
+    arr = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    vs = F.transform(arr, lambda s: s["value"])
+    g = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .repartition(F.col("user_id"))
+        .groupBy("user_id")
+        .agg(vs.alias("vs"))
+    )
+    fold = F.when(
+        F.size("vs") == 1, F.element_at("vs", 1)
+    ).otherwise(
+        F.aggregate(
+            F.slice("vs", 2, F.size("vs") - 1),
+            F.element_at("vs", 1),
+            lambda a, x: (a + x) / F.lit(2.0),
+        )
+    )
+    return g.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n"),
+        fold.alias("ewma_last"),
+    )

@@ -73,7 +73,7 @@ EXTRA = [
     "corpus_report", "agg_quartiles", "join_asof_tolerance",
     "lm_quality_trigram", "dedup_substring_spans", "sim_topk_ivfpq",
     "text_search_indexed", "tokenize_bpe", "quality_classifier_lr",
-    "dedup_graph_triangles", "graph_pagerank",
+    "dedup_graph_triangles", "graph_pagerank", "events_ewma",
 ]
 
 
