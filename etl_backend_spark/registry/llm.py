@@ -1756,8 +1756,13 @@ def q_graph_pagerank(spark, sf_dir):
     ranks = nodes.select("n", F.lit(1.0).alias("r"))
     prev = None
     for _ in range(15):
+        # ranks is |nodes| rows against |edges| >> |nodes| — broadcast it
+        # so each round is ONE shuffle (the contribution groupBy), not
+        # two. At node counts past broadcast range the co-partitioned
+        # form (en pre-partitioned on s, ranks shuffled to match) is the
+        # swap-in; the round structure is unchanged.
         contrib = (
-            en.join(ranks, en["s"] == ranks["n"])
+            en.join(F.broadcast(ranks), en["s"] == ranks["n"])
             .groupBy(F.col("d").alias("n2"))
             .agg(F.sum(F.col("frac") * F.col("r")).alias("cin"))
         )
