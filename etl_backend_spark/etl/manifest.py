@@ -894,6 +894,18 @@ def vacuum(table: ManifestTable) -> dict:
                 if f not in live_paths:
                     os.remove(f)
                     removed_files += 1
+    # deletion-vector sidecars: keep only the dirs the LIVE manifest still
+    # references (compact_dv leaves folded DVs behind for time travel;
+    # vacuum is where that history ends, same as for data files)
+    live_dvs = set(table._live_manifest().get("dvs") or [])
+    removed_dvs = 0
+    dv_root = os.path.join(table.dir, "dv")
+    if os.path.isdir(dv_root):
+        for d in os.listdir(dv_root):
+            p = os.path.join(dv_root, d)
+            if p not in live_dvs:
+                shutil.rmtree(p, ignore_errors=True)
+                removed_dvs += 1
     with open(table._pointer()) as f:
         live_manifest = f.read().strip()
     removed_manifests = 0
@@ -901,4 +913,5 @@ def vacuum(table: ManifestTable) -> dict:
         if m != live_manifest:
             os.remove(os.path.join(table.manifest_dir, m))
             removed_manifests += 1
-    return {"data_files": removed_files, "manifests": removed_manifests}
+    return {"data_files": removed_files, "manifests": removed_manifests,
+            "dv_dirs": removed_dvs}

@@ -929,3 +929,33 @@ def test_delete_dv_conflicts_with_concurrent_commit(spark, tmp_path):
         t._commit(manifest["entries"], parent=parent, dvs=["bogus-dv"])
     # the losing DV never became visible
     assert not t._live_manifest().get("dvs")
+
+
+def test_vacuum_reclaims_folded_dv_sidecars(spark, tmp_path):
+    """After compact_dv folds the vectors, the sidecar dirs remain for
+    time travel; vacuum removes every DV dir the LIVE manifest no longer
+    references (and keeps live ones)."""
+    import os
+
+    from etl_backend_spark.etl.manifest import vacuum
+
+    o = Catalog(spark, SF_DIR).table("orders").limit(100)
+    t = ManifestTable(spark, str(tmp_path), "dvv", ["o_orderkey"])
+    t.create(o.repartition(4))
+    t.delete_dv(F.col("o_orderstatus") == "F")
+    dv_root = os.path.join(t.dir, "dv")
+    assert len(os.listdir(dv_root)) == 1
+    n = t.read().count()
+    t.compact_dv()
+    res = vacuum(t)
+    assert res["dv_dirs"] == 1
+    assert not os.listdir(dv_root)
+    assert t.read().count() == n  # live data intact
+
+    # a LIVE (unfolded) DV must survive vacuum
+    t.delete_dv(F.col("o_orderpriority") == "1-URGENT")
+    n2 = t.read().count()
+    res = vacuum(t)
+    assert res["dv_dirs"] == 0
+    assert len(os.listdir(dv_root)) == 1
+    assert t.read().count() == n2
