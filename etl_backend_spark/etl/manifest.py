@@ -822,10 +822,23 @@ class ManifestTable:
                 f"cannot restore {manifest_id}: {len(missing)} data files "
                 f"were vacuumed (first: {missing[0]})"
             )
+        # deletion vectors are part of the snapshot's VIEW: the restore
+        # commit must carry the TARGET's dv list, not inherit the current
+        # live one — inheriting would apply post-snapshot deletes to the
+        # restored entries (silently wrong rows) or resurrect rows the
+        # target had deleted. A target dv dir lost to vacuum blocks the
+        # restore the same way a lost data file does.
+        target_dvs = target.get("dvs") or []
+        lost = [d for d in target_dvs if not os.path.isdir(d)]
+        if lost:
+            raise ValueError(
+                f"cannot restore {manifest_id}: {len(lost)} deletion-vector "
+                f"sidecars were vacuumed (first: {lost[0]})"
+            )
         parent, _ = self._snapshot()
         self._commit_or_discard(
             target["entries"], [], parent=parent,
-            schema_json=target.get("schema"),
+            schema_json=target.get("schema"), dvs=target_dvs,
         )
         return self._live_id()
 

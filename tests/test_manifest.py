@@ -959,3 +959,23 @@ def test_vacuum_reclaims_folded_dv_sidecars(spark, tmp_path):
     assert res["dv_dirs"] == 0
     assert len(os.listdir(dv_root)) == 1
     assert t.read().count() == n2
+
+
+def test_restore_carries_target_snapshot_dvs(spark, tmp_path):
+    """RESTORE across deletion-vector commits: restoring the pre-delete
+    snapshot must NOT inherit the live DVs (rows would stay deleted), and
+    restoring a DV-bearing snapshot must reapply exactly its vectors."""
+    o = Catalog(spark, SF_DIR).table("orders").limit(100)
+    t = ManifestTable(spark, str(tmp_path), "dvr", ["o_orderkey"])
+    t.create(o.repartition(4))
+    pre = t._live_id()
+    n0 = t.read().count()
+    t.delete_dv(F.col("o_orderstatus") == "F")
+    with_dv = t._live_id()
+    n1 = t.read().count()
+    assert n1 < n0
+
+    t.restore(pre)
+    assert t.read().count() == n0      # DVs NOT inherited
+    t.restore(with_dv)
+    assert t.read().count() == n1      # target's DVs reapplied
