@@ -74,6 +74,7 @@ EXTRA = [
     "lm_quality_trigram", "dedup_substring_spans", "sim_topk_ivfpq",
     "text_search_indexed", "tokenize_bpe", "quality_classifier_lr",
     "dedup_graph_triangles", "graph_pagerank", "events_ewma",
+    "sentences", "udaf_median_pandas", "agg_cms_heavy_hitters",
 ]
 
 
