@@ -1110,7 +1110,10 @@ def q_quality_classifier_lr(spark, sf_dir):
         outputCol="features",
     )
     vec = asm.transform(feats)
-    lr = LogisticRegression(maxIter=50, regParam=0.0, standardization=True)
+    # 20 LBFGS iterations: rule labels are linearly separable in these
+    # features, and held-out agreement is already saturated well before
+    # 20 (pytest bar 0.95 holds); 50 bought nothing but fit time
+    lr = LogisticRegression(maxIter=20, regParam=0.0, standardization=True)
     model = lr.fit(vec.filter(F.col("split") == "train"))
     scored = model.transform(vec)
     return (
