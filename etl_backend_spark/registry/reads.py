@@ -1300,3 +1300,54 @@ def q_fn_fuzzy_lookup(spark, sf_dir):
         .filter(F.col("d") <= 2)
         .orderBy("d", "c_custkey")
     )
+
+
+@register(
+    "source_json_variant",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"id":' || o_orderkey || ',"cust":{"key":' || o_custkey
+             || '},"tags":["' || o_orderstatus || '","' || o_orderpriority
+             || '"],"price":' || round(o_totalprice, 2) || '}' AS doc
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(doc->>'$.cust.key' AS BIGINT) AS cust_key,
+           doc->>'$.tags[1]' AS priority,
+           CAST(doc->>'$.price' AS DOUBLE) AS price,
+           doc->>'$.missing.path' AS absent
+    FROM j
+    WHERE CAST(doc->>'$.cust.key' AS BIGINT) % 10 = 0
+    """,
+)
+def q_source_json_variant(spark, sf_dir):
+    """Semi-structured ingestion through Spark 4's VARIANT type — the
+    schema-on-read answer for evolving JSON payloads: ``parse_json``
+    ingests ONCE into the binary variant encoding (no declared schema,
+    unlike from_json), and typed paths come out with
+    ``try_variant_get`` — nested object, array index, and a missing path
+    (NULL, never an error). At 100 TB this is the difference between
+    re-inferring/declaring a schema per producer version and pointing
+    shredded-path queries at one variant column; filters on extracted
+    paths stay Catalyst expressions. The oracle replays the same paths
+    with DuckDB's JSON operators over identically-synthesized
+    documents."""
+    o = Catalog(spark, sf_dir).table("orders")
+    doc = F.concat(
+        F.lit('{"id":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"cust":{"key":'), F.col("o_custkey").cast("string"),
+        F.lit('},"tags":["'), F.col("o_orderstatus"),
+        F.lit('","'), F.col("o_orderpriority"),
+        F.lit('"],"price":'), F.round("o_totalprice", 2).cast("string"),
+        F.lit("}"),
+    )
+    v = o.select("o_orderkey", F.parse_json(doc).alias("v"))
+    out = v.select(
+        "o_orderkey",
+        F.try_variant_get("v", "$.cust.key", "long").alias("cust_key"),
+        F.try_variant_get("v", "$.tags[1]", "string").alias("priority"),
+        F.try_variant_get("v", "$.price", "double").alias("price"),
+        F.try_variant_get("v", "$.missing.path", "string").alias("absent"),
+    )
+    return out.filter(F.col("cust_key") % 10 == 0)

@@ -75,6 +75,7 @@ EXTRA = [
     "text_search_indexed", "tokenize_bpe", "quality_classifier_lr",
     "dedup_graph_triangles", "graph_pagerank", "events_ewma",
     "sentences", "udaf_median_pandas", "agg_cms_heavy_hitters",
+    "source_json_variant",
 ]
 
 
