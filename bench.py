@@ -61,6 +61,12 @@ HEADLINE = [
     "events_user_daily",       # combined layout: pruned dirs + 0 exchanges
     "events_funnel",           # ordered funnel, single-exchange window chain
     "multimodal_video",        # real MJPEG-AVI parse + per-frame JPEG decode
+    # round-6 additions
+    "sim_topk_ivfpq",          # persisted IVF-PQ: partition-pruned ADC scan
+    "text_search_indexed",     # inverted-index keyword AND-search
+    "lm_quality_trigram",      # corpus-trained trigram LM scoring
+    "tokenize_bpe",            # BPE train (cached) + memoized Arrow apply
+    "multimodal_webp",         # real VP8L decode, pixel-exact oracle
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second
