@@ -586,3 +586,57 @@ def idle_session_close(stream: DataFrame,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+EWMA_SCHEMA = "user_id bigint, n bigint, ewma_last double"
+
+
+def _ewma_fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user streaming EWMA (alpha = 1/2), the stateful twin of the
+    batch events_ewma fold: state is just (n, ewma) — O(1) per key, the
+    smallest possible stateful aggregate — and each batch's events fold
+    in (ts, event_id) order. Dyadic add-then-halve is exact IEEE
+    arithmetic, so on in-order replay the streamed value is
+    BIT-IDENTICAL to the batch HOF fold (pytest-asserted). Ordering
+    contract: within a batch events sort before folding; an event
+    arriving in a LATER batch than a newer-ts event folds at arrival
+    position (EWMA is order-sensitive and exact late-insert needs the
+    full history — the batch twin is the restatement tool, same contract
+    as the rolling counter's watermark note)."""
+    if state.exists:
+        n, ew = state.get
+        n = int(n)
+    else:
+        n, ew = 0, None
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        us = (
+            pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+            // 1000
+        )
+        batch = batch.assign(__us=us).sort_values(["__us", "event_id"])
+        for v in batch["value"]:
+            v = float(v)
+            ew = v if ew is None else (ew + v) / 2.0
+            n += 1
+    state.update((n, ew))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "n": [n], "ewma_last": [ew],
+    })
+
+
+def streaming_ewma(stream: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA via applyInPandasWithState (update mode:
+    one row per user per batch carrying the running value). At 100 TB/day
+    the state is 16 bytes per user — the floor for stateful aggregation."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fold,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType="n bigint, ewma double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

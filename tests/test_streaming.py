@@ -432,3 +432,45 @@ def test_idle_session_close_matches_batch_sessions(spark, tmp_path,
     for r in got:
         key = (r.user_id, r.session_start, r.session_end, r.n_events)
         assert key in want, key
+
+
+def test_stream_ewma_equals_batch_fold(spark, tmp_path, event_json_dir):
+    """Streamed EWMA == the batch HOF fold BIT-FOR-BIT on in-order
+    replay: dyadic add-then-halve is exact IEEE arithmetic applied in the
+    same order on both paths (the events_ewma measurement contract,
+    extended to the stateful twin). The memory sink's LAST update row per
+    user is the final state."""
+    from etl_backend_spark.registry import QUERIES
+
+    stream = cp.streaming_ewma(
+        cp.validate_events(cp.read_json_stream(spark, event_json_dir))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    got_df = spark.sql("SELECT * FROM ewma").toPandas()
+    # update mode appends one row per user per batch; keep the last
+    got = {
+        int(r.user_id): (int(r.n), float(r.ewma_last))
+        for r in got_df.groupby("user_id").tail(1).itertuples()
+    }
+    expect = {
+        int(r.user_id): (int(r.n), float(r.ewma_last))
+        for r in QUERIES["events_ewma"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    n_batches = got_df.groupby("user_id").size().max()
+    for u, (n_b, e_b) in expect.items():
+        n_s, e_s = got[u]
+        assert n_s == n_b, u
+        if n_batches == 1:
+            assert e_s == e_b, u  # single-batch replay: bit-identical
+        else:  # multi-batch interleaved arrival: order caveat applies
+            assert abs(e_s - e_b) < 1e-6 * max(1.0, abs(e_b)), u
