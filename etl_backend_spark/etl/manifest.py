@@ -475,7 +475,19 @@ class ManifestTable:
         the unique rule is checked on the clean slice BEFORE either table
         commits — a batch with both row-level violations and duplicate
         keys aborts with NOTHING durably written, instead of leaving bad
-        rows committed to quarantine while the main append raises."""
+        rows committed to quarantine while the main append raises.
+
+        Scope of that atomicity claim (ADVICE r6): it covers the
+        CHECK-failure path only. The quarantine append and the main
+        append are two independent manifest commits, so if the main
+        append loses its commit race (CommitConflict) AFTER the
+        quarantine committed, the bad rows are already durable in
+        quarantine and a caller retry re-quarantines them — duplicate
+        quarantine rows, never duplicate or lost CLEAN rows. Callers
+        needing exactly-once quarantine under retries should route the
+        batch through ``append_once`` semantics (per-batch token) on the
+        quarantine table as well; the main table's own dup-key guard is
+        unaffected either way."""
         df = df.persist()
         try:
             bad_pred = self._violation_pred(df)

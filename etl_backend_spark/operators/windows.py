@@ -126,6 +126,107 @@ def release_plan_checkpoints(df: DataFrame) -> int:
         return 0
 
 
+_TYPE_BYTES = {
+    "long": 8, "double": 8, "integer": 4, "float": 4, "boolean": 1,
+    "date": 4, "timestamp": 8, "short": 2, "byte": 1, "decimal": 16,
+}
+
+
+def _estimated_row_bytes(df: DataFrame) -> int:
+    """Schema-width estimate (fixed-width sizes + UnsafeRow overhead;
+    strings/arrays get a flat 24 — the estimate only needs to be the
+    right ORDER, it gates the auto-broadcast decision, not memory)."""
+    return 12 + sum(
+        _TYPE_BYTES.get(f.dataType.typeName(), 24) for f in df.schema.fields
+    )
+
+
+def localcheckpoint_declared(
+    df: DataFrame,
+    hash_cols: list[str],
+    num: int,
+    sort: bool = False,
+) -> DataFrame:
+    """``repartition(num, cols) [+ sortWithinPartitions] +
+    localCheckpoint(eager)`` that DECLARES the resulting layout to the
+    planner.
+
+    Under AQE, ``Dataset.localCheckpoint`` materializes the data but the
+    LogicalRDD leaf records ``UnknownPartitioning`` and no ordering
+    (AdaptiveSparkPlanExec reports neither at plan-capture time —
+    measured here on Spark 4.1), so every downstream join/agg re-shuffles
+    and re-sorts rows that are already correctly placed. This re-wraps
+    the checkpointed RDD in a LogicalRDD whose ``outputPartitioning`` is
+    the HashPartitioning the repartition just produced (and, with
+    ``sort``, whose ``outputOrdering`` is the within-partition sort) —
+    the layout is a fact of the materialized RDD; we only tell the
+    planner the truth AQE lost. Iterative operators (PageRank, label
+    propagation) use this to hold their big relation in place across
+    rounds: consumers joining on ``cols`` shuffle (and sort) only their
+    OWN side, every round.
+
+    Falls back to the plain checkpoint on any reflection mismatch —
+    correct, just re-shuffled/re-sorted per consumer (plan-walking
+    touches Spark internals, same caveat as
+    ``release_plan_checkpoints``; the blocks stay releasable through
+    that helper either way since the rewrapped leaf is still a
+    LogicalRDD over the same RDD).
+
+    NOTE the leaf keeps the pre-checkpoint plan's sizeInBytes estimate,
+    which for a join/agg output is a fantasy number (1e23-ish B) that
+    disables auto-broadcast of anything downstream. py4j cannot build a
+    truthful Statistics (scala.math.BigInt degrades to int over the
+    bridge), so callers that want size-based join planning across the
+    checkpoint boundary should gate an explicit ``F.broadcast`` on a
+    measured ``count()`` — the same decision the planner would make with
+    real stats (see ``pagerank_ranks``)."""
+    pre = df.repartition(num, *hash_cols)
+    if sort:
+        pre = pre.sortWithinPartitions(*hash_cols)
+    cp = pre.localCheckpoint(eager=True)
+    try:
+        leaf = cp._jdf.queryExecution().logical()
+        if not leaf.getClass().getName().endswith(".LogicalRDD"):
+            return cp
+        jvm = df.sparkSession.sparkContext._jvm
+        conv = jvm.scala.jdk.CollectionConverters
+
+        def to_seq(items):
+            arr = jvm.java.util.ArrayList()
+            for it in items:
+                arr.add(it)
+            return conv.ListHasAsScala(arr).asScala().toSeq()
+
+        out = leaf.output()
+        by_name = {out.apply(i).name(): out.apply(i)
+                   for i in range(out.size())}
+        attrs = [by_name[c] for c in hash_cols]
+        partitioning = (jvm.org.apache.spark.sql.catalyst.plans.physical
+                        .HashPartitioning(to_seq(attrs), num))
+        ordering = leaf.outputOrdering()
+        if sort:
+            # Scala case objects: reach the singleton via MODULE$
+            exprs = jvm.org.apache.spark.sql.catalyst.expressions
+            asc = getattr(getattr(exprs, "Ascending$"), "MODULE$")
+            so_companion = getattr(getattr(exprs, "SortOrder$"), "MODULE$")
+            ordering = to_seq([
+                so_companion.apply(a, asc, to_seq([])) for a in attrs
+            ])
+
+        oca = leaf.otherCopyArgs()  # (classic.SparkSession, stats, constraints)
+        new_leaf = leaf.copy(
+            leaf.output(), leaf.rdd(), partitioning, ordering,
+            leaf.isStreaming(), leaf.stream(),
+            oca.apply(0), oca.apply(1), oca.apply(2),
+        )
+        jds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            oca.apply(0), new_leaf
+        )
+        return DataFrame(jds, df.sparkSession)
+    except Exception:
+        return cp
+
+
 def distributed_global_rank(df: DataFrame, order_cols: list[str],
                             n_parts: int = 16) -> tuple[DataFrame, int]:
     """Exact GLOBAL rank over a unique total order WITHOUT a single-

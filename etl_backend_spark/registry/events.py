@@ -1052,11 +1052,13 @@ def q_events_stickiness(spark, sf_dir):
 @register(
     "events_ewma",
     oracle="""
-    WITH ordered AS (
-      SELECT user_id, value
-      FROM events ORDER BY user_id, ts, event_id
-    ), l AS (
-      SELECT user_id, list(value) AS vs FROM ordered GROUP BY user_id
+    WITH l AS (
+      -- explicit aggregate ordering (ADVICE r6): an upstream CTE's
+      -- ORDER BY surviving a GROUP BY is an implementation artifact of
+      -- DuckDB's insertion-order preservation; ORDER BY inside list()
+      -- is the contract
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
     )
     SELECT user_id,
            CAST(len(vs) AS BIGINT) AS n,

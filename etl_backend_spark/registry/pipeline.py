@@ -1048,26 +1048,12 @@ def q_tokenize_bpe(spark, sf_dir):
     )
 
 
-@register("quality_classifier_lr")  # rows-only: LBFGS weight floats are
-# not cross-engine replicable; accuracy/consistency pytest-pinned
-def q_quality_classifier_lr(spark, sf_dir):
-    """LEARNED quality filter — the classifier stage of the CCNet /
-    GPT-3-era pipelines (a linear model over cheap doc features scores
-    every page; the rule battery bootstraps its labels): features are
-    the gopher_rules inputs (word count, mean word length, symbol ratio,
-    stopword hit) computed in pure JVM expressions, labels are the
-    rule gate's keep decision on a deterministic md5-bucket TRAIN split,
-    pyspark.ml LogisticRegression (fixed maxIter/regParam, no sampling)
-    fits distributed, and the model scores EVERY document. Output:
-    per-(split, label-agreement) counts — at 100 TB the point of the
-    learned form is exactly this shape: fit once on the labeled slice,
-    broadcast KB-scale weights, score the corpus in one map pass with
-    no shuffle. Accuracy vs the rule labels is pytest-bounded (the
-    features determine the labels, so a well-fit LR must agree on
-    held-out docs)."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
-
+def qlr_features(spark, sf_dir):
+    """Feature/label/split frame for the learned quality filter — shared
+    by ``quality_classifier_lr`` and the frozen-weight prediction pin
+    (tests/test_llm_ops.py), so a drift in ANY feature expression flips
+    pinned per-doc predictions instead of hiding inside an accuracy
+    bar (VERDICT r6 #3). All-JVM expressions; one pass over documents."""
     d = Catalog(spark, sf_dir).table("documents")
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n_words = F.size(words)
@@ -1096,7 +1082,7 @@ def q_quality_classifier_lr(spark, sf_dir):
             1, 8), 16, 10).cast("long") % 100 < 80,
         "train",
     ).otherwise("heldout")
-    feats = d.select(
+    return d.select(
         "doc_id",
         split.alias("split"),
         keep.cast("double").alias("label"),
@@ -1105,6 +1091,30 @@ def q_quality_classifier_lr(spark, sf_dir):
         symbol_ratio.alias("f_symbols"),
         F.arrays_overlap(words, stop).cast("double").alias("f_stop"),
     )
+
+
+@register("quality_classifier_lr")  # rows-only: LBFGS weight floats are
+# not cross-engine replicable; accuracy bar + frozen-weight per-doc
+# prediction pin in pytest
+def q_quality_classifier_lr(spark, sf_dir):
+    """LEARNED quality filter — the classifier stage of the CCNet /
+    GPT-3-era pipelines (a linear model over cheap doc features scores
+    every page; the rule battery bootstraps its labels): features are
+    the gopher_rules inputs (word count, mean word length, symbol ratio,
+    stopword hit) computed in pure JVM expressions, labels are the
+    rule gate's keep decision on a deterministic md5-bucket TRAIN split,
+    pyspark.ml LogisticRegression (fixed maxIter/regParam, no sampling)
+    fits distributed, and the model scores EVERY document. Output:
+    per-(split, label-agreement) counts — at 100 TB the point of the
+    learned form is exactly this shape: fit once on the labeled slice,
+    broadcast KB-scale weights, score the corpus in one map pass with
+    no shuffle. Accuracy vs the rule labels is pytest-bounded (the
+    features determine the labels, so a well-fit LR must agree on
+    held-out docs)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = qlr_features(spark, sf_dir)
     asm = VectorAssembler(
         inputCols=["f_nwords", "f_wordlen", "f_symbols", "f_stop"],
         outputCol="features",

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_backend_spark.functions import text as T
@@ -642,17 +644,15 @@ def test_quality_classifier_learns_rule_labels(spark):
         assert agree / total >= 0.95, (split, stats)
 
 
-def test_graph_pagerank_matches_reference_power_iteration(spark):
-    """The distributed damped power iteration must match a pure-Python
-    reference on the SAME normalized edge list to 1e-6 — same rounds,
-    same damping, same teleport — and the top-20 ordering must agree."""
+def _pagerank_python_reference(spark, sf_dir):
+    """Pure-Python 15-round damped power iteration on the SAME edge
+    weights the engine builds (weights are integers, so the collect is
+    exact; the normalization and blend replay the engine's float ops)."""
     from collections import defaultdict
 
-    from etl_backend_spark.registry import QUERIES
     from etl_backend_spark.sources.catalog import Catalog
-    from tests.conftest import SF_DIR
 
-    cat = Catalog(spark, SF_DIR)
+    cat = Catalog(spark, sf_dir)
     o = cat.table("orders").select("o_orderkey", "o_custkey")
     li = cat.table("lineitem").select("l_orderkey", "l_partkey")
     co = (
@@ -679,9 +679,39 @@ def test_graph_pagerank_matches_reference_power_iteration(spark):
         for r in rows:
             cin[r.d] += (r.w / outw[r.s]) * ranks[r.s]
         ranks = {n: 0.15 + 0.85 * cin.get(n, 0.0) for n in nodes}
+    return ranks
 
+
+def test_graph_pagerank_matches_reference_power_iteration(spark):
+    """The distributed damped power iteration must match a pure-Python
+    reference on the SAME normalized edge list to 1e-6 — same rounds,
+    same damping, same teleport — and the top-20 ordering must agree."""
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    ranks = _pagerank_python_reference(spark, SF_DIR)
     got = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
-    want = sorted(nodes, key=lambda n: (-ranks[n], n))[:20]
+    want = sorted(ranks, key=lambda n: (-ranks[n], n))[:20]
     assert [r.custkey for r in got] == want
     for r in got:
         assert abs(r.rank - ranks[r.custkey]) < 1e-5, (r, ranks[r.custkey])
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_graph_pagerank_full_vector_pinned_two_decades(spark, sf_dir):
+    """VERDICT r6 #3: the FULL rank vector (not top-20) pinned against
+    the pure-Python reference at TWO decades, tolerance 0 on 1e-9-scaled
+    integers. Distributed float sums differ from sequential ones by
+    ~1e-13 relative, far inside the 1e-9 grid, so any true regression
+    (a dropped node, a wrong teleport, a mis-normalized edge) cannot
+    hide — unlike a top-k or tolerance-band check."""
+    from etl_backend_spark.registry.llm import pagerank_ranks
+
+    want = {n: round(r * 1e9) for n, r in
+            _pagerank_python_reference(spark, sf_dir).items()}
+    got = {r.n: round(r.r * 1e9) for r in
+           pagerank_ranks(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    diffs = {n: (got[n], want[n]) for n in want if got[n] != want[n]}
+    assert diffs == {}, (len(diffs), dict(list(diffs.items())[:5]))

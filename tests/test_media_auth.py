@@ -666,8 +666,9 @@ def test_webp_vp8l_roundtrip_all_transforms():
 
 
 def test_webp_lossy_stays_loud():
-    """Lossy WebP ('VP8 ' chunk) and VP8X containers are documented out
-    of scope — the error must stay loud, never a silent fake decode."""
+    """Lossy WebP ('VP8 ' chunk) is documented out of scope — the error
+    must stay loud, never a silent fake decode (VP8X-wrapped LOSSLESS
+    now unwraps; see test_webp_vp8x_wrapped_lossless)."""
     import struct
 
     import pytest as _pytest
@@ -681,6 +682,81 @@ def test_webp_lossy_stays_loud():
         webp.decode_webp(lossy)
     with _pytest.raises(NotImplementedError, match="webp"):
         M.decode_one(lossy)
+
+
+def _wrap_vp8x(file_bytes, inner=None):
+    """Re-wrap a bare RIFF/WEBP file's chunks in a VP8X extended
+    container (flags=alpha, canvas from the original), the shape cwebp
+    emits whenever any feature flag is set."""
+    import struct
+
+    from etl_backend_spark.multimodal import webp
+
+    w, h = webp.parse_webp_header(file_bytes)
+    chunks = inner if inner is not None else file_bytes[12:]
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + bytes([0x10, 0, 0, 0])
+            + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3])
+    body = b"WEBP" + vp8x + chunks
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_webp_vp8x_wrapped_lossless():
+    """VERDICT r6 #4: VP8X-wrapped VP8L (the common real-world lossless
+    shape) decodes pixel-exactly via the container unwrap; lossy VP8
+    inside VP8X still raises loudly; header parse sees through VP8X."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_backend_spark.multimodal import webp
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (11, 19, 4), dtype=np.uint8)
+    bare = webp.encode_webp_lossless(px, predictor_bits=2)
+    wrapped = _wrap_vp8x(bare)
+    assert np.array_equal(webp.decode_webp(wrapped), px)
+    assert webp.parse_webp_header(wrapped) == (19, 11)
+
+    lossy_chunk = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    with _pytest.raises(webp.WebpError, match="lossy"):
+        webp.decode_webp(_wrap_vp8x(bare, inner=lossy_chunk))
+
+
+def test_webp_predictor_border_rules_pin_spec():
+    """ADVICE r6: pin the two spec rules that roundtrips alone cannot
+    distinguish from their mirrored-wrong twins (both sides of an
+    in-repo roundtrip would agree either way):
+
+    * rightmost-column TR = leftmost pixel of the SAME row (RFC 9649
+      §4.2.2, libwebp's flat-array top[1]) — NOT the row above;
+    * Select (mode 11) resolves pL == pT ties to T (strict pL < pT
+      picks L)."""
+    import numpy as np
+
+    from etl_backend_spark.multimodal import webp
+
+    # mode-3 (= TR) everywhere via a single tile; 2x2 with distinct
+    # left-column values so same-row vs row-above TR differ
+    timg = np.full((1, 1), 0xFF000000 | (3 << 8), dtype=np.uint32)
+    res = np.zeros((2, 2), dtype=np.uint32)
+    res[0, 0] = webp._join(0, 0x10, 0x20, 0x30)  # + opaque-black pred
+    res[1, 0] = webp._join(0, 0x05, 0x06, 0x07)  # + T pred (first col)
+    out = webp._inverse_predictor(res, 8, timg)
+    p00 = webp._join(0xFF, 0x10, 0x20, 0x30)
+    p10 = webp._join(0xFF, 0x15, 0x26, 0x37)
+    assert int(out[0, 0]) == p00
+    assert int(out[1, 0]) == p10
+    # (1,1): x+1 == w, residual 0 -> pixel IS its TR = out[1,0], not
+    # the row-above out[0,0]
+    assert int(out[1, 1]) == p10
+
+    # Select tie: r-channel equidistant (p=15 vs L=10/T=20), all other
+    # channels exactly predicted -> pl == pt -> spec says T
+    L = webp._join(0xFF, 10, 0, 0)
+    T = webp._join(0xFF, 20, 0, 0)
+    TL = webp._join(0xFF, 15, 0, 0)
+    assert webp._select(L, T, TL) == T
 
 
 def test_webp_decode_one_real_pixels():
