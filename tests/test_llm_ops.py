@@ -644,6 +644,49 @@ def test_quality_classifier_learns_rule_labels(spark):
         assert agree / total >= 0.95, (split, stats)
 
 
+# Frozen LR artifact (VERDICT r6 #3): one 20-iter LBFGS fit of
+# quality_classifier_lr's exact config at sf0.001, captured 2026-08-14.
+# The pin below scores TODAY'S feature pipeline with THESE weights and
+# requires the per-doc predictions to match exactly — an accuracy bar
+# lets small feature/scoring drift hide; a frozen-weight prediction set
+# cannot (any change to the feature expressions flips boundary docs).
+_QLR_FROZEN_W = (0.010056062300354596, -0.5210280257482008,
+                 0.0, 30.8961616325859)
+_QLR_FROZEN_B = -13.497412774606715
+_QLR_EXPECT_N_DOCS = 500
+_QLR_EXPECT_PRED0 = [
+    14, 27, 32, 33, 45, 51, 52, 57, 84, 89, 114, 134, 139, 140, 147,
+    155, 164, 167, 193, 225, 253, 327, 346, 370, 397, 398, 400, 405,
+    414, 424, 436, 455, 466, 487,
+]
+
+
+def test_quality_classifier_frozen_weight_predictions(spark):
+    """Score the live feature frame with the FROZEN weights and pin the
+    exact per-doc prediction set — regression guard for the feature
+    expressions and the scoring math (the live fit keeps its own
+    accuracy-bar test above)."""
+    from etl_backend_spark.registry.pipeline import qlr_features
+    from tests.conftest import SF_DIR
+
+    w, b = _QLR_FROZEN_W, _QLR_FROZEN_B
+    margin = (
+        F.lit(b)
+        + F.lit(w[0]) * F.col("f_nwords")
+        + F.lit(w[1]) * F.col("f_wordlen")
+        + F.lit(w[2]) * F.col("f_symbols")
+        + F.lit(w[3]) * F.col("f_stop")
+    )
+    rows = (
+        qlr_features(spark, SF_DIR)
+        .select("doc_id", (margin <= 0).alias("pred0"))
+        .collect()
+    )
+    assert len(rows) == _QLR_EXPECT_N_DOCS
+    pred0 = sorted(r.doc_id for r in rows if r.pred0)
+    assert pred0 == _QLR_EXPECT_PRED0
+
+
 def _pagerank_python_reference(spark, sf_dir):
     """Pure-Python 15-round damped power iteration on the SAME edge
     weights the engine builds (weights are integers, so the collect is

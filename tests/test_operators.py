@@ -608,6 +608,37 @@ def test_join_1n_nested_bucketed_zero_shuffle(spark):
     assert a == b and len(a) > 0
 
 
+def test_join_1n_nested_plain_ri_elimination_sound(spark):
+    """The r7 plain form eliminates the parent join on referential
+    integrity. This pins BOTH preconditions on the testdata and the
+    rewrite's soundness: (1) every child FK resolves (anti-join empty),
+    (2) the eliminated form equals the real-join form row-for-row, and
+    (3) the plan really carries no join."""
+    from etl_backend_spark.operators import joins
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.registry.reads import _nested_items_csv
+    from etl_backend_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, SF_DIR)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    assert li.join(o, li["l_orderkey"] == o["o_orderkey"],
+                   "left_anti").count() == 0
+
+    df = QUERIES["join_1n_nested_plain"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+    with_join = joins.nested_1n(
+        o, li, "o_orderkey", "l_orderkey",
+        F.col("l_linenumber"), out_col="items_arr",
+    ).filter(F.col("items_arr").isNotNull()).select(
+        "o_orderkey", _nested_items_csv(F.col("items_arr"))
+    )
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, with_join.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_tpch_q3_bucketed_zero_shuffle(spark):
     """Q3 over the co-located layout: broadcast dim + bucket-to-bucket
     fact join + aggregation keyed on the bucket column — no exchange
