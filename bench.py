@@ -67,6 +67,9 @@ HEADLINE = [
     "lm_quality_trigram",      # corpus-trained trigram LM scoring
     "tokenize_bpe",            # BPE train (cached) + memoized Arrow apply
     "multimodal_webp",         # real VP8L decode, pixel-exact oracle
+    # round-7 additions
+    "semdedup_kmeans",         # SemDeDup: k-means + within-cluster prune
+    "embedding_pca",           # distributed moments + 64x64 eigh + project
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

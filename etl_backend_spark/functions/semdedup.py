@@ -1,0 +1,131 @@
+"""SemDeDup: semantic deduplication via k-means clustering + within-cluster
+cosine pruning (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540 — the recipe
+used to prune LAION/web-scale corpora).
+
+The 100-TB shape, composed for Spark:
+
+1. FIT: k centroids on a bounded seeded sample (same contract as the
+   IVF/PQ quantizers in functions/pq.py: never the full corpus). K follows
+   the corpus so the EXPECTED cluster size stays constant
+   (K = clamp(n / target, 4, K_MAX)); the centroid matrix is K x d doubles
+   (<= 2 MB at K=4096, d=64) and rides UDF closures — broadcast-trivial.
+2. ASSIGN: one map-only pass (Arrow-batched) tags every vector with its
+   nearest centroid. No shuffle, no driver traffic.
+3. PRUNE: ONE shuffle on the cluster id, then each cluster is pruned
+   locally with numpy: vectors are visited farthest-from-centroid first
+   (the paper's keep rule) and a vector is marked a duplicate of the
+   already-kept vector it is most similar to when that similarity exceeds
+   1 - eps. Work is O(cluster^2) flops vectorized per cluster — bounded,
+   because clusters past `subsplit` are locally re-clustered (seeded by
+   the cluster id) into ~target-sized subclusters first, the same
+   boundary-miss tradeoff the paper accepts globally. Total pairwise work
+   is therefore O(n * target) regardless of corpus size.
+
+Everything is deterministic: seeded inits, fixed iteration counts,
+argmin/argmax lowest-index tie-breaks, groups sorted by vec_id before any
+order-dependent step — so output is identical across partition layouts
+(pytest-asserted) and across runs. Like the other k-means family members
+(sim_topk_pq/ivf), float centroid fitting is not SQL-replicable, so the
+registry row is rows-only and a planted-duplicates + independent-greedy
+pytest pins behavior instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TARGET_CLUSTER = 64      # E[cluster size] the K schedule holds
+K_MAX = 4096             # coarse-fit ceiling (2 MB centroid matrix at d=64)
+FIT_CAP = 32768          # bounded fit sample (8 points/centroid at K_MAX)
+SUBSPLIT = 256           # local re-cluster guard for hot clusters
+EPS = 0.05               # duplicate iff cos > 1 - EPS
+
+
+def k_schedule(n: int, target: int = TARGET_CLUSTER) -> int:
+    return int(min(K_MAX, max(4, n // target)))
+
+
+def fit_centroids(sample: np.ndarray, k: int, iters: int = 10,
+                  seed: int = 11) -> np.ndarray:
+    """Lloyd k-means with the matmul distance trick — O(n*k) memory, not
+    the O(n*k*d) broadcast tensor of pq.fit_codebooks (which is sized for
+    k=16 subspace codebooks; this fit runs at k up to 4096).
+
+    Deterministic: seeded row init, fixed iterations, argmin lowest-index
+    ties, dead centroids re-seeded from the currently-farthest point."""
+    n, d = sample.shape
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(n, size=k, replace=n < k)].astype(np.float64).copy()
+    x2 = (sample * sample).sum(axis=1)
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c ; ||x||^2 constant per row
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
+        assign = d2.argmin(axis=1)
+        far = (d2.min(axis=1) + x2).argmax()
+        for ci in range(k):
+            mask = assign == ci
+            if mask.any():
+                cent[ci] = sample[mask].mean(axis=0)
+            else:
+                cent[ci] = sample[far]
+    return cent
+
+
+def assign_cells(mat: np.ndarray, cents: np.ndarray):
+    """Nearest centroid per row + cosine to that centroid (the prune
+    priority). `mat` rows are l2-normalized, centroids are means (NOT
+    unit-norm), so nearest-by-L2 = argmin(||c||^2 - 2 x.c)."""
+    dots = mat @ cents.T                                  # (n, k)
+    d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * dots
+    cell = d2.argmin(axis=1)
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    cdot = dots[np.arange(len(mat)), cell] / np.maximum(cnorm[cell], 1e-300)
+    return cell.astype(np.int32), cdot
+
+
+def greedy_prune(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,
+                 eps: float = EPS):
+    """Paper's within-cluster rule, vectorized: visit farthest-from-
+    centroid first (ties: lowest vec_id); mark a duplicate of the MOST
+    similar already-kept vector when that cosine > 1 - eps (ties: the
+    earlier-kept one, which the running argmax already yields).
+
+    Returns (keep bool array, dup_of int64 array with -1 for keeps),
+    aligned with the input order."""
+    order = np.lexsort((ids, cdot))          # cdot asc, then vec_id asc
+    kept_rows: list[int] = []
+    keep = np.zeros(len(ids), dtype=bool)
+    dup_of = np.full(len(ids), -1, dtype=np.int64)
+    for i in order:
+        if kept_rows:
+            sims = mat[kept_rows] @ mat[i]
+            j = int(sims.argmax())
+            if sims[j] > 1.0 - eps:
+                dup_of[i] = ids[kept_rows[j]]
+                continue
+        keep[i] = True
+        kept_rows.append(i)
+    return keep, dup_of
+
+
+def prune_cluster(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,
+                  cell: int, eps: float = EPS, subsplit: int = SUBSPLIT,
+                  target: int = TARGET_CLUSTER):
+    """Prune one cluster; clusters past `subsplit` are locally re-clustered
+    (seed derived from the cluster id — layout-independent) into
+    ~target-sized subclusters first, bounding the pairwise pass."""
+    if len(ids) <= subsplit:
+        return greedy_prune(ids, mat, cdot, eps)
+    k = max(2, int(np.ceil(len(ids) / target)))
+    sub_cents = fit_centroids(mat, k=min(k, len(ids)), iters=5,
+                              seed=1_000_003 + int(cell))
+    sub, sub_cdot = assign_cells(mat, sub_cents)
+    keep = np.zeros(len(ids), dtype=bool)
+    dup_of = np.full(len(ids), -1, dtype=np.int64)
+    for s in np.unique(sub):
+        m = sub == s
+        k_m, d_m = greedy_prune(ids[m], mat[m], sub_cdot[m], eps)
+        keep[m] = k_m
+        dup_of[m] = d_m
+    return keep, dup_of

@@ -110,6 +110,8 @@ PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "dedup_embedding_multiprobe",
+    "semdedup_kmeans",
+    "embedding_pca",
     "dedup_incremental",
     "dedup_clusters",
     "split_leakage_safe",

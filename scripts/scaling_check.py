@@ -76,6 +76,8 @@ EXTRA = [
     "dedup_graph_triangles", "graph_pagerank", "events_ewma",
     "sentences", "udaf_median_pandas", "agg_cms_heavy_hitters",
     "source_json_variant",
+    # round-7 additions
+    "semdedup_kmeans", "embedding_pca",
 ]
 
 

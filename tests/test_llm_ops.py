@@ -758,3 +758,160 @@ def test_graph_pagerank_full_vector_pinned_two_decades(spark, sf_dir):
     assert set(got) == set(want)
     diffs = {n: (got[n], want[n]) for n in want if got[n] != want[n]}
     assert diffs == {}, (len(diffs), dict(list(diffs.items())[:5]))
+
+
+def test_semdedup_kmeans_matches_independent_greedy_twin(spark):
+    """Full-output pin at two decades: an INDEPENDENT plain-loop greedy
+    (paper rule re-coded from scratch: visit farthest-from-centroid
+    first, duplicate of the most-similar kept vector above 1 - eps)
+    over the same deterministic cells must reproduce every
+    (vec_id, cell, keep, dup_of) row. The centroid fit/assignment is the
+    shared SPEC (seeded numpy, functions/semdedup.py); the pruning logic
+    — the part with ordering/tie-break room — is re-derived here."""
+    import numpy as np
+
+    from etl_backend_spark.functions import semdedup as sd
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            r.vec_id: (r.cell, r.keep, r.dup_of)
+            for r in QUERIES["semdedup_kmeans"](spark, sf).collect()
+        }
+
+        rows = sorted(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+            for r in Catalog(spark, sf).table("embeddings")
+            .select("vec_id", "embedding").collect()
+        )
+        ids = np.array([i for i, _ in rows])
+        mat = np.stack([v / np.linalg.norm(v) for _, v in rows])
+        n = len(ids)
+        k = sd.k_schedule(n)
+        cap = min(n, max(8 * k, 4096), sd.FIT_CAP)
+        assert n <= cap, "twin assumes the fit sample is the full corpus"
+        cents = sd.fit_centroids(mat, k=min(k, n), seed=11)
+        cell, cdot = sd.assign_cells(mat, cents)
+
+        expected = {}
+        for c in np.unique(cell):
+            m = cell == c
+            c_ids, c_mat, c_cdot = ids[m], mat[m], cdot[m]
+            assert len(c_ids) <= sd.SUBSPLIT, "twin assumes no local split"
+            # independent greedy: plain loops, explicit tie-breaks
+            order = sorted(range(len(c_ids)),
+                           key=lambda i: (c_cdot[i], c_ids[i]))
+            kept = []
+            for i in order:
+                best_j, best_s = None, -2.0
+                for j in kept:
+                    s = float(c_mat[i] @ c_mat[j])
+                    if s > best_s:
+                        best_j, best_s = j, s
+                if best_j is not None and best_s > 1.0 - sd.EPS:
+                    expected[int(c_ids[i])] = (int(c), False, int(c_ids[best_j]))
+                else:
+                    kept.append(i)
+                    expected[int(c_ids[i])] = (int(c), True, None)
+        assert got == expected and len(got) == n
+
+
+def test_semdedup_kmeans_partition_layout_independent(spark):
+    """Output must not depend on the shuffle layout: the prune stage sorts
+    each cell group before its order-sensitive greedy pass."""
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    base = sorted(map(tuple, QUERIES["semdedup_kmeans"](spark, sf).collect()))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = sorted(map(tuple, QUERIES["semdedup_kmeans"](spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt and len(base) > 0
+
+
+def test_semdedup_planted_near_duplicates_collapse(spark, tmp_path):
+    """Behavior pin on planted data: injected near-copies (cos ~ 0.9998)
+    collapse to one kept vector with dup_of pointing at it; the base
+    corpus (random gaussians, pairwise cos << 1 - eps whp) survives."""
+    import numpy as np
+
+    from etl_backend_spark.registry import QUERIES
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(300, 64)
+    vecs, pairs = [], []
+    for i, v in enumerate(base):
+        vecs.append((i, v))
+    for p in range(10):  # near-dup twins of the first 10 vectors
+        twin_id = 1000 + p
+        noise = rng.randn(64) * 0.01
+        vecs.append((twin_id, base[p] + noise))
+        pairs.append((p, twin_id))
+    d = tmp_path / "sfplanted"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v], "x") for i, v in vecs],
+        "vec_id long, embedding array<float>, label string",
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    out = {r.vec_id: r for r in QUERIES["semdedup_kmeans"](spark, str(d)).collect()}
+    assert len(out) == 310
+    for a, b in pairs:
+        ra, rb = out[a], out[b]
+        assert ra.keep != rb.keep, (a, b)  # exactly one survives
+        dup, kept = (ra, rb) if rb.keep else (rb, ra)
+        assert dup.dup_of == kept.vec_id
+    # the non-planted tail is (whp) mutually distant: everything kept
+    others = [r for i, r in out.items() if i >= 10 and i < 1000]
+    assert all(r.keep for r in others)
+
+
+def test_embedding_pca_matches_single_pass_numpy_twin(spark):
+    """Projection pin: a single-pass numpy PCA (full-data covariance, same
+    eigh, same sign rule) must match the distributed partial-moments path
+    to 1e-9 — catches wrong centering, partial-combine, or sign drift."""
+    import numpy as np
+
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.vec_id: np.array(r.proj)
+        for r in QUERIES["embedding_pca"](spark, sf).collect()
+    }
+
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in Catalog(spark, sf).table("embeddings")
+        .select("vec_id", "embedding").collect()
+    )
+    mat = np.stack([v for _, v in rows])
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, ::-1][:, :8].T
+    flip = np.sign(comp[np.arange(8), np.abs(comp).argmax(axis=1)])
+    comp = comp * flip[:, None]
+    expected = (mat - mean) @ comp.T
+
+    assert len(got) == len(rows)
+    for (vid, _), exp in zip(rows, expected):
+        np.testing.assert_allclose(got[vid], exp, rtol=0, atol=1e-9)
+
+
+def test_embedding_pca_components_ordered_by_variance(spark):
+    import numpy as np
+
+    from etl_backend_spark.registry import QUERIES
+
+    proj = np.stack([
+        np.array(r.proj)
+        for r in QUERIES["embedding_pca"](spark, "/root/testdata/sf0.01").collect()
+    ])
+    var = proj.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))

@@ -751,6 +751,40 @@ def test_release_plan_checkpoints_frees_prefix_sum_blocks(spark):
     assert n_persistent() == base           # and now it is gone
 
 
+def test_localcheckpoint_declared_partitioning_reaches_planner(spark):
+    """The declared-layout checkpoint (r7, PageRank's loop substrate)
+    must actually carry its hash partitioning and sort order into
+    downstream plans: a join on the declared key plans NO exchange and
+    NO sort on the checkpointed side (a plain localCheckpoint under AQE
+    records UnknownPartitioning and would re-shuffle + re-sort), and
+    the rows survive the leaf rewrap intact."""
+    from etl_backend_spark.operators.windows import (
+        localcheckpoint_declared, release_plan_checkpoints)
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v"))
+    cp = localcheckpoint_declared(df, ["k"], 4, sort=True)
+    leaf = cp._jdf.queryExecution().logical()
+    assert "hashpartitioning(k" in leaf.outputPartitioning().toString()
+    assert cp.count() == 20_000
+    assert cp.agg(F.sum("v")).collect()[0][0] == sum(range(20_000))
+
+    other = spark.range(997).select(F.col("id").alias("k2"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cp.join(other, cp["k"] == other["k2"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # exactly one exchange+sort: the NON-checkpointed side
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(k2" in plan
+    assert plan.count("Sort [k2") == 1 and plan.count("Sort [k#") == 0, plan
+    assert joined.count() == 20_000
+    release_plan_checkpoints(cp)
+
+
 def test_sentences_jvm_twin_matches_udtf_and_stays_python_free(spark):
     """The canonical `sentences` key must produce the UDTF demo's exact
     rows with ZERO Python in the plan (VERDICT r5 task 2): the UDTF stays
