@@ -70,6 +70,7 @@ HEADLINE = [
     # round-7 additions
     "semdedup_kmeans",         # SemDeDup: k-means + within-cluster prune
     "embedding_pca",           # distributed moments + 64x64 eigh + project
+    "dsir_importance",         # DSIR hashed-ngram importance selection
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

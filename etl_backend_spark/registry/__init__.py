@@ -111,6 +111,7 @@ PRIORITY: list[str] = [
     "dedup_embedding",
     "dedup_embedding_multiprobe",
     "semdedup_kmeans",
+    "dsir_importance",
     "embedding_pca",
     "dedup_incremental",
     "dedup_clusters",

@@ -1134,3 +1134,159 @@ def q_quality_classifier_lr(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split", "agree")
     )
+
+
+# DSIR constants — the oracle SQL interpolates the SAME values (f-string),
+# and tests assert engine and oracle agree on them. B = 4096 buckets is
+# 3 md5 hex nibbles, so the bucket key needs no hex->int conversion on
+# either engine; LOG_SCALE makes per-bucket log-ratios integer (1e-6 nat
+# units), so per-doc scores are EXACT bigint sums — order-free and
+# hash-checkable cross-engine (a raw float sum would differ in combine
+# order between engines; see the measurement rules in BASELINE.md).
+_DSIR_BUCKETS = 4096
+_DSIR_LOG_SCALE = 1_000_000
+_DSIR_KEEP_FRAC_DEN = 4   # select top 1/4 of the raw pool per hash range
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), ng AS (
+      SELECT doc_id, is_t, unnest(w) AS ng FROM toks
+      UNION ALL
+      SELECT doc_id, is_t,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1])) AS ng
+      FROM toks
+    ), cdb AS (
+      SELECT doc_id, is_t, substr(md5(ng), 1, 3) AS b, count(*) AS c
+      FROM ng GROUP BY 1, 2, 3
+    ), model AS (
+      SELECT b, sum(CASE WHEN is_t THEN c ELSE 0 END) AS tb,
+             sum(CASE WHEN NOT is_t THEN c ELSE 0 END) AS rb
+      FROM cdb GROUP BY b
+    ), tot AS (
+      SELECT sum(tb) AS tt, sum(rb) AS rt FROM model
+    ), ratio AS (
+      SELECT b, CAST(round({_DSIR_LOG_SCALE} * (
+               ln((tb + 0.5) / (tt + {_DSIR_BUCKETS} / 2.0))
+             - ln((rb + 0.5) / (rt + {_DSIR_BUCKETS} / 2.0))))
+             AS BIGINT) AS lr
+      FROM model, tot WHERE rb >= 1
+    ), score AS (
+      SELECT cdb.doc_id, sum(c * lr) AS score_scaled
+      FROM cdb JOIN ratio USING (b) WHERE NOT is_t GROUP BY cdb.doc_id
+    ), ranked AS (
+      SELECT doc_id, score_scaled,
+             substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               AS sel_range,
+             row_number() OVER (
+               PARTITION BY substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               ORDER BY score_scaled DESC, doc_id) AS rn,
+             count(*) OVER (
+               PARTITION BY substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 1))
+               AS nr
+      FROM score
+    )
+    SELECT doc_id, score_scaled, sel_range,
+           rn <= CAST(ceil(nr / CAST({_DSIR_KEEP_FRAC_DEN} AS DOUBLE)) AS BIGINT)
+             AS selected
+    FROM ranked
+    """,
+)
+def q_dsir_importance(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): pick raw-pool documents whose hashed-n-gram profile
+    best matches a target corpus. Target here = the `en` slice of
+    `documents`; raw pool = everything else; features = unigram + word-
+    bigram counts hashed into 4096 buckets (bucket key = first 3 hex
+    nibbles of md5, identical in both engines — no seeded hashing).
+
+    The importance weight is the paper's bag-of-hashed-ngrams log-ratio
+    log p_target(x) - log p_raw(x) = sum_b c_b(x) * (log p_b - log q_b)
+    with Laplace(0.5) smoothing. Two determinism/scale choices:
+
+    * per-bucket log-ratios are SCALED-INTEGER (round(1e6 * lr) as bigint),
+      so every per-doc score is an exact integer dot product — order-free,
+      hash-checkable cross-engine; the continuous quantity is rounded ONCE
+      per bucket (<= 4096 values), never per row (measurement rules:
+      never hash a continuous blend).
+    * selection is the paper's deterministic top-k variant, taken WITHIN
+      each of 16 md5 hash ranges of doc_id (top 1/4 per range) — each
+      range is a uniform sample of the pool, so per-range top-k matches
+      global top-k up to range-boundary effects, and the ranking window is
+      KEYED (hash exchange + per-partition sort), never a single-partition
+      global sort; the same trick seq_pack uses for pack ranges.
+
+    100-TB shape: one shuffle to (doc, bucket) counts (map-side combinable),
+    the bucket model is <= 4096 rows (broadcast back), scoring is one keyed
+    agg on doc_id, selection one keyed window. Nothing driver-side, no
+    Python workers, all whole-stage-codegen expressions."""
+    d = Catalog(spark, sf_dir).table("documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ngrams = F.concat(w, bigrams)
+
+    cdb = (
+        d.select(
+            "doc_id", (F.col("lang") == "en").alias("is_t"),
+            F.explode(ngrams).alias("ng"),
+        )
+        .select("doc_id", "is_t", F.substring(F.md5("ng"), 1, 3).alias("b"))
+        .groupBy("doc_id", "is_t", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = cdb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("tb"),
+        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("rb"),
+    )
+    tot = model.agg(F.sum("tb").alias("tt"), F.sum("rb").alias("rt"))
+    lr = F.round(
+        _DSIR_LOG_SCALE
+        * (
+            F.log((F.col("tb") + 0.5) / (F.col("tt") + _DSIR_BUCKETS / 2.0))
+            - F.log((F.col("rb") + 0.5) / (F.col("rt") + _DSIR_BUCKETS / 2.0))
+        )
+    ).cast("long")
+    ratio = (
+        model.filter(F.col("rb") >= 1)
+        .crossJoin(F.broadcast(tot))
+        .select("b", lr.alias("lr"))
+    )
+    score = (
+        cdb.filter(~F.col("is_t"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lr")).alias("score_scaled"))
+    )
+    sel_range = F.substring(
+        F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    wnd = Window.partitionBy("sel_range").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    )
+    ranked = score.select(
+        "doc_id", "score_scaled", sel_range.alias("sel_range")
+    ).select(
+        "*",
+        F.row_number().over(wnd).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("sel_range")).alias("nr"),
+    )
+    return ranked.select(
+        "doc_id", "score_scaled", "sel_range",
+        (
+            F.col("rn")
+            <= F.ceil(F.col("nr") / float(_DSIR_KEEP_FRAC_DEN)).cast("long")
+        ).alias("selected"),
+    )

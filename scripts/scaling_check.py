@@ -77,7 +77,7 @@ EXTRA = [
     "sentences", "udaf_median_pandas", "agg_cms_heavy_hitters",
     "source_json_variant",
     # round-7 additions
-    "semdedup_kmeans", "embedding_pca",
+    "semdedup_kmeans", "embedding_pca", "dsir_importance",
 ]
 
 

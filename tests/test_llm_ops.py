@@ -915,3 +915,111 @@ def test_embedding_pca_components_ordered_by_variance(spark):
     ])
     var = proj.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))
+
+
+def test_dsir_importance_matches_independent_python_twin(spark):
+    """Full-output pin: re-derive the DSIR rule from the paper with plain
+    Python (hashlib md5, Counter, explicit half-away-from-zero rounding —
+    Python's round() is banker's and would NOT match) and require every
+    (doc_id, score_scaled, sel_range, selected) row to agree. The SQL
+    oracle mirrors the engine formula; this twin breaks the shared-spec
+    symmetry (independent tokenizer loop, independent ranking loop)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.doc_id: (r.score_scaled, r.sel_range, r.selected)
+        for r in QUERIES["dsir_importance"](spark, sf).collect()
+    }
+
+    docs = [
+        (r.doc_id, r.text, r.lang)
+        for r in Catalog(spark, sf).table("documents")
+        .select("doc_id", "text", "lang").collect()
+    ]
+
+    def ngrams(text):
+        w = re.split(r"\s+", text.strip().lower())
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(ng):
+        return hashlib.md5(ng.encode()).hexdigest()[:3]
+
+    t_cnt, r_cnt = Counter(), Counter()
+    per_doc = {}
+    for doc_id, text, lang in docs:
+        c = Counter(bucket(ng) for ng in ngrams(text))
+        (t_cnt if lang == "en" else r_cnt).update(c)
+        if lang != "en":
+            per_doc[doc_id] = c
+    tt, rt = sum(t_cnt.values()), sum(r_cnt.values())
+
+    def half_away(x):
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    lr = {
+        b: half_away(1e6 * (math.log((t_cnt[b] + 0.5) / (tt + 2048.0))
+                            - math.log((rb + 0.5) / (rt + 2048.0))))
+        for b, rb in r_cnt.items()
+    }
+    scores = {
+        doc_id: sum(c * lr[b] for b, c in cnt.items())
+        for doc_id, cnt in per_doc.items()
+    }
+
+    expected = {}
+    by_range = {}
+    for doc_id, s in scores.items():
+        rng = hashlib.md5(f"dsir:{doc_id}".encode()).hexdigest()[:1]
+        by_range.setdefault(rng, []).append((doc_id, s))
+    for rng, members in by_range.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        k = math.ceil(len(members) / 4.0)
+        for rank, (doc_id, s) in enumerate(members, start=1):
+            expected[doc_id] = (s, rng, rank <= k)
+
+    assert got == expected and len(got) > 0
+
+
+def test_dsir_importance_planted_target_alike_wins(spark, tmp_path):
+    """Behavior pin: a raw-pool doc written in the target vocabulary must
+    outscore raw-pool gibberish and be selected."""
+    rows = []
+    target_vocab = ("the quick brown fox jumps over the lazy dog "
+                    "and runs through the quiet green field")
+    for i in range(20):  # target corpus defines p_target
+        rows.append((i, target_vocab, "en", "srcT", len(target_vocab)))
+    # raw pool: one target-alike + 19 disjoint-vocab docs
+    rows.append((100, "the quick brown fox and the lazy dog", "de", "srcR", 37))
+    for i in range(19):
+        junk = " ".join(f"zz{i}w{j}" for j in range(12))
+        rows.append((101 + i, junk, "de", "srcR", len(junk)))
+    d = tmp_path / "sfdsir"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    from etl_backend_spark.registry import QUERIES
+
+    out = {r.doc_id: r for r in QUERIES["dsir_importance"](spark, str(d)).collect()}
+    assert set(out) == set(range(100, 120))  # only the raw pool is scored
+    assert out[100].score_scaled == max(r.score_scaled for r in out.values())
+    assert out[100].selected
+
+
+def test_dsir_importance_plan_is_jvm_only_with_broadcast_model(spark):
+    """Scale-shape audit: no Python workers anywhere in the plan, and the
+    <=4096-row bucket model reaches the doc-score join as a broadcast."""
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES["dsir_importance"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
