@@ -10,6 +10,9 @@ The 100-TB shape, composed for Spark:
    the corpus so the EXPECTED cluster size stays constant
    (K = clamp(n / target, 4, K_MAX)); the centroid matrix is K x d doubles
    (<= 2 MB at K=4096, d=64) and rides UDF closures — broadcast-trivial.
+   The fit itself is TWO-LEVEL past FLAT_FIT_K (coarse sqrt(k) cells,
+   then per-cell sub-fits — O(|sample| * sqrt(k)) instead of flat
+   Lloyd's O(|sample| * k); see fit_centroids).
 2. ASSIGN: one map-only pass (Arrow-batched) tags every vector with its
    nearest centroid. No shuffle, no driver traffic.
 3. PRUNE: ONE shuffle on the cluster id, then each cluster is pruned
@@ -46,14 +49,20 @@ def k_schedule(n: int, target: int = TARGET_CLUSTER) -> int:
     return int(min(K_MAX, max(4, n // target)))
 
 
-def fit_centroids(sample: np.ndarray, k: int, iters: int = 10,
-                  seed: int = 11) -> np.ndarray:
+FLAT_FIT_K = 64          # past this, fit_centroids goes two-level
+
+
+def _lloyd(sample: np.ndarray, k: int, iters: int = 10,
+           seed: int = 11) -> np.ndarray:
     """Lloyd k-means with the matmul distance trick — O(n*k) memory, not
     the O(n*k*d) broadcast tensor of pq.fit_codebooks (which is sized for
     k=16 subspace codebooks; this fit runs at k up to 4096).
 
     Deterministic: seeded row init, fixed iterations, argmin lowest-index
-    ties, dead centroids re-seeded from the currently-farthest point."""
+    ties, dead centroids re-seeded from the currently-farthest point. The
+    mean update is d bincount passes (sequential-accumulation sums), not
+    a per-centroid mask loop — the loop was O(n*k) boolean work plus k
+    numpy-call overheads per iteration."""
     n, d = sample.shape
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(n, size=k, replace=n < k)].astype(np.float64).copy()
@@ -63,13 +72,54 @@ def fit_centroids(sample: np.ndarray, k: int, iters: int = 10,
         d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
         assign = d2.argmin(axis=1)
         far = (d2.min(axis=1) + x2).argmax()
-        for ci in range(k):
-            mask = assign == ci
-            if mask.any():
-                cent[ci] = sample[mask].mean(axis=0)
-            else:
-                cent[ci] = sample[far]
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty((k, d), dtype=np.float64)
+        for j in range(d):
+            sums[:, j] = np.bincount(assign, weights=sample[:, j],
+                                     minlength=k)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+        cent[~nz] = sample[far]
     return cent
+
+
+def fit_centroids(sample: np.ndarray, k: int, iters: int = 10,
+                  seed: int = 11) -> np.ndarray:
+    """Centroid fit; TWO-LEVEL past FLAT_FIT_K (the r7 fifth-decade fix).
+
+    Flat Lloyd is O(|sample| * k) per iteration; with the k-schedule
+    tracking n up to K_MAX=4096 the one-time fit at the cap is ~1.7e11
+    flops of single-threaded driver numpy (measured 19 s at k=3125) —
+    bounded, but a bad constant. The standard large-k trick (FAISS IVF
+    training): fit g = ceil(sqrt(k)) coarse centroids, partition the
+    sample by coarse cell, fit each cell's quota of sub-centroids
+    locally — total work O(|sample| * sqrt(k)), ~sqrt(k)-fold less.
+    Quotas are proportional to cell mass (rounded, every non-empty cell
+    >= 1, capped at the cell's point count), so the returned count is
+    within rounding of k — callers treat cents.shape[0] as truth.
+
+    Deterministic end-to-end: seeded coarse init, per-cell seeds derived
+    from (seed, cell index), fixed iteration counts, argmin ties lowest
+    index."""
+    n, d = sample.shape
+    if k <= FLAT_FIT_K or n <= 2 * k:
+        return _lloyd(sample, k, iters, seed)
+    g = int(np.ceil(np.sqrt(k)))
+    coarse = _lloyd(sample, g, iters, seed)
+    d2 = (coarse * coarse).sum(axis=1)[None, :] - 2.0 * (sample @ coarse.T)
+    asg = d2.argmin(axis=1)
+    counts = np.bincount(asg, minlength=g)
+    quota = np.round(counts * (k / n)).astype(np.int64)
+    quota = np.minimum(np.maximum(quota, (counts > 0).astype(np.int64)),
+                       counts)
+    parts = []
+    for ci in range(g):
+        if quota[ci] == 0:
+            continue
+        pts = sample[asg == ci]
+        parts.append(_lloyd(pts, int(quota[ci]), iters=5,
+                            seed=seed + 7919 * (ci + 1)))
+    return np.vstack(parts)
 
 
 def assign_cells(mat: np.ndarray, cents: np.ndarray):
