@@ -816,12 +816,13 @@ def _score_pairs_exact(e, cand, v, tau=0.3):
     eb = e.select(F.col("vec_id").alias("__eb"), v.alias("vb")) \
          .withColumn("nb", V.norm(F.col("vb")))
     cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    out = (
         cand.join(ea.hint("SHUFFLE_HASH"), F.col("vec_a") == F.col("__ea"))
         .join(eb.hint("SHUFFLE_HASH"), F.col("vec_b") == F.col("__eb"))
-        .filter(cos >= tau)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+    if tau is not None:  # kNN-graph consumers rank ALL candidates
+        out = out.filter(cos >= tau)
+    return out.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
 
 
 @register(
@@ -925,6 +926,152 @@ def q_dedup_embedding(spark, sf_dir):
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return _score_pairs_exact(e, cand, v)
+
+
+@register(
+    "knn_graph_brute",
+    oracle="""
+    WITH s AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 200 AND b.vec_id < 200
+    )
+    SELECT vec_id, nbr_id, rnk, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rnk
+      FROM s
+    ) WHERE rnk <= 5
+    """,
+)
+def q_knn_graph_brute(spark, sf_dir):
+    """Exact k-nearest-neighbor GRAPH (k=5, cosine) over a bounded id
+    range — every vector gets edges to its 5 most-similar others. The
+    kNN graph is the substrate ops like graph-based dedup, diversity
+    sampling, and cluster refinement consume; this is the all-pairs
+    exact baseline (bounded like ``sim_pairs_threshold``), and
+    ``knn_graph_lsh`` is the full-corpus scale path recall-checked
+    against it. Ranking uses the ROUNDED score (+ nbr_id tie) so order
+    is stable across engines' float accumulation, same contract as
+    sim_topk_brute."""
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id"), V.as_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("nbr_id"),
+                 V.as_double(F.col("embedding")).alias("vb"))
+    scored = (
+        a.join(F.broadcast(b), F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id", "nbr_id",
+            F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("vec_id", "nbr_id", "rnk", "cos_sim")
+    )
+
+
+@register(
+    "knn_graph_lsh",
+    oracle="""
+    WITH p AS (
+      SELECT greatest(8, least(21,
+               cast(ceil(log2(count(*) / 32.0)) AS INT))) AS bits,
+             (64 // greatest(8, least(21,
+               cast(ceil(log2(count(*) / 32.0)) AS INT)))) AS nbands
+      FROM embeddings
+    ), bands AS (
+      SELECT vec_id, b.band,
+             list_sum(list_transform(generate_series(1, p.bits),
+               j -> CASE WHEN embedding[b.band * p.bits + j] >= 0
+                         THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))
+               AS key
+      FROM embeddings, p, (SELECT unnest(generate_series(0, 15)) AS band) b
+      WHERE b.band < p.nbands
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                  AND a.vec_id < b.vec_id
+    ), dirs AS (
+      SELECT vec_a, vec_b FROM cand
+      UNION ALL SELECT vec_b, vec_a FROM cand
+    ), scored AS (
+      SELECT vec_a AS vec_id, vec_b AS nbr_id,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM dirs
+      JOIN embeddings ea ON ea.vec_id = vec_a
+      JOIN embeddings eb ON eb.vec_id = vec_b
+    )
+    SELECT vec_id, nbr_id, rnk, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_knn_graph_lsh(spark, sf_dir):
+    """Approximate kNN graph (k=5) over the FULL corpus — the scale path
+    of ``knn_graph_brute``. Candidates come from the same adaptive-width
+    banded sign-LSH as ``dedup_embedding`` (bits = clamp(8..21,
+    ceil(log2(n/32))) holds bucket density ~32, so candidate volume
+    grows ~linearly with n — never all-pairs); undirected candidate
+    pairs are generated ONCE (a < b) and mirrored AFTER dedup (halving
+    the band-join shuffle), each vector then ranks its candidates by
+    exact cosine and keeps the top 5. A vector with fewer than 5
+    candidates emits fewer edges — the honest LSH recall tradeoff,
+    pinned by a recall-vs-brute pytest at sf0.001. Every stage is
+    sign/hash-deterministic, so DuckDB replays the whole pipeline —
+    approximation included — and the oracle value-checks it."""
+    import math
+
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    n = e.count()  # bounded 1-row action (parquet metadata count)
+    bits = min(21, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
+    nbands = 64 // bits
+    v = V.as_double(F.col("embedding"))
+    band_keys = F.array(*[
+        H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
+        for b in range(nbands)
+    ])
+    bands = e.select("vec_id", F.posexplode(band_keys).alias("band", "key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    both = cand.union(
+        cand.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    scored = _score_pairs_exact(e, both, v, tau=None)
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_b").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("nbr_id"),
+            "rnk", "cos_sim",
+        )
+    )
 
 
 @register(

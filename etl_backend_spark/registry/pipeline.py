@@ -1013,6 +1013,95 @@ def q_text_index_build(spark, sf_dir):
     )
 
 
+def ensure_text_index_positional(spark, sf_dir):
+    """POSITIONAL postings (term, doc_id, pos), partitioned by the same
+    md5 term bucket as ``ensure_text_index`` — the Lucene-style superset
+    that serves PHRASE queries: adjacency is a (doc_id, pos+1) equi-join
+    between two pruned posting partitions, never a text re-scan. Keeping
+    every occurrence (no dropDuplicates) costs ~tokens-per-corpus rows
+    vs the boolean index's distinct (term, doc) — the standard size/
+    capability tradeoff; at 100 TB each bucket still splits into many
+    files and both the build shuffle (partitionBy write) and the query
+    join parallelize. Fingerprint-cached; returns (dir, built)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from ..sources.cache import file_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    key = _hl.md5(f"v1pos:{file_fingerprint(src)}".encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-txtpos-{key}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out, False
+    d = Catalog(spark, sf_dir).table("documents")
+    postings = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos", "term"),
+        )
+        .filter(F.length("term") > 0)
+        .withColumn(
+            "tb",
+            (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+             .cast("long") % _TEXT_INDEX_BUCKETS).cast("int"),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(out)
+    return out, True
+
+
+@register(
+    "text_phrase_indexed",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(w)),
+                    i -> w[i] = 'fast' AND w[i+1] = 'table')) AS BIGINT)
+             AS n_hits
+    FROM tok
+    WHERE len(list_filter(range(1, len(w)),
+              i -> w[i] = 'fast' AND w[i+1] = 'table')) > 0
+    """,
+)
+def q_text_phrase_indexed(spark, sf_dir):
+    """PHRASE search ("fast table", exact adjacency) served from the
+    positional inverted index, value-checked against full-scan token
+    semantics: open ONLY the two query terms' posting partitions
+    (directory pruning on the md5 bucket, plan-asserted in tests), then
+    adjacency = one (doc_id, pos+1)=(doc_id, pos) equi-join between the
+    two pruned posting streams, count hits per doc. The boolean index
+    (``text_search_indexed``) can only AND terms; phrase order needs
+    positions — at 100 TB the query touches 2/64ths of the postings
+    table and the join shuffles only those two terms' occurrence lists,
+    never corpus text."""
+    t1, t2 = "fast", "table"
+    idx_dir, _ = ensure_text_index_positional(spark, sf_dir)
+    posts = spark.read.parquet(idx_dir)
+
+    def term_posts(t):
+        return posts.filter(
+            (F.col("tb") == _term_bucket_py(t)) & (F.col("term") == t)
+        )
+
+    p1 = term_posts(t1).select("doc_id", (F.col("pos") + 1).alias("adj"))
+    p2 = term_posts(t2).select(F.col("doc_id").alias("d2"),
+                               F.col("pos").alias("p2"))
+    hits = p1.join(
+        p2, (F.col("doc_id") == F.col("d2")) & (F.col("adj") == F.col("p2"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+
+
 _BPE_MERGES_CACHE: dict = {}
 
 

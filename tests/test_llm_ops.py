@@ -152,6 +152,51 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert not missed, f"high-similarity pairs missed by LSH: {missed}"
 
 
+def test_knn_graph_lsh_recall_and_scoring_vs_exact(spark):
+    """Full-corpus kNN-graph recall vs an exact numpy graph at sf0.001,
+    plus edge-score exactness. Random-gaussian neighbors are weak (top
+    cos ~ 0.3-0.4, sign-plane agreement barely above chance), so banded
+    sign-LSH recall here is the same honest ~0.14 the dedup_embedding
+    pytest measures at tau=0.3 — assert the >= 0.1 floor, and that every
+    edge the approximate graph DOES emit carries the exact cosine and a
+    rank consistent with (rounded score desc, nbr_id asc)."""
+    import numpy as np
+
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (Catalog(spark, sf).table("embeddings")
+           .select("vec_id", "embedding").toPandas())
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -2.0)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    true_edges = set()
+    for i in range(len(ids)):
+        top = sorted(range(len(ids)),
+                     key=lambda j: (-round(sims[i, j], 6), ids[j]))[:5]
+        true_edges.update((int(ids[i]), int(ids[j])) for j in top)
+
+    rows = QUERIES["knn_graph_lsh"](spark, sf).collect()
+    got = {(r.vec_id, r.nbr_id) for r in rows}
+    recall = len(got & true_edges) / len(true_edges)
+    assert recall >= 0.1, recall
+    # scores are the exact cosine; ranks ordered by (rounded cos, nbr)
+    by_src: dict = {}
+    for r in rows:
+        exact = round(float(sims[idx[r.vec_id], idx[r.nbr_id]]), 6)
+        assert abs(r.cos_sim - exact) < 1e-9, (r, exact)
+        by_src.setdefault(r.vec_id, []).append(r)
+    for edges in by_src.values():
+        edges.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in edges] == list(range(1, len(edges) + 1))
+        keys = [(-r.cos_sim, r.nbr_id) for r in edges]
+        assert keys == sorted(keys)
+
+
 def test_sim_topk_lsh_recall_vs_brute(spark):
     """Bucketed ANN top-10 vs brute-force top-10.
 
@@ -575,6 +620,37 @@ def test_text_search_indexed_prunes_partitions_and_reuses(spark):
     a = sorted(map(tuple, pruned.select("term", "doc_id").collect()))
     b = sorted(map(tuple, full.select("term", "doc_id").collect()))
     assert a == b and len(a) > 0
+
+
+def test_text_phrase_indexed_prunes_partitions_and_counts_adjacency(spark):
+    """The positional-index phrase search opens only the two query terms'
+    buckets (partition pruning on tb), reuses the fingerprint-cached
+    artifact, and its per-doc counts equal a python recount of exact
+    'fast table' adjacencies over the tokenized corpus."""
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.registry.pipeline import (
+        ensure_text_index_positional)
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["text_phrase_indexed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan, plan
+    got = {r.doc_id: r.n_hits for r in df.collect()}
+
+    _, built = ensure_text_index_positional(spark, SF_DIR)
+    assert not built  # second call reused the artifact
+
+    docs = Catalog(spark, SF_DIR).table("documents") \
+        .select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        w = r.text.strip().lower().split()
+        n = sum(1 for i in range(len(w) - 1)
+                if w[i] == "fast" and w[i + 1] == "table")
+        if n:
+            expected[r.doc_id] = n
+    assert got == expected and len(got) > 0
 
 
 def test_bpe_matches_pure_python_reference(spark):
