@@ -71,6 +71,8 @@ HEADLINE = [
     "semdedup_kmeans",         # SemDeDup: k-means + within-cluster prune
     "embedding_pca",           # distributed moments + 64x64 eigh + project
     "dsir_importance",         # DSIR hashed-ngram importance selection
+    "knn_graph_lsh",           # full-corpus approximate kNN graph
+    "text_phrase_indexed",     # positional-index phrase adjacency join
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second
