@@ -1102,6 +1102,87 @@ def q_text_phrase_indexed(spark, sf_dir):
     )
 
 
+@register(
+    "bm25_search_indexed",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(w) AS dl FROM tok
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, t.term, len(list_filter(w, x -> x = t.term)) AS tf
+      FROM tok, (SELECT unnest(['spark', 'merge']) AS term) t
+      WHERE len(list_filter(w, x -> x = t.term)) > 0
+    ), dfx AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           round(sum(
+             ln((stats.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           ), 4) AS bm25
+    FROM tf, stats
+    JOIN dfx ON tf.term = dfx.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id
+    """,
+)
+def q_bm25_search_indexed(spark, sf_dir):
+    """RANKED keyword search: Okapi BM25 (k1=1.2, b=0.75, the +1 idf
+    variant that keeps scores positive) over the positional inverted
+    index — the third member of the text-retrieval family (boolean AND
+    -> phrase adjacency -> ranked OR). Served from the index: term
+    frequencies come from the two pruned posting partitions (tf = count
+    of positions per (term, doc)), document frequencies from one tiny
+    groupBy over the same pruned stream, and only MATCHED docs hydrate
+    their length from the corpus scan; N and avgdl are one bounded
+    1-row aggregate. At 100 TB the per-query work is 2/64ths of the
+    postings table + a semi-joined length lookup — never scoring the
+    full corpus.
+
+    Cross-engine float contract: every literal is written in the same
+    decimal form on both sides (2.2, 1.2, 0.25, 0.75, 0.5, 1.0 — all
+    parse to identical doubles), the contribution expression has the
+    same association order, the per-doc sum folds <= 2 terms (two-value
+    float addition is order-insensitive), and the final score rounds to
+    4 decimals — same tie-boundary risk class as the cosine round(6)
+    contract established by the embedding family."""
+    terms = ["spark", "merge"]
+    idx_dir, _ = ensure_text_index_positional(spark, sf_dir)
+    posts = spark.read.parquet(idx_dir)
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    tp = posts.filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
+    tf = tp.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    d = Catalog(spark, sf_dir).table("documents")
+    dl = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("dl"),
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    idf = F.log((F.lit(stats.n) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    contrib = (
+        idf * F.col("tf") * F.lit(2.2)
+        / (F.col("tf")
+           + F.lit(1.2) * (F.lit(0.25)
+                           + F.lit(0.75) * F.col("dl") / F.lit(stats.avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(dfx), "term")
+        .join(dl.hint("SHUFFLE_HASH"), "doc_id")
+        .withColumn("contrib", contrib)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 4).alias("bm25")
+    )
+
+
 _BPE_MERGES_CACHE: dict = {}
 
 

