@@ -73,6 +73,7 @@ HEADLINE = [
     "dsir_importance",         # DSIR hashed-ngram importance selection
     "knn_graph_lsh",           # full-corpus approximate kNN graph
     "text_phrase_indexed",     # positional-index phrase adjacency join
+    "bm25_search_indexed",     # ranked OR search, pruned postings tf/df
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second
