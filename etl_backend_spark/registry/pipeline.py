@@ -1016,25 +1016,36 @@ def q_text_index_build(spark, sf_dir):
 def ensure_text_index_positional(spark, sf_dir):
     """POSITIONAL postings (term, doc_id, pos), partitioned by the same
     md5 term bucket as ``ensure_text_index`` — the Lucene-style superset
-    that serves PHRASE queries: adjacency is a (doc_id, pos+1) equi-join
-    between two pruned posting partitions, never a text re-scan. Keeping
-    every occurrence (no dropDuplicates) costs ~tokens-per-corpus rows
-    vs the boolean index's distinct (term, doc) — the standard size/
-    capability tradeoff; at 100 TB each bucket still splits into many
-    files and both the build shuffle (partitionBy write) and the query
-    join parallelize. Fingerprint-cached; returns (dir, built)."""
+    that serves PHRASE and RANKED (BM25) queries: adjacency is a
+    (doc_id, pos+1) equi-join between two pruned posting partitions,
+    never a text re-scan. Keeping every occurrence (no dropDuplicates)
+    costs ~tokens-per-corpus rows vs the boolean index's distinct
+    (term, doc) — the standard size/capability tradeoff; at 100 TB each
+    bucket still splits into many files and both the build shuffle
+    (partitionBy write) and the query join parallelize.
+
+    Like a real IR index, BUILD TIME also materializes what scoring
+    needs so no query re-touches corpus text or runs an extra stats
+    action: a ``<dir>-len`` table (doc_id, dl) from the same
+    tokenization pass, and ``<dir>-len/_stats.json`` holding n_docs and
+    the EXACT integer token sum (avgdl derived in python — engine-
+    independent). Fingerprint-cached; returns (postings_dir, built);
+    ``doc_length_dir()``/``load_index_stats()`` derive the rest."""
     import hashlib as _hl
+    import json
     import os
     import tempfile
 
     from ..sources.cache import file_fingerprint
 
     src = f"{sf_dir}/documents.parquet"
-    key = _hl.md5(f"v1pos:{file_fingerprint(src)}".encode()).hexdigest()[:12]
+    key = _hl.md5(f"v2pos:{file_fingerprint(src)}".encode()).hexdigest()[:12]
     out = os.path.join(
         tempfile.gettempdir(), f"etlbs-u{os.getuid()}-txtpos-{key}"
     )
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
+    len_dir = doc_length_dir(out)
+    if os.path.exists(os.path.join(out, "_SUCCESS")) and \
+            os.path.exists(os.path.join(len_dir, "_stats.json")):
         return out, False
     d = Catalog(spark, sf_dir).table("documents")
     postings = (
@@ -1052,7 +1063,29 @@ def ensure_text_index_positional(spark, sf_dir):
         )
     )
     postings.write.mode("overwrite").partitionBy("tb").parquet(out)
+    dl = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long").alias("dl"),
+    )
+    dl.write.mode("overwrite").parquet(len_dir)
+    st = dl.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("s")).collect()[0]  # bounded 1-row
+    with open(os.path.join(len_dir, "_stats.json"), "w") as fh:
+        json.dump({"n_docs": int(st.n), "dl_sum": int(st.s)}, fh)
     return out, True
+
+
+def doc_length_dir(idx_dir: str) -> str:
+    return f"{idx_dir}-len"
+
+
+def load_index_stats(idx_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(doc_length_dir(idx_dir), "_stats.json")) as fh:
+        return json.load(fh)
 
 
 @register(
@@ -1135,14 +1168,15 @@ def q_bm25_search_indexed(spark, sf_dir):
     """RANKED keyword search: Okapi BM25 (k1=1.2, b=0.75, the +1 idf
     variant that keeps scores positive) over the positional inverted
     index — the third member of the text-retrieval family (boolean AND
-    -> phrase adjacency -> ranked OR). Served from the index: term
-    frequencies come from the two pruned posting partitions (tf = count
-    of positions per (term, doc)), document frequencies from one tiny
-    groupBy over the same pruned stream, and only MATCHED docs hydrate
-    their length from the corpus scan; N and avgdl are one bounded
-    1-row aggregate. At 100 TB the per-query work is 2/64ths of the
-    postings table + a semi-joined length lookup — never scoring the
-    full corpus.
+    -> phrase adjacency -> ranked OR). Served ENTIRELY from index-time
+    artifacts, like a real IR engine: term frequencies from the two
+    pruned posting partitions (tf = count of positions per (term,
+    doc)), document frequencies from one tiny groupBy over the same
+    pruned stream, lengths from the build-time (doc_id, dl) table, and
+    N/avgdl from the build-time stats file — a query never re-tokenizes
+    corpus text and never runs a stats action. At 100 TB the per-query
+    work is 2/64ths of the postings table + a hash-joined length lookup
+    — never scoring the full corpus.
 
     Cross-engine float contract: every literal is written in the same
     decimal form on both sides (2.2, 1.2, 0.25, 0.75, 0.5, 1.0 — all
@@ -1158,20 +1192,19 @@ def q_bm25_search_indexed(spark, sf_dir):
     tp = posts.filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
     tf = tp.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    d = Catalog(spark, sf_dir).table("documents")
-    dl = d.select(
-        "doc_id",
-        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("dl"),
-    )
-    stats = dl.agg(F.count(F.lit(1)).alias("n"),
-                   F.avg("dl").alias("avgdl")).collect()[0]
-    idf = F.log((F.lit(stats.n) - F.col("df") + F.lit(0.5))
+    dl = spark.read.parquet(doc_length_dir(idx_dir))
+    st = load_index_stats(idx_dir)
+    # exact integer sum/count from build time; the python division is the
+    # same IEEE divide both engines' avg() performs (integer partial sums
+    # < 2^53 are exact in double on every path)
+    avgdl = st["dl_sum"] / st["n_docs"]
+    idf = F.log((F.lit(st["n_docs"]) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
     contrib = (
         idf * F.col("tf") * F.lit(2.2)
         / (F.col("tf")
            + F.lit(1.2) * (F.lit(0.25)
-                           + F.lit(0.75) * F.col("dl") / F.lit(stats.avgdl)))
+                           + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
     )
     scored = (
         tf.join(F.broadcast(dfx), "term")

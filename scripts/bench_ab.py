@@ -59,9 +59,13 @@ def main() -> None:
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.cpu_count()}")
         for t in TABLES:
+            # synthetic decades (make_sf1) store tables as DIRECTORIES of
+            # part files; testdata drops are single files
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
         osql = ORACLES[qa]
 
