@@ -460,7 +460,8 @@ class ManifestTable:
 
     def append_with_quarantine(self, df: DataFrame,
                                quarantine: "ManifestTable",
-                               evolve: bool = False) -> dict:
+                               evolve: bool = False,
+                               txn: str | None = None) -> dict:
         """The production alternative to check_batch's hard reject: rows
         violating any row-level check land in the ``quarantine`` table
         (same commit protocol, auditable, replayable after a fix) and
@@ -481,13 +482,18 @@ class ManifestTable:
         CHECK-failure path only. The quarantine append and the main
         append are two independent manifest commits, so if the main
         append loses its commit race (CommitConflict) AFTER the
-        quarantine committed, the bad rows are already durable in
-        quarantine and a caller retry re-quarantines them — duplicate
-        quarantine rows, never duplicate or lost CLEAN rows. Callers
-        needing exactly-once quarantine under retries should route the
-        batch through ``append_once`` semantics (per-batch token) on the
-        quarantine table as well; the main table's own dup-key guard is
-        unaffected either way."""
+        quarantine committed, a TOKENLESS caller retry re-quarantines
+        the same rows — duplicate quarantine rows, never duplicate or
+        lost CLEAN rows.
+
+        Pass ``txn`` for exactly-once under retries (r7, closing the
+        ADVICE item): both commits then route through ``append_once``
+        with per-table derived tokens (``{txn}:quarantine`` /
+        ``{txn}:clean``), so a retry after ANY crash/conflict point
+        no-ops whichever side already committed and applies the other —
+        at-most-once per table per token, matching the streaming sink's
+        idempotency contract. The returned counts reflect what THIS call
+        durably applied (a fully-replayed batch returns zeros)."""
         df = df.persist()
         try:
             bad_pred = self._violation_pred(df)
@@ -497,17 +503,28 @@ class ManifestTable:
             n_good = good.count()
             checks = self.table_checks
             self.table_checks = [c for c in checks if c[0] == "unique"]
+            q_applied = bool(n_bad)
             try:
                 self.check_batch(good)  # hard-fail BEFORE any commit
                 if n_bad:
-                    quarantine.append(bad)
+                    if txn is not None:
+                        q_applied = quarantine.append_once(
+                            bad, txn=f"{txn}:quarantine")
+                    else:
+                        quarantine.append(bad)
                 # row checks don't apply to good by construction and
                 # unique was just verified — skip the re-check in append
                 self.table_checks = []
-                self.append(good, evolve=evolve)
+                if txn is not None:
+                    applied = self.append_once(
+                        good, txn=f"{txn}:clean", evolve=evolve)
+                else:
+                    self.append(good, evolve=evolve)
+                    applied = True
             finally:
                 self.table_checks = checks
-            return {"appended": n_good, "quarantined": n_bad}
+            return {"appended": n_good if applied else 0,
+                    "quarantined": n_bad if q_applied else 0}
         finally:
             df.unpersist()
 
@@ -525,7 +542,8 @@ class ManifestTable:
             schema_json=schema_json,
         )
 
-    def append_once(self, df: DataFrame, txn: str) -> bool:
+    def append_once(self, df: DataFrame, txn: str,
+                    evolve: bool = False) -> bool:
         """Transactionally-idempotent append (the Delta txn-id pattern):
         the commit records `txn`, and a replay with a token already present
         in the snapshot's ancestor set is an exact no-op BEFORE any files
@@ -543,11 +561,12 @@ class ManifestTable:
         # same alignment AND constraint contract as append (a streaming
         # producer that missed an ADD COLUMN keeps working; drift and
         # declared-check violations still rejected before any file lands)
-        df, _ = self._align_to_live(df, manifest, evolve=False)
+        df, schema_json = self._align_to_live(df, manifest, evolve=evolve)
         self.check_batch(df)
         new = self._write_files(df)
         self._commit_or_discard(
             manifest["entries"] + new, new, parent=parent, txn=txn,
+            schema_json=schema_json,
         )
         return True
 

@@ -806,6 +806,50 @@ def test_quarantine_commits_nothing_when_clean_slice_has_dup_keys(
     assert q.read().count() == n_q     # quarantine untouched too
 
 
+def test_quarantine_with_txn_is_exactly_once_under_retries(spark, tmp_path):
+    """The ADVICE-r6 crash window, closed by the txn token: a retry that
+    arrives AFTER the quarantine commit but with the clean append never
+    landed (simulated by pre-committing the derived quarantine token)
+    must no-op the quarantine side (no duplicate bad rows) and still
+    apply the clean side; a full replay of the same token no-ops both."""
+    o = Catalog(spark, SF_DIR).table("orders").limit(20)
+    t = ManifestTable(spark, str(tmp_path), "main3", ["o_orderkey"])
+    t.create(o)
+    q = ManifestTable(spark, str(tmp_path), "quarantine3", ["o_orderkey"])
+    q.create(o.limit(0))
+    t.table_checks = [("enum", "o_orderstatus", ["O", "F", "P"]),
+                      ("unique", ["o_orderkey"])]
+    n_main = t.read().count()
+    batch = (
+        o.limit(6)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 2_000_000)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("ZZZ"))
+            .otherwise(F.col("o_orderstatus")),
+        )
+    )
+    bad = batch.filter(F.col("o_orderstatus") == "ZZZ")
+    n_bad = bad.count()
+    assert 0 < n_bad < 6
+    # attempt 1 crashed between the two commits: quarantine already durable
+    assert q.append_once(bad, txn="b7:quarantine") is True
+    # the caller's retry of the whole batch
+    res = t.append_with_quarantine(batch, q, txn="b7")
+    assert res == {"appended": 6 - n_bad, "quarantined": 0}
+    assert q.read().count() == n_bad          # NOT re-quarantined
+    assert t.read().count() == n_main + 6 - n_bad
+    # full replay: both sides no-op, tables unchanged
+    res2 = t.append_with_quarantine(batch, q, txn="b7")
+    assert res2 == {"appended": 0, "quarantined": 0}
+    assert q.read().count() == n_bad
+    assert t.read().count() == n_main + 6 - n_bad
+    # a fresh token applies normally and reports both sides
+    batch2 = batch.withColumn("o_orderkey", F.col("o_orderkey") + 50)
+    res3 = t.append_with_quarantine(batch2, q, txn="b8")
+    assert res3 == {"appended": 6 - n_bad, "quarantined": n_bad}
+
+
 def test_bloom_probe_uses_written_geometry(spark, tmp_path):
     """A reader opened with DIFFERENT bloom geometry than the writer must
     probe each entry with the geometry the file was WRITTEN with (m from
