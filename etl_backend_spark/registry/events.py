@@ -1106,3 +1106,110 @@ def q_events_ewma(spark, sf_dir):
         F.size("vs").cast("long").alias("n"),
         fold.alias("ewma_last"),
     )
+
+
+# z-normalized query pattern for events_pattern_topk, precomputed in
+# python with the same seed-first fold order both engines use and
+# embedded as repr() literals — identical doubles by construction on
+# the Spark and DuckDB sides (raw shape: [1, 2, 4, 8, 6, 3, 2, 1], a
+# spike)
+_TS_PATTERN_Z = [
+    -1.0141449740988853, -0.5871365639519862, 0.2668802563418119,
+    1.9749138969294082, 1.1208970766356101, -0.16012815380508716,
+    -0.5871365639519862, -1.0141449740988853,
+]
+_TS_PATTERN_SQL = "[" + ", ".join(repr(v) for v in _TS_PATTERN_Z) + "]"
+
+
+@register(
+    "events_pattern_topk",
+    oracle=f"""
+    WITH win AS (
+      SELECT user_id, event_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS vs
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, vs,
+             list_reduce(vs, (a, x) -> a + x) / 8.0 AS m
+      FROM win WHERE len(vs) = 8
+    ), g AS (
+      SELECT user_id, event_id, vs, m,
+             sqrt(list_reduce(
+               list_transform(vs, x -> (x - m) * (x - m)),
+               (a, x) -> a + x) / 8.0) AS sd
+      FROM f
+    ), d AS (
+      SELECT user_id, event_id,
+             list_reduce(
+               list_transform(
+                 list_transform(generate_series(1, 8),
+                   i -> (vs[i] - m) / sd - ({_TS_PATTERN_SQL})[i]),
+                 y -> y * y),
+               (a, x) -> a + x) AS zdist2
+      FROM g WHERE sd > 0
+    )
+    SELECT user_id, event_id, zdist2 FROM d
+    ORDER BY zdist2 ASC, user_id ASC, event_id ASC LIMIT 10
+    """,
+)
+def q_events_pattern_topk(spark, sf_dir):
+    """TIME-SERIES PATTERN SEARCH: top-10 per-user sliding windows most
+    similar to a fixed query shape under z-normalized squared Euclidean
+    distance — the UCR-suite convention (amplitude/offset invariant),
+    the subsequence-similarity primitive of the retrieved EDBT'19
+    streaming-similarity and REPOSE top-k papers (PAPERS.md), and the
+    events family's missing member next to ewma/outliers/zscore.
+
+    Spark shape: ONE keyed shuffle (user window, ordered ts+event_id);
+    because the window length is FIXED, the frame is 7 codegen'd
+    ``lead()`` columns and every fold UNROLLS into flat left-associated
+    column arithmetic inside WholeStageCodegen — the first form used
+    collect_list + interpreted HOF folds (~17 us per lambda pass, 4
+    passes/row) and the five-decade sweep caught it at 84 s for 30M
+    events at sf10; the unrolled form is the same arithmetic at
+    codegen speed. (Variable-length sequences like events_ewma
+    genuinely need the HOF fold; a fixed L does not.) Global top-10 is
+    TakeOrderedAndProject, never a single-partition sort. At 100 TB:
+    frames never leave their user partition and the candidate stream
+    into the top-k is (user, event, double).
+
+    Cross-engine float contract (the events_ewma precedent, extended):
+    the oracle's seed-first list_reduce folds are left-associated —
+    exactly the association of the unrolled sums — divisions/sqrt are
+    single correctly-rounded IEEE ops on identical operands, and the
+    z-normalized PATTERN is precomputed in python and embedded as
+    repr() literals on both sides — so the gate hash-matches the RAW
+    doubles, no rounding."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vcols = [F.col("value").alias("v0")] + [
+        F.lead("value", k).over(w).alias(f"v{k}") for k in range(1, 8)
+    ]
+    win = (ev.select("user_id", "event_id", *vcols)
+           .filter(F.col("v7").isNotNull()))
+    v = [F.col(f"v{k}") for k in range(8)]
+    win = win.withColumn(
+        "m", reduce(lambda a, b: a + b, v) / F.lit(8.0))
+    m = F.col("m")
+    win = win.withColumn(
+        "sd",
+        F.sqrt(reduce(lambda a, b: a + b,
+                      [(x - m) * (x - m) for x in v]) / F.lit(8.0)),
+    ).filter(F.col("sd") > 0)
+    sd = F.col("sd")
+    zq = [(x - m) / sd - F.lit(q) for x, q in zip(v, _TS_PATTERN_Z)]
+    out = win.withColumn(
+        "zdist2", reduce(lambda a, b: a + b, [y * y for y in zq]))
+    return (
+        out.select("user_id", "event_id", "zdist2")
+        .orderBy(F.col("zdist2").asc(), F.col("user_id").asc(),
+                 F.col("event_id").asc())
+        .limit(10)
+    )

@@ -185,7 +185,17 @@ def _events_ts_unit(src: str) -> str:
         if not parts:
             return "us"
         src = parts[0]
-    t = pq.ParquetFile(src).schema_arrow.field("ts").type
+    pf = pq.ParquetFile(src)
+    # INT96 (vanilla OSS Spark's DEFAULT outputTimestampType) presents in
+    # arrow as timestamp[ns], which would route it to the int64-nanosAsLong
+    # read path and fail with a physical-type mismatch; Spark's own
+    # TimestampType read handles INT96 natively, so it takes the 'us' path
+    pq_schema = pf.schema
+    for i in range(len(pq_schema)):
+        col = pq_schema.column(i)
+        if col.name == "ts" and col.physical_type == "INT96":
+            return "us"
+    t = pf.schema_arrow.field("ts").type
     if pa.types.is_timestamp(t):
         return t.unit
     if pa.types.is_integer(t):

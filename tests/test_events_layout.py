@@ -242,3 +242,38 @@ def test_gapfill_bucketed_plans_zero_exchanges(spark):
     df = QUERIES["events_gapfill_locf_bucketed"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_events_pattern_topk_finds_planted_exact_match(spark, tmp_path):
+    """A window whose values are an exact affine transform of the query
+    pattern (z-normalization is amplitude/offset invariant) must surface
+    as the top hit with zdist2 == 0; noise windows score well above 0."""
+    import datetime as dt
+
+    from etl_backend_spark.registry import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # noise user: values far from the pattern shape
+    for i in range(40):
+        rows.append((i, base + dt.timedelta(minutes=i), 1,
+                     "click", float((i * 37) % 11) + 0.25, "{}"))
+    # planted user: 3*pattern + 100 at events 100..107
+    pat = [1.0, 2.0, 4.0, 8.0, 6.0, 3.0, 2.0, 1.0]
+    for j, v in enumerate(pat + [9.0, 1.5, 7.0, 2.5, 0.5, 8.5, 3.5, 6.5]):
+        rows.append((100 + j, base + dt.timedelta(minutes=j), 2,
+                     "click", 3.0 * v + 100.0 if j < 8 else v, "{}"))
+    d = tmp_path / "sfev"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = QUERIES["events_pattern_topk"](spark, str(d)).collect()
+    assert out, "no windows scored"
+    top = out[0]
+    assert (top.user_id, top.event_id) == (2, 100)
+    assert abs(top.zdist2) < 1e-18, top
+    assert all(r.zdist2 > 0.1 for r in out[1:]), out[:3]
