@@ -74,6 +74,7 @@ HEADLINE = [
     "knn_graph_lsh",           # full-corpus approximate kNN graph
     "text_phrase_indexed",     # positional-index phrase adjacency join
     "bm25_search_indexed",     # ranked OR search, pruned postings tf/df
+    "events_pattern_topk",     # z-norm sliding-window pattern top-k
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second
