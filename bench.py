@@ -75,6 +75,7 @@ HEADLINE = [
     "text_phrase_indexed",     # positional-index phrase adjacency join
     "bm25_search_indexed",     # ranked OR search, pruned postings tf/df
     "events_pattern_topk",     # z-norm sliding-window pattern top-k
+    "events_motif_pairs",      # SAX-bucketed motif (closest pair) search
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

@@ -1213,3 +1213,146 @@ def q_events_pattern_topk(spark, sf_dir):
                  F.col("event_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "events_motif_pairs",
+    oracle="""
+    WITH win AS (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS wpos,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS vs
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, wpos, vs,
+             list_reduce(vs, (a, x) -> a + x) / 8.0 AS m
+      FROM win WHERE len(vs) = 8
+    ), g AS (
+      SELECT user_id, event_id, wpos, vs, m,
+             sqrt(list_reduce(
+               list_transform(vs, x -> (x - m) * (x - m)),
+               (a, x) -> a + x) / 8.0) AS sd
+      FROM f
+    ), z AS (
+      SELECT user_id, event_id, wpos,
+             list_transform(vs, x -> (x - m) / sd) AS z
+      FROM g WHERE sd > 0
+    ), sax AS (
+      SELECT user_id, event_id, wpos, z,
+             list_reduce(list_transform(z, x ->
+               CASE WHEN x < -0.6745 THEN '0'
+                    WHEN x < 0.0 THEN '1'
+                    WHEN x < 0.6745 THEN '2'
+                    ELSE '3' END), (a, b) -> a || b) AS w
+      FROM z
+    ), rare AS (
+      SELECT w FROM sax GROUP BY w HAVING count(*) <= 64
+    ), sx AS (
+      SELECT sax.* FROM sax JOIN rare USING (w)
+    ), cand AS (
+      SELECT a.user_id AS user_a, a.event_id AS event_a,
+             b.user_id AS user_b, b.event_id AS event_b,
+             list_reduce(
+               list_transform(generate_series(1, 8),
+                 i -> (a.z[i] - b.z[i]) * (a.z[i] - b.z[i])),
+               (p, q) -> p + q) AS zdist2
+      FROM sx a JOIN sx b ON a.w = b.w
+        AND (a.user_id < b.user_id
+             OR (a.user_id = b.user_id AND a.event_id < b.event_id))
+      WHERE NOT (a.user_id = b.user_id AND abs(a.wpos - b.wpos) < 8)
+    )
+    SELECT user_a, event_a, user_b, event_b, zdist2 FROM cand
+    ORDER BY zdist2 ASC, user_a ASC, event_a ASC, user_b ASC, event_b ASC
+    LIMIT 20
+    """,
+)
+def q_events_motif_pairs(spark, sf_dir):
+    """MOTIF DISCOVERY: the 20 closest NON-OVERLAPPING window pairs in
+    the corpus under z-normalized distance — "which shape repeats?", the
+    HOT-SAX/matrix-profile question, answered with the SAX recipe that
+    scales: discretize each z-normalized window into a 4-symbol word
+    (gaussian breakpoints -0.6745 / 0 / 0.6745), JOIN ON THE WORD
+    (candidates = windows sharing a bucket, never the all-pairs
+    product), exact distance on candidates, global top-20. Words held
+    by > 64 windows are dropped before the pair join — flat/ubiquitous
+    shapes are the time-series analogue of boilerplate shingles, and
+    the cap is the same pair-blowup budget as dedup_ngram_jaccard's
+    DF-cap: candidate volume stays O(windows x cap). Same-user windows
+    within 7 positions are excluded (trivial self-overlap, the motif
+    convention). Window build + z-norm reuse the codegen-unrolled
+    lead() shape of events_pattern_topk; the pair join is SHUFFLE_HASH
+    on the word. Raw-double oracle (identical fold association, no
+    rounding), same contract as the pattern search."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vcols = [F.col("value").alias("v0")] + [
+        F.lead("value", k).over(w).alias(f"v{k}") for k in range(1, 8)
+    ]
+    win = (ev.select("user_id", "event_id",
+                     F.row_number().over(w).alias("wpos"), *vcols)
+           .filter(F.col("v7").isNotNull()))
+    v = [F.col(f"v{k}") for k in range(8)]
+    win = win.withColumn("m", reduce(lambda a, b: a + b, v) / F.lit(8.0))
+    m = F.col("m")
+    win = win.withColumn(
+        "sd",
+        F.sqrt(reduce(lambda a, b: a + b,
+                      [(x - m) * (x - m) for x in v]) / F.lit(8.0)),
+    ).filter(F.col("sd") > 0)
+    sd = F.col("sd")
+    zcols = [((x - m) / sd).alias(f"z{k}") for k, x in enumerate(v)]
+    sym = [
+        F.when(F.col(f"z{k}") < F.lit(-0.6745), F.lit("0"))
+        .when(F.col(f"z{k}") < F.lit(0.0), F.lit("1"))
+        .when(F.col(f"z{k}") < F.lit(0.6745), F.lit("2"))
+        .otherwise(F.lit("3"))
+        for k in range(8)
+    ]
+    zx = win.select("user_id", "event_id", "wpos", *zcols) \
+            .withColumn("w", F.concat(*sym))
+    rare = zx.groupBy("w").agg(F.count(F.lit(1)).alias("nw")) \
+             .filter(F.col("nw") <= 64).select("w")
+    sx = zx.join(rare, "w", "left_semi")
+    a = sx.select(
+        F.col("w"),
+        F.col("user_id").alias("user_a"), F.col("event_id").alias("event_a"),
+        F.col("wpos").alias("wpos_a"),
+        *[F.col(f"z{k}").alias(f"za{k}") for k in range(8)],
+    )
+    b = sx.select(
+        F.col("w").alias("wb"),
+        F.col("user_id").alias("user_b"), F.col("event_id").alias("event_b"),
+        F.col("wpos").alias("wpos_b"),
+        *[F.col(f"z{k}").alias(f"zb{k}") for k in range(8)],
+    )
+    pairs = a.join(
+        b.hint("SHUFFLE_HASH"),
+        (F.col("w") == F.col("wb"))
+        & ((F.col("user_a") < F.col("user_b"))
+           | ((F.col("user_a") == F.col("user_b"))
+              & (F.col("event_a") < F.col("event_b")))),
+    ).filter(
+        ~((F.col("user_a") == F.col("user_b"))
+          & (F.abs(F.col("wpos_a") - F.col("wpos_b")) < 8))
+    )
+    zdist2 = reduce(
+        lambda p, q: p + q,
+        [(F.col(f"za{k}") - F.col(f"zb{k}"))
+         * (F.col(f"za{k}") - F.col(f"zb{k}")) for k in range(8)],
+    )
+    return (
+        pairs.select("user_a", "event_a", "user_b", "event_b",
+                     zdist2.alias("zdist2"))
+        .orderBy(F.col("zdist2").asc(), F.col("user_a").asc(),
+                 F.col("event_a").asc(), F.col("user_b").asc(),
+                 F.col("event_b").asc())
+        .limit(20)
+    )

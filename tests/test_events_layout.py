@@ -277,3 +277,46 @@ def test_events_pattern_topk_finds_planted_exact_match(spark, tmp_path):
     assert (top.user_id, top.event_id) == (2, 100)
     assert abs(top.zdist2) < 1e-18, top
     assert all(r.zdist2 > 0.1 for r in out[1:]), out[:3]
+
+
+def test_events_motif_pairs_finds_planted_cross_user_motif(spark, tmp_path):
+    """The same shape planted in two different users (affine-transformed —
+    z-normalization cancels scale/offset) must surface as the top motif
+    pair with zdist2 == 0; overlapping same-user windows are excluded."""
+    import datetime as dt
+
+    from etl_backend_spark.registry import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    pat = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0]
+    rows = []
+    # user 1 carries the motif at events 0..7, then noise
+    for j, v in enumerate(pat):
+        rows.append((j, base + dt.timedelta(minutes=j), 1, "click", v, "{}"))
+    for j in range(8, 24):
+        rows.append((j, base + dt.timedelta(minutes=j), 1, "click",
+                     float((j * 31) % 13) + 0.5, "{}"))
+    # user 2 carries 2*pat - 3 at events 100..107, then different noise
+    for j, v in enumerate(pat):
+        rows.append((100 + j, base + dt.timedelta(minutes=j), 2, "click",
+                     2.0 * v - 3.0, "{}"))
+    for j in range(8, 24):
+        rows.append((100 + j, base + dt.timedelta(minutes=j), 2, "click",
+                     float((j * 17) % 11) + 0.25, "{}"))
+    d = tmp_path / "sfmotif"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = QUERIES["events_motif_pairs"](spark, str(d)).collect()
+    assert out, "no motif pairs found"
+    top = out[0]
+    assert (top.user_a, top.event_a, top.user_b, top.event_b) == (1, 0, 2, 100)
+    assert abs(top.zdist2) < 1e-18, top
+    # no same-user overlapping pair anywhere in the result
+    for r in out:
+        if r.user_a == r.user_b:
+            assert abs(r.event_a - r.event_b) >= 8, r
