@@ -76,6 +76,7 @@ HEADLINE = [
     "bm25_search_indexed",     # ranked OR search, pruned postings tf/df
     "events_pattern_topk",     # z-norm sliding-window pattern top-k
     "events_motif_pairs",      # SAX-bucketed motif (closest pair) search
+    "events_discord_topk",     # HOT-SAX discord (anomaly window) search
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

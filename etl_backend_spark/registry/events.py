@@ -1356,3 +1356,142 @@ def q_events_motif_pairs(spark, sf_dir):
                  F.col("event_b").asc())
         .limit(20)
     )
+
+
+@register(
+    "events_discord_topk",
+    oracle="""
+    WITH win AS (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS wpos,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS vs
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, wpos, vs,
+             list_reduce(vs, (a, x) -> a + x) / 8.0 AS m
+      FROM win WHERE len(vs) = 8
+    ), g AS (
+      SELECT user_id, event_id, wpos, vs, m,
+             sqrt(list_reduce(
+               list_transform(vs, x -> (x - m) * (x - m)),
+               (a, x) -> a + x) / 8.0) AS sd
+      FROM f
+    ), z AS (
+      SELECT user_id, event_id, wpos,
+             list_transform(vs, x -> (x - m) / sd) AS z
+      FROM g WHERE sd > 0
+    ), sax AS (
+      SELECT user_id, event_id, wpos, z,
+             list_reduce(list_transform(z, x ->
+               CASE WHEN x < -0.6745 THEN '0'
+                    WHEN x < 0.0 THEN '1'
+                    WHEN x < 0.6745 THEN '2'
+                    ELSE '3' END), (a, b) -> a || b) AS w
+      FROM z
+    ), rare AS (
+      SELECT w FROM sax GROUP BY w HAVING count(*) <= 64
+    ), sx AS (
+      SELECT sax.* FROM sax JOIN rare USING (w)
+    ), nn AS (
+      SELECT a.user_id, a.event_id,
+             min(list_reduce(
+               list_transform(generate_series(1, 8),
+                 i -> (a.z[i] - b.z[i]) * (a.z[i] - b.z[i])),
+               (p, q) -> p + q)) AS nn_dist
+      FROM sx a JOIN sx b ON a.w = b.w
+        AND NOT (a.user_id = b.user_id AND abs(a.wpos - b.wpos) < 8)
+      GROUP BY a.user_id, a.event_id
+    )
+    SELECT s.user_id, s.event_id, nn.nn_dist
+    FROM sx s LEFT JOIN nn
+      ON s.user_id = nn.user_id AND s.event_id = nn.event_id
+    ORDER BY nn.nn_dist DESC NULLS FIRST, s.user_id ASC, s.event_id ASC
+    LIMIT 10
+    """,
+)
+def q_events_discord_topk(spark, sf_dir):
+    """DISCORD (anomaly) SEARCH — the dual of ``events_motif_pairs`` and
+    HOT SAX's headline use: the windows FARTHEST from their nearest
+    neighbor are the shapes that happen only once, i.e. anomalies. Same
+    machinery: z-normalized unrolled windows, SAX words, and the HOT SAX
+    heuristic that RARE words (<= 64 holders) are the discord candidate
+    set — a window sharing a common word provably has near neighbors and
+    cannot be a top discord, so only rare-word windows are examined and
+    each window's nearest-neighbor distance is approximated by the min
+    exact z-distance among its same-word, non-overlapping peers. A
+    candidate with NO peer at all (unique word) is the strongest discord
+    and ranks first (null nn_dist, NULLS FIRST on both engines). One
+    bucket join + one keyed min — never all-pairs; raw-double oracle."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vcols = [F.col("value").alias("v0")] + [
+        F.lead("value", k).over(w).alias(f"v{k}") for k in range(1, 8)
+    ]
+    win = (ev.select("user_id", "event_id",
+                     F.row_number().over(w).alias("wpos"), *vcols)
+           .filter(F.col("v7").isNotNull()))
+    v = [F.col(f"v{k}") for k in range(8)]
+    win = win.withColumn("m", reduce(lambda a, b: a + b, v) / F.lit(8.0))
+    m = F.col("m")
+    win = win.withColumn(
+        "sd",
+        F.sqrt(reduce(lambda a, b: a + b,
+                      [(x - m) * (x - m) for x in v]) / F.lit(8.0)),
+    ).filter(F.col("sd") > 0)
+    sd = F.col("sd")
+    zcols = [((x - m) / sd).alias(f"z{k}") for k, x in enumerate(v)]
+    sym = [
+        F.when(F.col(f"z{k}") < F.lit(-0.6745), F.lit("0"))
+        .when(F.col(f"z{k}") < F.lit(0.0), F.lit("1"))
+        .when(F.col(f"z{k}") < F.lit(0.6745), F.lit("2"))
+        .otherwise(F.lit("3"))
+        for k in range(8)
+    ]
+    zx = win.select("user_id", "event_id", "wpos", *zcols) \
+            .withColumn("w", F.concat(*sym))
+    rare = zx.groupBy("w").agg(F.count(F.lit(1)).alias("nw")) \
+             .filter(F.col("nw") <= 64).select("w")
+    sx = zx.join(rare, "w", "left_semi")
+    a = sx.select(
+        F.col("w"),
+        F.col("user_id").alias("user_a"), F.col("event_id").alias("event_a"),
+        F.col("wpos").alias("wpos_a"),
+        *[F.col(f"z{k}").alias(f"za{k}") for k in range(8)],
+    )
+    b = sx.select(
+        F.col("w").alias("wb"),
+        F.col("user_id").alias("user_b"), F.col("event_id").alias("event_b"),
+        F.col("wpos").alias("wpos_b"),
+        *[F.col(f"z{k}").alias(f"zb{k}") for k in range(8)],
+    )
+    zdist2 = reduce(
+        lambda p, q: p + q,
+        [(F.col(f"za{k}") - F.col(f"zb{k}"))
+         * (F.col(f"za{k}") - F.col(f"zb{k}")) for k in range(8)],
+    )
+    nn = (
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("w") == F.col("wb"))
+            & ~((F.col("user_a") == F.col("user_b"))
+                & (F.abs(F.col("wpos_a") - F.col("wpos_b")) < 8)),
+        )
+        .groupBy(F.col("user_a").alias("user_id"),
+                 F.col("event_a").alias("event_id"))
+        .agg(F.min(zdist2).alias("nn_dist"))
+    )
+    return (
+        sx.select("user_id", "event_id")
+        .join(nn, ["user_id", "event_id"], "left")
+        .orderBy(F.col("nn_dist").desc_nulls_first(),
+                 F.col("user_id").asc(), F.col("event_id").asc())
+        .limit(10)
+    )

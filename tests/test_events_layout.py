@@ -320,3 +320,64 @@ def test_events_motif_pairs_finds_planted_cross_user_motif(spark, tmp_path):
     for r in out:
         if r.user_a == r.user_b:
             assert abs(r.event_a - r.event_b) >= 8, r
+
+
+def test_events_discord_topk_flags_planted_anomaly(spark, tmp_path):
+    """One user's series carries a single violent spike window amid many
+    copies of a repeating benign shape planted across users: the spike
+    window must rank in the top discords (unique/rare word or a far
+    nearest neighbor), and none of the benign repeats may outrank it."""
+    import datetime as dt
+
+    from etl_backend_spark.registry import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    benign = [1.0, 2.0, 3.0, 4.0, 4.0, 3.0, 2.0, 1.0]
+    rows = []
+    eid = 0
+    # 6 users, each repeating the benign shape 3 times (non-overlapping)
+    for u in range(1, 7):
+        for rep in range(3):
+            for j, v in enumerate(benign):
+                rows.append((eid, base + dt.timedelta(minutes=rep * 8 + j),
+                             u, "click", v + 0.1 * u, "{}"))
+                eid += 1
+    # user 9: two benign repeats, then a violent spike window
+    spike = [1.0, 1.0, 1.0, 50.0, -40.0, 1.0, 1.0, 1.0]
+    anomaly_start_eid = None
+    for rep in range(2):
+        for j, v in enumerate(benign):
+            rows.append((eid, base + dt.timedelta(minutes=rep * 8 + j),
+                         9, "click", v, "{}"))
+            eid += 1
+    for j, v in enumerate(spike):
+        if j == 0:
+            anomaly_start_eid = eid
+        rows.append((eid, base + dt.timedelta(minutes=16 + j),
+                     9, "click", v, "{}"))
+        eid += 1
+    d = tmp_path / "sfdiscord"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = QUERIES["events_discord_topk"](spark, str(d)).collect()
+    assert out, "no discord candidates"
+    hits = [(r.user_id, r.event_id) for r in out]
+    assert (9, anomaly_start_eid) in hits, (anomaly_start_eid, hits)
+
+    def is_spike(u, e):
+        return u == 9 and \
+            anomaly_start_eid - 7 <= e <= anomaly_start_eid + 7
+
+    # the spike-overlapping windows (all legitimately anomalous) must form
+    # the PREFIX of the ranking; anything after them is a benign repeat
+    # whose nearest neighbor is an (offset-cancelled) identical twin —
+    # nn_dist ~ 0, never mistaken for an anomaly
+    k = sum(1 for u, e in hits if is_spike(u, e))
+    assert k >= 7 and all(is_spike(u, e) for u, e in hits[:k]), hits
+    for r in out[k:]:
+        assert r.nn_dist is not None and r.nn_dist < 0.5, r
