@@ -78,6 +78,9 @@ EXTRA = [
     "source_json_variant",
     # round-7 additions
     "semdedup_kmeans", "embedding_pca", "dsir_importance",
+    "knn_graph_brute", "knn_graph_lsh", "text_phrase_indexed",
+    "bm25_search_indexed", "events_pattern_topk", "events_motif_pairs",
+    "events_discord_topk",
 ]
 
 
