@@ -1108,6 +1108,116 @@ def q_events_ewma(spark, sf_dir):
     )
 
 
+@register(
+    "events_holt_linear",
+    oracle="""
+    WITH l AS (
+      -- accumulator is a 2-element LIST [level, trend], not a struct:
+      -- DuckDB 1.0 list_reduce mis-evaluates the second field of a
+      -- STRUCT accumulator when the lambda has CASE branches (the same
+      -- inputs give the right value standalone and a wrong one inside
+      -- the fold); the LIST accumulator folds correctly
+      SELECT user_id,
+             list([value, CAST(rn AS DOUBLE)] ORDER BY rn) AS es
+      FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, len(es) AS n,
+        CASE WHEN len(es) = 1
+             THEN [es[1][1], 0.0]
+             ELSE list_reduce(es, (a, e) ->
+                CASE WHEN e[2] = 2.0
+                     THEN [e[1], e[1] - a[1]]
+                     ELSE [(e[1] + a[1] + a[2]) / 2,
+                           (((e[1] + a[1] + a[2]) / 2 - a[1]) + a[2]) / 2]
+                END)
+        END AS acc
+      FROM l
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           acc[1] AS level, acc[2] AS trend,
+           acc[1] + acc[2] AS forecast_next
+    FROM f
+    """,
+)
+def q_events_holt_linear(spark, sf_dir):
+    """Per-user Holt double exponential smoothing (level + trend, alpha =
+    beta = 1/2) — the trend-aware sibling of events_ewma, the recurrence
+    behind short-horizon demand/traffic forecasts:
+
+        l_t = (v_t + l_{t-1} + b_{t-1}) / 2
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2      (init l_2=v_2, b_2=v_2-v_1)
+
+    Coupled recurrences need a STRUCT accumulator, which DuckDB's
+    list_reduce cannot seed arbitrarily (seed = first list element). The
+    trick extending the EWMA exact-blend contract: fold over structs of
+    (value, 1-based position) so seed and accumulator share one type, and
+    let the lambda bootstrap on position 2 (CASE e.b = 2.0) before
+    switching to the smoothing step. Every step is add/subtract/halve —
+    exact IEEE ops in identical left-associated order on both engines —
+    so level, trend, AND the one-step forecast hash-match on RAW doubles
+    with no rounding (measurement rules' dyadic exception, now for a
+    2-state recurrence). Scale shape: identical to events_ewma — one
+    keyed shuffle, repartition-first grouped collect, per-user arrays
+    bounded by per-user counts. Spark builds positions with transform's
+    index lambda AFTER sort_array, so no window exchange is needed."""
+    ev = Catalog(spark, sf_dir).table("events")
+    arr = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    es = F.transform(
+        arr,
+        lambda s, i: F.struct(
+            s["value"].alias("l"),
+            (i + F.lit(1)).cast("double").alias("b"),
+        ),
+    )
+    g = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .repartition(F.col("user_id"))
+        .groupBy("user_id")
+        .agg(es.alias("es"))
+    )
+
+    def step(a, e):
+        l_new = (e["l"] + a["l"] + a["b"]) / F.lit(2.0)
+        return F.when(
+            e["b"] == F.lit(2.0),
+            F.struct(e["l"].alias("l"), (e["l"] - a["l"]).alias("b")),
+        ).otherwise(
+            F.struct(
+                l_new.alias("l"),
+                (((l_new - a["l"]) + a["b"]) / F.lit(2.0)).alias("b"),
+            )
+        )
+
+    acc = F.when(
+        F.size("es") == 1,
+        F.struct(
+            F.element_at("es", 1)["l"].alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+    ).otherwise(
+        F.aggregate(
+            F.slice("es", 2, F.size("es") - 1),
+            F.element_at("es", 1),
+            step,
+        )
+    )
+    return g.select(
+        "user_id",
+        F.size("es").cast("long").alias("n"),
+        acc["l"].alias("level"),
+        acc["b"].alias("trend"),
+        (acc["l"] + acc["b"]).alias("forecast_next"),
+    )
+
+
 # z-normalized query pattern for events_pattern_topk, precomputed in
 # python with the same seed-first fold order both engines use and
 # embedded as repr() literals — identical doubles by construction on

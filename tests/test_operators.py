@@ -819,3 +819,43 @@ def test_cms_estimates_bounded(spark):
     for r in rows:
         true = exact[r.o_orderpriority]
         assert true <= r.est <= true + 0.01 * r.n + 1, (r, true)
+
+
+def test_events_holt_linear_matches_python_reference(spark):
+    """Holt level/trend recurrence pinned against a pure-Python replay at
+    sf0.001, tolerance 0 — the cross-engine gate already hash-checks the
+    raw doubles vs DuckDB; this pins the SEMANTICS (init l_2=v_2,
+    b_2=v_2-v_1; alpha=beta=1/2 add-then-halve steps) so both engines
+    can't drift together."""
+    import duckdb
+
+    from etl_backend_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, value FROM read_parquet("
+        f"'{SF_DIR}/events.parquet') ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    series: dict[int, list[float]] = {}
+    for uid, v in rows:
+        series.setdefault(int(uid), []).append(float(v))
+
+    def holt(vs):
+        if len(vs) == 1:
+            return vs[0], 0.0
+        l, b = vs[1], vs[1] - vs[0]
+        for x in vs[2:]:
+            ln = (x + l + b) / 2
+            b = ((ln - l) + b) / 2
+            l = ln
+        return l, b
+
+    got = {
+        int(r.user_id): (int(r.n), r.level, r.trend, r.forecast_next)
+        for r in QUERIES["events_holt_linear"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(series)
+    for uid, vs in series.items():
+        l, b = holt(vs)
+        assert got[uid] == (len(vs), l, b, l + b), uid
