@@ -317,6 +317,59 @@ def decode_audio(media: DataFrame, batch_size: int = 256) -> DataFrame:
     )
 
 
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("head_sample", IntegerType()),
+        StructField("tail_sample", IntegerType()),
+    ]
+)
+
+
+def resample_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: REAL WAV decode + integer-exact 2:1 box
+    decimation — the anti-alias half-rate resample a training pipeline
+    applies before feature extraction. out[j] = floor((s[2j] + s[2j+1]) / 2)
+    on the mono mix (floor division on BOTH engines: numpy ``//`` floors,
+    DuckDB ``//`` floors; Spark's JVM ``div`` would truncate, which is why
+    the arithmetic lives in numpy here and in list_transform in the
+    oracle). energy/peak plus head/tail samples are over the RESAMPLED
+    signal, so the value check covers the decimation itself, not just the
+    decode. Vectorized: reshape(-1, 2).sum(axis=1) // 2 — no per-sample
+    Python loop."""
+    for pdf in batches:
+        out = {"media_id": [], "sample_rate": [], "n_samples": [],
+               "energy": [], "peak": [], "head_sample": [], "tail_sample": []}
+        for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            rate, channels, samples = wav.decode_wav(bytes(content))
+            mono = samples.sum(axis=1) // channels
+            half = mono[: mono.size // 2 * 2].astype(np.int64)
+            res = half.reshape(-1, 2).sum(axis=1) // 2
+            out["media_id"].append(media_id)
+            out["sample_rate"].append(rate // 2)
+            out["n_samples"].append(res.size)
+            out["energy"].append(int((res ** 2).sum()))
+            out["peak"].append(int(np.abs(res).max()) if res.size else 0)
+            out["head_sample"].append(int(res[0]) if res.size else 0)
+            out["tail_sample"].append(int(res[-1]) if res.size else 0)
+        yield pd.DataFrame(out)
+
+
+def resample_audio(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Distributed half-rate audio resample: Arrow-batched mapInPandas over
+    the binary column, same memory contract as decode_audio."""
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    return media.select("media_id", "content").mapInPandas(
+        resample_audio_batches, schema=RESAMPLE_SCHEMA
+    )
+
+
 def audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """FEATURE_DIM-bin energy envelope per audio payload (real decode +
     windowed mean-square), emitted as ``array<float>`` ready for the

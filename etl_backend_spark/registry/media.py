@@ -132,6 +132,62 @@ def q_multimodal_audio(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_resample",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             repeat(sha256(CAST(p_partkey AS VARCHAR)), 8) AS h
+      FROM part
+    ), b AS (
+      SELECT media_id,
+        list_transform(generate_series(0, 255),
+          i -> (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1))
+          AS bytes
+      FROM m
+    ), s AS (
+      SELECT media_id,
+        list_transform(generate_series(0, 127),
+          j -> CASE WHEN bytes[2*j + 1] + 256 * bytes[2*j + 2] >= 32768
+                    THEN bytes[2*j + 1] + 256 * bytes[2*j + 2] - 65536
+                    ELSE bytes[2*j + 1] + 256 * bytes[2*j + 2] END) AS smp
+      FROM b
+    ), r AS (
+      -- 2:1 box decimation. FLOOR division, made explicit: numpy //
+      -- floors on negatives but DuckDB // truncates (-3 // 2 = -1), so
+      -- the float floor() is the portable spelling (exact below 2^53)
+      SELECT media_id,
+        list_transform(generate_series(0, 63),
+          j -> CAST(floor((smp[2*j + 1] + smp[2*j + 2]) / 2.0) AS BIGINT)) AS res
+      FROM s
+    )
+    SELECT media_id,
+           CAST(4000 AS INTEGER) AS sample_rate,
+           CAST(64 AS INTEGER) AS n_samples,
+           CAST(list_sum(list_transform(res, x -> x * x)) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(res, x -> abs(x))) AS INTEGER) AS peak,
+           CAST(res[1] AS INTEGER) AS head_sample,
+           CAST(res[64] AS INTEGER) AS tail_sample
+    FROM r
+    """,
+)
+def q_multimodal_audio_resample(spark, sf_dir):
+    """Half-rate audio resample over REAL WAV decode, value-checked to the
+    sample level: spec-valid PCM16 payloads synthesized engine-side, the
+    real RIFF/PCM parser decodes them, and a vectorized 2:1 box decimation
+    (floor((s[2j]+s[2j+1])/2)) produces the training-rate signal — the
+    standard anti-alias downsample before audio feature extraction.
+    energy/peak/head/tail are exact integers over the RESAMPLED samples,
+    and the oracle reconstructs the identical pipeline from the digest
+    arithmetic, so the hash check pins the decimation arithmetic itself.
+    Scale shape: mapInPandas over the binary column — embarrassingly
+    parallel, no shuffle; payload bytes never leave their partition."""
+    p = Catalog(spark, sf_dir).table("part")
+    media = M.synthesize_wav_media(p, "p_partkey", "p_partkey")
+    return M.resample_audio(media)
+
+
+@register(
     "fn_auth_roundtrip",
     oracle="""
     SELECT c_custkey, true AS pw_ok, true AS token_ok, true AS reject_ok

@@ -810,3 +810,37 @@ def test_webp_decoder_never_hangs_or_crashes_on_truncation():
             assert out.shape == px.shape  # only full-pixel prefixes succeed
         except webp.WebpError:
             pass  # the loud, typed failure is the contract
+
+
+def test_resample_audio_halves_rate_and_matches_local_decimation(spark, cat):
+    """2:1 box decimation through Spark equals a local numpy replay of the
+    same payload: floor((s[2j]+s[2j+1])/2) on the mono mix, energy/peak/
+    head/tail over the RESAMPLED signal. Floor (not truncate) on negative
+    sums is part of the contract — the oracle spells it floor() because
+    DuckDB's // truncates."""
+    import numpy as np
+
+    from etl_backend_spark.multimodal import media as M
+    from etl_backend_spark.multimodal import wav
+
+    p = cat.table("part").filter(F.col("p_partkey") <= 50)
+    media = M.synthesize_wav_media(p, "p_partkey", "p_partkey")
+    rows = {r.media_id: r for r in M.resample_audio(media).collect()}
+    raw = {r.media_id: bytes(r.content)
+           for r in media.select("media_id", "content").collect()}
+    assert len(rows) == len(raw) > 0
+    neg_head_seen = False
+    for mid, blob in raw.items():
+        _, _, samples = wav.decode_wav(blob)
+        mono = samples.reshape(-1).astype(np.int64)
+        res = mono.reshape(-1, 2).sum(axis=1) // 2
+        r = rows[mid]
+        assert (r.sample_rate, r.n_samples) == (4000, 64)
+        assert r.energy == int((res ** 2).sum())
+        assert r.peak == int(np.abs(res).max())
+        assert (r.head_sample, r.tail_sample) == (int(res[0]), int(res[-1]))
+        neg_head_seen = neg_head_seen or any(
+            s < 0 and s % 2 != 0 for s in mono.reshape(-1, 2).sum(axis=1)
+        )
+    # the floor-vs-truncate distinction must actually be exercised
+    assert neg_head_seen
