@@ -654,6 +654,104 @@ def box_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return (acc / area[..., None] if px.ndim == 3 else acc / area)
 
 
+def synthesize_gradient_png_media(df: DataFrame, id_col: str,
+                                  batch_size: int = 64) -> DataFrame:
+    """Real lossless-PNG payload with a POSITION-DEPENDENT gradient:
+    px[y, x, c] = (digest[2+c] + x + 2*y) % 256. Unlike the solid fills
+    of synthesize_png_media, every pixel encodes its own coordinates, so
+    geometric augmentations (flip, crop) move values the oracle can
+    replicate arithmetically — a flip that silently doesn't happen
+    changes the checksum."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["media_id"]]
+            blobs = []
+            for i in ids:
+                digest = hashlib.sha256(str(i).encode()).digest()
+                w, h = _avi_dims(digest)
+                xs = np.arange(w, dtype=np.int64)[None, :, None]
+                ys = np.arange(h, dtype=np.int64)[:, None, None]
+                base = np.array(
+                    [digest[2], digest[3], digest[4]], dtype=np.int64
+                )[None, None, :]
+                px = ((base + xs + 2 * ys) % 256).astype(np.uint8)
+                blobs.append(png.encode_png(px))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["image"] * len(ids),
+                "path": [f"/media/{i}.png" for i in ids],
+                "content": blobs,
+                "n_bytes": [len(b) for b in blobs],
+            })
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")) \
+             .mapInPandas(run, schema=schema)
+
+
+AUGMENT_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("checksum", LongType()),   # sum of all augmented channels
+    StructField("tl", IntegerType()),      # channel sums of the 4 corners
+    StructField("tr", IntegerType()),
+    StructField("bl", IntegerType()),
+    StructField("br", IntegerType()),
+])
+
+
+def augment_image_batches(out: int):
+    """mapInPandas worker: REAL PNG decode -> horizontal flip -> center
+    crop to an out x out training patch, all numpy views (no copy until
+    the crop). checksum is the exact integer sum over every augmented
+    channel and the corner channel-sums pin the ORIENTATION — a dropped
+    flip or an off-by-one crop origin moves them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUGMENT_SCHEMA.fields}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px = png.decode_png(bytes(content))
+                h, w, _c = px.shape
+                flipped = px[:, ::-1, :]
+                x0, y0 = (w - out) // 2, (h - out) // 2
+                crop = flipped[y0:y0 + out, x0:x0 + out].astype(np.int64)
+                rows["media_id"].append(int(media_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["checksum"].append(int(crop.sum()))
+                rows["tl"].append(int(crop[0, 0].sum()))
+                rows["tr"].append(int(crop[0, out - 1].sum()))
+                rows["bl"].append(int(crop[out - 1, 0].sum()))
+                rows["br"].append(int(crop[out - 1, out - 1].sum()))
+            yield pd.DataFrame(rows)
+
+    return run
+
+
+def augment_images(media: DataFrame, out: int = 8,
+                   batch_size: int = 64) -> DataFrame:
+    """Distributed deterministic augmentation (flip + center crop):
+    Arrow-batched mapInPandas, embarrassingly parallel, no shuffle."""
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    return media.select("media_id", "content").mapInPandas(
+        augment_image_batches(out), schema=AUGMENT_SCHEMA
+    )
+
+
 def synthesize_jpeg_media(df: DataFrame, id_col: str,
                           batch_size: int = 64) -> DataFrame:
     """Real baseline-JPEG payload per id (image twin of

@@ -514,6 +514,72 @@ def q_multimodal_png(spark, sf_dir):
 
 
 @register(
+    "multimodal_augment",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             sha256(CAST(p_partkey AS VARCHAR)) AS dh
+      FROM part WHERE p_partkey % 97 = 0
+    ), d AS (
+      SELECT media_id,
+        list_transform(generate_series(0, 4),
+          j -> (strpos('0123456789abcdef', substr(dh, 2*j + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(dh, 2*j + 2, 1)) - 1))
+          AS b
+      FROM m
+    ), g AS (
+      SELECT media_id,
+             16 + (b[1] % 2) * 8 AS w,
+             16 + (b[2] % 2) * 8 AS h,
+             (16 + (b[1] % 2) * 8 - 8) // 2 AS x0,
+             (16 + (b[2] % 2) * 8 - 8) // 2 AS y0,
+             b[3] AS d1, b[4] AS d2, b[5] AS d3
+      FROM d
+    )
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(list_sum(list_transform(generate_series(0, 7), i ->
+                list_sum(list_transform(generate_series(0, 7), j ->
+                    (d1 + (w - 1 - x0 - j) + 2 * (y0 + i)) % 256
+                  + (d2 + (w - 1 - x0 - j) + 2 * (y0 + i)) % 256
+                  + (d3 + (w - 1 - x0 - j) + 2 * (y0 + i)) % 256))))
+             AS BIGINT) AS checksum,
+           CAST(  (d1 + (w - 1 - x0) + 2 * y0) % 256
+                + (d2 + (w - 1 - x0) + 2 * y0) % 256
+                + (d3 + (w - 1 - x0) + 2 * y0) % 256 AS INTEGER) AS tl,
+           CAST(  (d1 + (w - 1 - x0 - 7) + 2 * y0) % 256
+                + (d2 + (w - 1 - x0 - 7) + 2 * y0) % 256
+                + (d3 + (w - 1 - x0 - 7) + 2 * y0) % 256 AS INTEGER) AS tr,
+           CAST(  (d1 + (w - 1 - x0) + 2 * (y0 + 7)) % 256
+                + (d2 + (w - 1 - x0) + 2 * (y0 + 7)) % 256
+                + (d3 + (w - 1 - x0) + 2 * (y0 + 7)) % 256 AS INTEGER) AS bl,
+           CAST(  (d1 + (w - 1 - x0 - 7) + 2 * (y0 + 7)) % 256
+                + (d2 + (w - 1 - x0 - 7) + 2 * (y0 + 7)) % 256
+                + (d3 + (w - 1 - x0 - 7) + 2 * (y0 + 7)) % 256 AS INTEGER) AS br
+    FROM g
+    """,
+)
+def q_multimodal_augment(spark, sf_dir):
+    """Deterministic image augmentation (horizontal flip + center crop to
+    an 8x8 training patch) over REAL PNG decode, value-checked to the
+    PIXEL level: payloads carry a position-dependent gradient
+    (px[y,x,c] = (digest_c + x + 2y) % 256), so the augmented patch's
+    exact integer checksum AND its four corner channel-sums reconstruct
+    arithmetically in the oracle — a flip that silently doesn't happen,
+    a crop origin off by one, or an axis swap each move the values. This
+    is the augmentation leg of the training-data pipeline (the sibling of
+    multimodal_resize_real's box resample): decode, flip, crop all run in
+    ONE mapInPandas pass — embarrassingly parallel, no shuffle, pixels
+    never leave their partition."""
+    p = Catalog(spark, sf_dir).table("part").filter(
+        F.col("p_partkey") % 97 == 0
+    )
+    media = M.synthesize_gradient_png_media(p, "p_partkey")
+    return M.augment_images(media, out=8)
+
+
+@register(
     "dedup_images_phash",
     oracle="""
     SELECT p_partkey % 40 AS content_key,

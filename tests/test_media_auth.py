@@ -844,3 +844,40 @@ def test_resample_audio_halves_rate_and_matches_local_decimation(spark, cat):
         )
     # the floor-vs-truncate distinction must actually be exercised
     assert neg_head_seen
+
+
+def test_augment_flip_crop_matches_local_replay_and_flip_matters(spark, cat):
+    """The augmented patch through Spark equals a local numpy replay of
+    decode -> hflip -> center-crop on the same payload, and the flip is
+    load-bearing: for the gradient payloads an unflipped crop yields a
+    DIFFERENT checksum (so the test would catch a silently dropped flip)."""
+    import numpy as np
+
+    from etl_backend_spark.multimodal import media as M
+    from etl_backend_spark.multimodal import png
+
+    p = cat.table("part").filter(F.col("p_partkey") % 97 == 0)
+    media = M.synthesize_gradient_png_media(p, "p_partkey")
+    got = {r.media_id: r for r in M.augment_images(media, out=8).collect()}
+    raw = {r.media_id: bytes(r.content)
+           for r in media.select("media_id", "content").collect()}
+    assert len(got) == len(raw) > 0
+    flip_mattered = 0
+    for mid, blob in raw.items():
+        px = png.decode_png(blob)
+        h, w, _ = px.shape
+        x0, y0 = (w - 8) // 2, (h - 8) // 2
+        crop = px[:, ::-1, :][y0:y0 + 8, x0:x0 + 8].astype(np.int64)
+        r = got[mid]
+        assert (r.width, r.height) == (w, h)
+        assert r.checksum == int(crop.sum())
+        assert (r.tl, r.tr, r.bl, r.br) == (
+            int(crop[0, 0].sum()), int(crop[0, 7].sum()),
+            int(crop[7, 0].sum()), int(crop[7, 7].sum()))
+        # the center crop's x-range is mirror-symmetric, so the SUM is
+        # flip-invariant by construction — orientation is pinned by the
+        # corners: an unflipped crop must disagree on tl/tr
+        plain = px[y0:y0 + 8, x0:x0 + 8].astype(np.int64)
+        if (int(plain[0, 0].sum()), int(plain[0, 7].sum())) != (r.tl, r.tr):
+            flip_mattered += 1
+    assert flip_mattered > 0
