@@ -444,6 +444,92 @@ def q_sample_hash_fraction(spark, sf_dir):
 
 
 @register(
+    "source_mix_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), packed AS (
+      SELECT list(n ORDER BY source) AS ns,
+             list(source ORDER BY source) AS ss
+      FROM c
+    ), s AS (
+      -- deterministic LEFT folds in source order: summation order is
+      -- part of the cross-engine contract (a hash-agg's order is not)
+      SELECT list_reduce(list_transform(ns, x -> sqrt(CAST(x AS DOUBLE))),
+                         (a, x) -> a + x) AS ssum,
+             list_reduce(ns, (a, x) -> a + x) AS total,
+             ns, ss
+      FROM packed
+    ), thr AS (
+      SELECT unnest(ss) AS source, unnest(ns) AS n, ssum, total FROM s
+    ), t2 AS (
+      SELECT source,
+             CAST(floor(least(1.0,
+                 0.5 * CAST(total AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                     / ssum / CAST(n AS DOUBLE)) * 4294967296.0)
+               AS BIGINT) AS mix_threshold
+      FROM thr
+    )
+    SELECT d.doc_id, d.source, t2.mix_threshold
+    FROM documents d JOIN t2 USING (source)
+    WHERE list_sum(list_transform(generate_series(1, 8),
+            i -> (strpos('0123456789abcdef',
+                         substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (1::BIGINT << (4 * (8 - i)))))::BIGINT < t2.mix_threshold
+    """,
+)
+def q_source_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing — the multinomial alpha-sampling
+    of multilingual/multi-source LM training (sampling weight p_s
+    proportional to n_s^alpha with alpha = 1/2, so rare sources are
+    upweighted relative to their share): the engine computes each
+    source's keep-fraction f_s = min(1, B * p_s / n_s) for a budget of
+    half the corpus, quantizes it to an integer md5-space threshold
+    floor(f_s * 2^32), and keeps documents whose deterministic md5 value
+    falls under their source's threshold — reproducible across runs,
+    partitionings, and appends, like sample_hash_fraction. Exactness
+    discipline: f_s blends sqrt/divide, so the per-source sqrt-sum is a
+    deterministic LEFT fold in source order on BOTH engines (a hash
+    aggregate's summation order is implementation-defined) and every op
+    is correctly-rounded IEEE in the same association — the quantized
+    thresholds then agree bit-for-bit and ride the hash check. Scale
+    shape: per-source stats are a tiny bounded aggregate (|sources|
+    rows) collected once; membership is a pure key function, one scan,
+    no shuffle beyond the stats agg."""
+    import math
+
+    d = Catalog(spark, sf_dir).table("documents")
+    counts = sorted(
+        ((r["source"], r["count"])
+         for r in d.groupBy("source").count().collect()),
+        key=lambda t: t[0],
+    )
+    total = sum(n for _, n in counts)
+    ssum = sum(math.sqrt(n) for _, n in counts)
+    thr = {
+        src: int(math.floor(
+            min(1.0, 0.5 * total * math.sqrt(n) / ssum / n) * 4294967296.0
+        ))
+        for src, n in counts
+    }
+    thr_col = F.lit(None).cast("long")
+    for src, t in thr.items():
+        thr_col = F.when(F.col("source") == src, F.lit(t)).otherwise(thr_col)
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        d.withColumn("mix_threshold", thr_col)
+        .filter(v < F.col("mix_threshold"))
+        .select("doc_id", "source", "mix_threshold")
+    )
+
+
+@register(
     "repetition_stats",
     oracle="""
     WITH w AS (

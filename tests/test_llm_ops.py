@@ -1134,3 +1134,42 @@ def test_dsir_importance_plan_is_jvm_only_with_broadcast_model(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_mix_temperature_upweights_rare_sources(spark, tmp_path):
+    """alpha=1/2 mixing must (a) keep rare sources at a HIGHER rate than
+    dominant ones (the whole point of temperature sampling; checked on a
+    deliberately skewed corpus — the sf0.001 testdata mix is uniform),
+    (b) respect per-source thresholds exactly (every kept doc's md5 value
+    is under its source's threshold), and (c) be deterministic across
+    runs."""
+    from etl_backend_spark.registry import QUERIES
+
+    from pyspark.sql import functions as FF
+
+    rows = (
+        [(i, "t", "en", "common-crawl", 10) for i in range(900)]
+        + [(i + 900, "t", "en", "wiki", 10) for i in range(90)]
+        + [(i + 990, "t", "en", "books", 10) for i in range(10)]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    base = {"common-crawl": 900, "wiki": 90, "books": 10}
+
+    out = QUERIES["source_mix_temperature"](spark, sf_dir)
+    kept = {r["source"]: r["n"] for r in
+            out.groupBy("source").agg(FF.count("*").alias("n")).collect()}
+    rate = lambda s: kept.get(s, 0) / base[s]
+    assert rate("books") >= rate("wiki") >= rate("common-crawl")
+    assert rate("books") > rate("common-crawl")
+    # thresholds honored exactly
+    v = FF.conv(FF.substring(
+        FF.md5(FF.concat(FF.lit("mix:"), FF.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    assert out.filter(v >= FF.col("mix_threshold")).count() == 0
+    # determinism
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, QUERIES["source_mix_temperature"](spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
