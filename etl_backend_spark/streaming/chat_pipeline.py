@@ -640,3 +640,66 @@ def streaming_ewma(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_SCHEMA = (
+    "user_id bigint, n bigint, level double, trend double, "
+    "forecast_next double"
+)
+
+
+def _holt_fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user streaming Holt (level + trend, alpha = beta = 1/2), the
+    stateful twin of the batch events_holt_linear fold: state is
+    (n, level, trend) — 24 bytes per key. The recurrence bootstraps
+    exactly like the batch op (n=1: level=v1, trend=0; n=2: level=v2,
+    trend=v2-v1), and every step is add/subtract/halve in the identical
+    order, so on in-order replay the streamed (level, trend, forecast)
+    are BIT-IDENTICAL to the batch HOF fold at every prefix
+    (pytest-asserted). Same late-arrival contract as streaming_ewma: the
+    fold is order-sensitive; the batch twin is the restatement tool."""
+    if state.exists:
+        n, lv, tr = state.get
+        n = int(n)
+    else:
+        n, lv, tr = 0, None, 0.0
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        us = (
+            pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+            // 1000
+        )
+        batch = batch.assign(__us=us).sort_values(["__us", "event_id"])
+        for v in batch["value"]:
+            v = float(v)
+            if n == 0:
+                lv, tr = v, 0.0
+            elif n == 1:
+                lv, tr = v, v - lv
+            else:
+                ln = (v + lv + tr) / 2.0
+                tr = ((ln - lv) + tr) / 2.0
+                lv = ln
+            n += 1
+    state.update((n, lv, tr))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "n": [n], "level": [lv], "trend": [tr],
+        "forecast_next": [None if lv is None else lv + tr],
+    })
+
+
+def streaming_holt(stream: DataFrame) -> DataFrame:
+    """Streaming per-user Holt forecast via applyInPandasWithState — the
+    2-state generalization of streaming_ewma (24 bytes per user; update
+    mode emits the running level/trend/one-step forecast per batch)."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_fold,
+            outputStructType=HOLT_SCHEMA,
+            stateStructType="n bigint, level double, trend double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

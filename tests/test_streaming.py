@@ -474,3 +474,40 @@ def test_stream_ewma_equals_batch_fold(spark, tmp_path, event_json_dir):
             assert e_s == e_b, u  # single-batch replay: bit-identical
         else:  # multi-batch interleaved arrival: order caveat applies
             assert abs(e_s - e_b) < 1e-6 * max(1.0, abs(e_b)), u
+
+
+def test_stream_holt_equals_batch_fold(spark, tmp_path, event_json_dir):
+    """Streamed Holt (level+trend) == the batch struct fold BIT-FOR-BIT
+    on in-order replay — the events_holt_linear exactness contract
+    extended to the 2-state stateful twin."""
+    from etl_backend_spark.registry import QUERIES
+
+    stream = cp.streaming_holt(
+        cp.validate_events(cp.read_json_stream(spark, event_json_dir))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("holt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.sql("SELECT * FROM holt").toPandas()
+    got = {
+        int(r.user_id): (int(r.n), float(r.level), float(r.trend),
+                         float(r.forecast_next))
+        for r in got_df.groupby("user_id").tail(1).itertuples()
+    }
+    expect = {
+        int(r.user_id): (int(r.n), float(r.level), float(r.trend),
+                         float(r.forecast_next))
+        for r in QUERIES["events_holt_linear"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    n_batches = got_df.groupby("user_id").size().max()
+    for u, want in expect.items():
+        have = got[u]
+        assert have[0] == want[0], u
+        if n_batches == 1:
+            assert have == want, u  # single-batch replay: bit-identical
