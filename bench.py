@@ -77,6 +77,8 @@ HEADLINE = [
     "events_pattern_topk",     # z-norm sliding-window pattern top-k
     "events_motif_pairs",      # SAX-bucketed motif (closest pair) search
     "events_discord_topk",     # HOT-SAX discord (anomaly window) search
+    "events_holt_linear",      # 2-state dyadic Holt fold, exact cross-engine
+    "multimodal_augment",      # flip+crop patches over real PNG decode
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

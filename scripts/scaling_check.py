@@ -81,6 +81,8 @@ EXTRA = [
     "knn_graph_brute", "knn_graph_lsh", "text_phrase_indexed",
     "bm25_search_indexed", "events_pattern_topk", "events_motif_pairs",
     "events_discord_topk",
+    "events_holt_linear", "multimodal_audio_resample", "multimodal_augment",
+    "source_mix_temperature",
 ]
 
 
