@@ -1337,6 +1337,44 @@ def q_tokenize_bpe(spark, sf_dir):
     )
 
 
+_UNIGRAM_CACHE: dict = {}
+
+
+@register("tokenize_unigram")  # rows-only: the EM-trained piece
+# inventory is not SQL-expressible; exactness is pinned instead by the
+# hand-computable-corpus + reconstruction + determinism pytests
+def q_tokenize_unigram(spark, sf_dir):
+    """Unigram-LM subword tokenization (Kudo 2018 — the SentencePiece
+    default), the probabilistic sibling of tokenize_bpe: a hard-EM
+    (Viterbi-EM) fit over the SAME capped word-frequency table (seed =
+    overcomplete substring inventory, E-step = best segmentation with
+    integer count accumulation, M-step = renormalize + prune), then
+    per-document piece counting with the memoized Arrow-batched apply.
+    Output (doc_id, n_words, n_pieces) is integer-exact; BPE and unigram
+    bracket the two families of production subword tokenizers — merges
+    built bottom-up vs an inventory pruned top-down.
+    functions/unigram.py; vocab cached per corpus fingerprint."""
+    from ..functions import unigram
+    from ..sources.cache import file_fingerprint
+
+    key = file_fingerprint(f"{sf_dir}/documents.parquet")
+    logp = _UNIGRAM_CACHE.get(key)
+    if logp is None:
+        from ..functions import bpe
+
+        d = Catalog(spark, sf_dir).table("documents")
+        logp = unigram.train_unigram(bpe.word_freq_table(d))
+        _UNIGRAM_CACHE[key] = logp
+
+    d = Catalog(spark, sf_dir).table("documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        unigram.token_count_udf(logp)(words).alias("n_pieces"),
+    )
+
+
 def qlr_features(spark, sf_dir):
     """Feature/label/split frame for the learned quality filter — shared
     by ``quality_classifier_lr`` and the frozen-weight prediction pin

@@ -1173,3 +1173,43 @@ def test_source_mix_temperature_upweights_rare_sources(spark, tmp_path):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, QUERIES["source_mix_temperature"](spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_unigram_tokenizer_semantics_and_apply(spark):
+    """Unigram-LM tokenizer pins: (a) hand-checkable toy fit — frequent
+    shared subwords ('est') survive as multi-char pieces and every
+    Viterbi segmentation reconstructs its word exactly; (b) unknown
+    characters segment as themselves (coverage never fails); (c) the
+    fit is deterministic across runs; (d) the distributed memoized
+    apply equals direct per-word Viterbi counts on real docs."""
+    from etl_backend_spark.functions import unigram
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    freqs = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    logp = unigram.train_unigram(freqs, vocab_cap=20, n_iters=2)
+    assert "est" in logp  # the shared suffix must survive the prune
+    for w, _ in freqs:
+        seg = unigram.viterbi(w, logp)
+        assert "".join(seg) == w
+        assert all(p in logp for p in seg)
+    assert unigram.viterbi("newest", logp)[-1] == "est"
+    assert unigram.viterbi("zzz", logp) == ["z", "z", "z"]
+    logp2 = unigram.train_unigram(freqs, vocab_cap=20, n_iters=2)
+    assert logp == logp2
+
+    out = {r.doc_id: (r.n_words, r.n_pieces)
+           for r in QUERIES["tokenize_unigram"](spark, SF_DIR).collect()}
+    assert len(out) == 500
+    # replay a sample locally with the SAME cached vocab
+    from etl_backend_spark.registry.pipeline import _UNIGRAM_CACHE
+    from etl_backend_spark.sources.cache import file_fingerprint
+
+    vocab = _UNIGRAM_CACHE[file_fingerprint(f"{SF_DIR}/documents.parquet")]
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 20).collect()}
+    for did, text in docs.items():
+        ws = [w for w in text.strip().lower().split() if w]
+        n_pieces = sum(len(unigram.viterbi(w, vocab)) for w in ws)
+        assert out[did] == (len(ws), n_pieces), did
