@@ -82,7 +82,7 @@ EXTRA = [
     "bm25_search_indexed", "events_pattern_topk", "events_motif_pairs",
     "events_discord_topk",
     "events_holt_linear", "multimodal_audio_resample", "multimodal_augment",
-    "source_mix_temperature", "tokenize_unigram",
+    "source_mix_temperature", "tokenize_unigram", "text_index_incremental",
 ]
 
 

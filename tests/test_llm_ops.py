@@ -1213,3 +1213,43 @@ def test_unigram_tokenizer_semantics_and_apply(spark):
         ws = [w for w in text.strip().lower().split() if w]
         n_pieces = sum(len(unigram.viterbi(w, vocab)) for w in ws)
         assert out[did] == (len(ws), n_pieces), did
+
+
+def test_incremental_index_appends_without_rewriting_base_files(spark, tmp_path):
+    """Incremental index maintenance contract: appending a batch's
+    postings (same partitionBy write, mode=append) leaves every base
+    file byte-identical in place and only ADDS files — O(batch) cost —
+    and the maintained index serves searches identically to a
+    from-scratch rebuild over the union corpus."""
+    import os
+
+    from etl_backend_spark.registry.pipeline import boolean_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "idx")
+    base = boolean_postings(docs.filter(F.col("doc_id") % 10 != 0))
+    base.write.mode("overwrite").partitionBy("tb").parquet(out)
+
+    def snapshot():
+        files = {}
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    st = os.stat(p)
+                    files[p] = (st.st_size, st.st_mtime_ns)
+        return files
+
+    before = snapshot()
+    batch = boolean_postings(docs.filter(F.col("doc_id") % 10 == 0))
+    batch.write.mode("append").partitionBy("tb").parquet(out)
+    after = snapshot()
+    # every base file survives untouched; new files appeared
+    for p, meta in before.items():
+        assert after.get(p) == meta, p
+    assert len(after) > len(before)
+    # the maintained index equals a from-scratch rebuild
+    merged = spark.read.parquet(out).select("term", "doc_id")
+    full = boolean_postings(docs).select("term", "doc_id")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
