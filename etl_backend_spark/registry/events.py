@@ -1109,6 +1109,87 @@ def q_events_ewma(spark, sf_dir):
 
 
 @register(
+    "events_cusum_drift",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vs,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), s AS (
+      SELECT user_id, count(*) AS n, sum(vs) AS tot FROM v GROUP BY user_id
+    ), w AS (
+      SELECT v.user_id, v.i, s.n,
+             sum(s.n * v.vs - s.tot - s.n * 500) OVER (
+               PARTITION BY v.user_id ORDER BY v.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM v JOIN s USING (user_id)
+    ), c AS (
+      SELECT user_id, i, n,
+             p - least(CAST(0 AS BIGINT), min(p) OVER (
+               PARTITION BY user_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS t
+      FROM w
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+           max(t) AS max_cusum,
+           CAST(min(CASE WHEN t > n * 20000 THEN i END) AS BIGINT)
+             AS first_alarm_idx,
+           count(CASE WHEN t > n * 20000 THEN 1 END) > 0 AS alarmed
+    FROM c GROUP BY user_id
+    """,
+)
+def q_events_cusum_drift(spark, sf_dir):
+    """Per-user CUSUM change-point detection (Page 1954 — the drift
+    monitor of production data pipelines), EXACT cross-engine: the
+    recursive statistic T_t = max(0, T_{t-1} + w_t) is rewritten by the
+    classical identity T_t = P_t - min(0, min_{j<=t} P_j) into a running
+    sum minus a running min — two window functions over ONE per-user
+    partitioning, no fold at all. Exactness comes from integer-only
+    arithmetic: values quantize to 1e-4 units via the portable
+    floor(x * 10000 + 0.5) spelling, and the n-SCALED deviation
+    w_i = n*v_i - sum - n*k avoids the rational per-user mean entirely
+    (k = 0.05 units allowance, alarm threshold h = 2.0 units, both
+    n-scaled). Output: the max CUSUM statistic, the first alarm index,
+    and the alarm flag per user — all exact BIGINTs. Scale shape: one
+    keyed exchange shared by the stats join and both window passes."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("vs"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stats = Window.partitionBy("user_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = v.select(
+        "user_id", "ts", "event_id", "vs",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(stats).alias("n"),
+        F.sum("vs").over(stats).alias("tot"),
+    )
+    p = F.sum(
+        F.col("n") * F.col("vs") - F.col("tot") - F.col("n") * 500
+    ).over(run)
+    c = v.select(
+        "user_id", "i", "n",
+        (p - F.least(F.lit(0).cast("long"), F.min(p).over(run))).alias("t"),
+    )
+    return c.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("t").alias("max_cusum"),
+        F.min(
+            F.when(F.col("t") > F.col("n") * 20000, F.col("i"))
+        ).cast("long").alias("first_alarm_idx"),
+        (F.count(
+            F.when(F.col("t") > F.col("n") * 20000, F.lit(1))
+        ) > 0).alias("alarmed"),
+    )
+
+
+@register(
     "events_holt_linear",
     oracle="""
     WITH l AS (

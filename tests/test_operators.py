@@ -859,3 +859,67 @@ def test_events_holt_linear_matches_python_reference(spark):
     for uid, vs in series.items():
         l, b = holt(vs)
         assert got[uid] == (len(vs), l, b, l + b), uid
+
+
+def test_events_cusum_identity_matches_recursion_and_planted_drift(spark, tmp_path):
+    """(a) The window-function form (running sum minus running min) must
+    equal the textbook recursion T_t = max(0, T_{t-1} + w_t) replayed in
+    Python on real data; (b) a planted mid-series level shift must alarm
+    with first_alarm_idx inside the shifted half, and a steady user must
+    not."""
+    import duckdb
+    import math
+
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, value FROM read_parquet('{SF_DIR}/events.parquet')"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    series: dict[int, list[int]] = {}
+    for uid, val in rows:
+        series.setdefault(int(uid), []).append(
+            int(math.floor(val * 10000 + 0.5))
+        )
+    got = {int(r.user_id): r for r in
+           QUERIES["events_cusum_drift"](spark, SF_DIR).collect()}
+    assert set(got) == set(series)
+    for uid, vs in series.items():
+        n, tot = len(vs), sum(vs)
+        t, mx, first = 0, 0, None
+        for i, v in enumerate(vs, start=1):
+            t = max(0, t + (n * v - tot - n * 500))
+            mx = max(mx, t)
+            if first is None and t > n * 20000:
+                first = i
+        r = got[uid]
+        assert (r.n, r.max_cusum) == (n, mx), uid
+        assert r.first_alarm_idx == first, uid
+        assert r.alarmed == (first is not None), uid
+
+    # planted drift: steady user 1 vs level-shift user 2
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = []
+    eid = 0
+    for i in range(40):
+        data.append((eid, base + dt.timedelta(minutes=eid), 1, "e", 10.0, "{}"))
+        eid += 1
+    for i in range(40):
+        v = 10.0 if i < 20 else 25.0
+        data.append((eid, base + dt.timedelta(minutes=eid), 2, "e", v, "{}"))
+        eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {int(r.user_id): r for r in
+           QUERIES["events_cusum_drift"](spark, sf).collect()}
+    assert not out[1].alarmed
+    assert out[2].alarmed and out[2].first_alarm_idx > 20
