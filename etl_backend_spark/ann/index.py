@@ -131,8 +131,51 @@ def query_pq_index(spark: SparkSession, sf_dir: str, index_dir: str,
 
 # ------------------------------------------------------------- IVF-PQ
 
+def _encode_with(cents: np.ndarray, books: np.ndarray):
+    """mapInPandas encoder bound to FIXED coarse centroids + PQ codebooks
+    — shared by the full build and the incremental batch append (the
+    append MUST reuse the frozen codebooks: re-fitting would silently
+    re-key every existing code)."""
+    import pandas as pd
+
+    def encode_run(batches):
+        for pdf in batches:
+            mat = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            dd = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = dd.argmin(axis=1)
+            codes = pq.encode(mat - cents[cell], books)
+            yield pd.DataFrame({
+                "vec_id": ids, "cell": cell.astype(np.int32),
+                "codes": list(codes),
+            })
+
+    return encode_run
+
+
+def append_ivfpq_batch(spark: SparkSession, sf_dir: str, index_dir: str,
+                       id_filter) -> None:
+    """Incremental IVF-PQ maintenance: encode a new-vector batch with the
+    index's FROZEN manifest codebooks and APPEND the codes into their
+    cell partitions — O(batch) files added, zero base files rewritten
+    (the text-index append contract at the vector layer). ``id_filter``
+    is a Column predicate selecting the batch rows."""
+    with open(os.path.join(index_dir, "ivfpq.json")) as f:
+        manifest = json.load(f)
+    cents = np.array(manifest["cents"], dtype=np.float64)
+    books = np.array(manifest["books"], dtype=np.float64)
+    (
+        _corpus(spark, sf_dir).filter(id_filter).select("vec_id", "nv")
+        .mapInPandas(_encode_with(cents, books),
+                     schema="vec_id long, cell int, codes array<int>")
+        .write.mode("append").partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+
+
 def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
-                      n_cells: int = 8, m: int = 8, k: int = 16) -> dict:
+                      n_cells: int = 8, m: int = 8, k: int = 16,
+                      id_filter=None) -> dict:
     """FAISS-style IVF-PQ composed for a lake (Jegou et al. §V: coarse
     quantizer + product-quantized RESIDUALS):
 
@@ -148,6 +191,8 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
       the scan parallelism stays full.
     """
     corpus = _corpus(spark, sf_dir)
+    if id_filter is not None:
+        corpus = corpus.filter(id_filter)
     n = corpus.count()
     fit_df = corpus.select("nv")
     if n > _FIT_CAP:
@@ -161,23 +206,10 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
     books = pq.fit_codebooks(sample - cents[assign], m=m, k=k,
                              iters=10, seed=42)
 
-    import pandas as pd
-
-    def encode_run(batches):
-        for pdf in batches:
-            mat = np.array(pdf["nv"].tolist(), dtype=np.float64)
-            ids = pdf["vec_id"].to_numpy()
-            dd = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            cell = dd.argmin(axis=1)
-            codes = pq.encode(mat - cents[cell], books)
-            yield pd.DataFrame({
-                "vec_id": ids, "cell": cell.astype(np.int32),
-                "codes": list(codes),
-            })
-
     (
         corpus.select("vec_id", "nv")
-        .mapInPandas(encode_run, schema="vec_id long, cell int, codes array<int>")
+        .mapInPandas(_encode_with(cents, books),
+                     schema="vec_id long, cell int, codes array<int>")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(index_dir, "codes"))
     )

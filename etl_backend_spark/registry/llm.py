@@ -1691,6 +1691,43 @@ def q_sim_topk_ivfpq(spark, sf_dir):
     return ann_index.query_ivfpq_index(spark, sf_dir, d)
 
 
+_IVFPQ_INCR_DIRS: dict = {}
+
+
+@register("sim_index_incremental")  # rows-only, same standing as sim_topk_ivfpq
+def q_sim_index_incremental(spark, sf_dir):
+    """ANN top-k from an INCREMENTALLY MAINTAINED IVF-PQ index — the
+    vector-side twin of text_index_incremental, because a vector index
+    that needs a full rebuild per ingest batch is equally non-viable at
+    100 TB: the base index is built over vec_id % 10 != 0, the remaining
+    vectors arrive as a batch encoded with the index's FROZEN coarse
+    centroids + PQ codebooks (re-fitting would silently re-key every
+    existing code) and their codes APPEND into the cell partitions —
+    O(batch) files added, zero base files rewritten (pytest pins both,
+    plus codes-table equality with a one-shot frozen-codebook encode of
+    the union corpus). Queries run unchanged over the maintained index;
+    the nprobe partition pruning sees the appended files exactly like
+    the base ones."""
+    import os
+    import tempfile
+
+    from ..ann import index as ann_index
+
+    key = (sf_dir,)
+    d = _IVFPQ_INCR_DIRS.get(key)
+    if d is None or not os.path.exists(os.path.join(d, "_BATCH_APPLIED")):
+        d = tempfile.mkdtemp(prefix="etlbs-ivfpq-incr-")
+        ann_index.build_ivfpq_index(
+            spark, sf_dir, d, id_filter=F.col("vec_id") % 10 != 0
+        )
+        ann_index.append_ivfpq_batch(
+            spark, sf_dir, d, F.col("vec_id") % 10 == 0
+        )
+        open(os.path.join(d, "_BATCH_APPLIED"), "w").close()
+        _IVFPQ_INCR_DIRS[key] = d
+    return ann_index.query_ivfpq_index(spark, sf_dir, d)
+
+
 @register(
     "doc_keywords_tfidf",
     oracle="""

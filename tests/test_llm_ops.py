@@ -1253,3 +1253,61 @@ def test_incremental_index_appends_without_rewriting_base_files(spark, tmp_path)
     full = boolean_postings(docs).select("term", "doc_id")
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_ivfpq_incremental_append_is_complete_and_leaves_base_files(spark, tmp_path):
+    """Vector-index maintenance contract (the text-index twin): (a) the
+    batch append rewrites NO base code file (size+mtime snapshot) and
+    only adds files; (b) the maintained codes table is IDENTICAL to a
+    one-shot encode of the union corpus under the same frozen
+    centroids/codebooks — append completeness at the code level; (c) a
+    query over the maintained index returns full top-k rows."""
+    import os
+
+    import numpy as np
+
+    from etl_backend_spark.ann import index as ann_index
+
+    d = str(tmp_path / "ivfpq")
+    sf = "/root/testdata/sf0.001"
+    manifest = ann_index.build_ivfpq_index(
+        spark, sf, d, id_filter=F.col("vec_id") % 10 != 0
+    )
+    codes_dir = os.path.join(d, "codes")
+
+    def snapshot():
+        files = {}
+        for root, _dirs, names in os.walk(codes_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    st = os.stat(p)
+                    files[p] = (st.st_size, st.st_mtime_ns)
+        return files
+
+    before = snapshot()
+    ann_index.append_ivfpq_batch(spark, sf, d, F.col("vec_id") % 10 == 0)
+    after = snapshot()
+    for p, meta in before.items():
+        assert after.get(p) == meta, p
+    assert len(after) > len(before)
+
+    cents = np.array(manifest["cents"])
+    books = np.array(manifest["books"])
+    merged = {
+        (int(r.vec_id), int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+    oneshot = {
+        (int(r.vec_id), int(r.cell), tuple(r.codes))
+        for r in ann_index._corpus(spark, sf).select("vec_id", "nv")
+        .mapInPandas(ann_index._encode_with(cents, books),
+                     schema="vec_id long, cell int, codes array<int>")
+        .collect()
+    }
+    assert merged == oneshot and len(merged) > 0
+
+    res = ann_index.query_ivfpq_index(spark, sf, d)
+    counts = {r.q_id: r.n for r in
+              res.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == 5 and all(v == 10 for v in counts.values())
