@@ -530,6 +530,66 @@ def q_source_mix_temperature(spark, sf_dir):
 
 
 @register(
+    "curriculum_order",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             round((least(length(text) / 500.0, 1.0)
+               + CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                      THEN least(4.0 *
+                        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                        / len(string_split_regex(lower(trim(text)), '\\s+')), 1.0)
+                      ELSE 0.0 END
+               + 1.0 - least(5.0 * CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           AS DOUBLE) / length(text) ELSE 0.0 END, 1.0)) / 3.0, 4)
+               AS quality
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN quality >= 0.75 THEN 0
+                  WHEN quality >= 0.5 THEN 1
+                  WHEN quality >= 0.25 THEN 2
+                  ELSE 3 END AS band,
+             md5('cur:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM t
+    )
+    SELECT doc_id, band,
+           row_number() OVER (ORDER BY band, k, doc_id) AS curriculum_pos
+    FROM b
+    """,
+)
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering for training: highest-quality band first,
+    deterministically shuffled WITHIN each band (band asc, md5 key) — the
+    easy-to-hard schedule of curriculum learning as a data-layout
+    property rather than a loader behavior, so it is reproducible and
+    resumable like shuffle_order. Banding uses FIXED quality thresholds
+    on the round(4) scores the quality_score gate already proves
+    engine-identical (data-dependent quantile cuts would put band edges
+    on unagreed floats); the global position comes from the distributed
+    prefix-sum rank (range partition + local windows + broadcast
+    offsets) — no SinglePartition window anywhere."""
+    from ..operators.windows import distributed_global_rank
+
+    d = Catalog(spark, sf_dir).table("documents")
+    q = F.round(T.quality_score(F.col("text")), 4)
+    band = (
+        F.when(q >= 0.75, F.lit(0))
+        .when(q >= 0.5, F.lit(1))
+        .when(q >= 0.25, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    key = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    df = d.select("doc_id", band.alias("band"), key.alias("k"))
+    ranked, _total = distributed_global_rank(df, ["band", "k", "doc_id"])
+    return ranked.select(
+        "doc_id", "band", F.col("__rank").alias("curriculum_pos")
+    )
+
+
+@register(
     "repetition_stats",
     oracle="""
     WITH w AS (

@@ -1311,3 +1311,18 @@ def test_ivfpq_incremental_append_is_complete_and_leaves_base_files(spark, tmp_p
     counts = {r.q_id: r.n for r in
               res.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
     assert len(counts) == 5 and all(v == 10 for v in counts.values())
+
+
+def test_curriculum_order_bands_are_contiguous_and_positions_exact(spark):
+    """Curriculum contract: positions are exactly 1..N with no gaps, and
+    every document of a better band precedes every document of a worse
+    one (the whole point of the schedule)."""
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["curriculum_order"](spark, SF_DIR).collect()
+    assert sorted(r.curriculum_pos for r in rows) == list(range(1, len(rows) + 1))
+    by_pos = sorted(rows, key=lambda r: r.curriculum_pos)
+    bands = [r.band for r in by_pos]
+    assert bands == sorted(bands)
+    assert len(set(bands)) > 1  # the schedule actually has multiple bands
