@@ -846,3 +846,68 @@ def q_etl_bloom_pruned_read(spark, sf_dir):
     return spark.createDataFrame(
         rows, "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE"
     )
+
+
+@register(
+    "etl_backfill_day",
+    oracle="""
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id, d
+    """,
+)
+def q_etl_backfill_day(spark, sf_dir):
+    """Partition-targeted BACKFILL — the restatement operation every
+    derived table needs (a late correction must not rewrite the table):
+    the daily rollup is persisted PARTITIONED BY day; one day's ingest
+    is simulated wrong (its click events dropped); the backfill
+    recomputes ONLY that day from the fact table and swaps it in via
+    DYNAMIC partition overwrite — Spark replaces exactly the partitions
+    present in the written frame, every other day's files stay in place
+    (pytest pins them byte-identical). The oracle is the correct
+    one-shot rollup: hash-equality proves the restatement healed the
+    corrupted day without collateral damage. At 100 TB this is the
+    difference between rewriting one day and rewriting years."""
+    import os
+    import tempfile
+
+    from ..sources.cache import file_fingerprint
+
+    src = f"{sf_dir}/events.parquet"
+    key = __import__("hashlib").md5(
+        f"bf1:{file_fingerprint(src)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-backfill-{key}"
+    )
+    marker = os.path.join(out, "_BACKFILLED")
+
+    ev = Catalog(spark, sf_dir).table("events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+
+    def rollup(df):
+        return df.groupBy(F.col("user_id"), day.alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    if not os.path.exists(marker):
+        bad_day = ev.select(day.alias("d")).agg(F.min("d")).collect()[0][0]
+        corrupted = rollup(
+            ev.filter(~((day == bad_day) & (F.col("event_type") == "click")))
+        )
+        corrupted.write.mode("overwrite").partitionBy("d").parquet(out)
+        fix = rollup(ev.filter(day == bad_day))
+        (
+            fix.write.mode("overwrite").partitionBy("d")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out)
+        )
+        open(marker, "w").close()
+    return (
+        spark.read.parquet(out)
+        # partition-type inference may read d back as DATE; the contract
+        # (and the oracle) is the yyyy-MM-dd string
+        .select("user_id", F.col("d").cast("string").alias("d"),
+                "n", "sum_value")
+    )

@@ -323,3 +323,60 @@ def test_bloom_build_lookup_split_idempotent_and_identical(spark):
         .select("o_orderkey", "o_custkey", "o_totalprice").collect()
     )))
     assert got == want and len(got) > 0
+
+
+def test_backfill_overwrites_only_the_target_day_partition(spark, tmp_path):
+    """Dynamic partition overwrite contract: the backfill write replaces
+    exactly the corrupted day's directory — every other day partition's
+    files stay byte-identical in place — and heals the corrupted counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+
+    def rollup(df):
+        return df.groupBy(F.col("user_id"), day.alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    out = str(tmp_path / "rollup")
+    bad_day = ev.select(day.alias("d")).agg(F.min("d")).collect()[0][0]
+    corrupted = rollup(
+        ev.filter(~((day == bad_day) & (F.col("event_type") == "click")))
+    )
+    corrupted.write.mode("overwrite").partitionBy("d").parquet(out)
+
+    correct = {(r.user_id, r.d): (r.n, r.sum_value)
+               for r in rollup(ev).collect()}
+    pre = {(r.user_id, r.d): (r.n, r.sum_value)
+           for r in spark.read.parquet(out)
+           .select("user_id", F.col("d").cast("string").alias("d"),
+                   "n", "sum_value").collect()}
+    assert pre != correct  # the corruption is real
+
+    def snapshot():
+        files = {}
+        for root, _dirs, names in os.walk(out):
+            for nm in names:
+                if nm.endswith(".parquet") and f"d={bad_day}" not in root:
+                    p = os.path.join(root, nm)
+                    st = os.stat(p)
+                    files[p] = (st.st_size, st.st_mtime_ns)
+        return files
+
+    before = snapshot()
+    (
+        rollup(ev.filter(day == bad_day))
+        .write.mode("overwrite").partitionBy("d")
+        .option("partitionOverwriteMode", "dynamic").parquet(out)
+    )
+    assert snapshot() == before  # untouched partitions byte-identical
+    post = {(r.user_id, r.d): (r.n, r.sum_value)
+            for r in spark.read.parquet(out)
+            .select("user_id", F.col("d").cast("string").alias("d"),
+                    "n", "sum_value").collect()}
+    assert post == correct
