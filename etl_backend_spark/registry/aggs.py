@@ -216,6 +216,60 @@ def q_agg_hll_mergeable(spark, sf_dir):
     )
 
 
+@register("agg_kll_quantiles")  # rows-only: sketch estimates are
+# engine-specific; rank-error bound vs the exact quantiles is
+# pytest-asserted (tests/test_operators.py)
+def q_agg_kll_quantiles(spark, sf_dir):
+    """MERGEABLE KLL quantile sketches (Karnin-Lang-Liberty; the
+    Datasketches KLL built into Spark 4) — quantiles join HLL
+    (distinct), CMS (frequency), and theta (set ops) in the mergeable-
+    sketch family: one sketch per event-type partition, union-merged to
+    global p50/p90/p99 of events.value. Same incremental-maintenance
+    story as agg_hll_mergeable: persisted KB-scale partials, a new batch
+    sketches only its own rows and re-merges — the exact-quantile
+    alternative (agg_percentile/agg_median_exact) rescans history."""
+    ev = Catalog(spark, sf_dir).table("events")
+    partials = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = partials.agg(F.kll_merge_agg_double("sk").alias("sk"))
+    return merged.select(
+        F.kll_sketch_get_n_double("sk").alias("n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register("agg_theta_setops")  # rows-only: sketch estimates are
+# engine-specific; bounds pytest-asserted
+def q_agg_theta_setops(spark, sf_dir):
+    """THETA sketches — the set-OPERATION member of the sketch family:
+    unlike HLL, theta supports intersection/difference, answering "how
+    many users did BOTH view and purchase" without a distinct-pair scan.
+    One sketch per event type (mergeable partials, same persistence
+    story), then |view ∩ purchase| and |view \\ purchase| estimates next
+    to the per-side cardinalities."""
+    ev = Catalog(spark, sf_dir).table("events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    row = sk.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("sk"))).alias("va"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("pa"),
+    )
+    return row.select(
+        F.theta_sketch_estimate(F.col("va")).alias("n_view"),
+        F.theta_sketch_estimate(F.col("pa")).alias("n_purchase"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("va"), F.col("pa"))
+        ).alias("n_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("va"), F.col("pa"))
+        ).alias("n_view_only"),
+    )
+
+
 # ---------------------------------------------------------------- §2.5 windows
 
 @register(

@@ -84,7 +84,7 @@ EXTRA = [
     "events_holt_linear", "multimodal_audio_resample", "multimodal_augment",
     "source_mix_temperature", "tokenize_unigram", "text_index_incremental",
     "events_cusum_drift", "sim_index_incremental", "curriculum_order",
-    "etl_backfill_day",
+    "etl_backfill_day", "agg_kll_quantiles", "agg_theta_setops",
 ]
 
 

@@ -923,3 +923,41 @@ def test_events_cusum_identity_matches_recursion_and_planted_drift(spark, tmp_pa
            QUERIES["events_cusum_drift"](spark, sf).collect()}
     assert not out[1].alarmed
     assert out[2].alarmed and out[2].first_alarm_idx > 20
+
+
+def test_kll_and_theta_sketch_bounds(spark):
+    """Sketch-family accuracy pins: (a) each KLL quantile estimate's true
+    RANK is within 3% of its target rank (k=200 KLL guarantees ~1.65%);
+    (b) theta set-operation estimates match the exact view/purchase
+    distinct-user arithmetic within 5% (exact at these cardinalities)."""
+    import duckdb
+
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["agg_kll_quantiles"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    vals = [v for (v,) in con.execute(
+        f"SELECT value FROM read_parquet('{SF_DIR}/events.parquet')"
+        " ORDER BY value").fetchall()]
+    assert r.n == len(vals)
+    for q, est in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+        rank = sum(1 for v in vals if v <= est) / len(vals)
+        assert abs(rank - q) <= 0.03, (q, est, rank)
+
+    t = QUERIES["agg_theta_setops"](spark, SF_DIR).collect()[0]
+    view = {u for (u,) in con.execute(
+        f"SELECT DISTINCT user_id FROM read_parquet('{SF_DIR}/events.parquet')"
+        " WHERE event_type = 'view'").fetchall()}
+    pur = {u for (u,) in con.execute(
+        f"SELECT DISTINCT user_id FROM read_parquet('{SF_DIR}/events.parquet')"
+        " WHERE event_type = 'purchase'").fetchall()}
+    con.close()
+
+    def close(est, exact):
+        return abs(est - exact) <= max(1.0, 0.05 * exact)
+
+    assert close(t.n_view, len(view))
+    assert close(t.n_purchase, len(pur))
+    assert close(t.n_both, len(view & pur))
+    assert close(t.n_view_only, len(view - pur))
