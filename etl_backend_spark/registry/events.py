@@ -211,6 +211,73 @@ def q_join_asof(spark, sf_dir):
 
 
 @register(
+    "featurestore_pit",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+             CASE WHEN event_type = 'click' THEN value END AS click_val,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_label
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), w AS (
+      SELECT *,
+        sum(is_view) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS n_views_asof,
+        last_value(click_val IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS last_click_value
+      FROM u
+    )
+    SELECT event_id, user_id, ts,
+           CAST(n_views_asof AS BIGINT) AS n_views_asof,
+           last_click_value
+    FROM w WHERE is_label = 1
+    """,
+)
+def q_featurestore_pit(spark, sf_dir):
+    """Point-in-time-correct training-set assembly — the core operation
+    of a feature store (get_historical_features): every label event
+    (purchase) is joined to feature values AS OF its own timestamp —
+    the user's cumulative view count and their latest click value —
+    with no future leakage by construction: both features are running
+    window aggregates over rows at-or-before the label in (ts,
+    event_id) order. N features ride ONE union + ONE per-user window
+    exchange (the join_asof union trick generalized: a wide feature set
+    adds columns, not exchanges — at 100 TB this is why PIT assembly is
+    a single shuffle, not a per-feature-table inequality join).
+    last_click_value is a raw double passthrough (a SELECTED value, not
+    a blend), so it hash-checks exactly."""
+    ev = Catalog(spark, sf_dir).table("events")
+    from pyspark.sql import Window
+
+    u = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "view").cast("int").alias("is_view"),
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .alias("click_val"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_label"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.select(
+            "event_id", "user_id", "ts", "is_label",
+            F.sum("is_view").over(w).cast("long").alias("n_views_asof"),
+            F.last("click_val", ignorenulls=True).over(w)
+            .alias("last_click_value"),
+        )
+        .filter(F.col("is_label") == 1)
+        .drop("is_label")
+    )
+
+
+@register(
     "join_range_count",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, count(e.ts) AS n_errors_1h
