@@ -959,3 +959,38 @@ def vacuum(table: ManifestTable) -> dict:
             removed_manifests += 1
     return {"data_files": removed_files, "manifests": removed_manifests,
             "dv_dirs": removed_dvs}
+
+
+def clone_shallow(src: ManifestTable, root: str, name: str) -> ManifestTable:
+    """Zero-copy table clone (Delta ``SHALLOW CLONE``): the clone gets its
+    OWN pointer/manifest lineage whose initial commit references the
+    source's live data files — and live deletion vectors — by absolute
+    path. No data is read or copied, so cloning a 100 TB table is an
+    O(metadata) driver operation: one snapshot read, one manifest write.
+
+    Divergence is free by construction: every write path lands files under
+    the writing table's own ``data_dir`` (``_write_files``) and DV sidecars
+    under its own ``dv/``, so clone mutations never touch source storage
+    and vice versa; ``vacuum`` walks only its table's ``data_dir`` and can
+    never reclaim the other side's files. ``txn`` idempotence tokens are
+    deliberately NOT inherited (parent=None ⇒ fresh namespace): a batch
+    replayed against the clone is a new write against a new table.
+
+    Caveat, same as Delta's documented one: ``vacuum`` on the SOURCE
+    consults only the source's reachable manifests, so it can reclaim
+    files a clone still references. Vacuuming a cloned-from table is a
+    catalog-level coordination concern, stated here rather than hidden."""
+    import shutil
+
+    dst = ManifestTable(src.spark, root, name, src.stats_cols,
+                        bloom_col=src.bloom_col)
+    os.makedirs(dst.data_dir, exist_ok=True)
+    os.makedirs(dst.manifest_dir, exist_ok=True)
+    schema_sidecar = os.path.join(src.dir, "_SCHEMA")
+    if os.path.exists(schema_sidecar):
+        shutil.copyfile(schema_sidecar, os.path.join(dst.dir, "_SCHEMA"))
+    _, manifest = src._snapshot()
+    dst._commit(manifest["entries"], parent=None,
+                schema_json=manifest.get("schema"),
+                dvs=manifest.get("dvs", []))
+    return dst

@@ -498,6 +498,68 @@ def q_etl_compact_vacuum(spark, sf_dir):
 
 
 @register(
+    "etl_clone_shallow",
+    oracle="""
+    WITH cl AS (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey <= 100
+    )
+    SELECT CAST((SELECT count(*) FROM cl) AS BIGINT) AS clone_rows,
+           CAST((SELECT sum(o_orderkey) FROM cl) AS BIGINT) AS clone_key_sum,
+           CAST((SELECT count(*) FROM orders)
+                + (SELECT count(*) FROM orders WHERE o_orderkey <= 50)
+                AS BIGINT) AS src_rows
+    """,
+)
+def q_etl_clone_shallow(spark, sf_dir):
+    """Zero-copy SHALLOW CLONE, value-checked end to end: orders becomes a
+    manifest table, ``clone_shallow`` forks it as pure metadata (the
+    builder asserts the clone references the SOURCE's files byte-for-byte
+    and wrote NOTHING under its own data_dir), then both sides diverge —
+    the clone DV-deletes status-F rows and appends a key≤100 slice, the
+    source appends a key≤50 slice — and the oracle pins both final states:
+    each mutation landed exactly once, on exactly one side. At 100 TB this
+    is how you fork a table for an experiment in milliseconds instead of
+    copying 100 TB. (etl/manifest.py:clone_shallow.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from ..etl.manifest import ManifestTable, clone_shallow
+
+    o = Catalog(spark, sf_dir).table("orders")
+    root = tempfile.mkdtemp(prefix="etlbs-clone-")
+    try:
+        src = ManifestTable(spark, root, "orders", ["o_orderkey"])
+        src.create(o)
+        c = clone_shallow(src, root, "orders_fork")
+        # zero-copy receipts: same file list, nothing in the clone's dir
+        assert {e["path"] for e in c.files()} == \
+            {e["path"] for e in src.files()}
+        assert not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(c.data_dir) for f in fs
+        ), "shallow clone copied data"
+        # diverge the clone: merge-on-read delete + an append
+        c.delete_dv(F.col("o_orderstatus") == "F")
+        c.append(o.filter(F.col("o_orderkey") <= 100))
+        # diverge the source the other way
+        src.append(o.filter(F.col("o_orderkey") <= 50))
+        cl = c.read().agg(
+            F.count(F.lit(1)).alias("clone_rows"),
+            F.sum("o_orderkey").alias("clone_key_sum"),
+        ).collect()[0]
+        n_src = src.read().count()
+        return spark.createDataFrame(
+            [(cl["clone_rows"], cl["clone_key_sum"], n_src)],
+            "clone_rows LONG, clone_key_sum LONG, src_rows LONG",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "etl_manifest_pruned_read",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

@@ -1023,3 +1023,57 @@ def test_restore_carries_target_snapshot_dvs(spark, tmp_path):
     assert t.read().count() == n0      # DVs NOT inherited
     t.restore(with_dv)
     assert t.read().count() == n1      # target's DVs reapplied
+
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    """clone_shallow shares the source's files as pure metadata, then the
+    two lineages diverge without touching each other's storage — and the
+    clone's vacuum can never reclaim source files (it only walks its own
+    data_dir)."""
+    import os
+
+    from etl_backend_spark.etl.manifest import clone_shallow, vacuum
+
+    o = Catalog(spark, SF_DIR).table("orders").limit(500)
+    t = ManifestTable(spark, str(tmp_path), "src", ["o_orderkey"])
+    t.create(o.repartition(4))
+    src_paths = {e["path"] for e in t.files()}
+
+    c = clone_shallow(t, str(tmp_path), "fork")
+    assert {e["path"] for e in c.files()} == src_paths
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(c.data_dir) for f in fs
+    )
+    assert c.read().count() == 500
+
+    # clone-side mutations: DV delete + append land only in the clone
+    n_f = c.read().filter(F.col("o_orderstatus") == "F").count()
+    c.delete_dv(F.col("o_orderstatus") == "F")
+    c.append(o.filter(F.col("o_orderkey") <= 100))
+    n_extra = o.filter(F.col("o_orderkey") <= 100).count()
+    assert c.read().count() == 500 - n_f + n_extra
+    assert t.read().count() == 500                      # source untouched
+    assert not os.path.isdir(os.path.join(t.dir, "dv"))  # DVs under clone
+
+    # source-side append invisible to the clone
+    n_clone = c.read().count()
+    t.append(o.filter(F.col("o_orderkey") <= 50))
+    assert c.read().count() == n_clone
+
+    # clone time travel: its creation snapshot is the source as-cloned
+    assert c.read_at(c.history()[-1]).count() == 500
+
+    # vacuum on the CLONE must not reclaim any shared source file
+    vacuum(c)
+    for p in src_paths:
+        assert os.path.exists(p)
+    assert c.read().count() == n_clone
+
+    # fresh txn namespace: an append_once token replays as a new write
+    tok = "batch-42"
+    t2 = clone_shallow(t, str(tmp_path), "fork2")
+    t2.append_once(o.filter(F.col("o_orderkey") <= 10), txn=tok)
+    n2 = t2.read().count()
+    t2.append_once(o.filter(F.col("o_orderkey") <= 10), txn=tok)
+    assert t2.read().count() == n2  # replay within the clone is a no-op
