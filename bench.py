@@ -79,6 +79,7 @@ HEADLINE = [
     "events_discord_topk",     # HOT-SAX discord (anomaly window) search
     "events_holt_linear",      # 2-state dyadic Holt fold, exact cross-engine
     "multimodal_augment",      # flip+crop patches over real PNG decode
+    "featurestore_pit",        # point-in-time feature assembly, one window pass
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second
