@@ -1753,3 +1753,117 @@ def q_events_discord_topk(spark, sf_dir):
                  F.col("user_id").asc(), F.col("event_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (the 'what happens after X' model behind next-event prediction and
+    session simulators): lag each user's (ts, event_id)-ordered stream by
+    one, count (prev → next) pairs, normalize per source state. ONE keyed
+    exchange carries the lag; the transition matrix itself is |types|^2
+    rows — a bounded object regardless of corpus size, so the normalizing
+    window runs on a trivially small relation. Integer counts + one
+    rounded ratio of integers keep the hash exact cross-engine."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type", "next_type", "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "events_ab_lift",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5('exp1:' || CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant
+    )
+    SELECT variant, n_users, n_converted,
+           round(n_converted * 1.0 / n_users, 6) AS conv_rate
+    FROM arms ORDER BY variant
+    """,
+)
+def q_events_ab_lift(spark, sf_dir):
+    """A/B experiment readout with DETERMINISTIC bucketing: variant is a
+    pure function of the user key (salted md5 — the split_assign hash, so
+    assignment is reproducible across runs, engines, and re-shuffles;
+    seeded RNG is not), conversion is 'user ever purchased'. One groupBy
+    to user grain, one 2-row arm rollup — at 100 TB the per-user collapse
+    is the only real shuffle and it map-side-combines. Counts are exact
+    integers; the rate is one rounded integer ratio, hash-exact."""
+    ev = Catalog(spark, sf_dir).table("events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 2
+    )
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int"))
+            .alias("converted")
+        )
+        .select(variant.alias("variant"), "converted")
+    )
+    return (
+        assign.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "variant", "n_users", "n_converted",
+            F.round(F.col("n_converted") * 1.0 / F.col("n_users"), 6)
+            .alias("conv_rate"),
+        )
+        .orderBy("variant")
+    )

@@ -85,7 +85,8 @@ EXTRA = [
     "source_mix_temperature", "tokenize_unigram", "text_index_incremental",
     "events_cusum_drift", "sim_index_incremental", "curriculum_order",
     "etl_backfill_day", "agg_kll_quantiles", "agg_theta_setops",
-    "featurestore_pit",
+    "featurestore_pit", "events_markov_transitions", "events_ab_lift",
+    "data_profile",
 ]
 
 
