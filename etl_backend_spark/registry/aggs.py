@@ -2511,3 +2511,86 @@ def q_data_profile(spark, sf_dir):
             f"stack(6, {stack_args}) AS (col, n_nulls, n_distinct, min_s, max_s)"
         )
     ).orderBy("col")
+
+
+@register(
+    "orders_item_cf",
+    oracle="""
+    WITH ot AS (
+      SELECT DISTINCT l_orderkey, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), item_n AS (
+      SELECT p_type, count(*) AS n FROM ot GROUP BY p_type
+    ), pairs AS (
+      SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_ab
+      FROM ot a JOIN ot b
+        ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+      GROUP BY a.p_type, b.p_type
+    ), scored AS (
+      SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+             round(p.n_ab / sqrt(na.n * nb.n), 6) AS cosine
+      FROM pairs p
+      JOIN item_n na ON na.p_type = p.type_a
+      JOIN item_n nb ON nb.p_type = p.type_b
+      WHERE p.n_ab >= 5
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY type_a ORDER BY cosine DESC, type_b) AS rk
+      FROM scored
+    )
+    SELECT type_a, type_b, n_ab, cosine
+    FROM ranked WHERE rk <= 3
+    ORDER BY type_a, cosine DESC, type_b
+    """,
+)
+def q_orders_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering (the classic Amazon-style
+    recommender): cosine similarity over order co-occurrence,
+    top-3 neighbors per item. Scale shape: dedup to (order, type) pairs
+    first — per-order fan-out is bounded by C(|types|,2) regardless of
+    order width — then the pair expansion rides the already-shuffled
+    order key; the per-item totals are a tiny broadcast join back. The
+    cosine n_ab/sqrt(n_a*n_b) is integers through sqrt and one divide —
+    both IEEE-correctly-rounded, so it hash-matches cross-engine (round 6
+    belt-and-braces). A support floor (n_ab >= 5) kills noise pairs
+    before ranking, exactly as a production recommender would."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    p = cat.tbl("part")
+    ot = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_type")
+        .distinct()
+        # one materialization feeds both pair sides + both item totals —
+        # without it the lineitem⋈part base is scanned 4x (measured
+        # parity locally; at scale the 4x base scan is the whole cost)
+        .localCheckpoint(eager=True)
+    )
+    item_n = ot.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ot.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_a"))
+    b = ot.select(F.col("l_orderkey").alias("k2"), F.col("p_type").alias("type_b"))
+    pairs = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    na = F.broadcast(item_n.select(F.col("p_type").alias("type_a"), F.col("n").alias("n_a")))
+    nb = F.broadcast(item_n.select(F.col("p_type").alias("type_b"), F.col("n").alias("n_b")))
+    scored = (
+        pairs.join(na, "type_a").join(nb, "type_b")
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.round(F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")), 6)
+            .alias("cosine"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("type_a").orderBy(F.col("cosine").desc(), "type_b")
+    )
+    return (
+        scored.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")
+        .orderBy("type_a", F.col("cosine").desc(), "type_b")
+    )

@@ -1367,3 +1367,42 @@ def q_source_json_variant(spark, sf_dir):
         F.try_variant_get("v", "$.missing.path", "string").alias("absent"),
     )
     return out.filter(F.col("cust_key") % 10 == 0)
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders o
+    WHERE 2 * CAST(round(o.o_totalprice * 100) AS BIGINT)
+            * (SELECT count(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+          > 3 * (SELECT CAST(sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_subquery_correlated(spark, sf_dir):
+    """Correlated scalar subqueries — 'orders at least 1.5x their
+    customer's average order value' — handed to Catalyst AS SQL so its
+    decorrelation rewrite does the work: both correlated subqueries
+    become ONE grouped aggregate on o_custkey joined back to the fact
+    (RewriteCorrelatedScalarSubquery), not a per-row re-scan — the naive
+    interpretation is O(n) scans, the decorrelated plan is one shuffle.
+    The 1.5x-average comparison is cross-multiplied into integer
+    arithmetic on cent-scaled BIGINTs (2*price*count > 3*sum), so no
+    engine ever materializes the average — a float blend whose last-ulp
+    accumulation order would flip boundary rows between engines."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders o
+        WHERE 2 * CAST(round(o.o_totalprice * 100) AS BIGINT)
+                * (SELECT count(*) FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT CAST(sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+    """)
