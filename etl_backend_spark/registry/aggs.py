@@ -2594,3 +2594,75 @@ def q_orders_item_cf(spark, sf_dir):
         scored.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")
         .orderBy("type_a", F.col("cosine").desc(), "type_b")
     )
+
+
+def als_recommendations(spark, sf_dir, rank=8, iters=5):
+    """Implicit-feedback ALS (Hu/Koren/Volinsky) over order co-occurrence,
+    via pyspark.ml's BLOCKED implementation — users and items are hashed
+    into co-partitioned in/out blocks, each half-step joins factor blocks
+    to rating blocks and solves the rank x rank normal equations inside
+    the block, so no factor table is ever broadcast or collected (the
+    scale property hand-rolled loops get wrong — cf. the PageRank
+    broadcast lesson, BASELINE.md r7). Deterministic: fixed seed, fixed
+    block counts, and a sorted dense item index (dense item ids keep the
+    factor blocks dense; p_type strings are indexed alphabetically so the
+    mapping is engine-independent)."""
+    from pyspark.ml.recommendation import ALS
+
+    from ..operators.windows import distributed_global_rank
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    p = cat.tbl("part")
+    o = cat.table("orders")
+    # dense item index via the distributed prefix-sum rank (house rule:
+    # no single-partition window, even on the bounded type vocabulary)
+    ranked, _ = distributed_global_rank(
+        p.select("p_type").distinct(), ["p_type"], n_parts=4)
+    types = ranked.select(
+        "p_type", (F.col("__rank") - 1).cast("int").alias("item"))
+    ratings = (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                li["l_partkey"] == p["p_partkey"])
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").cast("int").alias("user"), "p_type")
+        .join(F.broadcast(types), "p_type")
+        .groupBy("user", "item")
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=rank, maxIter=iters, regParam=0.1, implicitPrefs=True,
+        alpha=1.0, seed=42, numUserBlocks=8, numItemBlocks=8,
+        userCol="user", itemCol="item", ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    return model, types, ratings
+
+
+@register("recsys_als")  # rows-only: factor floats are solver artifacts
+def q_recsys_als(spark, sf_dir):
+    """Top-3 ALS recommendations for the 5 lowest-keyed active users —
+    the serving shape of the recommender (recommendForUserSubset runs the
+    factor dot-products distributed and top-ks per user; nothing beyond
+    the 15 result rows reaches the driver). Scores are solver floats, so
+    this is a rows-only key; the planted-block-structure and determinism
+    pins live in tests/test_operators.py."""
+    from pyspark.sql import Window as W
+
+    model, types, ratings = als_recommendations(spark, sf_dir)
+    users = ratings.select("user").distinct().orderBy("user").limit(5)
+    recs = model.recommendForUserSubset(users, 3)
+    flat = recs.select(
+        "user", F.posexplode("recommendations").alias("rk", "rec")
+    ).select(
+        "user", (F.col("rk") + 1).alias("rk"),
+        F.col("rec.item").alias("item"),
+        F.round(F.col("rec.rating"), 4).alias("score"),
+    )
+    return (
+        flat.join(F.broadcast(types), "item")
+        .select("user", "rk", "p_type", "score")
+        .orderBy("user", "rk")
+    )

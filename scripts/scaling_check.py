@@ -86,7 +86,7 @@ EXTRA = [
     "events_cusum_drift", "sim_index_incremental", "curriculum_order",
     "etl_backfill_day", "agg_kll_quantiles", "agg_theta_setops",
     "featurestore_pit", "events_markov_transitions", "events_ab_lift",
-    "data_profile", "subquery_correlated", "orders_item_cf",
+    "data_profile", "subquery_correlated", "orders_item_cf", "recsys_als",
 ]
 
 

@@ -961,3 +961,54 @@ def test_kll_and_theta_sketch_bounds(spark):
     assert close(t.n_purchase, len(pur))
     assert close(t.n_both, len(view & pur))
     assert close(t.n_view_only, len(view - pur))
+
+
+def test_als_recovers_planted_block_structure(spark):
+    """ALS on a planted 2-block preference matrix (group-A users buy
+    group-A items, group-B users buy group-B items, zero crossover) must
+    rank in-block items above cross-block items for every user — the
+    smoke invariant any factorization has to pass. Also pins determinism:
+    the fixed-seed fit recommends identically across two runs."""
+    from pyspark.ml.recommendation import ALS
+
+    rows = []
+    for u in range(20):
+        block = u % 2
+        for it in range(10):
+            if it % 2 == block:
+                rows.append((u, it, 5.0))
+    ratings = spark.createDataFrame(rows, "user INT, item INT, rating FLOAT")
+    als = ALS(rank=4, maxIter=10, regParam=0.1, implicitPrefs=True,
+              alpha=1.0, seed=42, numUserBlocks=2, numItemBlocks=2,
+              userCol="user", itemCol="item", ratingCol="rating",
+              coldStartStrategy="drop")
+
+    def top_items(model):
+        recs = model.recommendForAllUsers(5).collect()
+        return {r["user"]: [x["item"] for x in r["recommendations"]]
+                for r in recs}
+
+    t1 = top_items(als.fit(ratings))
+    for u, items in t1.items():
+        block = u % 2
+        # every recommended item in the user's own block
+        in_block = [it for it in items if it % 2 == block]
+        assert len(in_block) == 5, (u, items)
+
+    t2 = top_items(als.fit(ratings))
+    assert t1 == t2  # fixed seed + fixed blocks => bit-stable ranking
+
+
+def test_recsys_als_registry_shape(spark):
+    """The registry key serves 3 ranked recs for each of 5 users with
+    rank positions 1..3 and scores in [0, 1.5] (implicit ALS preference
+    scale)."""
+    from etl_backend_spark.registry import QUERIES
+
+    rows = QUERIES["recsys_als"](spark, SF_DIR).collect()
+    assert len(rows) == 15
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user"], []).append(r["rk"])
+        assert 0.0 <= r["score"] <= 1.5
+    assert all(sorted(v) == [1, 2, 3] for v in by_user.values())
