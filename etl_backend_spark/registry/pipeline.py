@@ -1762,3 +1762,42 @@ def q_dsir_importance(spark, sf_dir):
             <= F.ceil(F.col("nr") / float(_DSIR_KEEP_FRAC_DEN)).cast("long")
         ).alias("selected"),
     )
+
+
+@register("quality_compression_ratio")  # rows-only: no zlib in DuckDB SQL;
+# exact values pinned by pytest against CPython zlib on the same rows
+def q_quality_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (the Gopher/MassiveText-era
+    heuristic: highly compressible text is boilerplate or repetition;
+    barely compressible text is noise/binary junk): DEFLATE each document
+    at fixed level 6, emit compressed/raw sizes as exact integers and
+    their per-mille ratio as an integer — deterministic for a given zlib,
+    so the pytest pins byte-exact equality against a direct CPython zlib
+    call on the same rows. Arrow-batched mapInPandas (one python worker
+    pass, ~KB/doc), never a row-at-a-time UDF; the keep-band [200, 900]
+    permille mirrors the published double-sided cut. At 100 TB this is a
+    map-only pass — no shuffle, column-pruned scan of (doc_id, text)."""
+    import pandas as pd
+
+    d = Catalog(spark, sf_dir).table("documents")
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n_raw = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            permille = (n_comp * 1000) // n_raw.clip(lower=1)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_raw": n_raw,
+                "n_comp": n_comp,
+                "ratio_pm": permille,
+                "keep": (permille >= 200) & (permille <= 900),
+            })
+
+    return d.select("doc_id", "text").mapInPandas(
+        comp,
+        "doc_id LONG, n_raw LONG, n_comp LONG, ratio_pm LONG, keep BOOLEAN",
+    ).orderBy("doc_id")

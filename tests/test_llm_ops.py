@@ -1326,3 +1326,31 @@ def test_curriculum_order_bands_are_contiguous_and_positions_exact(spark):
     bands = [r.band for r in by_pos]
     assert bands == sorted(bands)
     assert len(set(bands)) > 1  # the schedule actually has multiple bands
+
+
+def test_compression_ratio_exact_vs_cpython(spark):
+    """quality_compression_ratio must equal a direct CPython zlib call
+    byte-for-byte (same level 6): the signal is deterministic, so exact
+    equality — not a tolerance — is the pin."""
+    import zlib
+
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"]: r for r in
+           QUERIES["quality_compression_ratio"](spark, SF_DIR).collect()}
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    assert len(got) == len(rows)
+    for doc_id, text in rows[:500]:
+        raw = text.encode("utf-8")
+        n_comp = len(zlib.compress(raw, 6))
+        r = got[doc_id]
+        assert r["n_raw"] == len(raw)
+        assert r["n_comp"] == n_comp
+        assert r["ratio_pm"] == (n_comp * 1000) // max(len(raw), 1)
+        assert r["keep"] == (200 <= r["ratio_pm"] <= 900)
