@@ -80,6 +80,7 @@ HEADLINE = [
     "events_holt_linear",      # 2-state dyadic Holt fold, exact cross-engine
     "multimodal_augment",      # flip+crop patches over real PNG decode
     "featurestore_pit",        # point-in-time feature assembly, one window pass
+    "graph_reachability",      # recursive-CTE BFS over a declared edge layout
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

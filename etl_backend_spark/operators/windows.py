@@ -114,13 +114,29 @@ def release_plan_checkpoints(df: DataFrame) -> int:
     reflection errors (plan-walking touches Spark internals — on any
     mismatch the worst case is the old behavior, blocks living until GC)."""
     try:
-        leaves = df._jdf.queryExecution().logical().collectLeaves()
+        qe = df._jdf.queryExecution()
+        plans = [qe.logical()]
+        try:
+            # temp-view indirection (graph_reachability registers its
+            # materialized edge table as a view for the recursive-CTE SQL)
+            # hides the LogicalRDD from the unresolved plan — the analyzed
+            # plan has views expanded, so walk both
+            plans.append(qe.analyzed())
+        except Exception:
+            pass
+        seen: set[int] = set()
         n = 0
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            if leaf.getClass().getName().endswith(".LogicalRDD"):
-                leaf.rdd().unpersist(False)
-                n += 1
+        for plan in plans:
+            leaves = plan.collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if leaf.getClass().getName().endswith(".LogicalRDD"):
+                    rdd = leaf.rdd()
+                    if rdd.id() in seen:
+                        continue
+                    seen.add(rdd.id())
+                    rdd.unpersist(False)
+                    n += 1
         return n
     except Exception:
         return 0
@@ -146,6 +162,7 @@ def localcheckpoint_declared(
     hash_cols: list[str],
     num: int,
     sort: bool = False,
+    assume_layout: bool = False,
 ) -> DataFrame:
     """``repartition(num, cols) [+ sortWithinPartitions] +
     localCheckpoint(eager)`` that DECLARES the resulting layout to the
@@ -180,9 +197,16 @@ def localcheckpoint_declared(
     checkpoint boundary should gate an explicit ``F.broadcast`` on a
     measured ``count()`` — the same decision the planner would make with
     real stats (see ``pagerank_ranks``)."""
-    pre = df.repartition(num, *hash_cols)
-    if sort:
-        pre = pre.sortWithinPartitions(*hash_cols)
+    if assume_layout:
+        # caller already produced hash(num, cols) [+ sorted] layout and
+        # wants work (e.g. a dedup agg) riding that exchange instead of a
+        # second one here — the declaration below must still be TRUE of
+        # the rows, the caller is vouching for it
+        pre = df
+    else:
+        pre = df.repartition(num, *hash_cols)
+        if sort:
+            pre = pre.sortWithinPartitions(*hash_cols)
     cp = pre.localCheckpoint(eager=True)
     try:
         leaf = cp._jdf.queryExecution().logical()

@@ -1406,3 +1406,28 @@ def q_subquery_correlated(spark, sf_dir):
                      FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
         ORDER BY o.o_orderkey
     """)
+
+
+_LATERAL_SQL = """
+SELECT n_name, t.c_name, t.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+) t
+"""
+
+
+@register("subquery_lateral", oracle=_LATERAL_SQL)
+def q_subquery_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — 'top-2
+    customers by balance per nation', the per-row table subquery the
+    reference's ORM grammar cannot express but raw-SQL users reach for
+    constantly. The same SQL text runs on both engines. Catalyst
+    decorrelates the limit-per-group lateral into a join + per-key
+    window rank (DecorrelateInnerQuery), so the physical plan is the
+    window_rank_topk shape — one keyed exchange, never a per-outer-row
+    re-scan; ties inside the LIMIT are pinned by the c_name tiebreak so
+    the selected rowset is engine-independent."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_LATERAL_SQL)

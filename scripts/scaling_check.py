@@ -87,7 +87,7 @@ EXTRA = [
     "etl_backfill_day", "agg_kll_quantiles", "agg_theta_setops",
     "featurestore_pit", "events_markov_transitions", "events_ab_lift",
     "data_profile", "subquery_correlated", "orders_item_cf", "recsys_als",
-    "quality_compression_ratio",
+    "quality_compression_ratio", "graph_reachability", "subquery_lateral",
 ]
 
 

@@ -1354,3 +1354,45 @@ def test_compression_ratio_exact_vs_cpython(spark):
         assert r["n_comp"] == n_comp
         assert r["ratio_pm"] == (n_comp * 1000) // max(len(raw), 1)
         assert r["keep"] == (200 <= r["ratio_pm"] <= 900)
+
+
+def test_graph_reachability_matches_python_bfs_two_decades(spark):
+    """The recursive-CTE BFS must equal a plain-dict BFS (independent
+    re-derivation: adjacency dict + frontier sets, no SQL) on the same
+    edge list at two decades — exact (seed, node, hops) equality, and
+    the released edge checkpoint must be discoverable through the
+    temp-view indirection (the analyzed-plan walk in
+    release_plan_checkpoints)."""
+    import duckdb
+
+    from etl_backend_spark.operators.windows import release_plan_checkpoints
+    from etl_backend_spark.registry import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        df = QUERIES["graph_reachability"](spark, sf)
+        got = {(r.seed, r.partkey): r.hops for r in df.collect()}
+        released = release_plan_checkpoints(df)
+        assert released >= 1, "edge checkpoint not found via analyzed plan"
+
+        con = duckdb.connect()
+        edges = con.execute(f"""
+            WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM read_parquet('{sf}/lineitem.parquet'))
+            SELECT DISTINCT a.pk, b.pk FROM li a JOIN li b
+            ON a.ok = b.ok AND a.pk <> b.pk
+        """).fetchall()
+        con.close()
+        adj: dict[int, set[int]] = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        seeds = sorted({s for s, _ in edges})[:4]
+        want = {}
+        for seed in seeds:
+            dist = {seed: 0}
+            frontier = {seed}
+            for depth in (1, 2, 3):
+                frontier = {d for n in frontier for d in adj.get(n, ())}
+                for n in frontier:
+                    dist.setdefault(n, depth)
+            want.update({(seed, n): h for n, h in dist.items()})
+        assert got == want
