@@ -163,6 +163,7 @@ def localcheckpoint_declared(
     num: int,
     sort: bool = False,
     assume_layout: bool = False,
+    serialized: bool = False,
 ) -> DataFrame:
     """``repartition(num, cols) [+ sortWithinPartitions] +
     localCheckpoint(eager)`` that DECLARES the resulting layout to the
@@ -207,7 +208,17 @@ def localcheckpoint_declared(
         pre = df.repartition(num, *hash_cols)
         if sort:
             pre = pre.sortWithinPartitions(*hash_cols)
-    cp = pre.localCheckpoint(eager=True)
+    if serialized:
+        # |E|-scale invariants: deserialized MEMORY_AND_DISK blocks for a
+        # 240M-row table ate most of a 24g heap WHILE the dedup agg ran
+        # (sf10 OOM, BASELINE.md r7) — serialized in-memory blocks are
+        # several-x smaller for a small per-consumer decode cost
+        from pyspark.storagelevel import StorageLevel
+
+        cp = pre.localCheckpoint(eager=True,
+                                 storageLevel=StorageLevel.MEMORY_AND_DISK)
+    else:
+        cp = pre.localCheckpoint(eager=True)
     try:
         leaf = cp._jdf.queryExecution().logical()
         if not leaf.getClass().getName().endswith(".LogicalRDD"):

@@ -2167,7 +2167,14 @@ def q_graph_reachability(spark, sf_dir):
     b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("d"))
     from ..operators.windows import localcheckpoint_declared
 
+    # partition count scales with the PAIR estimate (~3 pairs per
+    # lineitem row at TPC-H-ish order width), target ~2M pairs/task:
+    # a fixed session count OOMed the ride-along dedup hash-agg at sf10
+    # (240M pairs / 32 tasks competing with the checkpoint blocks —
+    # AGGREGATE_OUT_OF_MEMORY, sweep-caught; BASELINE.md r7). The row
+    # count is parquet-metadata-only, no scan.
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p_edges = max(p, (3 * li.count()) // 2_000_000 + 1)
     raw = (
         a.join(b, (F.col("k") == F.col("k2")) & (F.col("s") != F.col("d")))
         .select("s", "d")
@@ -2176,9 +2183,9 @@ def q_graph_reachability(spark, sf_dir):
     # (s,d) pairs, so the dropDuplicates agg inserts NO exchange of its
     # own, and the sorted layout is declared to the planner as-is
     edges = localcheckpoint_declared(
-        raw.repartition(p, "s").dropDuplicates(["s", "d"])
+        raw.repartition(p_edges, "s").dropDuplicates(["s", "d"])
         .sortWithinPartitions("s"),
-        ["s"], p, sort=True, assume_layout=True,
+        ["s"], p_edges, sort=True, assume_layout=True, serialized=True,
     )
     import hashlib
 

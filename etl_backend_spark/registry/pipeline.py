@@ -1801,3 +1801,52 @@ def q_quality_compression_ratio(spark, sf_dir):
         comp,
         "doc_id LONG, n_raw LONG, n_comp LONG, ratio_pm LONG, keep BOOLEAN",
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_observed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS rows_in,
+           CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 200
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_lang,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    """,
+)
+def q_pipeline_observed(spark, sf_dir):
+    """Single-pass pipeline metrics via ``df.observe`` (the Delta Live
+    Tables / Deequ 'expectations' pattern): data-quality counters —
+    input rows, filter survivors, null rate, value bounds — free-ride on
+    the SAME scan that executes the filter stage, instead of a second
+    metrics pass over the corpus. The Observation node computes its
+    aggregates on rows flowing past the observe point; the downstream
+    keep-filter then runs as usual, so at 100 TB the counters cost zero
+    extra I/O (vs data_profile, which IS a dedicated profiling pass).
+    The oracle recomputes the counters as plain SQL aggregates; exact
+    integers, so the 1-row result value-hashes."""
+    from pyspark.sql import Observation
+
+    d = Catalog(spark, sf_dir).table("documents")
+    obs = Observation("pipeline_quality")
+    keep = (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(keep.cast("long")).alias("rows_kept"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    # the pipeline's real action: materialize the kept slice (noop sink —
+    # the metrics are the product here); obs.get blocks until it finishes
+    observed.filter(keep).write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_in"], m["rows_kept"], m["null_lang"],
+          m["min_chars"], m["max_chars"])],
+        "rows_in LONG, rows_kept LONG, null_lang LONG, "
+        "min_chars LONG, max_chars LONG",
+    )

@@ -1162,6 +1162,39 @@ def q_source_text_lines(spark, sf_dir):
 
 
 @register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+    """,
+)
+def q_source_xml_roundtrip(spark, sf_dir):
+    """XML sink + source round-trip via Spark 4's NATIVE xml format
+    (spark-xml was folded into core in 4.0 — no external package):
+    customer rows written as <row> elements, read back with an EXPLICIT
+    schema (inference on a lazy format is a per-run scan tax and can
+    widen types), and the full rowset must value-hash against the
+    parquet original — doubles survive because the writer emits the
+    shortest round-tripping decimal (Java Double.toString) and the
+    reader parses it back to the identical bits. Extends the format
+    matrix: parquet / JSON / CSV / text / ORC / binaryFile / VARIANT /
+    XML."""
+    from ..sources.cache import cached_tmp_build, file_fingerprint
+
+    c = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    out = cached_tmp_build(
+        "xml",
+        f"v1:{file_fingerprint(f'{sf_dir}/customer.parquet')}",
+        lambda d: c.write.mode("overwrite").format("xml")
+        .option("rootTag", "customers").option("rowTag", "customer").save(d),
+    )
+    return spark.read.format("xml").option("rowTag", "customer").schema(
+        "c_custkey LONG, c_name STRING, c_mktsegment STRING, c_acctbal DOUBLE"
+    ).load(out)
+
+
+@register(
     "join_salted",
     oracle="""
     SELECT o_orderstatus, count(*) AS n_lines,
@@ -1418,6 +1451,47 @@ FROM nation, LATERAL (
 """
 
 
+@register(
+    "join_runtime_filter",
+    oracle="""
+    SELECT l.l_orderkey, CAST(sum(CAST(round(l.l_extendedprice * 100)
+             AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-02-01'
+    GROUP BY l.l_orderkey
+    """,
+)
+def q_join_runtime_filter(spark, sf_dir):
+    """Selective dim-filtered fact-fact join — the shape where Spark's
+    RUNTIME BLOOM-FILTER join (InjectRuntimeFilter, 3.3+) earns its
+    keep: the filtered orders side builds a bloom filter at runtime
+    that is pushed into the lineitem SCAN, so at 100 TB the big side
+    skips rows (and with min/max, whole row groups) that can never
+    join, instead of shuffling them to die in the join. Locally the
+    application-side scan is under the 10 GB default
+    ``runtimeFilter.applicationSideScanSizeThreshold``, so the plan is
+    an ordinary broadcast join here and the injection itself is
+    pytest-pinned with the thresholds lowered
+    (tests/test_operators.py::test_runtime_bloom_filter_injects) — the
+    cluster behavior is the default-on config, not custom code. Revenue
+    is cent-scaled integer so the grouped sum hash-matches."""
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    sel = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01")
+    )
+    return (
+        li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+             .alias("revenue_c"))
+    )
+
+
 @register("subquery_lateral", oracle=_LATERAL_SQL)
 def q_subquery_lateral(spark, sf_dir):
     """Correlated LATERAL subquery with ORDER BY + LIMIT — 'top-2
@@ -1431,3 +1505,54 @@ def q_subquery_lateral(spark, sf_dir):
     the selected rowset is engine-independent."""
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "fn_sql_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+           CAST(round(o_totalprice * 100) AS BIGINT) / 100 AS dollars
+    FROM orders WHERE o_orderkey % 1000 = 0
+    """,
+)
+def q_fn_sql_udf(spark, sf_dir):
+    """SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`, SPARK-46246): the declarative UDF path — the body is inlined
+    into the plan as a Catalyst expression at analysis, so unlike any
+    Python UDF it keeps whole-stage codegen, pushdown, and vectorization
+    (it IS the expression; there is no function-call boundary at run
+    time). The oracle states the expanded expression — semantics must
+    match exactly. Integer division stays BIGINT on both engines."""
+    Catalog(spark, sf_dir).register_views()
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION cents(p DOUBLE)
+        RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)
+    """)
+    return spark.sql("""
+        SELECT o_orderkey, cents(o_totalprice) AS price_c,
+               cents(o_totalprice) / 100 AS dollars
+        FROM orders WHERE o_orderkey % 1000 = 0
+    """)
+
+
+@register(
+    "filter_collated",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE lower(c_mktsegment) = lower('bUiLdInG')
+    """,
+)
+def q_filter_collated(spark, sf_dir):
+    """Collation-aware comparison (Spark 4 COLLATE, SPARK-46830):
+    case-insensitive equality expressed as a UTF8_LCASE collated
+    compare instead of wrapping both sides in lower() — the collation
+    is a property of the comparison, evaluated JVM-side with
+    collation-aware equality (and at scale collated columns keep
+    min/max pruning usable where expression-wrapped predicates lose
+    it). The oracle is the lower()-normalized equivalent."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_mktsegment COLLATE UTF8_LCASE = 'bUiLdInG' COLLATE UTF8_LCASE
+    """)

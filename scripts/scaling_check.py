@@ -88,6 +88,8 @@ EXTRA = [
     "featurestore_pit", "events_markov_transitions", "events_ab_lift",
     "data_profile", "subquery_correlated", "orders_item_cf", "recsys_als",
     "quality_compression_ratio", "graph_reachability", "subquery_lateral",
+    "source_xml_roundtrip", "pipeline_observed", "join_runtime_filter",
+    "fn_sql_udf", "filter_collated",
 ]
 
 

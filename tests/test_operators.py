@@ -1012,3 +1012,41 @@ def test_recsys_als_registry_shape(spark):
         by_user.setdefault(r["user"], []).append(r["rk"])
         assert 0.0 <= r["score"] <= 1.5
     assert all(sorted(v) == [1, 2, 3] for v in by_user.values())
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """With the size thresholds lowered to local scale, Catalyst's
+    InjectRuntimeFilter must plant a bloom-filter predicate
+    (BloomFilterMightContain / bloom_filter_agg) on the fact side of
+    join_runtime_filter's selective join, and the filtered plan must
+    produce the identical result — at cluster scale the 10 GB default
+    threshold turns this on without any config."""
+    from etl_backend_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    baseline = {tuple(r) for r in
+                QUERIES["join_runtime_filter"](spark, SF_DIR).collect()}
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        # runtime filters target SHUFFLE joins only (a broadcast join
+        # already prunes at the scan) — at test scale everything
+        # broadcasts, so force the shuffle plan the filter exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = QUERIES["join_runtime_filter"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+        assert {tuple(r) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
