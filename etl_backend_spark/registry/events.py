@@ -1867,3 +1867,68 @@ def q_events_ab_lift(spark, sf_dir):
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "events_cep_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[^e]*p')) AS BIGINT)
+             AS n_matches,
+           CASE WHEN len(regexp_extract_all(seq, 'v[^e]*p')) > 0
+                THEN regexp_extract(seq, 'v[^e]*p') ELSE '' END
+             AS first_match
+    FROM seqs
+    """,
+)
+def q_events_cep_pattern(spark, sf_dir):
+    """Declarative CEP / MATCH_RECOGNIZE stand-in: per-user event
+    sequences become ordered type-strings (one char per event — the 5
+    event types have distinct initials) and the pattern 'a purchase
+    reached from a view with no intervening error' is the regex
+    ``v[^e]*p``, counted non-overlapping + first occurrence extracted.
+    Sequence-pattern analytics the funnel operator can't express
+    (arbitrary regex over the whole ordered history vs fixed ordered
+    stages). Exact cross-engine: (ts, event_id) gives a unique total
+    order, chars are deterministic, and Java regex and RE2 agree on
+    leftmost non-overlapping matching for this pattern class.
+
+    Scale shape: ONE keyed exchange — repartition-first collect (the
+    collect_list-has-no-map-side-combine rule), per-user sort + char
+    map + regex all JVM expressions after the shuffle; per-user state
+    is bounded by that user's event count (the same bound every
+    sessionize/funnel op carries), and skewed users would take the
+    salted-window recipe. At 100 TB this is the cheapest CEP available:
+    no per-event state machine, one pass, no Python."""
+    ev = Catalog(spark, sf_dir).table("events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id",
+                                                 F.col("c").alias("c")))),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    pat = r"v[^e]*p"
+    seqs = (
+        ev.select("user_id", "ts", "event_id",
+                  F.substring("event_type", 1, 1).alias("c"))
+        .repartition(F.col("user_id"))
+        .groupBy("user_id")
+        .agg(seq.alias("seq"))
+    )
+    n = F.regexp_count(F.col("seq"), F.lit(pat))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        n.cast("long").alias("n_matches"),
+        F.when(n > 0, F.regexp_extract("seq", pat, 0))
+        .otherwise(F.lit("")).alias("first_match"),
+    )
