@@ -36,6 +36,62 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product UNROLLED over a known fixed dimension — bit-identical
+    to ``dot`` (same left-associated sequential adds, same ``lit(0.0)``
+    seed) but built from plain ``element_at`` products. NOTE (r8): tried
+    as the knn_graph_lsh hot path and REJECTED — the 127-node arithmetic
+    chain codegens into one giant method the JIT refuses, and the
+    interpreted-bytecode fallback measured 2x SLOWER than the higher-
+    order ``aggregate`` fold (6.3 vs 3.25 s sf1, interleaved). Kept for
+    small-dim (<16) uses and as the documented negative result; the hot
+    path is ``pair_dot_seq_pandas`` below."""
+    from functools import reduce
+
+    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1)
+             for i in range(dim)]
+    return reduce(lambda acc, x: acc + x, terms, F.lit(0.0))
+
+
+def norm_unrolled(v: Column, dim: int) -> Column:
+    """``norm`` unrolled over a fixed dimension — bit-identical fold
+    order (seeded left-assoc x*x adds). Same caveat as ``dot_unrolled``:
+    only for small fixed dims."""
+    from functools import reduce
+
+    terms = [F.element_at(v, i + 1) * F.element_at(v, i + 1)
+             for i in range(dim)]
+    return F.sqrt(reduce(lambda acc, x: acc + x, terms, F.lit(0.0)))
+
+
+def pair_dot_seq_pandas():
+    """Arrow-batched pandas UDF computing the per-pair dot product with
+    numpy, BIT-IDENTICAL to the sequential ``dot`` fold: accumulation is
+    vectorized over ROWS but sequential over DIMS (``acc = acc +
+    A[:, j] * B[:, j]`` in increasing j, float64), so every row's sum is
+    the same left-associated IEEE chain the JVM fold and the DuckDB
+    oracle compute — no pairwise/BLAS reordering, no round-tie risk, the
+    cross-engine round(6) contract holds exactly (pytest-pinned vs
+    ``dot``). This is the hot-pair scale path: the higher-order
+    ``aggregate`` fold evaluates interpreted at ~17 us/pair, and the
+    codegen'd unroll de-JITs (see ``dot_unrolled``); the Arrow kernel
+    runs the same math at memory bandwidth. Returns a Column factory:
+    ``pair_dot_seq_pandas()(va, vb)``."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros(len(A), dtype=np.float64)
+        for j in range(A.shape[1]):  # sequential over dims = fold order
+            acc = acc + A[:, j] * B[:, j]
+        return pd.Series(acc)
+
+    return pair_dot
+
+
 def l2_normalize(v: Column) -> Column:
     n = norm(v)
     return F.transform(v, lambda x: x / n)
@@ -87,6 +143,217 @@ def cosine_scores_multi_pandas(query_vecs: list[list[float]]):
         return pd.Series(list(scores))
 
     return score
+
+
+def bucket_knn_candidates_pandas(k: int = 5, eps: float = 2e-6):
+    """applyInPandas worker emitting each vector's DIRECTED kNN
+    candidates per LSH bucket — bucket-local scoring + bucket-local
+    selection, the r8 knn_graph_lsh hot path.
+
+    Input: a coarse hash-group of whole (band, key) buckets (grouping
+    by a hash of the bucket key amortizes the per-group Arrow/UDF
+    overhead that made one-bucket-per-group 15x slower; buckets are
+    re-split with a pandas groupby inside). Output: (vec_id, nbr_id,
+    cos) rows — for every vector, every bucket-mate whose RAW cosine
+    is within ``eps`` of the vector's k-th best raw cosine in that
+    bucket.
+
+    WHY the eps margin is exact: the global ranking contract orders by
+    ROUND(cos, 6) desc, nbr_id asc. Rounding is monotone, so any
+    neighbor in a vector's global rounded top-k has at most k-1 bucket-
+    mates whose raw cosine exceeds its own by more than 1e-6 (two raws
+    within one 1e-6 grid cell round equal) — i.e. its raw is within
+    1e-6 of the bucket's k-th best raw. Emitting down to (k-th best −
+    2e-6) is therefore a guaranteed superset of every possible rounded
+    top-k member; the downstream JVM agg rounds, dedups (cross-band
+    duplicates carry bit-identical raw doubles), sorts by the contract
+    order and slices k — exact, engine-independent.
+
+    VALUE-EXACT cosines: accumulation sequential over DIMS, vectorized
+    over pairs (``P = P + outer(col_j, col_j)``, zero seed) — per pair
+    the identical left-assoc IEEE chain as the JVM ``aggregate`` fold
+    and the DuckDB oracle (pytest-pinned). Rounding stays JVM-side.
+
+    Scale: bucket density ~32 by the adaptive bits schedule; the
+    2048-row block loop bounds memory for straggler buckets, and
+    emitted volume is ~k+eps-collisions per vector per band instead of
+    the ~density/2 all-pairs rows — the downstream shuffle shrinks ~4x."""
+
+    OVERSIZE = 64  # buckets above this score individually, block-wise
+
+    def score_bucket(ids, M, out):
+        # straggler path: one bucket at a time, 2048-row blocks bound
+        # memory for degenerate buckets (design density is ~32)
+        m = len(ids)
+        if m < 2:
+            return
+        dim = M.shape[1]
+        s = np.zeros(m, dtype=np.float64)
+        for j in range(dim):  # sequential over dims = fold order
+            c = M[:, j]
+            s = s + c * c
+        nrm = np.sqrt(s)
+        B = 2048
+        for st in range(0, m, B):
+            en = min(st + B, m)
+            blk = M[st:en]
+            P = np.zeros((en - st, m), dtype=np.float64)
+            for j in range(dim):  # same sequential fold, per block
+                P = P + np.outer(blk[:, j], M[:, j])
+            cos = P / np.outer(nrm[st:en], nrm)
+            for r in range(en - st):
+                cos[r, st + r] = -np.inf  # self
+            if m - 1 <= k:
+                thr = np.full(en - st, -np.inf)
+            else:
+                thr = np.partition(cos, m - k, axis=1)[:, m - k] - eps
+            # the > -inf term drops the self slot even when thr is -inf
+            # (small buckets): -inf >= -inf is True in IEEE
+            keep_r, keep_c = np.nonzero((cos >= thr[:, None])
+                                        & (cos > -np.inf))
+            out[0].append(ids[st + keep_r])
+            out[1].append(ids[keep_c])
+            out[2].append(cos[keep_r, keep_c])
+
+    def score_batch3d(groups, ids_all, M_all, out):
+        # normal path: ALL design-density buckets of a coarse group fold
+        # together as one zero-padded (nb, mmax, dim) tensor — 64 large
+        # numpy ops instead of 64 x nb tiny ones (the per-bucket loop
+        # measured ~1.3 ms/bucket of pure numpy call overhead; this is
+        # ~15x less Python time). Per-pair accumulation order unchanged.
+        nb = len(groups)
+        mmax = max(len(ix) for ix in groups)
+        dim = M_all.shape[1]
+        T = np.zeros((nb, mmax, dim), dtype=np.float64)
+        valid = np.zeros((nb, mmax), dtype=bool)
+        ids3 = np.zeros((nb, mmax), dtype=np.int64)
+        for i, ix in enumerate(groups):
+            T[i, : len(ix)] = M_all[ix]
+            valid[i, : len(ix)] = True
+            ids3[i, : len(ix)] = ids_all[ix]
+        s = np.zeros((nb, mmax), dtype=np.float64)
+        P = np.zeros((nb, mmax, mmax), dtype=np.float64)
+        for j in range(dim):  # sequential over dims = fold order
+            c = T[:, :, j]
+            s = s + c * c
+            P = P + c[:, :, None] * c[:, None, :]
+        nrm = np.sqrt(s)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = P / (nrm[:, :, None] * nrm[:, None, :])
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        pair_ok &= ~np.eye(mmax, dtype=bool)[None, :, :]
+        cos = np.where(pair_ok, cos, -np.inf)
+        mcount = valid.sum(axis=1)
+        if mmax - 1 > k:
+            kth = np.partition(cos, mmax - k, axis=2)[:, :, mmax - k]
+            thr = np.where((mcount - 1 > k)[:, None], kth - eps, -np.inf)
+        else:
+            thr = np.full((nb, mmax), -np.inf)
+        keep = (cos >= thr[:, :, None]) & pair_ok
+        b, r, c = np.nonzero(keep)
+        out[0].append(ids3[b, r])
+        out[1].append(ids3[b, c])
+        out[2].append(cos[b, r, c])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all = pdf["vec_id"].to_numpy()
+        M_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        small, big = [], []
+        for ix in pdf.groupby(["band", "key"], sort=False).indices.values():
+            if len(ix) < 2:
+                continue
+            (small if len(ix) <= OVERSIZE else big).append(ix)
+        out = ([], [], [])
+        if small:
+            score_batch3d(small, ids_all, M_all, out)
+        for ix in big:
+            score_bucket(ids_all[ix], M_all[ix], out)
+        if not out[0]:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "nbr_id": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out[0]).astype(np.int64),
+            "nbr_id": np.concatenate(out[1]).astype(np.int64),
+            "cos": np.concatenate(out[2]),
+        })
+
+    return run
+
+
+def bucket_allpairs_cosine_pandas():
+    """applyInPandas worker for BUCKET-LOCAL pair scoring — the r8 fix
+    for symmetric band-LSH pipelines (knn_graph_lsh, VERDICT r7 #1).
+
+    Input: one (band, key) LSH bucket as a pandas frame with
+    ``vec_id`` + ``embedding``; output: every a<b pair in the bucket
+    with its RAW float64 cosine. The caller rounds JVM-side so the
+    cross-engine round contract is untouched.
+
+    Why this shape wins: the join-based plan hydrates 64-dim vectors
+    onto every candidate pair (2 SHUFFLE_HASH joins, ~540 B/pair) and
+    folds the dot interpreted (~17 us/pair); here each vector crosses
+    the wire ONCE per band inside its bucket row (~300 B), pairs never
+    carry vectors at all, and scoring is one numpy pass per bucket.
+
+    VALUE-EXACT: accumulation is sequential over DIMS, vectorized over
+    pairs (``P = P + outer(col_j, col_j)``, zero seed, increasing j) —
+    per pair that is the identical left-associated IEEE chain the JVM
+    ``aggregate`` fold and the DuckDB oracle compute, so raw doubles
+    are bit-identical (pytest-pinned vs ``dot``). float32→float64 cast
+    first, exactly like ``as_double``.
+
+    Scale: bucket density is held ~32 by the adaptive bits schedule
+    (bits = ceil(log2(n/32)), cap 21), so per-group cost is ~32x32
+    matrices; the 2048-row block loop bounds memory for straggler
+    buckets (a 100k-row degenerate bucket scores in 800 MB blocks
+    instead of materializing an 80 GB P)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        empty = pd.DataFrame({
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        })
+        if m < 2:
+            return empty
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        dim = M.shape[1]
+        s = np.zeros(m, dtype=np.float64)
+        for j in range(dim):  # sequential over dims = fold order
+            c = M[:, j]
+            s = s + c * c
+        nrm = np.sqrt(s)
+        out_a, out_b, out_c = [], [], []
+        B = 2048
+        for st in range(0, m - 1, B):
+            en = min(st + B, m)
+            blk = M[st:en]
+            P = np.zeros((en - st, m), dtype=np.float64)
+            for j in range(dim):  # same sequential fold, per block
+                P = P + np.outer(blk[:, j], M[:, j])
+            cos = P / np.outer(nrm[st:en], nrm)
+            for r in range(en - st):
+                gi = st + r
+                if gi + 1 >= m:
+                    continue
+                out_a.append(np.full(m - gi - 1, ids[gi], dtype=np.int64))
+                out_b.append(ids[gi + 1:].astype(np.int64, copy=False))
+                out_c.append(cos[r, gi + 1:])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cos": np.concatenate(out_c),
+        })
+
+    return run
 
 
 def cosine_topk_scan_pandas(query_vecs: list[list[float]], k: int,

@@ -791,25 +791,35 @@ def q_sim_topk_pq(spark, sf_dir):
 
 
 
-def _score_pairs_exact(e, cand, v, tau=0.3):
+def _score_pairs_exact(e, cand, v, tau=0.3, dim=64):
     """Hydrate skinny (vec_a, vec_b) candidates and apply the exact
     cosine filter — shared by dedup_embedding and the multiprobe twin.
 
-    Two VALUE-EXACT scale choices (r7; the fifth-decade spot-run caught
-    89M sf10 candidates spending 185 s here, 18.5x for 10x data):
+    Three VALUE-EXACT scale choices (r7 sweeps caught 89M sf10
+    candidates spending 185 s here; r8 closed the residual):
 
     * per-VECTOR norms are computed once on the hydration side and the
       per-pair cosine is dot/(na*nb) — bit-identical to the
       norm-per-pair form (same fold over the same data, same multiply
-      order), but 1 array fold per pair instead of 3 (higher-order
-      aggregates evaluate interpreted, so per-pair fold count is the
-      unit of cost);
+      order), but 1 array reduction per pair instead of 3;
+    * the per-pair cosine stays the sequential JVM ``aggregate`` fold.
+      Two r8 alternatives were A/B'd at sf1 and REJECTED: a 64-term
+      codegen unroll (``V.dot_unrolled``) de-JITs the giant generated
+      method, 6.3 vs 3.25 s; an Arrow per-pair kernel
+      (``V.pair_dot_seq_pandas``, bit-identical seq-over-dims numpy)
+      ships ~1 KB/pair through Python — 4.6 vs 3.9 s at sf1 and
+      ~89 GB of transfer at the sf10 candidate volume. The real fix
+      for symmetric band-LSH consumers is bucket-local scoring
+      (``_bucket_pairs_scored`` below), which never hydrates pairs at
+      all; this hydration+fold path remains for ASYMMETRIC candidate
+      streams (multiprobe: probe rows join base-band rows);
     * the hydration joins carry SHUFFLE_HASH hints: the default plan
       sort-merge-joins the candidate stream (sorting ~1e8 rows, twice);
       hash joins build on the n-row vector side and stream candidates
       unsorted — identical rows out, no candidate sort.
 
-    Post-fix sf10: 209 -> 89 s end-to-end (stage detail in BASELINE.md).
+    Post-r7-fix sf10: 209 -> 89 s end-to-end (stage detail in
+    BASELINE.md).
     """
     ea = e.select(F.col("vec_id").alias("__ea"), v.alias("va")) \
          .withColumn("na", V.norm(F.col("va")))
@@ -1022,20 +1032,42 @@ def q_knn_graph_lsh(spark, sf_dir):
     of ``knn_graph_brute``. Candidates come from the same adaptive-width
     banded sign-LSH as ``dedup_embedding`` (bits = clamp(8..21,
     ceil(log2(n/32))) holds bucket density ~32, so candidate volume
-    grows ~linearly with n — never all-pairs); undirected candidate
-    pairs are generated ONCE (a < b) and mirrored AFTER dedup (halving
-    the band-join shuffle), each vector then ranks its candidates by
-    exact cosine and keeps the top 5. A vector with fewer than 5
-    candidates emits fewer edges — the honest LSH recall tradeoff,
+    grows ~linearly with n — never all-pairs). A vector with fewer than
+    5 candidates emits fewer edges — the honest LSH recall tradeoff,
     pinned by a recall-vs-brute pytest at sf0.001. Every stage is
     sign/hash-deterministic, so DuckDB replays the whole pipeline —
-    approximation included — and the oracle value-checks it."""
+    approximation included — and the oracle value-checks it.
+
+    r8 plan (closed VERDICT r7 #1, the last >2x compute-bound ratio):
+    TWO exchanges end-to-end instead of five —
+
+    1. bucket-local scoring AND selection: band rows group by a coarse
+       hash of the bucket key (whole buckets per group — amortizes
+       applyInPandas per-group overhead ~15x) and one numpy kernel
+       scores each ~32-row bucket and emits, per vector, only the
+       DIRECTED candidates within 2e-6 of its bucket-local 5th-best
+       raw cosine (``V.bucket_knn_candidates_pandas`` — the eps margin
+       makes bucket-local selection a guaranteed superset of the
+       rounded-order global top-5; proof in its docstring). The r7
+       plan's band self-join, pair dropDuplicates, and two vector-
+       hydration SHUFFLE_HASH joins all disappear: vectors cross the
+       wire once per band (~300 B each), pairs never carry vectors,
+       and the downstream shuffle carries ~5/density of the pair rows;
+    2. dedup + top-k in ONE aggregation: groupBy(vec_id) with
+       array_distinct (cross-band duplicate pairs carry bit-identical
+       cos, so distinct-on-struct removes them) → array_sort on
+       struct(-cos_sim, nbr_id) (= ROUNDED cos desc, id asc — the
+       cross-engine ranking contract) → slice 5. The separate dedup
+       exchange, the mirror explode, and the window's partition-wide
+       sort all fold into the map-combinable agg shuffle.
+
+    Interleaved A/B at sf1 in BASELINE.md (r7: ≈4.8x vs oracle; bar 2x)."""
     import math
 
-    from pyspark.sql import Window
+    from ..sources.catalog import parquet_num_rows
 
     e = Catalog(spark, sf_dir).table("embeddings")
-    n = e.count()  # bounded 1-row action (parquet metadata count)
+    n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no job
     bits = min(21, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
     nbands = 64 // bits
     v = V.as_double(F.col("embedding"))
@@ -1043,50 +1075,35 @@ def q_knn_graph_lsh(spark, sf_dir):
         H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
         for b in range(nbands)
     ])
-    bands = e.select("vec_id", F.posexplode(band_keys).alias("band", "key"))
-    # SHUFFLE_HASH: the band streams are exploded skinny rows with ~32-row
-    # groups per (band, key) — hash-building one side beats SMJ's sorting
-    # BOTH sides (interleaved 1.58 vs 1.34 s on the sf1 candidate stage)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.hint("SHUFFLE_HASH").alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+    # coarse groups of whole buckets: same (band, key) -> same group, so
+    # bucket-local pair semantics are intact; ~8 groups per core keeps
+    # every task busy without per-bucket UDF invocation overhead
+    ngroups = 256
+    bands = e.select(
+        "vec_id", "embedding",
+        F.posexplode(band_keys).alias("band", "key"),
+    ).withColumn("g", F.pmod(F.hash("band", "key"), F.lit(ngroups)))
+    cands = (
+        bands.groupBy("g")
+        .applyInPandas(V.bucket_knn_candidates_pandas(k=5),
+                       "vec_id long, nbr_id long, cos double")
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            "vec_id",
+            F.struct((-F.round(F.col("cos"), 6)).alias("negcos"),
+                     F.col("nbr_id"),
+                     F.round(F.col("cos"), 6).alias("cos_sim")).alias("c"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
     )
-    # score each undirected pair ONCE, then mirror the SCORED skinny rows
-    # (ids + cos): cosine is symmetric, and the wide part of this plan is
-    # the hydration joins carrying 64-dim vectors per candidate — mirroring
-    # before scoring would push 2x the pairs through them for no new values.
-    # The mirror is ONE explode of both orientations, not a self-union: a
-    # union plants the scoring subtree twice in the plan and re-executes
-    # the whole candidate+hydration DAG per branch (measured 3.6 -> 2.2 s
-    # at sf1; ReusedExchange only dedups the shuffle write, same lesson as
-    # _pagerank_edges)
-    scored = _score_pairs_exact(e, cand, v, tau=None)
-    directed = scored.select(
-        F.explode(F.array(
-            F.struct(F.col("vec_a").alias("s"), F.col("vec_b").alias("d")),
-            F.struct(F.col("vec_b").alias("s"), F.col("vec_a").alias("d")),
-        )).alias("e"),
-        "cos_sim",
-    ).select(F.col("e.s").alias("vec_a"), F.col("e.d").alias("vec_b"),
-             "cos_sim")
-    w = Window.partitionBy("vec_a").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_b").asc())
     return (
-        directed.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        cands.groupBy("vec_id")
+        .agg(F.slice(F.array_sort(F.array_distinct(F.collect_list("c"))),
+                     1, 5).alias("top"))
+        .select("vec_id", F.posexplode("top").alias("pos", "c"))
         .select(
-            F.col("vec_a").alias("vec_id"),
-            F.col("vec_b").alias("nbr_id"),
-            "rnk", "cos_sim",
+            "vec_id",
+            F.col("c.nbr_id").alias("nbr_id"),
+            (F.col("pos") + 1).alias("rnk"),
+            F.col("c.cos_sim").alias("cos_sim"),
         )
     )
 

@@ -371,6 +371,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parquet_num_rows(sf_dir: str | None, name: str) -> int:
+    """Table row count straight from the parquet footers — driver-side
+    pyarrow metadata read (~ms), NO Spark job. Operators that size a
+    plan parameter from n (the adaptive LSH bits schedule, sample
+    rates) were paying a whole count() job (~0.2 s fixed floor on this
+    VM) for a number the footer already holds. Footers are O(files),
+    not O(rows), so this stays cheap at 100 TB file counts; falls back
+    over directories by summing per-file footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def adaptive_bucket_count(spark: SparkSession, *paths: str) -> int:
     """Bucket count for a (set of co-bucketed) table(s): at least the
     cluster's parallelism (a bucketed scan runs one task per bucket —

@@ -197,6 +197,95 @@ def test_knn_graph_lsh_recall_and_scoring_vs_exact(spark):
         assert keys == sorted(keys)
 
 
+def test_bucket_knn_kernel_bit_exact_and_superset(spark):
+    """The r8 bucket-local kNN kernel (V.bucket_knn_candidates_pandas):
+
+    1. every emitted cosine is BIT-IDENTICAL (==, not approx) to the
+       sequential left-assoc IEEE fold the JVM ``aggregate`` expression
+       and the DuckDB oracle compute — a plain Python float loop is that
+       exact same chain, so it is the reference here;
+    2. per (bucket, vector), the emitted candidate set is a SUPERSET of
+       the rounded-order top-5 (the 2e-6 eps margin's guarantee — the
+       downstream agg then ranks and slices exactly);
+    3. no self-pairs, no pairs across buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from etl_backend_spark.functions import vectors as VV
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 6 buckets of varied sizes incl. degenerate (1), small (<k), and
+    # one above the OVERSIZE=64 batch cap to exercise the block path
+    sizes = [1, 3, 32, 40, 7, 70]
+    vid = 0
+    for b, m in enumerate(sizes):
+        for _ in range(m):
+            rows.append({
+                "vec_id": vid,
+                "embedding": rng.randn(16).astype(np.float32),
+                "band": 0,
+                "key": b,
+            })
+            vid += 1
+    pdf = pd.DataFrame(rows)
+    out = VV.bucket_knn_candidates_pandas(k=5)(pdf)
+
+    def seq_cos(a, b):  # the JVM/DuckDB fold, as plain Python floats
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            dot = dot + float(x) * float(y)
+            na = na + float(x) * float(x)
+            nb = nb + float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    emb = {r["vec_id"]: r["embedding"] for r in rows}
+    bucket = {r["vec_id"]: r["key"] for r in rows}
+    emitted = set()
+    for r in out.itertuples():
+        assert r.vec_id != r.nbr_id
+        assert bucket[r.vec_id] == bucket[r.nbr_id]
+        assert r.cos == seq_cos(emb[r.vec_id], emb[r.nbr_id]), r
+        emitted.add((r.vec_id, r.nbr_id))
+    # superset of the rounded-order top-5 inside each bucket
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["key"], []).append(r["vec_id"])
+    for members in by_bucket.values():
+        if len(members) < 2:
+            continue
+        for a in members:
+            ranked = sorted(
+                (m for m in members if m != a),
+                key=lambda m: (-round(seq_cos(emb[a], emb[m]), 6), m),
+            )[:5]
+            for m in ranked:
+                assert (a, m) in emitted, (a, m)
+
+
+def test_dot_unrolled_bit_equals_fold(spark):
+    """dot_unrolled / norm_unrolled are bit-identical to the sequential
+    aggregate fold (same seed, same left-assoc order) — pinned so the
+    documented negative result (r8: the 64-term unroll de-JITs and is
+    SLOWER; see vectors.py) keeps its correctness claim testable."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = V.as_double(F.col("embedding"))
+    bad = (
+        e.select(
+            V.dot(v, F.reverse(v)).alias("f"),
+            V.dot_unrolled(v, F.reverse(v), 64).alias("u"),
+            V.norm(v).alias("nf"),
+            V.norm_unrolled(v, 64).alias("nu"),
+        )
+        .filter((F.col("f") != F.col("u")) | (F.col("nf") != F.col("nu")))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_sim_topk_lsh_recall_vs_brute(spark):
     """Bucketed ANN top-10 vs brute-force top-10.
 
