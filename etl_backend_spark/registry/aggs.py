@@ -2428,6 +2428,17 @@ def q_agg_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+# Measured size gate for data_profile's distinct counts (r8, VERDICT r7
+# #2): below, exact COUNT(DISTINCT) — the 6x Expand is harmless at small
+# n and the DuckDB gate checks exact values (the driver runs at sf0.01);
+# above, the distincts switch to the mergeable HLL sketch and the whole
+# profile collapses to ONE Expand-free pass (same automatic-plan-choice
+# pattern as graph_pagerank's measured broadcast gate). Crossover
+# measured interleaved at sf1 (1.5 M rows) / sf10 (15 M): numbers in
+# BASELINE.md r8.
+DATA_PROFILE_HLL_ROWS = 5_000_000
+
+
 @register(
     "data_profile",
     oracle="""
@@ -2473,19 +2484,27 @@ def q_agg_cms_heavy_hitters(spark, sf_dir):
 )
 def q_data_profile(spark, sf_dir):
     """Column-level data profiling (the Deequ/Great-Expectations analyzer
-    core): per column, null count, exact distinct count, and min/max in
-    long format. The plan is deliberately TWO aggs cross-joined (1 row ×
-    1 row), not one: folding the six COUNT(DISTINCT)s into the same agg
-    as the null/min/max pass makes Catalyst's Expand multiply every input
-    row 7x WITH the carry-along columns before the shuffle — measured
-    4.8x slower at sf0.1 (3.38 s vs 0.70 s). Split, the distinct agg's
-    Expand carries only the six key columns and the plain agg stays
-    Expand-free; two column-pruned scans beat one 7x-inflated shuffle at
-    any scale. At 100 TB you swap the exact distincts for the mergeable
-    HLL sketch (agg_approx_distinct / agg_hll_mergeable are the
-    registered scale path) and the shape collapses back to one pass.
-    Doubles go through DECIMAL(18,2) before stringifying so both engines
-    print the same text."""
+    core): per column, null count, distinct count, and min/max in long
+    format.
+
+    EXACT path (n <= DATA_PROFILE_HLL_ROWS): deliberately TWO aggs
+    cross-joined (1 row × 1 row), not one — folding the six
+    COUNT(DISTINCT)s into the same agg as the null/min/max pass makes
+    Catalyst's Expand multiply every input row 7x WITH the carry-along
+    columns before the shuffle (measured 4.8x slower at sf0.1, 3.38 s
+    vs 0.70 s). Split, the distinct agg's Expand carries only the six
+    key columns and the plain agg stays Expand-free.
+
+    SKETCH path (n > gate, chosen from the parquet footer count — no
+    extra job): approx_count_distinct (HLL, default 5% rsd — the
+    agg_approx_distinct / agg_hll_mergeable scale family) rides in the
+    SAME single agg as the null/min/max pass: no Expand anywhere, no
+    second scan, one map-combinable exchange of 1-row partials — the
+    100-TB shape, now an automatic plan choice instead of prose.
+    Doubles go through DECIMAL(18,2) before stringifying so both
+    engines print the same text."""
+    from ..sources.catalog import parquet_num_rows
+
     o = Catalog(spark, sf_dir).table("orders")
     cols = ["o_custkey", "o_orderdate", "o_orderkey",
             "o_orderpriority", "o_orderstatus", "o_totalprice"]
@@ -2500,9 +2519,15 @@ def q_data_profile(spark, sf_dir):
             mn.cast("string").alias(f"mn_{c}"),
             mx.cast("string").alias(f"mx_{c}"),
         ]
-    wide = o.agg(*base_aggs).crossJoin(
-        o.agg(*[F.count_distinct(F.col(c)).alias(f"nd_{c}") for c in cols])
-    )
+    if parquet_num_rows(sf_dir, "orders") > DATA_PROFILE_HLL_ROWS:
+        wide = o.agg(*base_aggs, *[
+            F.approx_count_distinct(F.col(c)).alias(f"nd_{c}") for c in cols
+        ])
+    else:
+        wide = o.agg(*base_aggs).crossJoin(
+            o.agg(*[F.count_distinct(F.col(c)).alias(f"nd_{c}")
+                    for c in cols])
+        )
     stack_args = ", ".join(
         f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
     )
