@@ -2108,6 +2108,183 @@ def q_tpch_q20_shape(spark, sf_dir):
     )
 
 
+# ---- derived partsupp: closes the q9/q20 stand-in gap (VERDICT r7 #3) --
+#
+# The driver's testdata schema is FROZEN (TESTDATA.md) and lacks TPC-H's
+# partsupp, so tpch_q9_shape/q20_shape substituted retailprice/quantity-
+# share for supplycost/availqty. r8 instead DERIVES a deterministic
+# partsupp both engines can rebuild bit-identically: one row per shipped
+# (l_partkey, l_suppkey) pair (TPC-H guarantees lineitem's pairs exist in
+# partsupp — deriving from shipped pairs preserves exactly the coverage
+# q9/q20 consume), with integer-formula attributes
+#   ps_availqty   = 1 + (ps_partkey*31 + ps_suppkey*17) % 9999
+#   ps_supplycost = ((ps_partkey*131 + ps_suppkey*523) % 99900 + 100)/100.0
+# (positive-int % agrees across Spark/DuckDB; one double division of the
+# same integer is IEEE-identical). tpch_q9/tpch_q20 below run the REAL
+# supplycost/availqty semantics on it, fully value-hash-gated; the _shape
+# variants stay registered for round-over-round continuity.
+
+_PARTSUPP_SQL = """
+      SELECT ps_partkey, ps_suppkey,
+             CAST(1 + (ps_partkey * 31 + ps_suppkey * 17) % 9999 AS INT)
+               AS ps_availqty,
+             CAST((ps_partkey * 131 + ps_suppkey * 523) % 99900 + 100
+                  AS DOUBLE) / 100.0 AS ps_supplycost
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey FROM lineitem)
+"""
+
+
+def _partsupp_synth(cat):
+    li = cat.table("lineitem")
+    return (
+        li.select(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey"))
+        .distinct()
+        .withColumn(
+            "ps_availqty",
+            (F.lit(1) + (F.col("ps_partkey") * 31
+                         + F.col("ps_suppkey") * 17) % 9999).cast("int"),
+        )
+        .withColumn(
+            "ps_supplycost",
+            ((F.col("ps_partkey") * 131 + F.col("ps_suppkey") * 523)
+             % 99900 + 100).cast("double") / 100.0,
+        )
+    )
+
+
+@register("partsupp_synth", oracle=f"SELECT * FROM ({_PARTSUPP_SQL})")
+def q_partsupp_synth(spark, sf_dir):
+    """The derived partsupp relation itself, value-checked end to end
+    (see the derivation note above): one distinct-pairs shuffle over
+    lineitem's two key columns, then two codegen'd integer formulas —
+    at 100 TB this is a map-combinable distinct on a skinny projection,
+    nothing else."""
+    return _partsupp_synth(Catalog(spark, sf_dir))
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 with the REAL profit expression — revenue minus
+    ps_supplycost * l_quantity over the derived partsupp (the r7
+    stand-in used 0.6*p_retailprice; VERDICT r7 #3). Plan notes: the
+    partsupp join keys on the composite (partkey, suppkey) the pair
+    relation was built from; part's LIKE filter prunes before its join;
+    nation broadcasts; the orders join is the one big-big exchange, on
+    the natural l_orderkey. The 6-way star then aggregates once on
+    (nation, year)."""
+    cat = Catalog(spark, sf_dir)
+    li, o, s = (cat.table("lineitem"), cat.table("orders"),
+                cat.table("supplier"))
+    ps = _partsupp_synth(cat)
+    p = cat.tbl("part").filter(F.col("p_name").like("%red%"))
+    n = cat.tbl("nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(ps, (li["l_partkey"] == ps["ps_partkey"])
+                & (li["l_suppkey"] == ps["ps_suppkey"]))
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'red%'
+        JOIN shipped ON shipped.l_partkey = ps_partkey
+                    AND shipped.l_suppkey = ps_suppkey
+        WHERE ps_availqty > 0.5 * qty
+      )
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 with the REAL availqty threshold — suppliers in the
+    four nations holding excess stock (ps_availqty > half the 1996
+    shipped quantity) of a name-prefixed part, over the derived
+    partsupp (the r7 stand-in used a shipped-quantity share; VERDICT
+    r7 #3). The correlated structure is the real one: per-(part,supp)
+    year aggregate -> threshold against partsupp -> semi join into the
+    dim-filtered supplier list. Quantity sums are small-int-valued
+    doubles, so the 0.5*qty comparison is exact on both engines."""
+    import datetime as _dt
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    ps = _partsupp_synth(cat)
+    p = cat.tbl("part").filter(F.col("p_name").like("red%"))
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_dt.datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(_dt.datetime(1997, 1, 1)))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = (
+        ps.join(p, ps["ps_partkey"] == p["p_partkey"])
+        .join(shipped, (shipped["l_partkey"] == ps["ps_partkey"])
+              & (shipped["l_suppkey"] == ps["ps_suppkey"]))
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    s = cat.table("supplier")
+    n = cat.tbl("nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, s["s_suppkey"] == excess["ps_suppkey"], "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 @register(
     "agg_quartiles",
     oracle="""
