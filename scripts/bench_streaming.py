@@ -108,6 +108,50 @@ def main() -> None:
     )
     results["rolling_rate_counter"] = drain(w, "s5")
 
+    # 6-9. the r5-r7 stateful family (VERDICT r7 #5 refresh): funnel
+    # tracker, event-time-timeout session closer, EWMA and Holt folds —
+    # all applyInPandasWithState, keyed by user
+    w = (
+        cp.funnel_conversions(source())
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck6")
+        .outputMode("append")
+    )
+    results["funnel_conversions"] = drain(w, "s6")
+
+    w = (
+        cp.idle_session_close(source())
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck7")
+        .outputMode("append")
+    )
+    results["idle_session_close"] = drain(w, "s7")
+
+    w = (
+        cp.streaming_ewma(source())
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck8")
+        .outputMode("update")
+    )
+    results["streaming_ewma"] = drain(w, "s8")
+
+    w = (
+        cp.streaming_holt(source())
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck9")
+        .outputMode("update")
+    )
+    results["streaming_holt"] = drain(w, "s9")
+
+    # 10. watermark-bounded streaming dedup (state = watermark horizon)
+    w = (
+        cp.dedup_stream(source(), ["event_id"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck10")
+        .outputMode("append")
+    )
+    results["dedup_stream"] = drain(w, "s10")
+
     print(json.dumps({
         "events": n,
         "stages": {
