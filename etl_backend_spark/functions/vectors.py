@@ -283,14 +283,21 @@ def bucket_knn_candidates_pandas(k: int = 5, eps: float = 2e-6):
     return run
 
 
-def bucket_allpairs_cosine_pandas():
-    """applyInPandas worker for BUCKET-LOCAL pair scoring — the r8 fix
-    for symmetric band-LSH pipelines (knn_graph_lsh, VERDICT r7 #1).
+def bucket_allpairs_cosine_pandas(tau: float | None = None):
+    """applyInPandas worker for BUCKET-LOCAL pair scoring — the r8
+    symmetric-band-LSH shape shared with ``bucket_knn_candidates_pandas``
+    (dedup_embedding's consumer keeps ALL a<b pairs, optionally
+    tau-filtered in-kernel, instead of per-vector top-k).
 
-    Input: one (band, key) LSH bucket as a pandas frame with
-    ``vec_id`` + ``embedding``; output: every a<b pair in the bucket
-    with its RAW float64 cosine. The caller rounds JVM-side so the
-    cross-engine round contract is untouched.
+    Input: a coarse hash-group of whole (band, key) buckets (pandas
+    groupby re-splits inside; one-bucket-per-group paid ~15x Arrow/UDF
+    overhead); output: every a<b pair per bucket with its RAW float64
+    cosine, optionally only those with cos >= tau (the filter runs on
+    the same raw doubles the JVM fold and the DuckDB oracle compare
+    against, so in-kernel filtering is bit-faithful and cuts the Arrow
+    return + downstream dedup shuffle to the surviving pairs). The
+    caller rounds JVM-side so the cross-engine round contract is
+    untouched.
 
     Why this shape wins: the join-based plan hydrates 64-dim vectors
     onto every candidate pair (2 SHUFFLE_HASH joins, ~540 B/pair) and
@@ -300,53 +307,59 @@ def bucket_allpairs_cosine_pandas():
 
     VALUE-EXACT: accumulation is sequential over DIMS, vectorized over
     pairs (``P = P + outer(col_j, col_j)``, zero seed, increasing j) —
-    per pair that is the identical left-associated IEEE chain the JVM
+    per pair the identical left-associated IEEE chain the JVM
     ``aggregate`` fold and the DuckDB oracle compute, so raw doubles
     are bit-identical (pytest-pinned vs ``dot``). float32→float64 cast
     first, exactly like ``as_double``.
 
-    Scale: bucket density is held ~32 by the adaptive bits schedule
-    (bits = ceil(log2(n/32)), cap 21), so per-group cost is ~32x32
-    matrices; the 2048-row block loop bounds memory for straggler
-    buckets (a 100k-row degenerate bucket scores in 800 MB blocks
-    instead of materializing an 80 GB P)."""
+    Scale: bucket density is held ~32 by the adaptive bits schedule;
+    the 2048-row block loop bounds memory for straggler buckets (a
+    degenerate 100k-row bucket scores in blocks instead of an 80 GB P)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = len(ids)
-        empty = pd.DataFrame({
-            "vec_a": pd.Series([], dtype="int64"),
-            "vec_b": pd.Series([], dtype="int64"),
-            "cos": pd.Series([], dtype="float64"),
-        })
-        if m < 2:
-            return empty
-        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        dim = M.shape[1]
-        s = np.zeros(m, dtype=np.float64)
-        for j in range(dim):  # sequential over dims = fold order
-            c = M[:, j]
-            s = s + c * c
-        nrm = np.sqrt(s)
+        ids_all = pdf["vec_id"].to_numpy()
+        M_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         out_a, out_b, out_c = [], [], []
-        B = 2048
-        for st in range(0, m - 1, B):
-            en = min(st + B, m)
-            blk = M[st:en]
-            P = np.zeros((en - st, m), dtype=np.float64)
-            for j in range(dim):  # same sequential fold, per block
-                P = P + np.outer(blk[:, j], M[:, j])
-            cos = P / np.outer(nrm[st:en], nrm)
-            for r in range(en - st):
-                gi = st + r
-                if gi + 1 >= m:
-                    continue
-                out_a.append(np.full(m - gi - 1, ids[gi], dtype=np.int64))
-                out_b.append(ids[gi + 1:].astype(np.int64, copy=False))
-                out_c.append(cos[r, gi + 1:])
+        for ix in pdf.groupby(["band", "key"], sort=False).indices.values():
+            m = len(ix)
+            if m < 2:
+                continue
+            order = np.argsort(ids_all[ix], kind="stable")
+            ids = ids_all[ix][order]
+            M = M_all[ix][order]
+            s = np.zeros(m, dtype=np.float64)
+            for j in range(M.shape[1]):  # sequential over dims = fold
+                c = M[:, j]
+                s = s + c * c
+            nrm = np.sqrt(s)
+            B = 2048
+            for st in range(0, m - 1, B):
+                en = min(st + B, m)
+                blk = M[st:en]
+                P = np.zeros((en - st, m), dtype=np.float64)
+                for j in range(M.shape[1]):  # same fold, per block
+                    P = P + np.outer(blk[:, j], M[:, j])
+                cos = P / np.outer(nrm[st:en], nrm)
+                for r in range(en - st):
+                    gi = st + r
+                    if gi + 1 >= m:
+                        continue
+                    row = cos[r, gi + 1:]
+                    cols = ids[gi + 1:]
+                    if tau is not None:
+                        keep = row >= tau
+                        row, cols = row[keep], cols[keep]
+                    if not len(row):
+                        continue
+                    out_a.append(np.full(len(row), ids[gi], dtype=np.int64))
+                    out_b.append(cols.astype(np.int64, copy=False))
+                    out_c.append(row)
         if not out_a:
-            return empty
+            return pd.DataFrame({
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            })
         return pd.DataFrame({
             "vec_a": np.concatenate(out_a),
             "vec_b": np.concatenate(out_b),

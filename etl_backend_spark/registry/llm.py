@@ -900,11 +900,23 @@ def q_dedup_embedding(spark, sf_dir):
 
     The band keys are sign-deterministic, so DuckDB replicates the
     candidate set exactly and the oracle value-checks the whole pipeline,
-    approximation included."""
+    approximation included.
+
+    r8 plan: bucket-local scoring, the same two-exchange shape as
+    knn_graph_lsh — coarse hash-groups of whole (band, key) buckets feed
+    ``V.bucket_allpairs_cosine_pandas`` (raw doubles bit-identical to
+    the JVM fold; tau filter runs IN-KERNEL on the raw values, so only
+    surviving pairs cross Arrow and the dedup shuffle), then one
+    dropDuplicates on the skinny (ids, cos) rows removes cross-band
+    repeats (bit-identical cos on every repeat). The r7 plan's band
+    self-join + pair dedup + two vector-hydration joins are gone; at
+    the sf10 candidate volume the hydration stage alone was 89 s."""
     import math
 
+    from ..sources.catalog import parquet_num_rows
+
     e = Catalog(spark, sf_dir).table("embeddings")
-    n = e.count()  # bounded 1-row action (parquet metadata count)
+    n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no job
     # same bits-vs-n schedule as the multiprobe twin (cap 21 = one tier
     # past 16; derivation at q_dedup_embedding_multiprobe)
     bits = min(21, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
@@ -914,28 +926,17 @@ def q_dedup_embedding(spark, sf_dir):
         H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
         for b in range(nbands)
     ])
-    # ids only through the candidate join + dedup (the wide columns are
-    # the 64-dim vectors — shuffling them per-candidate dominated the
-    # multiprobe variant's runtime; same fix applied here), vectors
-    # joined back for the exact-cosine filter afterwards.
     bands = e.select(
-        "vec_id",
+        "vec_id", "embedding",
         F.posexplode(band_keys).alias("band", "key"),
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-        )
+    ).withColumn("g", F.pmod(F.hash("band", "key"), F.lit(256)))
+    return (
+        bands.groupBy("g")
+        .applyInPandas(V.bucket_allpairs_cosine_pandas(tau=0.3),
+                       "vec_a long, vec_b long, cos double")
         .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cos_sim"))
     )
-    return _score_pairs_exact(e, cand, v)
 
 
 @register(
@@ -1174,8 +1175,10 @@ def q_dedup_embedding_multiprobe(spark, sf_dir):
     pytest-asserted ≥ 0.95."""
     import math
 
+    from ..sources.catalog import parquet_num_rows
+
     e = Catalog(spark, sf_dir).table("embeddings")
-    n = e.count()
+    n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no job
     # bits-vs-n schedule (VERDICT r6 #5): the 32-vector density ceiling
     # gives bits = ceil(log2(n/32)) — buckets track corpus growth so
     # per-bucket pair work stays bounded within every tier. Cap 21 (3
