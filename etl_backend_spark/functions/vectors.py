@@ -369,6 +369,87 @@ def bucket_allpairs_cosine_pandas(tau: float | None = None):
     return run
 
 
+def bucket_probe_pairs_cosine_pandas(tau: float | None = None):
+    """applyInPandas worker for MULTI-PROBE bucket-local pair scoring —
+    the asymmetric sibling of ``bucket_allpairs_cosine_pandas``
+    (dedup_embedding_multiprobe: probe rows pair only against BASE
+    rows, never against other probes).
+
+    Input: a coarse hash-group of whole (band, key) buckets with
+    ``vec_id``, ``embedding`` and ``is_probe`` (false = the vector's
+    own band key, true = a flipped probe key). A pair is a candidate
+    iff at least one side is a base row — exactly the oracle's
+    (probes ∪ bases) x bases join with a != b. Output: normalized
+    (least, greatest) id pairs with RAW float64 cosine, tau-filtered
+    in-kernel on the raw values; cross-band/orientation repeats carry
+    bit-identical cos and die in the caller's dropDuplicates.
+
+    The scoring matrix is (all rows) x (base rows) only — probe rows
+    dominate a bucket ~5:1 under the capped flip budget, so skipping
+    probe x probe cells cuts ~70% of the kernel flops. Accumulation is
+    the same sequential-over-dims fold (bit-identical to the JVM
+    ``aggregate`` fold and the DuckDB oracle; per-term multiplication
+    commutes, so both orientations of a pair produce the same double).
+
+    This replaces the skinny-pair + 2-hydration-join plan whose
+    scoring stage alone measured 185 s at the sf10 candidate volume
+    (BASELINE.md r7 multiprobe fix; r8 removes hydration entirely)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all = pdf["vec_id"].to_numpy()
+        probe_all = pdf["is_probe"].to_numpy()
+        M_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        out_a, out_b, out_c = [], [], []
+        for ix in pdf.groupby(["band", "key"], sort=False).indices.values():
+            ids = ids_all[ix]
+            isp = probe_all[ix]
+            m = len(ix)
+            nb = int((~isp).sum())
+            if m < 2 or nb == 0:
+                continue
+            M = M_all[ix]
+            s = np.zeros(m, dtype=np.float64)
+            for j in range(M.shape[1]):  # sequential over dims = fold
+                c = M[:, j]
+                s = s + c * c
+            nrm = np.sqrt(s)
+            base_ix = np.nonzero(~isp)[0]
+            MB = M[base_ix]
+            B = 2048
+            for st in range(0, m, B):
+                en = min(st + B, m)
+                blk = M[st:en]
+                P = np.zeros((en - st, nb), dtype=np.float64)
+                for j in range(M.shape[1]):  # same fold, per block
+                    P = P + np.outer(blk[:, j], MB[:, j])
+                cos = P / np.outer(nrm[st:en], nrm[base_ix])
+                lid = ids[st:en][:, None]
+                rid = ids[base_ix][None, :]
+                keep = lid != rid
+                if tau is not None:
+                    keep &= cos >= tau
+                r, c = np.nonzero(keep)
+                if not len(r):
+                    continue
+                lv, rv = ids[st + r], ids[base_ix][c]
+                out_a.append(np.minimum(lv, rv).astype(np.int64))
+                out_b.append(np.maximum(lv, rv).astype(np.int64))
+                out_c.append(cos[r, c])
+        if not out_a:
+            return pd.DataFrame({
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cos": np.concatenate(out_c),
+        })
+
+    return run
+
+
 def cosine_topk_scan_pandas(query_vecs: list[list[float]], k: int,
                             exclude_ids=None):
     """mapInPandas worker factory over (vec_id, v): score every corpus

@@ -1225,54 +1225,57 @@ def _multiprobe_pairs(spark, e, bits: int, capped: bool):
         )
 
     entries = e.select(
-        "vec_id", F.explode(F.array(*[band_entry(b) for b in range(nbands)])).alias("e")
+        "vec_id", "embedding",
+        F.explode(F.array(*[band_entry(b) for b in range(nbands)])).alias("e"),
     ).select(
-        "vec_id",
+        "vec_id", "embedding",
         F.col("e.band").alias("band"),
         F.col("e.key").alias("key"),
         F.col("e.fl").alias("fl"),
-    )
-    bands = entries.select("vec_id", "band", "key")
-    # probes/bands carry IDs ONLY: with the probe fan-out the candidate
-    # volume is well above the exact-key form, and shuffling both 64-dim
-    # vectors through the pair dedup dominated the runtime (measured
-    # 6.8x/decade at sf1). Skinny id-pair dedup + join the vectors back
-    # afterwards (exactly the oracle's shape) keeps the big shuffle at
-    # 16 bytes/row and restores the ~linear slope.
-    probes = entries.select(
-        "vec_id", "band",
-        F.explode(
-            F.concat(
-                F.array(F.col("key")),
-                F.transform(
-                    F.col("fl"),
-                    lambda f: F.col("key").bitwiseXOR(F.element_at(pow2, f + 1)),
-                ),
-            )
-        ).alias("key"),
     )
     # SYMMETRIC probing (a.vec_id != b.vec_id + least/greatest
     # normalization, not one-sided a < b): a pair is a candidate if the
     # disagreeing bit is in EITHER endpoint's flip set — union coverage
     # roughly squares the miss probability of one-sided capped probing
     # (measured 0.73 -> 0.97 retention vs full hamming-1 at sf0.001) at
-    # the same probe-side volume; only the matched-candidate rows (pre-
-    # dedup) roughly double.
-    cand = (
-        probes.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
-        )
+    # the same probe-side volume.
+    #
+    # r8 plan: bucket-local scoring (same two-exchange shape as
+    # dedup_embedding / knn_graph_lsh) — base rows carry the vector's
+    # own band key, probe rows its flipped keys; the kernel pairs
+    # (bases ∪ probes) x bases inside each bucket, so the old skinny-
+    # pair dedup + 2 vector-hydration joins (scoring stage alone 185 s
+    # at the sf10 candidate volume, BASELINE r7) disappear. Probe rows
+    # ship the vector once per flip (~300 B) — the same bytes the old
+    # plan hydrated per CANDIDATE, of which there are ~32x more.
+    # base + probe rows from ONE explode (a base ∪ flips union would
+    # plant the interpreted band_entry subtree twice — the same lesson
+    # as knn's mirror explode)
+    rows = entries.select(
+        "vec_id", "embedding", "band",
+        F.explode(F.concat(
+            F.array(F.struct(F.col("key").alias("key"),
+                             F.lit(False).alias("is_probe"))),
+            F.transform(
+                F.col("fl"),
+                lambda f: F.struct(
+                    F.col("key").bitwiseXOR(
+                        F.element_at(pow2, f + 1)).alias("key"),
+                    F.lit(True).alias("is_probe"),
+                ),
+            ),
+        )).alias("k"),
+    ).select(
+        "vec_id", "embedding", "band",
+        F.col("k.key").alias("key"), F.col("k.is_probe").alias("is_probe"),
+    ).withColumn("g", F.pmod(F.hash("band", "key"), F.lit(256)))
+    return (
+        rows.groupBy("g")
+        .applyInPandas(V.bucket_probe_pairs_cosine_pandas(tau=0.3),
+                       "vec_a long, vec_b long, cos double")
         .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cos_sim"))
     )
-    return _score_pairs_exact(e, cand, v)
 
 
 @register(
