@@ -81,6 +81,12 @@ HEADLINE = [
     "multimodal_augment",      # flip+crop patches over real PNG decode
     "featurestore_pit",        # point-in-time feature assembly, one window pass
     "graph_reachability",      # recursive-CTE BFS over a declared edge layout
+    # round-8 additions
+    "tpch_q9",                 # real supplycost profit over derived partsupp
+    "tpch_q20",                # real availqty threshold over derived partsupp
+    "dedup_embedding",         # bucket-local LSH pair scoring (2 exchanges)
+    "dedup_embedding_multiprobe",  # probe-aware bucket-local kernel
+    "data_profile",            # size-gated exact/HLL column profiler
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

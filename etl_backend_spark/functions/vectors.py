@@ -70,12 +70,14 @@ def pair_dot_seq_pandas():
     vectorized over ROWS but sequential over DIMS (``acc = acc +
     A[:, j] * B[:, j]`` in increasing j, float64), so every row's sum is
     the same left-associated IEEE chain the JVM fold and the DuckDB
-    oracle compute — no pairwise/BLAS reordering, no round-tie risk, the
-    cross-engine round(6) contract holds exactly (pytest-pinned vs
-    ``dot``). This is the hot-pair scale path: the higher-order
-    ``aggregate`` fold evaluates interpreted at ~17 us/pair, and the
-    codegen'd unroll de-JITs (see ``dot_unrolled``); the Arrow kernel
-    runs the same math at memory bandwidth. Returns a Column factory:
+    oracle compute — no pairwise/BLAS reordering, no round-tie risk.
+    NOTE (r8): tried as the knn_graph_lsh pair scorer and REJECTED —
+    bit-exact, but it ships ~1 KB of vectors per PAIR through Arrow
+    (4.6 vs 3.9 s at sf1, ~89 GB transfer at the sf10 candidate
+    volume); the shipped fix is bucket-local scoring, where vectors
+    cross once per band instead (``bucket_*_pandas`` below). Kept as a
+    pytest-pinned utility for plans whose pair vectors are ALREADY
+    co-located. Returns a Column factory:
     ``pair_dot_seq_pandas()(va, vb)``."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType

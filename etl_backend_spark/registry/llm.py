@@ -791,48 +791,18 @@ def q_sim_topk_pq(spark, sf_dir):
 
 
 
-def _score_pairs_exact(e, cand, v, tau=0.3, dim=64):
-    """Hydrate skinny (vec_a, vec_b) candidates and apply the exact
-    cosine filter — shared by dedup_embedding and the multiprobe twin.
-
-    Three VALUE-EXACT scale choices (r7 sweeps caught 89M sf10
-    candidates spending 185 s here; r8 closed the residual):
-
-    * per-VECTOR norms are computed once on the hydration side and the
-      per-pair cosine is dot/(na*nb) — bit-identical to the
-      norm-per-pair form (same fold over the same data, same multiply
-      order), but 1 array reduction per pair instead of 3;
-    * the per-pair cosine stays the sequential JVM ``aggregate`` fold.
-      Two r8 alternatives were A/B'd at sf1 and REJECTED: a 64-term
-      codegen unroll (``V.dot_unrolled``) de-JITs the giant generated
-      method, 6.3 vs 3.25 s; an Arrow per-pair kernel
-      (``V.pair_dot_seq_pandas``, bit-identical seq-over-dims numpy)
-      ships ~1 KB/pair through Python — 4.6 vs 3.9 s at sf1 and
-      ~89 GB of transfer at the sf10 candidate volume. The real fix
-      for symmetric band-LSH consumers is bucket-local scoring
-      (``_bucket_pairs_scored`` below), which never hydrates pairs at
-      all; this hydration+fold path remains for ASYMMETRIC candidate
-      streams (multiprobe: probe rows join base-band rows);
-    * the hydration joins carry SHUFFLE_HASH hints: the default plan
-      sort-merge-joins the candidate stream (sorting ~1e8 rows, twice);
-      hash joins build on the n-row vector side and stream candidates
-      unsorted — identical rows out, no candidate sort.
-
-    Post-r7-fix sf10: 209 -> 89 s end-to-end (stage detail in
-    BASELINE.md).
-    """
-    ea = e.select(F.col("vec_id").alias("__ea"), v.alias("va")) \
-         .withColumn("na", V.norm(F.col("va")))
-    eb = e.select(F.col("vec_id").alias("__eb"), v.alias("vb")) \
-         .withColumn("nb", V.norm(F.col("vb")))
-    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    out = (
-        cand.join(ea.hint("SHUFFLE_HASH"), F.col("vec_a") == F.col("__ea"))
-        .join(eb.hint("SHUFFLE_HASH"), F.col("vec_b") == F.col("__eb"))
-    )
-    if tau is not None:  # kNN-graph consumers rank ALL candidates
-        out = out.filter(cos >= tau)
-    return out.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+# NOTE (r8): the hydrate-skinny-pairs scorer `_score_pairs_exact` that
+# lived here (per-vector norms on the hydration side + SHUFFLE_HASH
+# hints, the r7 fix that took the sf10 candidate scoring 209 -> 89 s)
+# was REMOVED: every band-LSH consumer — dedup_embedding, the
+# multiprobe twin, knn_graph_lsh — now scores bucket-locally
+# (functions/vectors.py bucket_*_pandas kernels) and never materializes
+# hydrated pairs at all (sf10: dedup 5.4 s, multiprobe 13 s, knn 6.3 s;
+# BASELINE.md r8). Two other r8 alternatives were A/B'd and rejected on
+# the way: the 64-term codegen unroll (V.dot_unrolled — de-JITs) and
+# the Arrow per-pair dot (V.pair_dot_seq_pandas — ~1 KB/pair transfer);
+# both survive in vectors.py as pytest-pinned documented negative
+# results.
 
 
 @register(

@@ -273,14 +273,17 @@ def test_dot_unrolled_bit_equals_fold(spark):
     SLOWER; see vectors.py) keeps its correctness claim testable."""
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     v = V.as_double(F.col("embedding"))
+    pair_dot = V.pair_dot_seq_pandas()
     bad = (
         e.select(
             V.dot(v, F.reverse(v)).alias("f"),
             V.dot_unrolled(v, F.reverse(v), 64).alias("u"),
+            pair_dot(v, F.reverse(v)).alias("a"),
             V.norm(v).alias("nf"),
             V.norm_unrolled(v, 64).alias("nu"),
         )
-        .filter((F.col("f") != F.col("u")) | (F.col("nf") != F.col("nu")))
+        .filter((F.col("f") != F.col("u")) | (F.col("nf") != F.col("nu"))
+                | (F.col("f") != F.col("a")))
         .count()
     )
     assert bad == 0
