@@ -284,3 +284,109 @@ def test_webp_roundtrip_property(w, h, seed, sg, cache, pred, meta):
         predictor_bits=pred, meta_bits=meta,
     )
     assert np.array_equal(webp.decode_webp(data), px)
+
+
+# ---- r8 bucket-local LSH kernels: bit-exactness + pair-set contracts ----
+#
+# The kernels are plain pandas->pandas functions, so hypothesis drives
+# them WITHOUT a Spark session against a brute-force Python reference
+# whose float arithmetic is the exact sequential IEEE chain the JVM
+# aggregate fold and the DuckDB oracle compute (plain Python float ops
+# ARE that chain).
+
+def _seq_cos(a, b):
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return dot / ((na ** 0.5) * (nb ** 0.5))
+
+
+bucket_rows_st = st.lists(
+    st.tuples(
+        st.integers(0, 5),                   # bucket key
+        st.booleans(),                       # is_probe (probe kernel only)
+        st.lists(st.floats(-4, 4, allow_nan=False, width=32),
+                 min_size=6, max_size=6),    # embedding, fixed dim 6
+    ),
+    min_size=2, max_size=40,
+)
+
+
+@given(bucket_rows_st, st.one_of(st.none(), st.floats(-1, 1)))
+@settings(max_examples=25, deadline=None)
+def test_bucket_allpairs_kernel_matches_python_reference(rows, tau):
+    import numpy as np
+    import pandas as pd
+
+    from etl_backend_spark.functions import vectors as V
+
+    pdf = pd.DataFrame({
+        "vec_id": range(len(rows)),
+        "band": [0] * len(rows),
+        "key": [r[0] for r in rows],
+        "embedding": [np.asarray(r[2], dtype=np.float32) for r in rows],
+    })
+    # degenerate all-zero vectors divide 0/0 -> NaN on every engine;
+    # the contract only covers non-zero vectors
+    pdf = pdf[[bool(np.any(np.asarray(e) != 0)) for e in pdf["embedding"]]]
+    if len(pdf) < 2:
+        return
+    out = V.bucket_allpairs_cosine_pandas(tau=tau)(pdf)
+    got = {(r.vec_a, r.vec_b): r.cos for r in out.itertuples()}
+    emb = dict(zip(pdf["vec_id"], pdf["embedding"]))
+    key = dict(zip(pdf["vec_id"], pdf["key"]))
+    expected = {}
+    ids = sorted(emb)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if key[a] != key[b]:
+                continue
+            c = _seq_cos(emb[a], emb[b])
+            if tau is None or c >= tau:
+                expected[(a, b)] = c
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == v, (k, got[k], v)  # bit-exact, not approx
+
+
+@given(bucket_rows_st, st.one_of(st.none(), st.floats(-1, 1)))
+@settings(max_examples=25, deadline=None)
+def test_bucket_probe_kernel_matches_python_reference(rows, tau):
+    import numpy as np
+    import pandas as pd
+
+    from etl_backend_spark.functions import vectors as V
+
+    pdf = pd.DataFrame({
+        "vec_id": range(len(rows)),
+        "band": [0] * len(rows),
+        "key": [r[0] for r in rows],
+        "is_probe": [r[1] for r in rows],
+        "embedding": [np.asarray(r[2], dtype=np.float32) for r in rows],
+    })
+    pdf = pdf[[bool(np.any(np.asarray(e) != 0)) for e in pdf["embedding"]]]
+    if len(pdf) < 2:
+        return
+    out = V.bucket_probe_pairs_cosine_pandas(tau=tau)(pdf)
+    got = {(r.vec_a, r.vec_b): r.cos for r in out.itertuples()}
+    # reference: normalized pairs within a bucket where >=1 side is base;
+    # repeats across orientations must agree bit-exactly (commutative
+    # per-term products, same j order), mirroring the real pipeline's
+    # dropDuplicates-after contract
+    emb, key, isp = (dict(zip(pdf["vec_id"], pdf[c]))
+                     for c in ("embedding", "key", "is_probe"))
+    expected = {}
+    ids = sorted(emb)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if key[a] != key[b] or (isp[a] and isp[b]):
+                continue
+            c = _seq_cos(emb[a], emb[b])
+            if tau is None or c >= tau:
+                expected[(a, b)] = c
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == v, (k, got[k], v)
