@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_embedding",         # bucket-local LSH pair scoring (2 exchanges)
     "dedup_embedding_multiprobe",  # probe-aware bucket-local kernel
     "data_profile",            # size-gated exact/HLL column profiler
+    "hybrid_search_rrf",       # RRF fusion of BM25 + vector rankings
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

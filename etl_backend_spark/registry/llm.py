@@ -1626,6 +1626,117 @@ def q_semantic_search(spark, sf_dir):
     )
 
 
+@register(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(w) AS dl FROM tok
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, t.term, len(list_filter(w, x -> x = t.term)) AS tf
+      FROM tok, (SELECT unnest(['spark', 'merge']) AS term) t
+      WHERE len(list_filter(w, x -> x = t.term)) > 0
+    ), dfx AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), bm AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ), 4) AS bm25
+      FROM tf, stats
+      JOIN dfx ON tf.term = dfx.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ), rt AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_t
+      FROM bm
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), vs AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+               AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ), rv AS (
+      SELECT doc_id, r_v FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_v
+        FROM vs
+      ) WHERE r_v <= 50
+    ), fused AS (
+      SELECT coalesce(rt.doc_id, rv.doc_id) AS doc_id,
+             coalesce(1.0 / (60.0 + rt.r_t), 0.0)
+               + coalesce(1.0 / (60.0 + rv.r_v), 0.0) AS rrf
+      FROM rt FULL JOIN rv ON rt.doc_id = rv.doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_search_rrf(spark, sf_dir):
+    """HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009,
+    k=60; the Vespa/Elasticsearch/pgvector hybrid default) of the two
+    ranking families the engine already serves: Okapi BM25 over the
+    pruned inverted index (text arm, reusing q_bm25_search_indexed's
+    index-time artifacts) and exact-cosine vector top-50 (vector arm,
+    the sim_topk scorer with the query = embedding 0). Docs missing
+    from one arm contribute 0 from it — the standard full-outer RRF.
+
+    Cross-engine float contract: each arm's rank is an exact integer
+    under a deterministic total order (rounded score desc, id asc), so
+    1.0/(60.0 + r) is one IEEE division of identical doubles and the
+    fused score is a TWO-term sum in fixed order (text + vector) —
+    bit-identical on both engines, no rounding needed; top-10 ties
+    break on doc_id.
+
+    Scale notes: both arms are already bounded BEFORE ranking — the
+    text arm's candidate set is the postings of the query terms (2/64
+    postings partitions, never the corpus), the vector arm keeps top-50
+    (swap in the IVF-PQ index for the scan at corpus scale) — so the
+    two global rank windows order query-bounded candidate sets (an IR
+    engine's per-query heap), not tables; the fusion join is
+    candidate-set-sized."""
+    from pyspark.sql import Window
+
+    from .pipeline import q_bm25_search_indexed
+
+    bm = q_bm25_search_indexed(spark, sf_dir)
+    w_t = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    rt = bm.select("doc_id", F.row_number().over(w_t).alias("r_t"))
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        V.as_double(F.col("embedding")).alias("qv"))
+    vs = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine(F.col("qv"), V.as_double(F.col("embedding"))),
+                    6).alias("cos"),
+        )
+    )
+    w_v = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    rv = (
+        vs.select("doc_id", F.row_number().over(w_v).alias("r_v"))
+        .filter(F.col("r_v") <= 50)
+    )
+    fused = (
+        rt.join(rv, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.coalesce(1.0 / (F.lit(60.0) + F.col("r_t")), F.lit(0.0))
+             + F.coalesce(1.0 / (F.lit(60.0) + F.col("r_v")), F.lit(0.0))
+             ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
 _PQ_INDEX_DIRS: dict = {}
 
 
