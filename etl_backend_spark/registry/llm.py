@@ -1696,17 +1696,28 @@ def q_hybrid_search_rrf(spark, sf_dir):
     Scale notes: both arms are already bounded BEFORE ranking — the
     text arm's candidate set is the postings of the query terms (2/64
     postings partitions, never the corpus), the vector arm keeps top-50
-    (swap in the IVF-PQ index for the scan at corpus scale) — so the
-    two global rank windows order query-bounded candidate sets (an IR
-    engine's per-query heap), not tables; the fusion join is
+    (swap in the IVF-PQ index for the scan at corpus scale). Ranks are
+    assigned by the array-sort AGGREGATION pattern (map-combinable
+    collect_list -> array_sort(struct(-score, id)) -> posexplode),
+    shared with knn_graph_lsh's top-k — a per-query rank heap, not a
+    single-partition window (plan-audit-clean); the fusion join is
     candidate-set-sized."""
-    from pyspark.sql import Window
-
     from .pipeline import q_bm25_search_indexed
 
+    def ranked(df, score_col, rank_name, k=None):
+        arr = F.array_sort(F.collect_list(F.struct(
+            (-F.col(score_col)).alias("neg"), F.col("doc_id"))))
+        if k is not None:
+            arr = F.slice(arr, 1, k)
+        return (
+            df.agg(arr.alias("arr"))
+            .select(F.posexplode("arr").alias("pos", "s"))
+            .select(F.col("s.doc_id").alias("doc_id"),
+                    (F.col("pos") + 1).alias(rank_name))
+        )
+
     bm = q_bm25_search_indexed(spark, sf_dir)
-    w_t = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    rt = bm.select("doc_id", F.row_number().over(w_t).alias("r_t"))
+    rt = ranked(bm, "bm25", "r_t")
 
     e = Catalog(spark, sf_dir).table("embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(
@@ -1720,11 +1731,7 @@ def q_hybrid_search_rrf(spark, sf_dir):
                     6).alias("cos"),
         )
     )
-    w_v = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-    rv = (
-        vs.select("doc_id", F.row_number().over(w_v).alias("r_v"))
-        .filter(F.col("r_v") <= 50)
-    )
+    rv = ranked(vs, "cos", "r_v", k=50)
     fused = (
         rt.join(rv, "doc_id", "full_outer")
         .select(
