@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_embedding_multiprobe",  # probe-aware bucket-local kernel
     "data_profile",            # size-gated exact/HLL column profiler
     "hybrid_search_rrf",       # RRF fusion of BM25 + vector rankings
+    "search_rerank_mmr",       # MMR diversity re-rank over the vector arm
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

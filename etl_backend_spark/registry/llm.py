@@ -1744,6 +1744,134 @@ def q_hybrid_search_rrf(spark, sf_dir):
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
 
 
+def _mmr_oracle() -> str:
+    """Build the statically-unrolled MMR oracle: 5 greedy selections,
+    each one a (remaining x selected) max-similarity aggregate + an
+    argmax under (score desc, vec_id). Generated, not hand-written —
+    the per-stage SQL is mechanical."""
+    head = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+               AS cosq
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY cosq DESC, vec_id LIMIT 20
+    ),
+    pc AS (
+      SELECT a.vec_id AS da, b.vec_id AS db,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 6) AS c
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS (SELECT vec_id, cosq, cosq AS mmr FROM cand
+           ORDER BY cosq DESC, vec_id LIMIT 1)"""
+    stages = [head]
+    for i in range(2, 6):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        stages.append(f"""
+    s{i} AS (
+      SELECT c.vec_id, c.cosq,
+             0.5 * c.cosq - 0.5 * max(pc.c) AS mmr
+      FROM cand c
+      JOIN pc ON pc.da = c.vec_id AND pc.db IN ({prev})
+      WHERE c.vec_id NOT IN ({prev})
+      GROUP BY c.vec_id, c.cosq
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )""")
+        head = ""
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id, cosq, mmr FROM s{i}"
+        for i in range(1, 6))
+    return ",".join(stages) + f"\n    {selects}"
+
+
+@register("search_rerank_mmr", oracle=_mmr_oracle())
+def q_search_rerank_mmr(spark, sf_dir):
+    """MMR diversity re-rank (Carbonell & Goldstein 1998, lambda=0.5):
+    greedily select 5 of the vector top-20 so each pick balances query
+    relevance against redundancy with what is already picked —
+    mmr(d) = 0.5*cos(q,d) - 0.5*max_{s in S} cos(d,s). The
+    diversity-selection shape training-data curation and RAG both use
+    on top of a retrieval arm.
+
+    Plan shape: the DISTRIBUTED part is the retrieval arm (top-20 via
+    TakeOrdered over the corpus — swap in the IVF-PQ index at corpus
+    scale) plus one pushed-down fetch of the 20 candidate vectors; the
+    greedy loop itself runs on the DRIVER over that 20-row bounded set
+    (the sampled-ANN-fit / <=4096-row-model precedent — a per-query
+    rerank over K candidates is head-node work by construction; a lazy
+    k-stage unroll was measured first and rejected: each stage's
+    argmax re-executes every prior stage's subtree, 2^k jobs, 11 s at
+    sf1 for what is O(K^2 k) arithmetic).
+
+    Exactness: candidate pairwise cosines are computed on the driver
+    with the same sequential-over-dims fold as the bucket kernels
+    (bit-identical to the oracle's accumulation), both scores round to
+    6 before selection, and lambda = 0.5 is a power of two, so
+    0.5*a - 0.5*b is exact dyadic double arithmetic — argmax ties
+    break on vec_id; every stage is engine-independent."""
+    import numpy as np
+
+    cand_rows = _mmr_candidates(spark, sf_dir).collect()  # bounded: 20
+    ids = [r["vec_id"] for r in cand_rows]
+    cosq = {r["vec_id"]: r["cosq"] for r in cand_rows}
+    e = Catalog(spark, sf_dir).table("embeddings")
+    vec_rows = (
+        e.filter(F.col("vec_id").isin(ids))  # pushed to the scan
+        .select("vec_id", "embedding").collect()  # bounded: 20
+    )
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in vec_rows}
+
+    def pair(a, b):  # sequential-over-dims fold = the oracle's chain
+        va, vb = emb[a], emb[b]
+        dot = na = nb = 0.0
+        for j in range(len(va)):
+            dot = dot + va[j] * vb[j]
+            na = na + va[j] * va[j]
+            nb = nb + vb[j] * vb[j]
+        return round(dot / ((na ** 0.5) * (nb ** 0.5)), 6)
+
+    sel = [max(ids, key=lambda v: (cosq[v], -v))]
+    out = [(1, int(sel[0]), float(cosq[sel[0]]), float(cosq[sel[0]]))]
+    for rnk in range(2, 6):
+        rem = [v for v in ids if v not in sel]
+        if not rem:
+            break
+        scores = {v: 0.5 * cosq[v] - 0.5 * max(pair(v, s) for s in sel)
+                  for v in rem}
+        pick = max(rem, key=lambda v: (scores[v], -v))
+        # plain-Python scalars: createDataFrame rejects numpy types,
+        # and float(np.float64) is the identical double
+        out.append((rnk, int(pick), float(cosq[pick]), float(scores[pick])))
+        sel.append(pick)
+    return spark.createDataFrame(
+        out, "rnk int, vec_id long, cosq double, mmr double")
+
+
+def _mmr_candidates(spark, sf_dir):
+    """Vector top-20 for query = embedding 0 — the retrieval arm MMR
+    reranks (TakeOrdered, no window)."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        V.as_double(F.col("embedding")).alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("qv"), V.as_double(F.col("embedding"))),
+                    6).alias("cosq"),
+        )
+        .orderBy(F.col("cosq").desc(), "vec_id").limit(20)
+    )
+
+
 _PQ_INDEX_DIRS: dict = {}
 
 

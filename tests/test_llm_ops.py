@@ -1488,3 +1488,44 @@ def test_graph_reachability_matches_python_bfs_two_decades(spark):
                     dist.setdefault(n, depth)
             want.update({(seed, n): h for n, h in dist.items()})
         assert got == want
+
+
+def test_search_rerank_mmr_matches_python_reference(spark):
+    """The unrolled MMR stages must reproduce a straightforward greedy
+    Python MMR (lambda=0.5, rounded-6 scores, id tiebreaks) exactly —
+    selection order, ids, and scores."""
+    import numpy as np
+
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.sources.catalog import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (Catalog(spark, sf).table("embeddings")
+           .select("vec_id", "embedding").toPandas())
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qi = int(np.nonzero(ids == 0)[0][0])
+    cosq = {int(v): round(float(M[qi] @ M[i]), 6)
+            for i, v in enumerate(ids) if v != 0}
+    cand = sorted(cosq, key=lambda v: (-cosq[v], v))[:20]
+    idx = {int(v): i for i, v in enumerate(ids)}
+
+    def pair(a, b):
+        return round(float(M[idx[a]] @ M[idx[b]]), 6)
+
+    sel = [max(cand, key=lambda v: (cosq[v], -v))]
+    expected = [(1, sel[0], cosq[sel[0]], cosq[sel[0]])]
+    for rnk in range(2, 6):
+        rem = [v for v in cand if v not in sel]
+        scores = {v: 0.5 * cosq[v] - 0.5 * max(pair(v, s) for s in sel)
+                  for v in rem}
+        pick = max(rem, key=lambda v: (scores[v], -v))
+        expected.append((rnk, pick, cosq[pick], scores[pick]))
+        sel.append(pick)
+
+    got = sorted(
+        (r.rnk, r.vec_id, r.cosq, r.mmr)
+        for r in QUERIES["search_rerank_mmr"](spark, sf).collect()
+    )
+    assert got == sorted(expected)
