@@ -791,6 +791,19 @@ def q_sim_topk_pq(spark, sf_dir):
 
 
 
+def _coarse_groups(n_rows: int) -> int:
+    """Coarse-group count for the bucket-local LSH kernels: whole
+    (band, key) buckets hash into groups, each processed as ONE pandas
+    frame. 256 is the measured sf<=10 optimum (~8 groups per core
+    amortizes the per-group Arrow/UDF overhead ~15x), but a FIXED
+    count is the fixed-parallelism trap (dedup_ngram_jaccard's n_par
+    lesson, round 5): at 1e9 vectors x 3 bands, 256 groups would be
+    ~12M banded rows (~3.5 GB) per frame. Cap each group at ~100k
+    banded rows (~30 MB with 64-dim float32 embeddings) so group count
+    grows with the corpus and frames stay executor-sized."""
+    return max(256, n_rows // 100_000)
+
+
 # NOTE (r8): the hydrate-skinny-pairs scorer `_score_pairs_exact` that
 # lived here (per-vector norms on the hydration side + SHUFFLE_HASH
 # hints, the r7 fix that took the sf10 candidate scoring 209 -> 89 s)
@@ -899,7 +912,8 @@ def q_dedup_embedding(spark, sf_dir):
     bands = e.select(
         "vec_id", "embedding",
         F.posexplode(band_keys).alias("band", "key"),
-    ).withColumn("g", F.pmod(F.hash("band", "key"), F.lit(256)))
+    ).withColumn(
+        "g", F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(n * nbands))))
     return (
         bands.groupBy("g")
         .applyInPandas(V.bucket_allpairs_cosine_pandas(tau=0.3),
@@ -1047,13 +1061,12 @@ def q_knn_graph_lsh(spark, sf_dir):
         for b in range(nbands)
     ])
     # coarse groups of whole buckets: same (band, key) -> same group, so
-    # bucket-local pair semantics are intact; ~8 groups per core keeps
-    # every task busy without per-bucket UDF invocation overhead
-    ngroups = 256
+    # bucket-local pair semantics are intact; sizing in _coarse_groups
     bands = e.select(
         "vec_id", "embedding",
         F.posexplode(band_keys).alias("band", "key"),
-    ).withColumn("g", F.pmod(F.hash("band", "key"), F.lit(ngroups)))
+    ).withColumn(
+        "g", F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(n * nbands))))
     cands = (
         bands.groupBy("g")
         .applyInPandas(V.bucket_knn_candidates_pandas(k=5),
@@ -1159,7 +1172,7 @@ def q_dedup_embedding_multiprobe(spark, sf_dir):
     # next dial is the flip budget, not bits — 2 bands can't afford the
     # lost band diversity.
     bits = min(21, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
-    return _multiprobe_pairs(spark, e, bits, capped=True)
+    return _multiprobe_pairs(spark, e, bits, capped=True, n_rows=n)
 
 
 # Probe only the P least-confident bits (constant probe expansion P+1;
@@ -1168,7 +1181,8 @@ def q_dedup_embedding_multiprobe(spark, sf_dir):
 _MULTIPROBE_FLIPS = 5
 
 
-def _multiprobe_pairs(spark, e, bits: int, capped: bool):
+def _multiprobe_pairs(spark, e, bits: int, capped: bool,
+                      n_rows: int | None = None):
     nbands = 64 // bits
     v = V.as_double(F.col("embedding"))
     pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(22)])
@@ -1238,7 +1252,12 @@ def _multiprobe_pairs(spark, e, bits: int, capped: bool):
     ).select(
         "vec_id", "embedding", "band",
         F.col("k.key").alias("key"), F.col("k.is_probe").alias("is_probe"),
-    ).withColumn("g", F.pmod(F.hash("band", "key"), F.lit(256)))
+    )
+    flips = min(_MULTIPROBE_FLIPS, bits) if capped else bits
+    total_rows = (n_rows if n_rows is not None else e.count()) \
+        * nbands * (1 + flips)
+    rows = rows.withColumn(
+        "g", F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(total_rows))))
     return (
         rows.groupBy("g")
         .applyInPandas(V.bucket_probe_pairs_cosine_pandas(tau=0.3),
