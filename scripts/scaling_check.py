@@ -90,6 +90,9 @@ EXTRA = [
     "quality_compression_ratio", "graph_reachability", "subquery_lateral",
     "source_xml_roundtrip", "pipeline_observed", "join_runtime_filter",
     "fn_sql_udf", "filter_collated",
+    # round-8 additions
+    "tpch_q9", "tpch_q20", "partsupp_synth", "hybrid_search_rrf",
+    "search_rerank_mmr",
 ]
 
 
