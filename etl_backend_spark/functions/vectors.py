@@ -260,14 +260,23 @@ def bucket_knn_candidates_pandas(k: int = 5, eps: float = 2e-6):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_all = pdf["vec_id"].to_numpy()
         M_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        small, big = [], []
+        # batch buckets by POWER-OF-TWO size class: one skewed group
+        # (thousands of size-2 buckets + one size-64) padded to the
+        # group-wide max would allocate nb*mmax^2 temporaries ~32x the
+        # real work (r8 code-review finding); within a class the
+        # padding waste is <= 2x by construction
+        classes: dict = {}
+        big = []
         for ix in pdf.groupby(["band", "key"], sort=False).indices.values():
             if len(ix) < 2:
                 continue
-            (small if len(ix) <= OVERSIZE else big).append(ix)
+            if len(ix) > OVERSIZE:
+                big.append(ix)
+            else:
+                classes.setdefault((len(ix) - 1).bit_length(), []).append(ix)
         out = ([], [], [])
-        if small:
-            score_batch3d(small, ids_all, M_all, out)
+        for groups in classes.values():
+            score_batch3d(groups, ids_all, M_all, out)
         for ix in big:
             score_bucket(ids_all[ix], M_all[ix], out)
         if not out[0]:

@@ -1673,8 +1673,10 @@ def q_semantic_search(spark, sf_dir):
       JOIN dl ON tf.doc_id = dl.doc_id
       GROUP BY tf.doc_id
     ), rt AS (
-      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_t
-      FROM bm
+      SELECT doc_id, r_t FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_t
+        FROM bm
+      ) WHERE r_t <= 100
     ), q AS (
       SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
     ), vs AS (
@@ -1712,31 +1714,32 @@ def q_hybrid_search_rrf(spark, sf_dir):
     bit-identical on both engines, no rounding needed; top-10 ties
     break on doc_id.
 
-    Scale notes: both arms are already bounded BEFORE ranking — the
-    text arm's candidate set is the postings of the query terms (2/64
-    postings partitions, never the corpus), the vector arm keeps top-50
-    (swap in the IVF-PQ index for the scan at corpus scale). Ranks are
-    assigned by the array-sort AGGREGATION pattern (map-combinable
-    collect_list -> array_sort(struct(-score, id)) -> posexplode),
-    shared with knn_graph_lsh's top-k — a per-query rank heap, not a
-    single-partition window (plan-audit-clean); the fusion join is
-    candidate-set-sized."""
+    Scale notes: BOTH arms cap at an explicit k (text 100, vector 50 —
+    real RRF deployments cap both) and the cap is enforced by a
+    distributed TakeOrderedAndProject (orderBy + limit — the per-
+    partition-heap top-k operator), NEVER by collecting scores into one
+    aggregate row: an uncapped single-row collect_list of the vector
+    arm would materialize the whole corpus in one reduce task (~24 GB
+    at 1e9 vectors — caught in the r8 code review). Rank assignment
+    then runs the array-sort agg pattern over the <=k surviving rows
+    (bounded by construction, no single-partition window); the fusion
+    join is candidate-set-sized. Swap in the IVF-PQ index for the
+    vector scan at corpus scale."""
     from .pipeline import q_bm25_search_indexed
 
-    def ranked(df, score_col, rank_name, k=None):
+    def ranked(df, score_col, rank_name, k):
+        top = df.orderBy(F.col(score_col).desc(), "doc_id").limit(k)
         arr = F.array_sort(F.collect_list(F.struct(
             (-F.col(score_col)).alias("neg"), F.col("doc_id"))))
-        if k is not None:
-            arr = F.slice(arr, 1, k)
         return (
-            df.agg(arr.alias("arr"))
+            top.agg(arr.alias("arr"))
             .select(F.posexplode("arr").alias("pos", "s"))
             .select(F.col("s.doc_id").alias("doc_id"),
                     (F.col("pos") + 1).alias(rank_name))
         )
 
     bm = q_bm25_search_indexed(spark, sf_dir)
-    rt = ranked(bm, "bm25", "r_t")
+    rt = ranked(bm, "bm25", "r_t", k=100)
 
     e = Catalog(spark, sf_dir).table("embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(
@@ -1847,6 +1850,8 @@ def q_search_rerank_mmr(spark, sf_dir):
     emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
            for r in vec_rows}
 
+    import math
+
     def pair(a, b):  # sequential-over-dims fold = the oracle's chain
         va, vb = emb[a], emb[b]
         dot = na = nb = 0.0
@@ -1854,7 +1859,9 @@ def q_search_rerank_mmr(spark, sf_dir):
             dot = dot + va[j] * vb[j]
             na = na + va[j] * va[j]
             nb = nb + vb[j] * vb[j]
-        return round(dot / ((na ** 0.5) * (nb ** 0.5)), 6)
+        # math.sqrt = IEEE sqrt = the JVM/DuckDB/np.sqrt chain; x**0.5
+        # is libm pow and measurably 1 ulp off for some doubles
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
 
     sel = [max(ids, key=lambda v: (cosq[v], -v))]
     out = [(1, int(sel[0]), float(cosq[sel[0]]), float(cosq[sel[0]]))]

@@ -36,7 +36,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, run_full  # noqa: E402
 from etl_backend_spark.registry import QUERIES  # noqa: E402
 from etl_backend_spark.session import get_spark  # noqa: E402
 
@@ -112,11 +112,17 @@ def main() -> None:
     for name in names:
         q = QUERIES[name]
         df = q(spark, sf_dir)
-        df.count()  # warm: caches plan/codegen, fills file caches
+        # run_full, NOT count(): count() lets Catalyst prune non-key
+        # columns out of aggregates, under-reporting shuffle bytes
+        # (e.g. dedup pair rows drop the cos column, ~33% light); it
+        # also releases plan localCheckpoints so storage does not
+        # accumulate across the sweep (both: bench.py's documented
+        # lessons, re-found by the r8 code review)
+        run_full(df)  # warm: caches plan/codegen, fills file caches
         before = set(_stages(ui, app_id))
         df2 = q(spark, sf_dir)
         t0 = time.time()
-        df2.count()
+        run_full(df2)
         sec = time.time() - t0
         after = _stages(ui, app_id)
         new = [after[k] for k in set(after) - before]

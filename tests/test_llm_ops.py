@@ -1504,15 +1504,22 @@ def test_search_rerank_mmr_matches_python_reference(spark):
            .select("vec_id", "embedding").toPandas())
     ids = pdf["vec_id"].to_numpy()
     M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    qi = int(np.nonzero(ids == 0)[0][0])
-    cosq = {int(v): round(float(M[qi] @ M[i]), 6)
-            for i, v in enumerate(ids) if v != 0}
-    cand = sorted(cosq, key=lambda v: (-cosq[v], v))[:20]
     idx = {int(v): i for i, v in enumerate(ids)}
 
     def pair(a, b):
-        return round(float(M[idx[a]] @ M[idx[b]]), 6)
+        # the engine/oracle sequential fold, NOT a BLAS matmul on
+        # pre-normalized vectors — matmul's reordered accumulation is
+        # ~ulps off and can flip a round(.,6) boundary (r8 code review)
+        va, vb = M[idx[a]], M[idx[b]]
+        dot = na = nb = 0.0
+        for j in range(len(va)):
+            dot = dot + va[j] * vb[j]
+            na = na + va[j] * va[j]
+            nb = nb + vb[j] * vb[j]
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    cosq = {int(v): pair(int(v), 0) for v in ids if v != 0}
+    cand = sorted(cosq, key=lambda v: (-cosq[v], v))[:20]
 
     sel = [max(cand, key=lambda v: (cosq[v], -v))]
     expected = [(1, sel[0], cosq[sel[0]], cosq[sel[0]])]

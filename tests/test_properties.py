@@ -295,13 +295,17 @@ def test_webp_roundtrip_property(w, h, seed, sg, cache, pred, meta):
 # ARE that chain).
 
 def _seq_cos(a, b):
+    import math
+
     dot = na = nb = 0.0
     for x, y in zip(a, b):
         x, y = float(x), float(y)
         dot = dot + x * y
         na = na + x * x
         nb = nb + y * y
-    return dot / ((na ** 0.5) * (nb ** 0.5))
+    # math.sqrt = IEEE sqrt, same as np.sqrt/JVM/DuckDB; x**0.5 is libm
+    # pow and 1 ulp off for some doubles (r8 code-review finding)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
 
 
 bucket_rows_st = st.lists(
