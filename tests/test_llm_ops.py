@@ -216,9 +216,11 @@ def test_bucket_knn_kernel_bit_exact_and_superset(spark):
 
     rng = np.random.RandomState(7)
     rows = []
-    # 6 buckets of varied sizes incl. degenerate (1), small (<k), and
-    # one above the OVERSIZE=64 batch cap to exercise the block path
-    sizes = [1, 3, 32, 40, 7, 70]
+    # buckets of varied sizes incl. degenerate (1), small (<k), one
+    # above the OVERSIZE=64 batch cap (block path), and two pairs
+    # sharing a power-of-two size class at different m (30+32, 40+33)
+    # so the class-batched 3D path pads within a class
+    sizes = [1, 3, 32, 30, 40, 33, 7, 70, 6]
     vid = 0
     for b, m in enumerate(sizes):
         for _ in range(m):
