@@ -179,7 +179,16 @@ def bucket_knn_candidates_pandas(k: int = 5, eps: float = 2e-6):
     Scale: bucket density ~32 by the adaptive bits schedule; the
     2048-row block loop bounds memory for straggler buckets, and
     emitted volume is ~k+eps-collisions per vector per band instead of
-    the ~density/2 all-pairs rows — the downstream shuffle shrinks ~4x."""
+    the ~density/2 all-pairs rows — the downstream shuffle shrinks ~4x.
+
+    Zero-norm contract (r9, ADVICE fix): a zero vector has no defined
+    cosine, so its 0/0 NaNs are masked to -inf BEFORE the k-th-best
+    partition. Without the mask, np.partition sorts NaN above every
+    real value, so >=k zero-norm bucket-mates made a vector's
+    threshold NaN and it silently emitted NOTHING. Masked, zero-norm
+    rows degrade cleanly: they emit no candidates themselves, never
+    occupy a real vector's top-k slot, and never corrupt thresholds
+    (pytest-pinned with mixed zero/real buckets)."""
 
     OVERSIZE = 64  # buckets above this score individually, block-wise
 
@@ -202,7 +211,9 @@ def bucket_knn_candidates_pandas(k: int = 5, eps: float = 2e-6):
             P = np.zeros((en - st, m), dtype=np.float64)
             for j in range(dim):  # same sequential fold, per block
                 P = P + np.outer(blk[:, j], M[:, j])
-            cos = P / np.outer(nrm[st:en], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = P / np.outer(nrm[st:en], nrm)
+            cos[np.isnan(cos)] = -np.inf  # zero-norm: see docstring
             for r in range(en - st):
                 cos[r, st + r] = -np.inf  # self
             if m - 1 <= k:
@@ -244,14 +255,16 @@ def bucket_knn_candidates_pandas(k: int = 5, eps: float = 2e-6):
             cos = P / (nrm[:, :, None] * nrm[:, None, :])
         pair_ok = valid[:, :, None] & valid[:, None, :]
         pair_ok &= ~np.eye(mmax, dtype=bool)[None, :, :]
-        cos = np.where(pair_ok, cos, -np.inf)
+        cos = np.where(pair_ok & ~np.isnan(cos), cos, -np.inf)
         mcount = valid.sum(axis=1)
         if mmax - 1 > k:
             kth = np.partition(cos, mmax - k, axis=2)[:, :, mmax - k]
             thr = np.where((mcount - 1 > k)[:, None], kth - eps, -np.inf)
         else:
             thr = np.full((nb, mmax), -np.inf)
-        keep = (cos >= thr[:, :, None]) & pair_ok
+        # cos > -inf drops zero-norm pairs even when thr is -inf
+        # (small buckets): -inf >= -inf is True in IEEE
+        keep = (cos >= thr[:, :, None]) & pair_ok & (cos > -np.inf)
         b, r, c = np.nonzero(keep)
         out[0].append(ids3[b, r])
         out[1].append(ids3[b, c])
@@ -350,16 +363,21 @@ def bucket_allpairs_cosine_pandas(tau: float | None = None):
                 P = np.zeros((en - st, m), dtype=np.float64)
                 for j in range(M.shape[1]):  # same fold, per block
                     P = P + np.outer(blk[:, j], M[:, j])
-                cos = P / np.outer(nrm[st:en], nrm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = P / np.outer(nrm[st:en], nrm)
                 for r in range(en - st):
                     gi = st + r
                     if gi + 1 >= m:
                         continue
                     row = cos[r, gi + 1:]
                     cols = ids[gi + 1:]
-                    if tau is not None:
-                        keep = row >= tau
-                        row, cols = row[keep], cols[keep]
+                    # zero-norm cosines are NaN; drop those pairs
+                    # whether or not a tau filter runs (NaN >= tau is
+                    # already False in IEEE — the explicit mask covers
+                    # the tau=None path the same way)
+                    keep = (row >= tau) if tau is not None \
+                        else ~np.isnan(row)
+                    row, cols = row[keep], cols[keep]
                     if not len(row):
                         continue
                     out_a.append(np.full(len(row), ids[gi], dtype=np.int64))
@@ -433,12 +451,15 @@ def bucket_probe_pairs_cosine_pandas(tau: float | None = None):
                 P = np.zeros((en - st, nb), dtype=np.float64)
                 for j in range(M.shape[1]):  # same fold, per block
                     P = P + np.outer(blk[:, j], MB[:, j])
-                cos = P / np.outer(nrm[st:en], nrm[base_ix])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = P / np.outer(nrm[st:en], nrm[base_ix])
                 lid = ids[st:en][:, None]
                 rid = ids[base_ix][None, :]
                 keep = lid != rid
-                if tau is not None:
-                    keep &= cos >= tau
+                # zero-norm cosines are NaN; NaN >= tau is False, and
+                # the explicit mask covers the tau=None path too
+                keep &= (cos >= tau) if tau is not None \
+                    else ~np.isnan(cos)
                 r, c = np.nonzero(keep)
                 if not len(r):
                     continue

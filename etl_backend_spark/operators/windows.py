@@ -142,6 +142,19 @@ def release_plan_checkpoints(df: DataFrame) -> int:
         return 0
 
 
+# rdd_id -> the PRE-checkpoint executed-plan string. A checkpointed
+# DataFrame's own plan bottoms out at a LogicalRDD with no FileScan, so
+# audit tooling (scripts/shuffle_audit.py) cannot attribute which tables
+# the materialization actually read — the r8 cost model's one blind spot
+# (graph_reachability, SCALE.md). localcheckpoint_declared records the
+# source plan here at materialization time; the audit resolves LogicalRDD
+# leaves through this map to recover the FileScan denominators. Keyed by
+# the checkpointed RDD's id (the same id release_plan_checkpoints
+# unpersists by), values are plain strings — a handful of KB per
+# checkpoint, process-local, diagnostic-only.
+CHECKPOINT_SOURCE_PLANS: dict[int, str] = {}
+
+
 _TYPE_BYTES = {
     "long": 8, "double": 8, "integer": 4, "float": 4, "boolean": 1,
     "date": 4, "timestamp": 8, "short": 2, "byte": 1, "decimal": 16,
@@ -219,6 +232,15 @@ def localcheckpoint_declared(
                                  storageLevel=StorageLevel.MEMORY_AND_DISK)
     else:
         cp = pre.localCheckpoint(eager=True)
+    try:
+        # record what the materialization READ (FileScan attribution for
+        # shuffle_audit — see CHECKPOINT_SOURCE_PLANS). executedPlan() on
+        # the pre-checkpoint frame only plans, it does not re-execute.
+        CHECKPOINT_SOURCE_PLANS[
+            cp._jdf.queryExecution().logical().rdd().id()
+        ] = pre._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        pass
     try:
         leaf = cp._jdf.queryExecution().logical()
         if not leaf.getClass().getName().endswith(".LogicalRDD"):

@@ -18,15 +18,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# name -> (sf_dir -> bool): is the registered oracle SQL VALID at this
+# scale? Some queries change algorithm with data size (data_profile's
+# exact-vs-HLL distinct gate): their oracle asserts the exact small-sf
+# semantics and must not be compared against the sketched large-sf
+# output. check_oracle.py consults this and falls back to a rows-only
+# check when the gate says no; the driver's gate always runs at sf0.01
+# where every registered gate holds (pytest-pinned).
+ORACLE_GATES: dict[str, Callable[[str], bool]] = {}
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator: register a query builder and (optionally) its oracle SQL."""
+def register(name: str, oracle: str | None = None,
+             oracle_valid: Callable[[str], bool] | None = None):
+    """Decorator: register a query builder and (optionally) its oracle SQL.
+
+    ``oracle_valid(sf_dir)`` marks an oracle that only models the query
+    at some scales (size-gated plan switches); omit it for the normal
+    scale-independent case."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+            if oracle_valid is not None:
+                ORACLE_GATES[name] = oracle_valid
         return fn
 
     return deco

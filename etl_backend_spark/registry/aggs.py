@@ -2616,8 +2616,21 @@ def q_agg_cms_heavy_hitters(spark, sf_dir):
 DATA_PROFILE_HLL_ROWS = 5_000_000
 
 
+def _data_profile_oracle_valid(sf_dir: str) -> bool:
+    """The registered oracle asserts EXACT count(DISTINCT); above the
+    HLL gate the engine deliberately returns sketch estimates, so the
+    oracle only models the query below the gate (r9 ADVICE fix —
+    check_oracle.py downgrades to rows-only beyond it instead of
+    reporting a false value mismatch). Same footer read as the plan
+    choice itself, so the two can never disagree."""
+    from ..sources.catalog import parquet_num_rows
+
+    return parquet_num_rows(sf_dir, "orders") <= DATA_PROFILE_HLL_ROWS
+
+
 @register(
     "data_profile",
+    oracle_valid=_data_profile_oracle_valid,
     oracle="""
     SELECT 'o_custkey' AS col,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

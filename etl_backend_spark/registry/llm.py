@@ -800,7 +800,27 @@ def _coarse_groups(n_rows: int) -> int:
     lesson, round 5): at 1e9 vectors x 3 bands, 256 groups would be
     ~12M banded rows (~3.5 GB) per frame. Cap each group at ~100k
     banded rows (~30 MB with 64-dim float32 embeddings) so group count
-    grows with the corpus and frames stay executor-sized."""
+    grows with the corpus and frames stay executor-sized.
+
+    SKEW BOUND (explicit, r9 ADVICE): the ~100k cap is an AVERAGE —
+    grouping hashes whole (band, key) buckets, so one degenerate
+    bucket (masses of identical/near-identical embeddings sharing a
+    key, i.e. a corpus that near-dup dedup hasn't seen yet) lands
+    UNSPLIT in a single applyInPandas task regardless of group count.
+    What stays bounded in that task: memory — the kernels score in
+    2048-row blocks (an m-row bucket peaks at ~2048*m*8 B, ~1.6 GB
+    even at m=100k), never an m x m allocation. What doesn't: time —
+    the task does O(m^2/2) pair work alone. A secondary salt cannot
+    fix this transparently: splitting a bucket's rows across tasks
+    loses cross-split pairs unless rows are REPLICATED into block
+    pairs (a bucket-internal block-join), which changes the kernel
+    contract for a case the pipeline is designed to make impossible —
+    the adaptive bits schedule targets density ~32, and mass-identical
+    vectors are exactly what `dedup_exact` removes UPSTREAM in every
+    corpus pipeline (corpus_pipeline runs exact dedup before embedding
+    ops). Operationally: a straggler task here is a data-quality
+    signal (run exact dedup first), not a partitioning bug; AQE cannot
+    split it either, for the same semantic reason."""
     return max(256, n_rows // 100_000)
 
 
@@ -1724,7 +1744,11 @@ def q_hybrid_search_rrf(spark, sf_dir):
     then runs the array-sort agg pattern over the <=k surviving rows
     (bounded by construction, no single-partition window); the fusion
     join is candidate-set-sized. Swap in the IVF-PQ index for the
-    vector scan at corpus scale."""
+    vector scan at corpus scale. This is instance #2 of the
+    bounded-candidate contract (SCALE.md "Bounded-candidate
+    contracts"): the distributed plan's last operator enforces the
+    K bound, so the k-sized agg row is a parameter, not a function of
+    the corpus."""
     from .pipeline import q_bm25_search_indexed
 
     def ranked(df, score_col, rank_name, k):
@@ -1812,6 +1836,55 @@ def _mmr_oracle() -> str:
     return ",".join(stages) + f"\n    {selects}"
 
 
+def _mmr_greedy_pandas(pdf):
+    """applyInPandas kernel: the FULL MMR greedy over one bounded
+    candidate frame (<= 20 rows: vec_id, cosq, embedding). Runs in one
+    task, so the query stays a LAZY single DataFrame plan (r9 ADVICE
+    fix — the r8 version collected the candidates and ran the greedy
+    eagerly at builder time, so explain/audit tooling paid two full
+    Spark jobs just to see the plan).
+
+    Exactness contract unchanged from the driver version: pairwise
+    cosines use the sequential-over-dims Python-float fold (the
+    identical left-assoc IEEE chain as the bucket kernels, the JVM
+    ``aggregate`` fold, and the DuckDB oracle), math.sqrt is IEEE sqrt
+    (x**0.5 is libm pow, 1 ulp off for some doubles), both scores
+    round to 6 before selection, and lambda = 0.5 is a power of two so
+    0.5*a - 0.5*b is exact dyadic arithmetic; argmax ties break on
+    vec_id. array<float> values arrive as float32 and widen exactly to
+    float64 — the same doubles the collect() path produced."""
+    import math
+
+    import pandas as pd
+
+    ids = [int(v) for v in pdf["vec_id"]]
+    cosq = {int(v): float(c) for v, c in zip(pdf["vec_id"], pdf["cosq"])}
+    emb = {int(v): [float(x) for x in e]
+           for v, e in zip(pdf["vec_id"], pdf["embedding"])}
+
+    def pair(a, b):  # sequential-over-dims fold = the oracle's chain
+        va, vb = emb[a], emb[b]
+        dot = na = nb = 0.0
+        for j in range(len(va)):
+            dot = dot + va[j] * vb[j]
+            na = na + va[j] * va[j]
+            nb = nb + vb[j] * vb[j]
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    sel = [max(ids, key=lambda v: (cosq[v], -v))]
+    out = [(1, sel[0], cosq[sel[0]], cosq[sel[0]])]
+    for rnk in range(2, 6):
+        rem = [v for v in ids if v not in sel]
+        if not rem:
+            break
+        scores = {v: 0.5 * cosq[v] - 0.5 * max(pair(v, s) for s in sel)
+                  for v in rem}
+        pick = max(rem, key=lambda v: (scores[v], -v))
+        out.append((rnk, pick, cosq[pick], scores[pick]))
+        sel.append(pick)
+    return pd.DataFrame(out, columns=["rnk", "vec_id", "cosq", "mmr"])
+
+
 @register("search_rerank_mmr", oracle=_mmr_oracle())
 def q_search_rerank_mmr(spark, sf_dir):
     """MMR diversity re-rank (Carbonell & Goldstein 1998, lambda=0.5):
@@ -1822,67 +1895,32 @@ def q_search_rerank_mmr(spark, sf_dir):
     on top of a retrieval arm.
 
     Plan shape: the DISTRIBUTED part is the retrieval arm (top-20 via
-    TakeOrdered over the corpus — swap in the IVF-PQ index at corpus
-    scale) plus one pushed-down fetch of the 20 candidate vectors; the
-    greedy loop itself runs on the DRIVER over that 20-row bounded set
-    (the sampled-ANN-fit / <=4096-row-model precedent — a per-query
-    rerank over K candidates is head-node work by construction; a lazy
-    k-stage unroll was measured first and rejected: each stage's
-    argmax re-executes every prior stage's subtree, 2^k jobs, 11 s at
-    sf1 for what is O(K^2 k) arithmetic).
-
-    Exactness: candidate pairwise cosines are computed on the driver
-    with the same sequential-over-dims fold as the bucket kernels
-    (bit-identical to the oracle's accumulation), both scores round to
-    6 before selection, and lambda = 0.5 is a power of two, so
-    0.5*a - 0.5*b is exact dyadic double arithmetic — argmax ties
-    break on vec_id; every stage is engine-independent."""
-    import numpy as np
-
-    cand_rows = _mmr_candidates(spark, sf_dir).collect()  # bounded: 20
-    ids = [r["vec_id"] for r in cand_rows]
-    cosq = {r["vec_id"]: r["cosq"] for r in cand_rows}
-    e = Catalog(spark, sf_dir).table("embeddings")
-    vec_rows = (
-        e.filter(F.col("vec_id").isin(ids))  # pushed to the scan
-        .select("vec_id", "embedding").collect()  # bounded: 20
+    TakeOrdered over the corpus, carrying each candidate's vector with
+    it — swap in the IVF-PQ index at corpus scale); the greedy then
+    runs INSIDE the same lazy plan as one applyInPandas task over the
+    K-bounded candidate frame (`_mmr_greedy_pandas`). The greedy's
+    input is K rows by construction — corpus-independent — which is
+    what makes a single-task stage legitimate here (SCALE.md
+    "Bounded-candidate contracts"; the sampled-ANN-fit precedent). A
+    lazy k-stage DataFrame unroll was measured first and REJECTED:
+    each stage's argmax re-executes every prior stage's subtree, 2^k
+    jobs, 11 s at sf1 for what is O(K^2 k) arithmetic. The r8 form ran
+    the greedy eagerly on the driver at builder time; r9 moved it into
+    the plan so the builder honors the registry's lazy contract
+    (ADVICE r8) — values bit-identical, still hash-gated."""
+    return (
+        _mmr_candidates(spark, sf_dir)
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_mmr_greedy_pandas,
+                       "rnk int, vec_id long, cosq double, mmr double")
     )
-    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-           for r in vec_rows}
-
-    import math
-
-    def pair(a, b):  # sequential-over-dims fold = the oracle's chain
-        va, vb = emb[a], emb[b]
-        dot = na = nb = 0.0
-        for j in range(len(va)):
-            dot = dot + va[j] * vb[j]
-            na = na + va[j] * va[j]
-            nb = nb + vb[j] * vb[j]
-        # math.sqrt = IEEE sqrt = the JVM/DuckDB/np.sqrt chain; x**0.5
-        # is libm pow and measurably 1 ulp off for some doubles
-        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
-
-    sel = [max(ids, key=lambda v: (cosq[v], -v))]
-    out = [(1, int(sel[0]), float(cosq[sel[0]]), float(cosq[sel[0]]))]
-    for rnk in range(2, 6):
-        rem = [v for v in ids if v not in sel]
-        if not rem:
-            break
-        scores = {v: 0.5 * cosq[v] - 0.5 * max(pair(v, s) for s in sel)
-                  for v in rem}
-        pick = max(rem, key=lambda v: (scores[v], -v))
-        # plain-Python scalars: createDataFrame rejects numpy types,
-        # and float(np.float64) is the identical double
-        out.append((rnk, int(pick), float(cosq[pick]), float(scores[pick])))
-        sel.append(pick)
-    return spark.createDataFrame(
-        out, "rnk int, vec_id long, cosq double, mmr double")
 
 
 def _mmr_candidates(spark, sf_dir):
-    """Vector top-20 for query = embedding 0 — the retrieval arm MMR
-    reranks (TakeOrdered, no window)."""
+    """Vector top-20 for query = embedding 0, each with its vector —
+    the retrieval arm MMR reranks (TakeOrdered, no window; the 64-float
+    payload rides the top-20 rows instead of a second scan+fetch)."""
     e = Catalog(spark, sf_dir).table("embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(
         V.as_double(F.col("embedding")).alias("qv"))
@@ -1893,6 +1931,7 @@ def _mmr_candidates(spark, sf_dir):
             "vec_id",
             F.round(V.cosine(F.col("qv"), V.as_double(F.col("embedding"))),
                     6).alias("cosq"),
+            "embedding",
         )
         .orderBy(F.col("cosq").desc(), "vec_id").limit(20)
     )

@@ -2,11 +2,17 @@
 in Spark AND its oracle SQL in DuckDB over the same parquet dir; compare
 row count, schema shape, and order-insensitive values.
 
-Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
+Usage:  python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes the full per-query result table in the
+driver's CORRECTNESS_rN.json row shape (rows/schema/hash match flags +
+row counts + err), so a complete-gate artifact can be committed each
+round alongside the driver's 50-key window.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -17,7 +23,7 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from etl_backend_spark.registry import ORACLES, QUERIES  # noqa: E402
+from etl_backend_spark.registry import ORACLE_GATES, ORACLES, QUERIES  # noqa: E402
 from etl_backend_spark.session import get_spark  # noqa: E402
 from etl_backend_spark.sources.catalog import TABLES  # noqa: E402
 
@@ -84,11 +90,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle-check")
     con = duck_connect(sf_dir)
     failed = []
+    results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -104,24 +117,49 @@ def main() -> int:
             release_plan_checkpoints(df)
         except Exception as e:
             failed.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {e}"}
             print(f"FAIL  {name}: spark error: {e}")
             continue
-        if name not in ORACLES:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+        gated_off = name in ORACLE_GATES and not ORACLE_GATES[name](sf_dir)
+        if name not in ORACLES or gated_off:
+            why = ("oracle gated off at this sf" if gated_off
+                   else "no oracle")
+            results[name] = {"rows_match": True, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": None,
+                             "rows_only": why}
+            print(f"ROWS  {name}: {len(sdf)} rows ({why}) "
+                  f"[{time.time()-t0:.1f}s]")
             continue
         try:
             odf = con.execute(ORACLES[name]).fetchdf()
         except Exception as e:
             failed.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": f"oracle: {e}"}
             print(f"FAIL  {name}: oracle error: {e}")
             continue
         problems = compare(name, sdf, odf)
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             failed.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{len(failed)} failed: {failed}" if failed else "\nall OK")
+    if json_out:
+        Path(json_out).write_text(json.dumps(results, indent=2) + "\n")
+        print(f"wrote {json_out} ({len(results)} rows)")
     return 1 if failed else 0
 
 

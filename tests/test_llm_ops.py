@@ -268,6 +268,98 @@ def test_bucket_knn_kernel_bit_exact_and_superset(spark):
                 assert (a, m) in emitted, (a, m)
 
 
+def test_bucket_kernels_zero_norm_degrade(spark):
+    """Zero-norm embeddings (r9 ADVICE fix): a zero vector's 0/0 NaN
+    cosines must not corrupt OTHER vectors' top-k thresholds — before
+    the fix, >=k zero-norm bucket-mates made np.partition's k-th-best
+    threshold NaN and the real vector silently emitted nothing. The
+    contract: zero-norm rows emit no candidates, pairs touching them
+    are dropped, and every real vector still gets its full top-k
+    superset. Covered on BOTH kNN paths (class-batched 3D <=64 and the
+    oversize block path) and on the allpairs/probe kernels with and
+    without a tau filter."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_backend_spark.functions import vectors as VV
+
+    rng = np.random.RandomState(11)
+
+    def mk(sizes, n_zero, with_probe=False):
+        rows = []
+        vid = 0
+        for b, m in enumerate(sizes):
+            for i in range(m):
+                emb = (np.zeros(16, dtype=np.float32) if i < n_zero
+                       else rng.randn(16).astype(np.float32))
+                row = {"vec_id": vid, "embedding": emb, "band": 0,
+                       "key": b}
+                if with_probe:
+                    row["is_probe"] = bool(vid % 3 == 0)
+                rows.append(row)
+                vid += 1
+        return rows, pd.DataFrame(rows)
+
+    def seq_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            dot = dot + float(x) * float(y)
+            na = na + float(x) * float(x)
+            nb = nb + float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    # kNN: 8 zero-norm mates (> k=5) in a size-20 bucket (3D path) and
+    # in a size-80 bucket (block path); bucket 2 is all-zero
+    rows, pdf = mk(sizes=[20, 80, 4], n_zero=8)
+    out = VV.bucket_knn_candidates_pandas(k=5)(pdf)
+    emb = {r["vec_id"]: r["embedding"] for r in rows}
+    bucket = {r["vec_id"]: r["key"] for r in rows}
+    zero = {r["vec_id"] for r in rows if not np.any(r["embedding"])}
+    emitted = set()
+    for r in out.itertuples():
+        assert r.vec_id not in zero and r.nbr_id not in zero, r
+        assert np.isfinite(r.cos), r
+        emitted.add((r.vec_id, r.nbr_id))
+    by_bucket: dict = {}
+    for r in rows:
+        if r["vec_id"] not in zero:
+            by_bucket.setdefault(r["key"], []).append(r["vec_id"])
+    for members in by_bucket.values():
+        if len(members) < 2:
+            continue
+        for a in members:
+            ranked = sorted(
+                (m for m in members if m != a),
+                key=lambda m: (-round(seq_cos(emb[a], emb[m]), 6), m),
+            )[:5]
+            for m in ranked:
+                assert (a, m) in emitted, (a, m)
+
+    # allpairs + probe kernels: zero-norm pairs drop, real pairs keep
+    # their bit-exact cosines, tau=None and tau set behave identically
+    # w.r.t. zero-norm rows
+    rows, pdf = mk(sizes=[12], n_zero=6)
+    emb = {r["vec_id"]: r["embedding"] for r in rows}
+    zero = {r["vec_id"] for r in rows if not np.any(r["embedding"])}
+    for tau in (None, -0.5):
+        out = VV.bucket_allpairs_cosine_pandas(tau=tau)(pdf)
+        for r in out.itertuples():
+            assert r.vec_a not in zero and r.vec_b not in zero
+            assert r.cos == seq_cos(emb[r.vec_a], emb[r.vec_b])
+            if tau is not None:
+                assert r.cos >= tau
+        n_real = len([r for r in rows if r["vec_id"] not in zero])
+        if tau is None:
+            assert len(out) == n_real * (n_real - 1) // 2
+    rows, pdf = mk(sizes=[12], n_zero=6, with_probe=True)
+    emb = {r["vec_id"]: r["embedding"] for r in rows}
+    zero = {r["vec_id"] for r in rows if not np.any(r["embedding"])}
+    out = VV.bucket_probe_pairs_cosine_pandas(tau=None)(pdf)
+    for r in out.itertuples():
+        assert r.vec_a not in zero and r.vec_b not in zero
+        assert r.cos == seq_cos(emb[r.vec_a], emb[r.vec_b])
+
+
 def test_dot_unrolled_bit_equals_fold(spark):
     """dot_unrolled / norm_unrolled are bit-identical to the sequential
     aggregate fold (same seed, same left-assoc order) — pinned so the

@@ -1083,3 +1083,25 @@ def test_data_profile_hll_size_gate(spark, monkeypatch):
             e["n_nulls"], e["min_s"], e["max_s"])
         assert abs(h["n_distinct"] - e["n_distinct"]) <= max(
             2, 0.1 * e["n_distinct"]), (c, h["n_distinct"], e["n_distinct"])
+
+
+def test_data_profile_oracle_gate_tracks_plan_choice(monkeypatch):
+    """r9 ADVICE fix: data_profile's registered oracle asserts EXACT
+    count(DISTINCT), so it must be declared INVALID at any sf where the
+    engine switches to HLL — otherwise check_oracle.py would compare
+    sketch estimates against exact values and report a false failure.
+    The gate reads the same parquet footer as the plan choice, so the
+    two flip together by construction."""
+    import etl_backend_spark.registry.aggs as A
+    from etl_backend_spark.registry import ORACLE_GATES
+    from tests.conftest import SF_DIR
+
+    gate = ORACLE_GATES["data_profile"]
+    assert gate(SF_DIR) is True          # exact path -> oracle valid
+    monkeypatch.setattr(A, "DATA_PROFILE_HLL_ROWS", 0)
+    assert gate(SF_DIR) is False         # sketch path -> rows-only
+    # every registered gate must hold at the driver's sf0.01, where the
+    # full value-hash comparison always runs
+    monkeypatch.undo()
+    for name, g in ORACLE_GATES.items():
+        assert g("/root/testdata/sf0.01") is True, name
