@@ -2185,26 +2185,48 @@ def q_partsupp_synth(spark, sf_dir):
 def q_tpch_q9(spark, sf_dir):
     """TPC-H Q9 with the REAL profit expression — revenue minus
     ps_supplycost * l_quantity over the derived partsupp (the r7
-    stand-in used 0.6*p_retailprice; VERDICT r7 #3). Plan notes: the
-    partsupp join keys on the composite (partkey, suppkey) the pair
-    relation was built from; part's LIKE filter prunes before its join;
-    nation broadcasts; the orders join is the one big-big exchange, on
-    the natural l_orderkey. The 6-way star then aggregates once on
-    (nation, year)."""
+    stand-in used 0.6*p_retailprice; VERDICT r7 #3).
+
+    The partsupp JOIN is algebraically ELIMINATED (r9, after the
+    interleaved sf10 A/B measured the join form 5.9x slower than the
+    oracle — compute-bound, so diagnose-or-close): the derived
+    partsupp's attributes are pure functions of (ps_partkey,
+    ps_suppkey) and its key set is exactly lineitem's DISTINCT
+    (l_partkey, l_suppkey) pairs, so the inner equi-join attaches to
+    every lineitem row precisely the formula value of its own keys —
+    never dropping or duplicating a row. Evaluating the formula inline
+    is therefore value-identical (same integer arithmetic, same single
+    double division) while deleting BOTH lineitem-scale stages the
+    join needed: the distinct-pairs exchange that built partsupp and
+    the big-big composite-key join against it. This is the rewrite a
+    generated-column-aware optimizer would make; the ORACLE keeps the
+    join form, so the value-hash gate is exactly the proof the rewrite
+    is sound. A real (non-functional) partsupp would need the join —
+    that plan shape stays exercised by tpch_q9_shape and the
+    partsupp_synth row itself (Spark 9.5x FASTER than the oracle on
+    the distinct+formula build, sf1 interleaved).
+
+    Remaining plan: part's LIKE filter prunes before its broadcast
+    join; supplier+nation broadcast; the orders join is the one
+    big-big exchange, on the natural l_orderkey; the 5-way star then
+    aggregates once, map-combinably, on (nation, year)."""
     cat = Catalog(spark, sf_dir)
     li, o, s = (cat.table("lineitem"), cat.table("orders"),
                 cat.table("supplier"))
-    ps = _partsupp_synth(cat)
     p = cat.tbl("part").filter(F.col("p_name").like("%red%"))
     n = cat.tbl("nation")
+    # identical arithmetic to _partsupp_synth's ps_supplycost, on the
+    # lineitem row's own keys (see docstring for why this is exact)
+    supplycost = (
+        (F.col("l_partkey") * 131 + F.col("l_suppkey") * 523)
+        % 99900 + 100
+    ).cast("double") / 100.0
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("ps_supplycost") * F.col("l_quantity")
+        - supplycost * F.col("l_quantity")
     )
     return (
-        li.join(ps, (li["l_partkey"] == ps["ps_partkey"])
-                & (li["l_suppkey"] == ps["ps_suppkey"]))
-        .join(p, li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -2256,7 +2278,6 @@ def q_tpch_q20(spark, sf_dir):
 
     cat = Catalog(spark, sf_dir)
     li = cat.table("lineitem")
-    ps = _partsupp_synth(cat)
     p = cat.tbl("part").filter(F.col("p_name").like("red%"))
     shipped = (
         li.filter(
@@ -2266,12 +2287,22 @@ def q_tpch_q20(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
+    # partsupp join eliminated (r9, same algebra as tpch_q9): every
+    # 1996-shipped pair is a shipped pair overall, so shipped's keys
+    # are a SUBSET of the derived partsupp's key set and the inner
+    # join ps⋈shipped keeps shipped unchanged; ps_availqty is a pure
+    # function of the keys, evaluated inline with identical integer
+    # arithmetic — the two lineitem-scale stages the join needed
+    # (distinct-pairs exchange + composite-key join) disappear, and
+    # the oracle's join form is the gate-checked proof of soundness.
+    availqty = (
+        F.lit(1) + (F.col("l_partkey") * 31
+                    + F.col("l_suppkey") * 17) % 9999
+    ).cast("int")
     excess = (
-        ps.join(p, ps["ps_partkey"] == p["p_partkey"])
-        .join(shipped, (shipped["l_partkey"] == ps["ps_partkey"])
-              & (shipped["l_suppkey"] == ps["ps_suppkey"]))
-        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
-        .select("ps_suppkey")
+        shipped.join(p, shipped["l_partkey"] == p["p_partkey"])
+        .filter(availqty > 0.5 * F.col("qty"))
+        .select(F.col("l_suppkey").alias("ps_suppkey"))
     )
     s = cat.table("supplier")
     n = cat.tbl("nation").filter(
