@@ -2240,6 +2240,62 @@ def q_tpch_q9(spark, sf_dir):
 
 
 @register(
+    "tpch_q9_partsupp_join",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9_partsupp_join(spark, sf_dir):
+    """Q9 with the partsupp JOIN materialized — the general-case plan a
+    REAL partsupp (attributes not derivable from the keys) requires:
+    distinct-pairs build, big-big composite-key join, then the star.
+    Kept registered and gate-checked after r9's `tpch_q9` eliminated
+    the join algebraically (see its docstring: the derived partsupp is
+    a pure function of the keys, so inlining is value-identical —
+    this row and that one hash to the SAME oracle results, which is
+    the rewrite's soundness proof running every round). Measured cost
+    of the join form at sf10: 11.9 s vs 2.7 s inlined, 5.9x vs the
+    oracle (BASELINE.md r9) — the price of generality, paid only when
+    the attributes are genuinely independent data."""
+    cat = Catalog(spark, sf_dir)
+    li, o, s = (cat.table("lineitem"), cat.table("orders"),
+                cat.table("supplier"))
+    ps = _partsupp_synth(cat)
+    p = cat.tbl("part").filter(F.col("p_name").like("%red%"))
+    n = cat.tbl("nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(ps, (li["l_partkey"] == ps["ps_partkey"])
+                & (li["l_suppkey"] == ps["ps_suppkey"]))
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
     "tpch_q20",
     oracle=f"""
     WITH partsupp AS ({_PARTSUPP_SQL}),
