@@ -89,6 +89,8 @@ HEADLINE = [
     "data_profile",            # size-gated exact/HLL column profiler
     "hybrid_search_rrf",       # RRF fusion of BM25 + vector rankings
     "search_rerank_mmr",       # MMR diversity re-rank over the vector arm
+    "tpch_q2",                 # real min-cost supplier over derived partsupp (r9)
+    "tpch_q11",                # real stock-value fraction over derived partsupp (r9)
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second

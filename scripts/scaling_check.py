@@ -93,6 +93,8 @@ EXTRA = [
     # round-8 additions
     "tpch_q9", "tpch_q20", "partsupp_synth", "hybrid_search_rrf",
     "search_rerank_mmr",
+    # round-9 additions
+    "tpch_q2", "tpch_q11", "tpch_q9_partsupp_join",
 ]
 
 
