@@ -99,6 +99,38 @@ def distributed_global_prefix_sum(df: DataFrame, order_cols: list[str],
     )
 
 
+def iter_logicalrdd_rdds(df: DataFrame):
+    """Yield each distinct LogicalRDD leaf's JVM RDD from ``df``'s
+    logical AND analyzed plans (the analyzed plan expands temp-view
+    indirection — graph_reachability registers its materialized edge
+    table as a view for the recursive-CTE SQL, which hides the leaf
+    from the unresolved plan). The single shared plan-walker for
+    ``release_plan_checkpoints`` and scripts/shuffle_audit.py — plan
+    walking touches Spark internals, so there must be exactly ONE copy
+    to fix on the next internals change. Swallows reflection errors
+    (yields what it saw before the mismatch)."""
+    try:
+        qe = df._jdf.queryExecution()
+        plans = [qe.logical()]
+        try:
+            plans.append(qe.analyzed())
+        except Exception:
+            pass
+        seen: set[int] = set()
+        for plan in plans:
+            leaves = plan.collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if leaf.getClass().getName().endswith(".LogicalRDD"):
+                    rdd = leaf.rdd()
+                    if rdd.id() in seen:
+                        continue
+                    seen.add(rdd.id())
+                    yield rdd
+    except Exception:
+        return
+
+
 def release_plan_checkpoints(df: DataFrame) -> int:
     """Best-effort release of localCheckpoint blocks reachable from ``df``'s
     logical plan (the LogicalRDD leaves that
@@ -112,47 +144,36 @@ def release_plan_checkpoints(df: DataFrame) -> int:
     ContextCleaner, which only fires after GC and can lag a tight loop by
     many iterations. Returns the number of RDDs unpersisted; swallows
     reflection errors (plan-walking touches Spark internals — on any
-    mismatch the worst case is the old behavior, blocks living until GC)."""
+    mismatch the worst case is the old behavior, blocks living until GC).
+    Also drops the released checkpoint's CHECKPOINT_SOURCE_PLANS entry so
+    the diagnostic dict cannot grow for the process lifetime across bench
+    and sweep loops (r9 code-review finding)."""
     try:
-        qe = df._jdf.queryExecution()
-        plans = [qe.logical()]
-        try:
-            # temp-view indirection (graph_reachability registers its
-            # materialized edge table as a view for the recursive-CTE SQL)
-            # hides the LogicalRDD from the unresolved plan — the analyzed
-            # plan has views expanded, so walk both
-            plans.append(qe.analyzed())
-        except Exception:
-            pass
-        seen: set[int] = set()
         n = 0
-        for plan in plans:
-            leaves = plan.collectLeaves()
-            for i in range(leaves.size()):
-                leaf = leaves.apply(i)
-                if leaf.getClass().getName().endswith(".LogicalRDD"):
-                    rdd = leaf.rdd()
-                    if rdd.id() in seen:
-                        continue
-                    seen.add(rdd.id())
-                    rdd.unpersist(False)
-                    n += 1
+        for rdd in iter_logicalrdd_rdds(df):
+            rdd.unpersist(False)
+            CHECKPOINT_SOURCE_PLANS.pop(rdd.id(), None)
+            n += 1
         return n
     except Exception:
         return 0
 
 
-# rdd_id -> the PRE-checkpoint executed-plan string. A checkpointed
+# rdd_id -> list of PRE-checkpoint executed-plan strings. A checkpointed
 # DataFrame's own plan bottoms out at a LogicalRDD with no FileScan, so
 # audit tooling (scripts/shuffle_audit.py) cannot attribute which tables
 # the materialization actually read — the r8 cost model's one blind spot
 # (graph_reachability, SCALE.md). localcheckpoint_declared records the
-# source plan here at materialization time; the audit resolves LogicalRDD
-# leaves through this map to recover the FileScan denominators. Keyed by
-# the checkpointed RDD's id (the same id release_plan_checkpoints
-# unpersists by), values are plain strings — a handful of KB per
-# checkpoint, process-local, diagnostic-only.
-CHECKPOINT_SOURCE_PLANS: dict[int, str] = {}
+# source plan(s) here at materialization time; the audit resolves
+# LogicalRDD leaves through this map to recover the FileScan
+# denominators. CHAINED declared checkpoints resolve too: capture
+# prepends the entries already recorded for the input's own LogicalRDD
+# leaves (r9 code-review finding — one-level resolution under-counted
+# chained cases). Plain ``localCheckpoint`` calls are NOT recorded, so
+# their consumers still surface as honestly unattributed (amp None).
+# Keyed by the checkpointed RDD's id; entries are dropped by
+# release_plan_checkpoints when the checkpoint is released.
+CHECKPOINT_SOURCE_PLANS: dict[int, list[str]] = {}
 
 
 _TYPE_BYTES = {
@@ -236,9 +257,14 @@ def localcheckpoint_declared(
         # record what the materialization READ (FileScan attribution for
         # shuffle_audit — see CHECKPOINT_SOURCE_PLANS). executedPlan() on
         # the pre-checkpoint frame only plans, it does not re-execute.
+        # Chain through any checkpoints the INPUT itself was built on so
+        # multi-level declared checkpoints keep full attribution.
+        chained: list[str] = []
+        for rdd in iter_logicalrdd_rdds(pre):
+            chained.extend(CHECKPOINT_SOURCE_PLANS.get(rdd.id(), []))
         CHECKPOINT_SOURCE_PLANS[
             cp._jdf.queryExecution().logical().rdd().id()
-        ] = pre._jdf.queryExecution().executedPlan().toString()
+        ] = chained + [pre._jdf.queryExecution().executedPlan().toString()]
     except Exception:
         pass
     try:

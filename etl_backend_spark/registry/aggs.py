@@ -2397,19 +2397,24 @@ def q_tpch_q2(spark, sf_dir):
 
 @register(
     "tpch_q11",
-    oracle=f"""
-    WITH partsupp AS ({_PARTSUPP_SQL}),
-    val AS (
-      SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS v
-      FROM partsupp
-      JOIN supplier ON ps_suppkey = s_suppkey
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
-      GROUP BY ps_partkey
+    ),
+    val AS (
+      SELECT pk AS ps_partkey,
+             sum(CAST(1 + (pk * 31 + sk * 17) % 9999 AS BIGINT)
+                 * CAST((pk * 131 + sk * 523) % 99900 + 100 AS BIGINT))
+               AS vc
+      FROM pairs GROUP BY pk
     )
-    SELECT ps_partkey AS partkey, round(v, 2) AS value
+    SELECT ps_partkey AS partkey, CAST(vc AS DOUBLE) / 100.0 AS value
     FROM val
-    WHERE v > (SELECT 0.0001 * sum(v) FROM val)
+    WHERE 10000 * vc > (SELECT sum(vc) FROM val)
     ORDER BY value DESC, partkey
     """,
 )
@@ -2421,13 +2426,22 @@ def q_tpch_q11(spark, sf_dir):
     Same HAVING-against-a-global-fraction plan as the shape: per-key
     aggregate, 1-row global sum over it broadcast back, filter — the
     global reduction reads the tiny per-part aggregate, never
-    partsupp. Value sums are order-dependent doubles, but parts'
-    values are spread far from the 1e-4 threshold (gate-checked) and
-    the output rounds at 2 on both engines. Scale move (r9, same
-    diagnosis as tpch_q2): the one-nation supplier predicate
-    semi-joins into the raw pairs BEFORE the distinct, so the
-    exchange carries ~4% of the pairs — the rewrite DuckDB's CTE
-    inlining performs implicitly (sf10: 6.1 s -> 2.9 s)."""
+    partsupp.
+
+    INTEGER-EXACT value contract (the repo's never-round-a-blend
+    rule): ps_supplycost is exactly cents/100 and ps_availqty is an
+    int, so the whole computation runs in BIGINT CENTS — per-pair
+    availqty * cost_cents (<= 1e9), per-part sums vc (<= ~4e12 at
+    sf10; 10^4 * vc stays far inside int64 through sf1000), and the
+    1e-4 threshold becomes the EXACT comparison 10^4*vc > sum(vc).
+    The displayed dollars value is one double division of the same
+    int64 on both engines — hashed raw, no rounding anywhere, no
+    order-of-accumulation exposure at all (r9 code review replaced
+    the double-blend first draft). Scale move (r9, same diagnosis as
+    tpch_q2): the one-nation supplier predicate semi-joins into the
+    raw pairs BEFORE the distinct, so the exchange carries ~4% of the
+    pairs — the rewrite DuckDB's CTE inlining performs implicitly
+    (sf10: 6.1 s -> 1.8 s, parity)."""
     cat = Catalog(spark, sf_dir)
     s = (
         cat.table("supplier")
@@ -2437,33 +2451,26 @@ def q_tpch_q11(spark, sf_dir):
     )
     li = cat.table("lineitem")
     pairs = (
-        li.select(F.col("l_partkey").alias("ps_partkey"),
-                  F.col("l_suppkey").alias("ps_suppkey"))
+        li.select(F.col("l_partkey").alias("pk"),
+                  F.col("l_suppkey").alias("sk"))
         .join(F.broadcast(s),
-              F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+              F.col("sk") == F.col("s_suppkey"), "left_semi")
         .distinct()
     )
-    ps = pairs.withColumn(
-        "ps_availqty",
-        (F.lit(1) + (F.col("ps_partkey") * 31
-                     + F.col("ps_suppkey") * 17) % 9999).cast("int"),
-    ).withColumn(
-        "ps_supplycost",
-        ((F.col("ps_partkey") * 131 + F.col("ps_suppkey") * 523)
-         % 99900 + 100).cast("double") / 100.0,
+    cents = (
+        (F.lit(1) + (F.col("pk") * 31 + F.col("sk") * 17) % 9999)
+        * ((F.col("pk") * 131 + F.col("sk") * 523) % 99900 + 100)
     )
-    val = (
-        ps.groupBy("ps_partkey")
-        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
-             .alias("v"))
+    val = pairs.groupBy(F.col("pk").alias("ps_partkey")).agg(
+        F.sum(cents).alias("vc")
     )
-    thresh = val.agg((0.0001 * F.sum("v")).alias("__t"))
+    thresh = val.agg(F.sum("vc").alias("__t"))
     return (
         val.crossJoin(F.broadcast(thresh))
-        .filter(F.col("v") > F.col("__t"))
+        .filter(F.lit(10000) * F.col("vc") > F.col("__t"))
         .select(
             F.col("ps_partkey").alias("partkey"),
-            F.round("v", 2).alias("value"),
+            (F.col("vc").cast("double") / 100.0).alias("value"),
         )
         .orderBy(F.col("value").desc(), "partkey")
     )

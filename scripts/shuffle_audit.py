@@ -103,35 +103,20 @@ def _checkpoint_scanned_bytes(df) -> int:
     relation) bottoms the measured plan out at a LogicalRDD, so the
     tables its materialization read are invisible to _scanned_bytes.
     localcheckpoint_declared records each checkpoint's PRE-checkpoint
-    executed plan keyed by rdd id (CHECKPOINT_SOURCE_PLANS); this walks
-    the measured frame's logical+analyzed plans (the analyzed plan
-    expands the temp-view indirection, same trick as
-    release_plan_checkpoints), resolves every LogicalRDD leaf through
-    that map, and sums the recorded plans' FileScan bytes — so the
-    recursion's shuffle amp finally gets a true denominator."""
-    from etl_backend_spark.operators.windows import CHECKPOINT_SOURCE_PLANS
+    executed plan(s) keyed by rdd id — chained declared checkpoints
+    included (CHECKPOINT_SOURCE_PLANS); this resolves every LogicalRDD
+    leaf of the measured frame through that map via the shared
+    plan-walker and sums the recorded plans' FileScan bytes. Plain
+    (unrecorded) localCheckpoint leaves contribute 0 and keep their
+    queries honestly unattributed (amp None)."""
+    from etl_backend_spark.operators.windows import (
+        CHECKPOINT_SOURCE_PLANS, iter_logicalrdd_rdds)
 
     total = 0
     try:
-        qe = df._jdf.queryExecution()
-        plans = [qe.logical()]
-        try:
-            plans.append(qe.analyzed())
-        except Exception:
-            pass
-        seen: set[int] = set()
-        for plan in plans:
-            leaves = plan.collectLeaves()
-            for i in range(leaves.size()):
-                leaf = leaves.apply(i)
-                if leaf.getClass().getName().endswith(".LogicalRDD"):
-                    rid = leaf.rdd().id()
-                    if rid in seen:
-                        continue
-                    seen.add(rid)
-                    src = CHECKPOINT_SOURCE_PLANS.get(rid)
-                    if src:
-                        total += _scanned_bytes(src)
+        for rdd in iter_logicalrdd_rdds(df):
+            for src in CHECKPOINT_SOURCE_PLANS.get(rdd.id(), []):
+                total += _scanned_bytes(src)
     except Exception:
         return 0
     return total
@@ -161,6 +146,11 @@ def main() -> None:
         run_full(df)  # warm: caches plan/codegen, fills file caches
         before = set(_stages(ui, app_id))
         df2 = q(spark, sf_dir)
+        # resolve checkpoint-hidden scans BEFORE run_full: the release
+        # pass inside run_full drops CHECKPOINT_SOURCE_PLANS entries
+        # along with the blocks (the builder call above just recorded
+        # them)
+        cp_scanned = _checkpoint_scanned_bytes(df2)
         t0 = time.time()
         run_full(df2)
         sec = time.time() - t0
@@ -175,7 +165,7 @@ def main() -> None:
         # checkpoint-hidden scans (graph_reachability's declared-layout
         # edge relation) resolve through CHECKPOINT_SOURCE_PLANS — the
         # r8 model's one unattributed row now gets a true denominator
-        scanned = _scanned_bytes(plan) + _checkpoint_scanned_bytes(df2)
+        scanned = _scanned_bytes(plan) + cp_scanned
         amp = round(sw / scanned, 3) if scanned else (None if sw else 0.0)
         row = {
             "query": name, "sec": round(sec, 2),
