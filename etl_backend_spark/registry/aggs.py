@@ -2440,8 +2440,14 @@ def q_tpch_q11(spark, sf_dir):
     the double-blend first draft). Scale move (r9, same diagnosis as
     tpch_q2): the one-nation supplier predicate semi-joins into the
     raw pairs BEFORE the distinct, so the exchange carries ~4% of the
-    pairs — the rewrite DuckDB's CTE inlining performs implicitly
-    (sf10: 6.1 s -> 1.8 s, parity)."""
+    pairs (sf10: 6.1 s -> 1.4-2.1 s). The residual gap vs the
+    hardened integer-cents oracle (0.42 s at sf10) is STAGE FLOOR,
+    not work — the measured sf10 stage split: bare 2-col scan+agg
+    0.35 s, +semi 0.77, +distinct 0.92, +per-part agg 1.09, full
+    pipeline 1.39 — each added stage costs ~one VM stage barrier
+    (~0.3 s) while the added WORK is centiseconds; a 4-barrier
+    pipeline is noise against cluster-scale work (the
+    bm25/graph_reachability floor precedent, BASELINE.md r9)."""
     cat = Catalog(spark, sf_dir)
     s = (
         cat.table("supplier")
