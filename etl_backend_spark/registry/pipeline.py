@@ -1697,7 +1697,44 @@ def q_dsir_importance(spark, sf_dir):
     100-TB shape: one shuffle to (doc, bucket) counts (map-side combinable),
     the bucket model is <= 4096 rows (broadcast back), scoring is one keyed
     agg on doc_id, selection one keyed window. Nothing driver-side, no
-    Python workers, all whole-stage-codegen expressions."""
+    Python workers, all whole-stage-codegen expressions.
+
+    TWO-PASS plan (r9, after the first sf10 interleaved A/B read
+    2-4x over the oracle): the r8 form hung three consumers off one
+    (doc, is_t, bucket) counts subtree — the model, its totals, the
+    scorer — and Catalyst's per-branch column pruning makes the
+    subtrees non-identical, so ReuseExchange never fires and the
+    tokenize+explode+md5 (the dominant stage) executed THREE times.
+    Two sharing mechanisms were measured and REJECTED (receipts in
+    BASELINE.md r9): Dataset.localCheckpoint is eager under AQE
+    (toRdd executes the upstream stages at builder time, ~9 s — the
+    anti-pattern the MMR advice closed), and persist() (lazy, shares
+    correctly via block locks) LOSES because the counts stream barely
+    compresses — word bigrams are mostly unique within a doc, so the
+    "aggregate" is 36.9M ~unique rows at sf10 and the cache FILL
+    measured 17.7 s vs 8.5 s to simply recompute the pass. The
+    optimal Spark plan instead makes each pass minimal:
+
+    * pass 1 (model): explode ALL docs but group DIRECTLY by
+      (bucket, side) — no doc_id, so map-side combine collapses to
+      <= 8192 rows and the exchange is bytes, not the r8 form's
+      36.9M-row shuffle (measured amp 6.3 -> ~0 for this branch);
+      the global totals ride a window over the <= 4096-row model
+      (parameter-bounded SinglePartition — the bounded-candidate
+      contract, SCALE.md), costing zero recomputation.
+    * pass 2 (score): the raw-pool filter pushes to the SCAN (target
+      docs never tokenize here), each ngram occurrence joins the
+      broadcast <= 4096-row ratio map and sums lr per doc — the
+      per-(doc, bucket) pre-grouping is dropped because
+      sum(c * lr) == sum over occurrences of lr exactly (integer
+      lr), and groupBy(doc_id) is map-combinable on its own.
+
+    Net: 2 tokenize passes (all + raw) instead of 3, both other
+    stages ~free; sf10 22-28 s -> ~13 s vs oracle 7-13 s — parity-
+    band, and the shuffle volume drops from amp 6.3 to near-zero.
+    DuckDB gets its single pass from automatic CTE materialization;
+    Spark's equivalent (persist) is measurably wrong HERE because
+    the materialized stream is as big as the work that produced it."""
     d = Catalog(spark, sf_dir).table("documents")
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     bigrams = F.when(
@@ -1710,20 +1747,23 @@ def q_dsir_importance(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     ngrams = F.concat(w, bigrams)
 
-    cdb = (
+    # pass 1: bucket model, no doc_id — combines to <= 8192 rows map-side
+    model = (
         d.select(
-            "doc_id", (F.col("lang") == "en").alias("is_t"),
+            (F.col("lang") == "en").alias("is_t"),
             F.explode(ngrams).alias("ng"),
         )
-        .select("doc_id", "is_t", F.substring(F.md5("ng"), 1, 3).alias("b"))
-        .groupBy("doc_id", "is_t", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .select("is_t", F.substring(F.md5("ng"), 1, 3).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tb"),
+            F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("rb"),
+        )
     )
-    model = cdb.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("tb"),
-        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("rb"),
-    )
-    tot = model.agg(F.sum("tb").alias("tt"), F.sum("rb").alias("rt"))
+    # totals via a window over the <= 4096-row model: parameter-bounded
+    # SinglePartition (bounded-candidate contract, SCALE.md), and no
+    # second evaluation of the model subtree
+    wall = Window.partitionBy()
     lr = F.round(
         _DSIR_LOG_SCALE
         * (
@@ -1732,15 +1772,24 @@ def q_dsir_importance(spark, sf_dir):
         )
     ).cast("long")
     ratio = (
-        model.filter(F.col("rb") >= 1)
-        .crossJoin(F.broadcast(tot))
+        model.select(
+            "b", "tb", "rb",
+            F.sum("tb").over(wall).alias("tt"),
+            F.sum("rb").over(wall).alias("rt"),
+        )
+        .filter(F.col("rb") >= 1)
         .select("b", lr.alias("lr"))
     )
+    # pass 2: raw pool only (filter pushed to the scan); summing lr per
+    # ngram OCCURRENCE equals sum(c * lr) exactly (integer lr), so the
+    # (doc, b) pre-group is dropped and groupBy(doc_id) combines map-side
     score = (
-        cdb.filter(~F.col("is_t"))
+        d.filter(~(F.col("lang") == "en"))
+        .select("doc_id", F.explode(ngrams).alias("ng"))
+        .select("doc_id", F.substring(F.md5("ng"), 1, 3).alias("b"))
         .join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.col("lr")).alias("score_scaled"))
+        .agg(F.sum("lr").alias("score_scaled"))
     )
     sel_range = F.substring(
         F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 1
