@@ -482,6 +482,89 @@ def bucket_probe_pairs_cosine_pandas(tau: float | None = None):
     return run
 
 
+def bucket_motif_pairs_pandas(cap: int = 64, wlen: int = 8, topk: int = 20):
+    """applyInPandas worker for SAX-word motif pairs (events_motif_pairs'
+    r9 hot path) — the bucket-local kernel pattern applied to time-series
+    windows: input is a coarse hash-group of whole SAX-word buckets
+    (word, user_id, event_id, wpos, z array<double>); per word holding
+    2..cap windows, emit every non-overlapping a<b pair's z-distance.
+
+    Why kernel-local: the r8 self-join form evaluated the
+    events-scan + user-window + z-norm subtree FOUR times (rare-word
+    count, semi-join, and both join sides — per-branch pruning defeats
+    ReuseExchange, the dsir diagnosis), and the rare-word cap (<= cap
+    windows per word) makes every bucket PARAMETER-BOUNDED, so
+    group-local pair generation is the bounded-candidate contract
+    (SCALE.md) in its LSH-bucket form. The cap also subsumes the
+    HAVING count(*) <= cap filter: oversized words simply emit nothing.
+
+    VALUE-EXACT: z values are computed JVM-side and cross Arrow as
+    exact float64; zdist2 accumulates sequential over the wlen dims,
+    vectorized over pairs (s = s + d_k * d_k, zero seed, increasing k)
+    — the identical left-assoc IEEE chain as the chained JVM additions
+    and the DuckDB oracle's list_reduce. Pairs orient (user, event)
+    ascending lexicographically (array-sort inside), matching the
+    oracle's a<b join convention; same-user pairs within wlen
+    positions are dropped (trivial self-overlap).
+
+    TOP-K pushdown: selection under the total order (zdist2 asc,
+    user_a, event_a, user_b, event_b) is associative, so each kernel
+    call emits only ITS top-k rows — the global TakeOrdered re-ranks
+    <= topk x n_groups skinny rows instead of every candidate pair."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_a", "event_a", "user_b", "event_b", "zdist2")
+        acc: dict = {c: [] for c in cols}
+        uid_all = pdf["user_id"].to_numpy()
+        eid_all = pdf["event_id"].to_numpy()
+        wpos_all = pdf["wpos"].to_numpy()
+        Z_all = np.stack(pdf["z"].to_numpy()).astype(np.float64, copy=False)
+        for ix in pdf.groupby("w", sort=False).indices.values():
+            m = len(ix)
+            if m < 2 or m > cap:
+                continue
+            uid, eid = uid_all[ix], eid_all[ix]
+            order = np.lexsort((eid, uid))
+            uid, eid = uid[order], eid[order]
+            wpos = wpos_all[ix][order]
+            Z = Z_all[ix][order]
+            iu, jv = np.triu_indices(m, k=1)
+            keep = ~((uid[iu] == uid[jv])
+                     & (np.abs(wpos[iu] - wpos[jv]) < wlen))
+            iu, jv = iu[keep], jv[keep]
+            if not len(iu):
+                continue
+            s = np.zeros(len(iu), dtype=np.float64)
+            for k in range(Z.shape[1]):  # sequential over dims = fold
+                d = Z[iu, k] - Z[jv, k]
+                s = s + d * d
+            acc["user_a"].append(uid[iu])
+            acc["event_a"].append(eid[iu])
+            acc["user_b"].append(uid[jv])
+            acc["event_b"].append(eid[jv])
+            acc["zdist2"].append(s)
+        if not acc["user_a"]:
+            return pd.DataFrame({
+                "user_a": pd.Series([], dtype="int64"),
+                "event_a": pd.Series([], dtype="int64"),
+                "user_b": pd.Series([], dtype="int64"),
+                "event_b": pd.Series([], dtype="int64"),
+                "zdist2": pd.Series([], dtype="float64"),
+            })
+        ua = np.concatenate(acc["user_a"]).astype(np.int64)
+        ea = np.concatenate(acc["event_a"]).astype(np.int64)
+        ub = np.concatenate(acc["user_b"]).astype(np.int64)
+        eb = np.concatenate(acc["event_b"]).astype(np.int64)
+        zd = np.concatenate(acc["zdist2"])
+        sel = np.lexsort((eb, ub, ea, ua, zd))[:topk]
+        return pd.DataFrame({
+            "user_a": ua[sel], "event_a": ea[sel],
+            "user_b": ub[sel], "event_b": eb[sel], "zdist2": zd[sel],
+        })
+
+    return run
+
+
 def cosine_topk_scan_pandas(query_vecs: list[list[float]], k: int,
                             exclude_ids=None):
     """mapInPandas worker factory over (vec_id, v): score every corpus

@@ -1535,18 +1535,38 @@ def q_events_motif_pairs(spark, sf_dir):
     (gaussian breakpoints -0.6745 / 0 / 0.6745), JOIN ON THE WORD
     (candidates = windows sharing a bucket, never the all-pairs
     product), exact distance on candidates, global top-20. Words held
-    by > 64 windows are dropped before the pair join — flat/ubiquitous
+    by > 64 windows are dropped before pairing — flat/ubiquitous
     shapes are the time-series analogue of boilerplate shingles, and
     the cap is the same pair-blowup budget as dedup_ngram_jaccard's
     DF-cap: candidate volume stays O(windows x cap). Same-user windows
     within 7 positions are excluded (trivial self-overlap, the motif
     convention). Window build + z-norm reuse the codegen-unrolled
-    lead() shape of events_pattern_topk; the pair join is SHUFFLE_HASH
-    on the word. Raw-double oracle (identical fold association, no
-    rounding), same contract as the pattern search."""
+    lead() shape of events_pattern_topk.
+
+    BUCKET-LOCAL pairing (r9): the r8 form ran rare-word counting as a
+    groupBy + semi join and pairing as a SHUFFLE_HASH self-join — four
+    evaluations of the events-scan + user-window + z-norm subtree
+    (per-branch pruning defeats ReuseExchange; plan-counted 4 scans /
+    4 Window nodes — the dsir diagnosis). Because the rare cap bounds
+    every SAX-word bucket at 64 windows, pairing is the LSH
+    bucket-local shape: word buckets hash into coarse groups
+    (_coarse_groups sizing) and ONE numpy kernel per bucket
+    (functions/vectors.py bucket_motif_pairs_pandas) applies the cap,
+    generates non-overlapping a<b pairs, folds zdist2 with the
+    identical left-assoc chain, and pushes per-group top-20 selection
+    down (selection under a total order is associative) — one subtree
+    evaluation, one exchange, and the global TakeOrdered re-ranks
+    <= 20 x n_groups skinny rows. sf10 interleaved: 4.2-5.9 s ->
+    ~2.1 s vs oracle 2.4-3.0 s (parity-to-faster; BASELINE.md r9).
+    Raw-double oracle (identical fold association, no rounding), same
+    contract as the pattern search."""
     from functools import reduce
 
     from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..sources.catalog import parquet_num_rows
+    from .llm import _coarse_groups
 
     ev = Catalog(spark, sf_dir).table("events").select(
         "user_id", "event_id", "ts", "value")
@@ -1574,41 +1594,23 @@ def q_events_motif_pairs(spark, sf_dir):
         .otherwise(F.lit("3"))
         for k in range(8)
     ]
-    zx = win.select("user_id", "event_id", "wpos", *zcols) \
-            .withColumn("w", F.concat(*sym))
-    rare = zx.groupBy("w").agg(F.count(F.lit(1)).alias("nw")) \
-             .filter(F.col("nw") <= 64).select("w")
-    sx = zx.join(rare, "w", "left_semi")
-    a = sx.select(
-        F.col("w"),
-        F.col("user_id").alias("user_a"), F.col("event_id").alias("event_a"),
-        F.col("wpos").alias("wpos_a"),
-        *[F.col(f"z{k}").alias(f"za{k}") for k in range(8)],
+    zx = (
+        win.select("user_id", "event_id", "wpos", *zcols)
+        .withColumn("w", F.concat(*sym))
+        .select(
+            "w", "user_id", "event_id", "wpos",
+            F.array(*[F.col(f"z{k}") for k in range(8)]).alias("z"),
+        )
     )
-    b = sx.select(
-        F.col("w").alias("wb"),
-        F.col("user_id").alias("user_b"), F.col("event_id").alias("event_b"),
-        F.col("wpos").alias("wpos_b"),
-        *[F.col(f"z{k}").alias(f"zb{k}") for k in range(8)],
-    )
-    pairs = a.join(
-        b.hint("SHUFFLE_HASH"),
-        (F.col("w") == F.col("wb"))
-        & ((F.col("user_a") < F.col("user_b"))
-           | ((F.col("user_a") == F.col("user_b"))
-              & (F.col("event_a") < F.col("event_b")))),
-    ).filter(
-        ~((F.col("user_a") == F.col("user_b"))
-          & (F.abs(F.col("wpos_a") - F.col("wpos_b")) < 8))
-    )
-    zdist2 = reduce(
-        lambda p, q: p + q,
-        [(F.col(f"za{k}") - F.col(f"zb{k}"))
-         * (F.col(f"za{k}") - F.col(f"zb{k}")) for k in range(8)],
+    n_rows = parquet_num_rows(sf_dir, "events")
+    grouped = zx.withColumn(
+        "g", F.pmod(F.hash("w"), F.lit(_coarse_groups(n_rows)))
+    ).groupBy("g").applyInPandas(
+        V.bucket_motif_pairs_pandas(cap=64, wlen=8, topk=20),
+        "user_a long, event_a long, user_b long, event_b long, zdist2 double",
     )
     return (
-        pairs.select("user_a", "event_a", "user_b", "event_b",
-                     zdist2.alias("zdist2"))
+        grouped
         .orderBy(F.col("zdist2").asc(), F.col("user_a").asc(),
                  F.col("event_a").asc(), F.col("user_b").asc(),
                  F.col("event_b").asc())

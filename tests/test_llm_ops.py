@@ -360,7 +360,64 @@ def test_bucket_kernels_zero_norm_degrade(spark):
         assert r.cos == seq_cos(emb[r.vec_a], emb[r.vec_b])
 
 
-def test_dot_unrolled_bit_equals_fold(spark):
+def test_bucket_motif_pairs_kernel_matches_python_reference(spark):
+    """bucket_motif_pairs_pandas (r9, events_motif_pairs' bucket-local
+    pairing): per SAX-word bucket of 2..cap windows, every
+    non-overlapping a<b pair's zdist2 is the bit-exact left-assoc fold
+    over dims; oversized words emit nothing (the rare cap); same-user
+    pairs within wlen positions drop; the per-call output is exactly
+    the top-k under (zdist2, user_a, event_a, user_b, event_b)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_backend_spark.functions import vectors as VV
+
+    rng = np.random.RandomState(3)
+    rows = []
+    vid = 0
+    # word sizes: degenerate (1), small, at-cap boundary (4 with cap=4
+    # below stays, 5 drops), plus same-user overlap cases
+    for word, size in [("aa", 1), ("bb", 3), ("cc", 4), ("dd", 5)]:
+        for i in range(size):
+            rows.append({
+                "w": word,
+                "user_id": vid % 2,           # mixes same/cross user
+                "event_id": vid,
+                "wpos": i * 3,                # some same-user overlaps
+                "z": rng.randn(8),
+            })
+            vid += 1
+    pdf = pd.DataFrame(rows)
+    out = VV.bucket_motif_pairs_pandas(cap=4, wlen=8, topk=5)(pdf)
+
+    def fold(a, b):
+        s = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            d = float(x) - float(y)
+            s = s + d * d
+        return s
+
+    byw: dict = {}
+    for r in rows:
+        byw.setdefault(r["w"], []).append(r)
+    expected = []
+    for word, members in byw.items():
+        if len(members) < 2 or len(members) > 4:
+            continue
+        ms = sorted(members, key=lambda r: (r["user_id"], r["event_id"]))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                if (a["user_id"] == b["user_id"]
+                        and abs(a["wpos"] - b["wpos"]) < 8):
+                    continue
+                expected.append((fold(a["z"], b["z"]), a["user_id"],
+                                 a["event_id"], b["user_id"], b["event_id"]))
+    expected.sort(key=lambda t: (t[0], t[1], t[2], t[3], t[4]))
+    expected = expected[:5]
+    got = [(r.zdist2, r.user_a, r.event_a, r.user_b, r.event_b)
+           for r in out.itertuples()]
+    assert got == expected, (got, expected)  # bit-exact, order included
     """dot_unrolled / norm_unrolled are bit-identical to the sequential
     aggregate fold (same seed, same left-assoc order) — pinned so the
     documented negative result (r8: the 64-term unroll de-JITs and is
