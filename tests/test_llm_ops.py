@@ -418,6 +418,9 @@ def test_bucket_motif_pairs_kernel_matches_python_reference(spark):
     got = [(r.zdist2, r.user_a, r.event_a, r.user_b, r.event_b)
            for r in out.itertuples()]
     assert got == expected, (got, expected)  # bit-exact, order included
+
+
+def test_dot_unrolled_bit_equals_fold(spark):
     """dot_unrolled / norm_unrolled are bit-identical to the sequential
     aggregate fold (same seed, same left-assoc order) — pinned so the
     documented negative result (r8: the 64-term unroll de-JITs and is
