@@ -1473,9 +1473,7 @@ def q_events_pattern_topk(spark, sf_dir):
     )
 
 
-@register(
-    "events_motif_pairs",
-    oracle="""
+_MOTIF_ORACLE = """
     WITH win AS (
       SELECT user_id, event_id,
              row_number() OVER (
@@ -1525,8 +1523,10 @@ def q_events_pattern_topk(spark, sf_dir):
     SELECT user_a, event_a, user_b, event_b, zdist2 FROM cand
     ORDER BY zdist2 ASC, user_a ASC, event_a ASC, user_b ASC, event_b ASC
     LIMIT 20
-    """,
-)
+    """
+
+
+@register("events_motif_pairs", oracle=_MOTIF_ORACLE)
 def q_events_motif_pairs(spark, sf_dir):
     """MOTIF DISCOVERY: the 20 closest NON-OVERLAPPING window pairs in
     the corpus under z-normalized distance — "which shape repeats?", the
@@ -1560,13 +1560,34 @@ def q_events_motif_pairs(spark, sf_dir):
     ~2.1 s vs oracle 2.4-3.0 s (parity-to-faster; BASELINE.md r9).
     Raw-double oracle (identical fold association, no rounding), same
     contract as the pattern search."""
-    from functools import reduce
-
-    from pyspark.sql import Window
-
     from ..functions import vectors as V
     from ..sources.catalog import parquet_num_rows
     from .llm import _coarse_groups
+
+    zx = _motif_zx(spark, sf_dir)
+    n_rows = parquet_num_rows(sf_dir, "events")
+    grouped = zx.withColumn(
+        "g", F.pmod(F.hash("w"), F.lit(_coarse_groups(n_rows)))
+    ).groupBy("g").applyInPandas(
+        V.bucket_motif_pairs_pandas(cap=64, wlen=8, topk=20),
+        "user_a long, event_a long, user_b long, event_b long, zdist2 double",
+    )
+    return (
+        grouped
+        .orderBy(F.col("zdist2").asc(), F.col("user_a").asc(),
+                 F.col("event_a").asc(), F.col("user_b").asc(),
+                 F.col("event_b").asc())
+        .limit(20)
+    )
+
+
+def _motif_zx(spark, sf_dir):
+    """Shared SAX-window subtree of the motif-pair variants: 8-wide
+    value windows per user, z-normalized, discretized into the 4-symbol
+    SAX word `w`; emits (w, user_id, event_id, wpos, z[8])."""
+    from functools import reduce
+
+    from pyspark.sql import Window
 
     ev = Catalog(spark, sf_dir).table("events").select(
         "user_id", "event_id", "ts", "value")
@@ -1594,7 +1615,7 @@ def q_events_motif_pairs(spark, sf_dir):
         .otherwise(F.lit("3"))
         for k in range(8)
     ]
-    zx = (
+    return (
         win.select("user_id", "event_id", "wpos", *zcols)
         .withColumn("w", F.concat(*sym))
         .select(
@@ -1602,8 +1623,49 @@ def q_events_motif_pairs(spark, sf_dir):
             F.array(*[F.col(f"z{k}") for k in range(8)]).alias("z"),
         )
     )
+
+
+@register("events_motif_pairs_slim", oracle=_MOTIF_ORACLE)
+def q_events_motif_pairs_slim(spark, sf_dir):
+    """SLIM-EXCHANGE motif pairs — the network-bound alternate of
+    ``events_motif_pairs``, registered the way tpch_q9_partsupp_join
+    preserves the general-case plan (VERDICT r9 #3). Identical values
+    (same oracle, same kernel); different shuffle economics:
+
+    * the DEFAULT one-pass plan evaluates the SAX-window subtree ONCE
+      and ships EVERY window's 8-double z payload into the bucket
+      exchange — the kernel drops over-cap (> 64-window) words after
+      the shuffle. Measured shuffle amplification 6.2 (SCALE.md cost
+      table): right on this VM where exchange bytes are memcpy, wrong
+      when the exchange crosses a real network.
+    * THIS plan spends a second, SKINNY subtree evaluation (pruned to
+      the word column only — no z payload) counting windows per word,
+      broadcasts the rare-word set — bounded by the SAX parameter
+      space, |alphabet|^wlen = 4^8 = 65536 words max, a few hundred KB,
+      NEVER corpus-sized — and semi-joins it map-side BEFORE the
+      exchange, so the z-payload shuffle carries ONLY rare-word
+      windows (the over-cap words that dominate bytes in a periodic/
+      flat-heavy corpus never ship). The kernel's own cap stays as a
+      no-op guard, so kernel contract and output are unchanged.
+
+    Selection rule (SCALE.md cost-model table): pick slim when
+    exchange bytes are the binding resource (network-bound cluster,
+    high over-cap mass); pick the default when compute is (this VM:
+    one subtree evaluation beats the saved bytes — sf10 receipts in
+    BASELINE.md r9/r10)."""
+    from ..functions import vectors as V
+    from ..sources.catalog import parquet_num_rows
+    from .llm import _coarse_groups
+
+    zx = _motif_zx(spark, sf_dir)
+    rare = (
+        zx.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= 64)
+        .select("w")
+    )
+    slim = zx.join(F.broadcast(rare), "w", "left_semi")
     n_rows = parquet_num_rows(sf_dir, "events")
-    grouped = zx.withColumn(
+    grouped = slim.withColumn(
         "g", F.pmod(F.hash("w"), F.lit(_coarse_groups(n_rows)))
     ).groupBy("g").applyInPandas(
         V.bucket_motif_pairs_pandas(cap=64, wlen=8, topk=20),

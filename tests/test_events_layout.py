@@ -322,6 +322,24 @@ def test_events_motif_pairs_finds_planted_cross_user_motif(spark, tmp_path):
             assert abs(r.event_a - r.event_b) >= 8, r
 
 
+def test_events_motif_pairs_slim_matches_default_and_prefilters(spark):
+    """The slim-exchange alternate (r10): identical rows to the default
+    one-pass plan on real testdata, and the plan carries the rare-word
+    pre-filter as a BROADCAST left-semi join BEFORE the bucket exchange
+    (the point of the variant — over-cap windows never ship their z
+    payload; the rare set is bounded by 4^8 SAX words, so the broadcast
+    is always legal)."""
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    slim = QUERIES["events_motif_pairs_slim"](spark, sf)
+    got = [tuple(r) for r in slim.collect()]
+    ref = [tuple(r) for r in QUERIES["events_motif_pairs"](spark, sf).collect()]
+    assert got == ref
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan
+
+
 def test_events_discord_topk_flags_planted_anomaly(spark, tmp_path):
     """One user's series carries a single violent spike window amid many
     copies of a repeating benign shape planted across users: the spike
