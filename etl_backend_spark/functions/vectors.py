@@ -398,6 +398,83 @@ def bucket_allpairs_cosine_pandas(tau: float | None = None):
     return run
 
 
+def block_pair_cosine_pandas(tau: float | None = None):
+    """applyInPandas worker for the DEGENERATE-BUCKET block path (r10,
+    VERDICT r9 #4): one call = one (band, key, lo, hi) BLOCK PAIR of an
+    oversized LSH bucket. ``lo == hi`` scores all a<b pairs within the
+    block (the whole-bucket kernel's inner shape); ``lo < hi`` scores
+    ONLY cross-block pairs (one side in block lo, one in hi) — pairs
+    inside a block belong to that block's (lo, lo) group, so the union
+    over block pairs is exactly the bucket's pair set, each pair once.
+
+    Same value contract as ``bucket_allpairs_cosine_pandas``:
+    float64 cast first, accumulation sequential over DIMS (vectorized
+    over pairs), pairs normalized a<b by vec_id, zero-norm NaN cosines
+    dropped, tau filter on the raw doubles — cosine is a per-pair fold
+    over dims, so block-task values are bit-identical to the
+    whole-bucket kernel's (pytest-pinned in test_llm_ops).
+
+    Memory: a task holds <= 2 x block rows; the scoring matrix is
+    (block x block) — bounded by the block parameter, never the bucket."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids_all, kind="stable")
+        ids = ids_all[order]
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)[order]
+        blk = pdf["blk"].to_numpy()[order]
+        lo = int(pdf["lo"].iloc[0])
+        hi = int(pdf["hi"].iloc[0])
+        m = len(ids)
+        empty = pd.DataFrame({
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        })
+        if m < 2:
+            return empty
+        s = np.zeros(m, dtype=np.float64)
+        for j in range(M.shape[1]):  # sequential over dims = fold
+            c = M[:, j]
+            s = s + c * c
+        nrm = np.sqrt(s)
+        out_a, out_b, out_c = [], [], []
+        B = 2048
+        for st in range(0, m - 1, B):
+            en = min(st + B, m)
+            P = np.zeros((en - st, m), dtype=np.float64)
+            for j in range(M.shape[1]):  # same fold, per block
+                P = P + np.outer(M[st:en, j], M[:, j])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = P / np.outer(nrm[st:en], nrm)
+            for r in range(en - st):
+                gi = st + r
+                if gi + 1 >= m:
+                    continue
+                row = cos[r, gi + 1:]
+                cols = ids[gi + 1:]
+                keep = (row >= tau) if tau is not None else ~np.isnan(row)
+                if lo != hi:
+                    # cross-block pairs only: same-block pairs are the
+                    # (lo, lo) / (hi, hi) groups' job
+                    keep = keep & (blk[gi + 1:] != blk[gi])
+                row, cols = row[keep], cols[keep]
+                if not len(row):
+                    continue
+                out_a.append(np.full(len(row), ids[gi], dtype=np.int64))
+                out_b.append(cols.astype(np.int64, copy=False))
+                out_c.append(row)
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cos": np.concatenate(out_c),
+        })
+
+    return run
+
+
 def bucket_probe_pairs_cosine_pandas(tau: float | None = None):
     """applyInPandas worker for MULTI-PROBE bucket-local pair scoring —
     the asymmetric sibling of ``bucket_allpairs_cosine_pandas``

@@ -810,18 +810,115 @@ def _coarse_groups(n_rows: int) -> int:
     What stays bounded in that task: memory — the kernels score in
     2048-row blocks (an m-row bucket peaks at ~2048*m*8 B, ~1.6 GB
     even at m=100k), never an m x m allocation. What doesn't: time —
-    the task does O(m^2/2) pair work alone. A secondary salt cannot
-    fix this transparently: splitting a bucket's rows across tasks
-    loses cross-split pairs unless rows are REPLICATED into block
-    pairs (a bucket-internal block-join), which changes the kernel
-    contract for a case the pipeline is designed to make impossible —
-    the adaptive bits schedule targets density ~32, and mass-identical
-    vectors are exactly what `dedup_exact` removes UPSTREAM in every
-    corpus pipeline (corpus_pipeline runs exact dedup before embedding
-    ops). Operationally: a straggler task here is a data-quality
-    signal (run exact dedup first), not a partitioning bug; AQE cannot
-    split it either, for the same semantic reason."""
+    the task does O(m^2/2) pair work alone. Splitting a bucket's rows
+    across tasks loses cross-split pairs unless rows are REPLICATED
+    into block pairs (a bucket-internal block-join) — which is exactly
+    what `_bucket_pairs_block_salted` (r10) now does for the
+    pair-emission consumers: buckets above `_DEGEN_BUCKET_ROWS` route
+    through per-(lo, hi) block-pair tasks, everything else keeps this
+    coarse-group path. The O(m^2) PAIR WORK is inherent to the planted
+    case (it is the output), but it now spreads over nb^2/2 tasks
+    instead of stalling one. A degenerate bucket remains a data-quality
+    signal (`dedup_exact` removes mass-identical vectors upstream in
+    every corpus pipeline); the salt turns the failure mode from one
+    unsplittable straggler into ordinary parallel work."""
     return max(256, n_rows // 100_000)
+
+
+# Degenerate-bucket routing parameters (VERDICT r9 #4). A bucket above
+# _DEGEN_BUCKET_ROWS band rows takes the block-salted path; block pairs
+# carry <= 2 x _DEGEN_BLOCK_ROWS rows each. The oversized-key set is
+# parameter-bounded: at most (total band rows) / _DEGEN_BUCKET_ROWS keys
+# (each holds more than the threshold), i.e. <= 30k keys at 1e9 vectors
+# x 3 bands — always broadcastable, by construction not by luck.
+# Detection runs on a 1/_DEGEN_SAMPLE_MOD vec_id-hash sample: an EXACT
+# counts pre-pass re-evaluates the whole band-key subtree and measured
+# +70% on the sf10 headline (7.95 vs 4.67 s interleaved, BASELINE.md
+# r10); sampling cuts that to the scan + ~1% of the compute. Sound
+# because routing is VALUE-NEUTRAL — a missed bucket is the pre-r10
+# straggler, a false positive is a few extra tasks, never a wrong pair.
+# A true >=100k-row bucket yields ~780 expected sampled rows against a
+# trigger at >390 (half the expected rate) — the miss probability is
+# Chernoff-negligible (< e^-90).
+_DEGEN_BUCKET_ROWS = 100_000
+_DEGEN_BLOCK_ROWS = 8_192
+_DEGEN_SAMPLE_MOD = 128
+
+
+def _bucket_pairs_block_salted(bands, n_band_rows, tau):
+    """Bucket-local all-pairs cosine scoring with a DEGENERATE-BUCKET
+    GUARD: the common path is unchanged (whole (band, key) buckets hash
+    into `_coarse_groups` and one numpy kernel scores each bucket); any
+    bucket whose band-row count exceeds `_DEGEN_BUCKET_ROWS` is instead
+    split into ceil(m / _DEGEN_BLOCK_ROWS) id-hash blocks and every
+    block PAIR (lo <= hi) becomes its own applyInPandas task scoring
+    only its cross-block (or within-block when lo == hi) pairs — the
+    union over block pairs is the bucket's exact pair set, each pair
+    once (blocks partition rows, so pair (a, b) lives in exactly the
+    (blk(a), blk(b)) group).
+
+    Cost: one SAMPLED skinny pass over the bands subtree (counts by
+    (band, key) on a 1/_DEGEN_SAMPLE_MOD vec_id-hash sample — map-side
+    combinable, 3 longs a row) and a broadcast join against the
+    oversized-key set (parameter-bounded, see _DEGEN_BUCKET_ROWS). The
+    payload still crosses the wire once; rows of oversized buckets
+    cross nb times (the replication IS the parallelism). Routing is
+    semantically neutral — both paths emit identical raw doubles — so
+    neither the threshold nor the sampled estimate needs precision: a
+    mis-routed bucket is slower, never wrong, and an underestimated nb
+    only makes blocks proportionally larger."""
+    mod = _DEGEN_SAMPLE_MOD
+    sample = bands if mod == 1 else bands.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
+    )
+    counts = sample.groupBy("band", "key").agg(
+        (F.count(F.lit(1)) * mod).alias("__m")
+    )
+    trigger = _DEGEN_BUCKET_ROWS if mod == 1 else _DEGEN_BUCKET_ROWS // 2
+    big = counts.filter(F.col("__m") > trigger)
+    tagged = bands.join(F.broadcast(big), ["band", "key"], "left")
+    normal = (
+        tagged.filter(F.col("__m").isNull())
+        .drop("__m")
+        .withColumn(
+            "g",
+            F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(n_band_rows))),
+        )
+        .groupBy("g")
+        .applyInPandas(
+            V.bucket_allpairs_cosine_pandas(tau=tau),
+            "vec_a long, vec_b long, cos double",
+        )
+    )
+    nb = F.ceil(F.col("__m") / F.lit(_DEGEN_BLOCK_ROWS)).cast("int")
+    blk = F.pmod(F.hash("vec_id"), nb).cast("int")
+    salted = (
+        tagged.filter(F.col("__m").isNotNull())
+        .withColumn("nb", nb)
+        .withColumn("blk", blk)
+        .withColumn(
+            "bp",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nb") - 1),
+                    lambda o: F.struct(
+                        F.least(F.col("blk"), o).alias("lo"),
+                        F.greatest(F.col("blk"), o).alias("hi"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            "band", "key", "vec_id", "embedding", "blk",
+            F.col("bp.lo").alias("lo"), F.col("bp.hi").alias("hi"),
+        )
+        .groupBy("band", "key", "lo", "hi")
+        .applyInPandas(
+            V.block_pair_cosine_pandas(tau=tau),
+            "vec_a long, vec_b long, cos double",
+        )
+    )
+    return normal.unionByName(salted)
 
 
 # NOTE (r8): the hydrate-skinny-pairs scorer `_score_pairs_exact` that
@@ -932,12 +1029,12 @@ def q_dedup_embedding(spark, sf_dir):
     bands = e.select(
         "vec_id", "embedding",
         F.posexplode(band_keys).alias("band", "key"),
-    ).withColumn(
-        "g", F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(n * nbands))))
+    )
+    # r10: degenerate-bucket guard — oversized (band, key) buckets split
+    # into block-pair tasks instead of stalling one applyInPandas task
+    # (_bucket_pairs_block_salted; routing is value-neutral)
     return (
-        bands.groupBy("g")
-        .applyInPandas(V.bucket_allpairs_cosine_pandas(tau=0.3),
-                       "vec_a long, vec_b long, cos double")
+        _bucket_pairs_block_salted(bands, n * nbands, tau=0.3)
         .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cos_sim"))
     )

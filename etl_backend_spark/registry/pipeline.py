@@ -1732,6 +1732,12 @@ def q_dsir_importance(spark, sf_dir):
     Net: 2 tokenize passes (all + raw) instead of 3, both other
     stages ~free; sf10 22-28 s -> ~13 s vs oracle 7-13 s — parity-
     band, and the shuffle volume drops from amp 6.3 to near-zero.
+    The THIRD sharing mechanism (r10): a lazy-equivalent SERIALIZED
+    localCheckpoint of the occurrence stream also loses — 11.6 s
+    (raw-only) / 12.9 s (all-docs) vs 10.1 s for this plan,
+    interleaved sf10 (BASELINE.md r10) — write+re-read of a ~37M-row
+    barely-compressible stream costs more than the tokenize pass it
+    saves. All three mechanisms now carry measured rejections.
     DuckDB gets its single pass from automatic CTE materialization;
     Spark's equivalent (persist) is measurably wrong HERE because
     the materialized stream is as big as the work that produced it."""
