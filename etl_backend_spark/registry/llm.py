@@ -2034,10 +2034,97 @@ def _mmr_candidates(spark, sf_dir):
     )
 
 
-_PQ_INDEX_DIRS: dict = {}
+# DuckDB replay of the persisted ADC scan (VERDICT r9 #5: rows-only ->
+# value-hash). The oracle reads the engine's OWN persisted artifacts —
+# codes table + per-query ADC weight tables — through the
+# ANN_ROOT/<kind>-current symlink (the Spark side always runs first in
+# the gate and re-points it), and replays the identical arithmetic:
+# adc = left-assoc fold of w[q, sub, codes[vec][sub]] from a 0.0 seed
+# (list_reduce with a prepended 0.0 == numpy's out = 0; out += w[mi]),
+# shortlist = top-64 under (adc DESC, vec_id), exact-cosine rerank from
+# the embeddings BASE table, top-10 under (cos_sim DESC, vec_id). The
+# fit/encode steps stay pinned by the bit-identical-to-ad-hoc and
+# recall pytests; this gate value-checks the whole QUERY path — scan,
+# candidate selection, rerank, ordering — the dedup_embedding
+# "oracle replays the approximation" precedent applied to artifacts.
+_PQ_REPLAY_ORACLE = """
+    WITH wt AS (
+      SELECT q_id, sub, code, w
+      FROM read_parquet('/tmp/etlbs-annidx/pq-current/adc_w/*.parquet')
+    ), scored AS (
+      SELECT wt.q_id, c.vec_id,
+             list_reduce(list_prepend(0.0, list(wt.w ORDER BY wt.sub)),
+                         (a, x) -> a + x) AS adc
+      FROM read_parquet('/tmp/etlbs-annidx/pq-current/codes/*.parquet') c
+      JOIN wt ON wt.code = c.codes[wt.sub + 1]
+      WHERE c.vec_id != wt.q_id
+      GROUP BY wt.q_id, c.vec_id
+    ), cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 64
+    ), rr AS (
+      SELECT c.q_id, c.vec_id,
+             round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          ev.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.q_id
+      JOIN embeddings ev ON ev.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM rr) WHERE rn <= 10
+    ORDER BY q_id, rn
+    """
 
 
-@register("sim_topk_pq_indexed")  # rows-only, same standing as sim_topk_pq
+def _ivfpq_replay_oracle(kind: str) -> str:
+    root = f"/tmp/etlbs-annidx/{kind}-current"
+    return f"""
+    WITH wt AS (
+      SELECT q_id, sub, code, w
+      FROM read_parquet('{root}/adc_w/*.parquet')
+    ), pr AS (
+      SELECT q_id, cell, qcent
+      FROM read_parquet('{root}/probes/*.parquet')
+    ), scored AS (
+      SELECT wt.q_id, c.vec_id,
+             list_reduce(list_prepend(0.0, list(wt.w ORDER BY wt.sub)),
+                         (a, x) -> a + x) + any_value(pr.qcent) AS adc
+      FROM read_parquet('{root}/codes/*/*.parquet',
+                        hive_partitioning = 1) c
+      JOIN pr ON pr.cell = c.cell
+      JOIN wt ON wt.q_id = pr.q_id AND wt.code = c.codes[wt.sub + 1]
+      WHERE c.vec_id != pr.q_id
+      GROUP BY wt.q_id, c.vec_id
+    ), cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 64
+    ), rr AS (
+      SELECT c.q_id, c.vec_id,
+             round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          ev.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.q_id
+      JOIN embeddings ev ON ev.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM rr) WHERE rn <= 10
+    ORDER BY q_id, rn
+    """
+
+
+@register("sim_topk_pq_indexed", oracle=_PQ_REPLAY_ORACLE)
 def q_sim_topk_pq_indexed(spark, sf_dir):
     """ANN top-k from the PERSISTED PQ index (ann/index.py): the build
     step (sampled fit + distributed encode -> codes parquet + codebook
@@ -2045,26 +2132,25 @@ def q_sim_topk_pq_indexed(spark, sf_dir):
     ~64x-smaller codes table — the FAISS-style build/query split
     sim_topk_pq inlines. Results are bit-identical to the ad-hoc form
     (same seeds, same total order — pytest-asserted), so this row proves
-    the artifact round-trip: fit -> persist -> load -> scan."""
-    import tempfile
+    the artifact round-trip: fit -> persist -> load -> scan.
+
+    VALUE-GATED since r10: the oracle replays the ADC scan from the
+    persisted artifacts (_PQ_REPLAY_ORACLE above) — index dirs are
+    deterministic per corpus and the query path re-points the
+    `pq-current` symlink the static SQL reads."""
+    import os
 
     from ..ann import index as ann_index
 
-    key = (sf_dir,)
-    d = _PQ_INDEX_DIRS.get(key)
-    if d is None or not __import__("os").path.exists(
-        __import__("os").path.join(d, "codebooks.json")
-    ):
-        d = tempfile.mkdtemp(prefix="etlbs-pqindex-")
+    d = ann_index.index_dir_for("pq", sf_dir)
+    if not os.path.exists(os.path.join(d, "codebooks.json")):
         ann_index.build_pq_index(spark, sf_dir, d)
-        _PQ_INDEX_DIRS[key] = d
-    return ann_index.query_pq_index(spark, sf_dir, d)
+    out = ann_index.query_pq_index(spark, sf_dir, d)
+    ann_index.point_current("pq", d)
+    return out
 
 
-_IVFPQ_INDEX_DIRS: dict = {}
-
-
-@register("sim_topk_ivfpq")  # rows-only, same standing as sim_topk_pq
+@register("sim_topk_ivfpq", oracle=_ivfpq_replay_oracle("ivfpq"))
 def q_sim_topk_ivfpq(spark, sf_dir):
     """ANN top-k from the persisted IVF-PQ index (ann/index.py,
     build_ivfpq_index/query_ivfpq_index) — the full FAISS production
@@ -2076,26 +2162,25 @@ def q_sim_topk_ivfpq(spark, sf_dir):
     q·x = q·cent(cell) + q·residual keeps cross-cell ranking consistent
     with one lookup table per query plus a per-cell scalar. Exact-cosine
     rerank on <= 64 rows per query; recall vs brute pytest-asserted;
-    build/query split cached per corpus like sim_topk_pq_indexed."""
-    import tempfile
+    build/query split cached per corpus like sim_topk_pq_indexed.
+    VALUE-GATED since r10: the oracle replays the residual-ADC scan
+    (fold + q·cent constant) from the persisted codes/adc_w/probes
+    artifacts through the `ivfpq-current` symlink — including the
+    nprobe cell restriction, which the oracle applies by joining the
+    probes artifact exactly where the engine prunes hive partitions."""
+    import os
 
     from ..ann import index as ann_index
 
-    key = (sf_dir,)
-    d = _IVFPQ_INDEX_DIRS.get(key)
-    if d is None or not __import__("os").path.exists(
-        __import__("os").path.join(d, "ivfpq.json")
-    ):
-        d = tempfile.mkdtemp(prefix="etlbs-ivfpq-")
+    d = ann_index.index_dir_for("ivfpq", sf_dir)
+    if not os.path.exists(os.path.join(d, "ivfpq.json")):
         ann_index.build_ivfpq_index(spark, sf_dir, d)
-        _IVFPQ_INDEX_DIRS[key] = d
-    return ann_index.query_ivfpq_index(spark, sf_dir, d)
+    out = ann_index.query_ivfpq_index(spark, sf_dir, d)
+    ann_index.point_current("ivfpq", d)
+    return out
 
 
-_IVFPQ_INCR_DIRS: dict = {}
-
-
-@register("sim_index_incremental")  # rows-only, same standing as sim_topk_ivfpq
+@register("sim_index_incremental", oracle=_ivfpq_replay_oracle("ivfpq-incr"))
 def q_sim_index_incremental(spark, sf_dir):
     """ANN top-k from an INCREMENTALLY MAINTAINED IVF-PQ index — the
     vector-side twin of text_index_incremental, because a vector index
@@ -2108,16 +2193,20 @@ def q_sim_index_incremental(spark, sf_dir):
     plus codes-table equality with a one-shot frozen-codebook encode of
     the union corpus). Queries run unchanged over the maintained index;
     the nprobe partition pruning sees the appended files exactly like
-    the base ones."""
+    the base ones. VALUE-GATED since r10: the same residual-ADC replay
+    oracle as sim_topk_ivfpq, over the MAINTAINED index's artifacts
+    (base + appended cell files together) via `ivfpq-incr-current` —
+    so the gate also proves the appended codes rank identically to
+    base ones in the scan."""
     import os
-    import tempfile
 
     from ..ann import index as ann_index
 
-    key = (sf_dir,)
-    d = _IVFPQ_INCR_DIRS.get(key)
-    if d is None or not os.path.exists(os.path.join(d, "_BATCH_APPLIED")):
-        d = tempfile.mkdtemp(prefix="etlbs-ivfpq-incr-")
+    d = ann_index.index_dir_for("ivfpq-incr", sf_dir)
+    if not os.path.exists(os.path.join(d, "_BATCH_APPLIED")):
+        import shutil  # deterministic dir: an interrupted build+append
+        # must not double-append on retry — start clean
+        shutil.rmtree(os.path.join(d, "codes"), ignore_errors=True)
         ann_index.build_ivfpq_index(
             spark, sf_dir, d, id_filter=F.col("vec_id") % 10 != 0
         )
@@ -2125,8 +2214,9 @@ def q_sim_index_incremental(spark, sf_dir):
             spark, sf_dir, d, F.col("vec_id") % 10 == 0
         )
         open(os.path.join(d, "_BATCH_APPLIED"), "w").close()
-        _IVFPQ_INCR_DIRS[key] = d
-    return ann_index.query_ivfpq_index(spark, sf_dir, d)
+    out = ann_index.query_ivfpq_index(spark, sf_dir, d)
+    ann_index.point_current("ivfpq-incr", d)
+    return out
 
 
 @register(

@@ -869,7 +869,6 @@ def test_sim_topk_ivfpq_recall_and_partition_pruning(spark):
     inverted lists — unprobed directories never open); (c) repeat queries
     reuse the persisted artifact."""
     from etl_backend_spark.registry import QUERIES
-    from etl_backend_spark.registry.llm import _IVFPQ_INDEX_DIRS
     from tests.conftest import SF_DIR
 
     brute = {
@@ -886,7 +885,7 @@ def test_sim_topk_ivfpq_recall_and_partition_pruning(spark):
 
     from etl_backend_spark.ann import index as ann_index
 
-    d = _IVFPQ_INDEX_DIRS[(SF_DIR,)]
+    d = ann_index.index_dir_for("ivfpq", SF_DIR)
     assert os.path.exists(os.path.join(d, "ivfpq.json"))
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan, plan
