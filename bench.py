@@ -91,6 +91,9 @@ HEADLINE = [
     "search_rerank_mmr",       # MMR diversity re-rank over the vector arm
     "tpch_q2",                 # real min-cost supplier over derived partsupp (r9)
     "tpch_q11",                # real stock-value fraction over derived partsupp (r9)
+    # round-10 additions
+    "events_motif_pairs_slim", # slim-exchange motif alternate (network-bound pick)
+    "sim_topk_pq_indexed",     # persisted PQ index, value-gated ADC replay (r10)
 ]
 
 RUNS = 5  # median of 5: this VM's neighbor load injects multi-second
