@@ -2455,9 +2455,10 @@ def q_tpch_q11(spark, sf_dir):
     the threshold branch); (b) the interleaved engine/oracle ratio
     CONVERGES across three decades as the floor model predicts:
     sf10 1.60/0.47 = 3.4x, sf30 2.45/0.88 = 2.8x, sf100 (600M-row
-    lineitem) 6.26/3.04 = 2.06x — at the bar, with the asymptote set
-    by the two engines' bare 2-col parquet scan speeds, not by plan
-    shape (BASELINE.md r10)."""
+    lineitem) 6.26/3.04 = 2.06x, second independent sf100 session
+    5.34/2.77 = 1.93x — UNDER the bar at the crossover decade, with
+    the asymptote set by the two engines' bare 2-col parquet scan
+    speeds, not by plan shape (BASELINE.md r10)."""
     cat = Catalog(spark, sf_dir)
     s = (
         cat.table("supplier")
