@@ -398,6 +398,89 @@ def bucket_allpairs_cosine_pandas(tau: float | None = None):
     return run
 
 
+def block_knn_candidates_pandas(k: int = 5, eps: float = 2e-6):
+    """applyInPandas worker for the DEGENERATE-BUCKET block path of the
+    kNN consumer (r10): one call = one (band, key, lo, hi) block pair of
+    an oversized bucket. Emits each vector's directed candidates within
+    ``eps`` of its k-th best raw cosine over THIS BLOCK PAIR's candidate
+    set (``lo == hi``: the block's other rows; ``lo < hi``: the opposite
+    block's rows only — same-block pairs belong to that block's
+    (lo, lo) group, so over all block pairs each bucket-mate is
+    considered exactly once per band).
+
+    Why this composes exactly: the k-th best over a SUBSET of a
+    vector's bucket-mates is <= the k-th best over all of them, so the
+    per-block-pair threshold only loosens — the union over block pairs
+    is a SUPERSET of the whole-bucket kernel's emission, and the
+    whole-bucket emission is already a proven superset of the global
+    rounded top-k (bucket_knn_candidates_pandas docstring). The
+    downstream dedup + array_sort + slice(k) aggregation therefore
+    returns bit-identical rows; the extra emitted volume (~nb x k per
+    vector) is the price of splitting one straggler into nb^2/2 tasks.
+
+    Same value contract as every kernel here: float64 cast first,
+    sequential-over-dims fold, zero-norm NaNs masked to -inf BEFORE the
+    threshold partition, self slot dropped."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        blk = pdf["blk"].to_numpy()
+        lo = int(pdf["lo"].iloc[0])
+        hi = int(pdf["hi"].iloc[0])
+        m = len(ids)
+        empty = pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "nbr_id": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        })
+        if m < 2:
+            return empty
+        dim = M.shape[1]
+        s = np.zeros(m, dtype=np.float64)
+        for j in range(dim):  # sequential over dims = fold order
+            c = M[:, j]
+            s = s + c * c
+        nrm = np.sqrt(s)
+        out = ([], [], [])
+        B = 2048
+        cross_only = lo != hi
+        for st in range(0, m, B):
+            en = min(st + B, m)
+            P = np.zeros((en - st, m), dtype=np.float64)
+            for j in range(dim):  # same fold, per block
+                P = P + np.outer(M[st:en, j], M[:, j])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = P / np.outer(nrm[st:en], nrm)
+            cos[np.isnan(cos)] = -np.inf  # zero-norm contract
+            for r in range(en - st):
+                cos[r, st + r] = -np.inf  # self
+            if cross_only:
+                same = blk[st:en, None] == blk[None, :]
+                cos[same] = -np.inf
+            # per-row candidate count = rows not masked to -inf
+            ncand = (cos > -np.inf).sum(axis=1)
+            thr = np.full(en - st, -np.inf)
+            rich = ncand > k
+            if rich.any():
+                kth = np.partition(cos[rich], m - k, axis=1)[:, m - k]
+                thr[rich] = kth - eps
+            keep_r, keep_c = np.nonzero((cos >= thr[:, None])
+                                        & (cos > -np.inf))
+            out[0].append(ids[st + keep_r])
+            out[1].append(ids[keep_c])
+            out[2].append(cos[keep_r, keep_c])
+        if not out[0]:
+            return empty
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out[0]).astype(np.int64),
+            "nbr_id": np.concatenate(out[1]).astype(np.int64),
+            "cos": np.concatenate(out[2]),
+        })
+
+    return run
+
+
 def block_pair_cosine_pandas(tau: float | None = None):
     """applyInPandas worker for the DEGENERATE-BUCKET block path (r10,
     VERDICT r9 #4): one call = one (band, key, lo, hi) BLOCK PAIR of an

@@ -867,6 +867,31 @@ def _bucket_pairs_block_salted(bands, n_band_rows, tau):
     neither the threshold nor the sampled estimate needs precision: a
     mis-routed bucket is slower, never wrong, and an underestimated nb
     only makes blocks proportionally larger."""
+    normal, salted = _route_degenerate_buckets(bands, n_band_rows)
+    return (
+        normal.groupBy("g")
+        .applyInPandas(
+            V.bucket_allpairs_cosine_pandas(tau=tau),
+            "vec_a long, vec_b long, cos double",
+        )
+        .unionByName(
+            salted.groupBy("band", "key", "lo", "hi")
+            .applyInPandas(
+                V.block_pair_cosine_pandas(tau=tau),
+                "vec_a long, vec_b long, cos double",
+            )
+        )
+    )
+
+
+def _route_degenerate_buckets(bands, n_band_rows):
+    """Shared degenerate-bucket routing (see _bucket_pairs_block_salted
+    for the cost model and the sampling soundness argument). Returns
+    (normal, salted): `normal` carries the coarse-group column `g` for
+    the whole-bucket kernels; `salted` carries the oversized buckets
+    exploded into (band, key, lo, hi) block-pair rows with each row's
+    own block id `blk` — group it by (band, key, lo, hi) and hand each
+    task to a block-aware kernel."""
     mod = _DEGEN_SAMPLE_MOD
     sample = bands if mod == 1 else bands.filter(
         F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
@@ -883,11 +908,6 @@ def _bucket_pairs_block_salted(bands, n_band_rows, tau):
         .withColumn(
             "g",
             F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(n_band_rows))),
-        )
-        .groupBy("g")
-        .applyInPandas(
-            V.bucket_allpairs_cosine_pandas(tau=tau),
-            "vec_a long, vec_b long, cos double",
         )
     )
     nb = F.ceil(F.col("__m") / F.lit(_DEGEN_BLOCK_ROWS)).cast("int")
@@ -912,13 +932,8 @@ def _bucket_pairs_block_salted(bands, n_band_rows, tau):
             "band", "key", "vec_id", "embedding", "blk",
             F.col("bp.lo").alias("lo"), F.col("bp.hi").alias("hi"),
         )
-        .groupBy("band", "key", "lo", "hi")
-        .applyInPandas(
-            V.block_pair_cosine_pandas(tau=tau),
-            "vec_a long, vec_b long, cos double",
-        )
     )
-    return normal.unionByName(salted)
+    return normal, salted
 
 
 # NOTE (r8): the hydrate-skinny-pairs scorer `_score_pairs_exact` that
@@ -1182,12 +1197,22 @@ def q_knn_graph_lsh(spark, sf_dir):
     bands = e.select(
         "vec_id", "embedding",
         F.posexplode(band_keys).alias("band", "key"),
-    ).withColumn(
-        "g", F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(n * nbands))))
+    )
+    # r10: degenerate-bucket guard — block-pair local top-(k+eps) is a
+    # superset of the whole-bucket emission (subset k-th best only
+    # loosens the threshold; proof in block_knn_candidates_pandas), and
+    # the dedup+sort+slice agg below already merges across groups, so
+    # routing is value-neutral here exactly as in dedup_embedding
+    normal, salted = _route_degenerate_buckets(bands, n * nbands)
     cands = (
-        bands.groupBy("g")
+        normal.groupBy("g")
         .applyInPandas(V.bucket_knn_candidates_pandas(k=5),
                        "vec_id long, nbr_id long, cos double")
+        .unionByName(
+            salted.groupBy("band", "key", "lo", "hi")
+            .applyInPandas(V.block_knn_candidates_pandas(k=5),
+                           "vec_id long, nbr_id long, cos double")
+        )
         .select(
             "vec_id",
             F.struct((-F.round(F.col("cos"), 6)).alias("negcos"),

@@ -593,6 +593,18 @@ def test_degenerate_bucket_block_salt_splits_tasks_same_pairs(spark, monkeypatch
         .distinct().count()
     )
     assert n_blocks > 1  # => >= nb*(nb+1)/2 block-pair groups per band
+
+    # the kNN consumer routes through the same guard with a block-aware
+    # top-(k+eps) kernel — the block-pair superset must reproduce the
+    # whole-bucket rows bit-exactly through the dedup+sort+slice agg
+    monkeypatch.undo()
+    knn_ref = sorted(map(tuple, QUERIES["knn_graph_lsh"](spark, sf).collect()))
+    assert knn_ref
+    monkeypatch.setattr(LL, "_DEGEN_BUCKET_ROWS", 200)
+    monkeypatch.setattr(LL, "_DEGEN_BLOCK_ROWS", 128)
+    monkeypatch.setattr(LL, "_DEGEN_SAMPLE_MOD", 1)
+    knn_sal = sorted(map(tuple, QUERIES["knn_graph_lsh"](spark, sf).collect()))
+    assert knn_sal == knn_ref
     # and the executed plans differ in shape: the salted one carries TWO
     # FlatMapGroupsInPandas operators (normal path + block path)
     plan_sal = sal._jdf.queryExecution().executedPlan().toString()
