@@ -642,6 +642,78 @@ def bucket_probe_pairs_cosine_pandas(tau: float | None = None):
     return run
 
 
+def block_probe_pairs_cosine_pandas(tau: float | None = None):
+    """applyInPandas worker for the DEGENERATE-BUCKET block path of the
+    MULTIPROBE consumer (r10): one call = one (band, key, lo, hi) block
+    pair of an oversized bucket carrying ``is_probe`` rows. Scores the
+    asymmetric (all rows) x (base rows) product of
+    ``bucket_probe_pairs_cosine_pandas`` restricted to this block pair:
+    ``lo == hi`` keeps within-block combinations, ``lo < hi`` keeps
+    cross-block ones only — every (row, base-row) combination of the
+    bucket lands in exactly the (blk_row, blk_base) group, so the union
+    over block pairs reproduces the whole-bucket combination set
+    exactly; normalized (least, greatest) pairs then die in the
+    caller's dropDuplicates exactly as before. Same value contract:
+    float64 first, sequential-over-dims fold, NaN-safe tau filter on
+    raw doubles."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        isp = pdf["is_probe"].to_numpy().astype(bool)
+        blk = pdf["blk"].to_numpy()
+        lo = int(pdf["lo"].iloc[0])
+        hi = int(pdf["hi"].iloc[0])
+        m = len(ids)
+        empty = pd.DataFrame({
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        })
+        nb_rows = int((~isp).sum())
+        if m < 2 or nb_rows == 0:
+            return empty
+        s = np.zeros(m, dtype=np.float64)
+        for j in range(M.shape[1]):  # sequential over dims = fold
+            c = M[:, j]
+            s = s + c * c
+        nrm = np.sqrt(s)
+        base_ix = np.nonzero(~isp)[0]
+        MB = M[base_ix]
+        out_a, out_b, out_c = [], [], []
+        B = 2048
+        cross_only = lo != hi
+        for st in range(0, m, B):
+            en = min(st + B, m)
+            P = np.zeros((en - st, nb_rows), dtype=np.float64)
+            for j in range(M.shape[1]):  # same fold, per block
+                P = P + np.outer(M[st:en, j], MB[:, j])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = P / np.outer(nrm[st:en], nrm[base_ix])
+            lid = ids[st:en][:, None]
+            rid = ids[base_ix][None, :]
+            keep = lid != rid
+            if cross_only:
+                keep &= blk[st:en][:, None] != blk[base_ix][None, :]
+            keep &= (cos >= tau) if tau is not None else ~np.isnan(cos)
+            r, c = np.nonzero(keep)
+            if not len(r):
+                continue
+            lv, rv = ids[st + r], ids[base_ix][c]
+            out_a.append(np.minimum(lv, rv).astype(np.int64))
+            out_b.append(np.maximum(lv, rv).astype(np.int64))
+            out_c.append(cos[r, c])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cos": np.concatenate(out_c),
+        })
+
+    return run
+
+
 def bucket_motif_pairs_pandas(cap: int = 64, wlen: int = 8, topk: int = 20):
     """applyInPandas worker for SAX-word motif pairs (events_motif_pairs'
     r9 hot path) — the bucket-local kernel pattern applied to time-series

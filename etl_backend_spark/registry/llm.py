@@ -884,14 +884,16 @@ def _bucket_pairs_block_salted(bands, n_band_rows, tau):
     )
 
 
-def _route_degenerate_buckets(bands, n_band_rows):
+def _route_degenerate_buckets(bands, n_band_rows, extra_cols=()):
     """Shared degenerate-bucket routing (see _bucket_pairs_block_salted
     for the cost model and the sampling soundness argument). Returns
     (normal, salted): `normal` carries the coarse-group column `g` for
     the whole-bucket kernels; `salted` carries the oversized buckets
     exploded into (band, key, lo, hi) block-pair rows with each row's
     own block id `blk` — group it by (band, key, lo, hi) and hand each
-    task to a block-aware kernel."""
+    task to a block-aware kernel. `extra_cols` names payload columns
+    beyond (vec_id, embedding) the salted rows must keep (multiprobe's
+    is_probe)."""
     mod = _DEGEN_SAMPLE_MOD
     sample = bands if mod == 1 else bands.filter(
         F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
@@ -929,7 +931,7 @@ def _route_degenerate_buckets(bands, n_band_rows):
             ),
         )
         .select(
-            "band", "key", "vec_id", "embedding", "blk",
+            "band", "key", "vec_id", "embedding", *extra_cols, "blk",
             F.col("bp.lo").alias("lo"), F.col("bp.hi").alias("hi"),
         )
     )
@@ -1398,12 +1400,21 @@ def _multiprobe_pairs(spark, e, bits: int, capped: bool,
     flips = min(_MULTIPROBE_FLIPS, bits) if capped else bits
     total_rows = (n_rows if n_rows is not None else e.count()) \
         * nbands * (1 + flips)
-    rows = rows.withColumn(
-        "g", F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(total_rows))))
+    # r10: degenerate-bucket guard, third consumer shape — the blocked
+    # kernel keeps the probe/base asymmetry (every (row, base)
+    # combination lands in exactly one block-pair group; normalized
+    # pairs die in the same dropDuplicates)
+    normal, salted = _route_degenerate_buckets(
+        rows, total_rows, extra_cols=("is_probe",))
     return (
-        rows.groupBy("g")
+        normal.groupBy("g")
         .applyInPandas(V.bucket_probe_pairs_cosine_pandas(tau=0.3),
                        "vec_a long, vec_b long, cos double")
+        .unionByName(
+            salted.groupBy("band", "key", "lo", "hi")
+            .applyInPandas(V.block_probe_pairs_cosine_pandas(tau=0.3),
+                           "vec_a long, vec_b long, cos double")
+        )
         .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cos_sim"))
     )

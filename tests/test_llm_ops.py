@@ -605,6 +605,20 @@ def test_degenerate_bucket_block_salt_splits_tasks_same_pairs(spark, monkeypatch
     monkeypatch.setattr(LL, "_DEGEN_SAMPLE_MOD", 1)
     knn_sal = sorted(map(tuple, QUERIES["knn_graph_lsh"](spark, sf).collect()))
     assert knn_sal == knn_ref
+
+    # and the multiprobe consumer (probe/base asymmetric blocked kernel)
+    monkeypatch.undo()
+    mp_ref = sorted(map(tuple,
+                        QUERIES["dedup_embedding_multiprobe"](spark, sf)
+                        .collect()))
+    assert mp_ref
+    monkeypatch.setattr(LL, "_DEGEN_BUCKET_ROWS", 200)
+    monkeypatch.setattr(LL, "_DEGEN_BLOCK_ROWS", 128)
+    monkeypatch.setattr(LL, "_DEGEN_SAMPLE_MOD", 1)
+    mp_sal = sorted(map(tuple,
+                        QUERIES["dedup_embedding_multiprobe"](spark, sf)
+                        .collect()))
+    assert mp_sal == mp_ref
     # and the executed plans differ in shape: the salted one carries TWO
     # FlatMapGroupsInPandas operators (normal path + block path)
     plan_sal = sal._jdf.queryExecution().executedPlan().toString()
