@@ -1473,6 +1473,10 @@ def q_events_pattern_topk(spark, sf_dir):
     )
 
 
+# events above this take the slim-exchange motif plan (flip measured
+# between 1M and 10M events; log-midpoint, see q_events_motif_pairs)
+_MOTIF_SLIM_MIN_ROWS = 4_000_000
+
 _MOTIF_ORACLE = """
     WITH win AS (
       SELECT user_id, event_id,
@@ -1559,13 +1563,25 @@ def q_events_motif_pairs(spark, sf_dir):
     <= 20 x n_groups skinny rows. sf10 interleaved: 4.2-5.9 s ->
     ~2.1 s vs oracle 2.4-3.0 s (parity-to-faster; BASELINE.md r9).
     Raw-double oracle (identical fold association, no rounding), same
-    contract as the pattern search."""
+    contract as the pattern search.
+
+    SIZE-GATED plan switch (r10): above _MOTIF_SLIM_MIN_ROWS events
+    (parquet-footer read, the adaptive-bits recipe) the builder
+    DELEGATES to the slim-exchange plan — interleaved A/Bs measured the
+    flip between 1M and 10M events even on this compute-bound VM
+    (sf0.1 default 21% faster, sf1 default 28% faster, sf10 slim 40%
+    FASTER, sf30 slim 50% FASTER: over-cap payload mass grows with the
+    corpus, so the saved exchange bytes overtake the second skinny
+    subtree pass). Value-neutral — both plans share this oracle — so
+    the gate needs no ORACLE_GATES entry."""
     from ..functions import vectors as V
     from ..sources.catalog import parquet_num_rows
     from .llm import _coarse_groups
 
-    zx = _motif_zx(spark, sf_dir)
     n_rows = parquet_num_rows(sf_dir, "events")
+    if n_rows >= _MOTIF_SLIM_MIN_ROWS:
+        return q_events_motif_pairs_slim(spark, sf_dir)
+    zx = _motif_zx(spark, sf_dir)
     grouped = zx.withColumn(
         "g", F.pmod(F.hash("w"), F.lit(_coarse_groups(n_rows)))
     ).groupBy("g").applyInPandas(

@@ -340,6 +340,27 @@ def test_events_motif_pairs_slim_matches_default_and_prefilters(spark):
     assert "LeftSemi" in plan and "Broadcast" in plan, plan
 
 
+def test_events_motif_pairs_size_gate_delegates_to_slim(spark, monkeypatch):
+    """Above _MOTIF_SLIM_MIN_ROWS events the DEFAULT key must build the
+    slim-exchange plan (footer-gated switch, r10) — recognizable by the
+    rare-word broadcast semi join — and below it must not."""
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.registry import events as EV
+
+    sf = "/root/testdata/sf0.001"
+    small = QUERIES["events_motif_pairs"](spark, sf)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan_small
+
+    monkeypatch.setattr(EV, "_MOTIF_SLIM_MIN_ROWS", 1)
+    big = QUERIES["events_motif_pairs"](spark, sf)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan_big and "Broadcast" in plan_big
+    # identical rows either way (value-neutral switch)
+    assert sorted(map(tuple, big.collect())) == \
+        sorted(map(tuple, small.collect()))
+
+
 def test_events_discord_topk_flags_planted_anomaly(spark, tmp_path):
     """One user's series carries a single violent spike window amid many
     copies of a repeating benign shape planted across users: the spike
