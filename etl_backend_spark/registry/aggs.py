@@ -3053,7 +3053,20 @@ def q_orders_item_cf(spark, sf_dir):
     cosine n_ab/sqrt(n_a*n_b) is integers through sqrt and one divide —
     both IEEE-correctly-rounded, so it hash-matches cross-engine (round 6
     belt-and-braces). A support floor (n_ab >= 5) kills noise pairs
-    before ranking, exactly as a production recommender would."""
+    before ranking, exactly as a production recommender would.
+
+    All four consumers of the (order, type) dedup — both self-join sides
+    and both item_n totals — share ONE evaluation of the lineitem⋈part
+    base via ReuseExchange: every branch sits above the identical
+    distinct exchange, and the item_n joins are deliberately plain
+    (non-broadcast) so they stay inside the reused shuffle instead of
+    forcing a separate broadcast-side re-execution. The r10 sf30
+    stage-split (BASELINE.md) measured the alternatives: an eager
+    170M-row localCheckpoint feeding the broadcast branches costs ~18 s
+    of pure materialization, and broadcast-without-checkpoint
+    re-executes join+distinct per broadcast branch — both lose. The
+    joined sides are tiny anyway (pairs ≤ C(|p_type|,2) ≈ 11k rows,
+    item_n ≤ |p_type| = 150 rows), so the plain joins cost nothing."""
     from pyspark.sql import Window
 
     cat = Catalog(spark, sf_dir)
@@ -3062,11 +3075,15 @@ def q_orders_item_cf(spark, sf_dir):
     ot = (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_type")
+        # explicit not-null on BOTH columns (vacuous on TPC-H data): the
+        # downstream joins infer asymmetric isnotnull sets per branch
+        # (the self-join null-rejects both keys, the item_n join only
+        # p_type), and that asymmetry makes the distinct-exchange
+        # subtrees non-identical, defeating ReuseExchange. With the
+        # filters stated once here, every branch canonicalizes to the
+        # same exchange and the base is scanned exactly once.
+        .filter(F.col("l_orderkey").isNotNull() & F.col("p_type").isNotNull())
         .distinct()
-        # one materialization feeds both pair sides + both item totals —
-        # without it the lineitem⋈part base is scanned 4x (measured
-        # parity locally; at scale the 4x base scan is the whole cost)
-        .localCheckpoint(eager=True)
     )
     item_n = ot.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
     a = ot.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_a"))
@@ -3077,8 +3094,8 @@ def q_orders_item_cf(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 5)
     )
-    na = F.broadcast(item_n.select(F.col("p_type").alias("type_a"), F.col("n").alias("n_a")))
-    nb = F.broadcast(item_n.select(F.col("p_type").alias("type_b"), F.col("n").alias("n_b")))
+    na = item_n.select(F.col("p_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = item_n.select(F.col("p_type").alias("type_b"), F.col("n").alias("n_b"))
     scored = (
         pairs.join(na, "type_a").join(nb, "type_b")
         .select(
