@@ -845,7 +845,7 @@ _DEGEN_BLOCK_ROWS = 8_192
 _DEGEN_SAMPLE_MOD = 128
 
 
-def _bucket_pairs_block_salted(bands, n_band_rows, tau):
+def _bucket_pairs_block_salted(bands, n_band_rows, tau, max_bucket_rows=None):
     """Bucket-local all-pairs cosine scoring with a DEGENERATE-BUCKET
     GUARD: the common path is unchanged (whole (band, key) buckets hash
     into `_coarse_groups` and one numpy kernel scores each bucket); any
@@ -866,25 +866,37 @@ def _bucket_pairs_block_salted(bands, n_band_rows, tau):
     semantically neutral — both paths emit identical raw doubles — so
     neither the threshold nor the sampled estimate needs precision: a
     mis-routed bucket is slower, never wrong, and an underestimated nb
-    only makes blocks proportionally larger."""
-    normal, salted = _route_degenerate_buckets(bands, n_band_rows)
-    return (
-        normal.groupBy("g")
+    only makes blocks proportionally larger.
+
+    FOOTER GATE (r11): when the caller can bound every bucket's size
+    from parquet footer counts alone (`max_bucket_rows` — a (band, key)
+    bucket never exceeds the vector count, since one vector contributes
+    at most one row per key per band), and that bound is at or under
+    `_DEGEN_BUCKET_ROWS`, no bucket can route — so the sampled
+    detection pass is skipped entirely and the salted branch folds to
+    an empty relation at optimization time. This reclaims the detection
+    tax on floor-dominated small corpora (measured ~20-24% at sf0.1,
+    BASELINE.md r10) where a degenerate bucket is impossible by
+    arithmetic, not by luck."""
+    normal, salted = _route_degenerate_buckets(
+        bands, n_band_rows, max_bucket_rows=max_bucket_rows)
+    out = normal.groupBy("g").applyInPandas(
+        V.bucket_allpairs_cosine_pandas(tau=tau),
+        "vec_a long, vec_b long, cos double",
+    )
+    if salted is None:
+        return out
+    return out.unionByName(
+        salted.groupBy("band", "key", "lo", "hi")
         .applyInPandas(
-            V.bucket_allpairs_cosine_pandas(tau=tau),
+            V.block_pair_cosine_pandas(tau=tau),
             "vec_a long, vec_b long, cos double",
-        )
-        .unionByName(
-            salted.groupBy("band", "key", "lo", "hi")
-            .applyInPandas(
-                V.block_pair_cosine_pandas(tau=tau),
-                "vec_a long, vec_b long, cos double",
-            )
         )
     )
 
 
-def _route_degenerate_buckets(bands, n_band_rows, extra_cols=()):
+def _route_degenerate_buckets(bands, n_band_rows, extra_cols=(),
+                              max_bucket_rows=None):
     """Shared degenerate-bucket routing (see _bucket_pairs_block_salted
     for the cost model and the sampling soundness argument). Returns
     (normal, salted): `normal` carries the coarse-group column `g` for
@@ -893,7 +905,18 @@ def _route_degenerate_buckets(bands, n_band_rows, extra_cols=()):
     own block id `blk` — group it by (band, key, lo, hi) and hand each
     task to a block-aware kernel. `extra_cols` names payload columns
     beyond (vec_id, embedding) the salted rows must keep (multiprobe's
-    is_probe)."""
+    is_probe). `max_bucket_rows` is the caller's footer-derived upper
+    bound on any single bucket's size (the vector count for every LSH
+    consumer); when it proves no bucket can exceed the threshold, the
+    detection pass is skipped and `salted` is None — the caller omits
+    the block-path branch from the plan entirely."""
+    if (max_bucket_rows is not None
+            and max_bucket_rows <= _DEGEN_BUCKET_ROWS):
+        normal = bands.withColumn(
+            "g",
+            F.pmod(F.hash("band", "key"), F.lit(_coarse_groups(n_band_rows))),
+        )
+        return normal, None
     mod = _DEGEN_SAMPLE_MOD
     sample = bands if mod == 1 else bands.filter(
         F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
@@ -1051,7 +1074,8 @@ def q_dedup_embedding(spark, sf_dir):
     # into block-pair tasks instead of stalling one applyInPandas task
     # (_bucket_pairs_block_salted; routing is value-neutral)
     return (
-        _bucket_pairs_block_salted(bands, n * nbands, tau=0.3)
+        _bucket_pairs_block_salted(bands, n * nbands, tau=0.3,
+                                   max_bucket_rows=n)
         .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cos_sim"))
     )
@@ -1205,16 +1229,19 @@ def q_knn_graph_lsh(spark, sf_dir):
     # loosens the threshold; proof in block_knn_candidates_pandas), and
     # the dedup+sort+slice agg below already merges across groups, so
     # routing is value-neutral here exactly as in dedup_embedding
-    normal, salted = _route_degenerate_buckets(bands, n * nbands)
-    cands = (
-        normal.groupBy("g")
-        .applyInPandas(V.bucket_knn_candidates_pandas(k=5),
-                       "vec_id long, nbr_id long, cos double")
-        .unionByName(
+    normal, salted = _route_degenerate_buckets(
+        bands, n * nbands, max_bucket_rows=n)
+    raw = normal.groupBy("g").applyInPandas(
+        V.bucket_knn_candidates_pandas(k=5),
+        "vec_id long, nbr_id long, cos double")
+    if salted is not None:
+        raw = raw.unionByName(
             salted.groupBy("band", "key", "lo", "hi")
             .applyInPandas(V.block_knn_candidates_pandas(k=5),
                            "vec_id long, nbr_id long, cos double")
         )
+    cands = (
+        raw
         .select(
             "vec_id",
             F.struct((-F.round(F.col("cos"), 6)).alias("negcos"),
@@ -1398,24 +1425,28 @@ def _multiprobe_pairs(spark, e, bits: int, capped: bool,
         F.col("k.key").alias("key"), F.col("k.is_probe").alias("is_probe"),
     )
     flips = min(_MULTIPROBE_FLIPS, bits) if capped else bits
-    total_rows = (n_rows if n_rows is not None else e.count()) \
-        * nbands * (1 + flips)
+    n_vec = n_rows if n_rows is not None else e.count()
+    total_rows = n_vec * nbands * (1 + flips)
     # r10: degenerate-bucket guard, third consumer shape — the blocked
     # kernel keeps the probe/base asymmetry (every (row, base)
     # combination lands in exactly one block-pair group; normalized
     # pairs die in the same dropDuplicates)
+    # max_bucket_rows = n even with probes: one vector's rows within a
+    # band carry pairwise-distinct keys (base key + single-bit flips),
+    # so a bucket receives at most one row per vector
     normal, salted = _route_degenerate_buckets(
-        rows, total_rows, extra_cols=("is_probe",))
-    return (
-        normal.groupBy("g")
-        .applyInPandas(V.bucket_probe_pairs_cosine_pandas(tau=0.3),
-                       "vec_a long, vec_b long, cos double")
-        .unionByName(
+        rows, total_rows, extra_cols=("is_probe",), max_bucket_rows=n_vec)
+    raw = normal.groupBy("g").applyInPandas(
+        V.bucket_probe_pairs_cosine_pandas(tau=0.3),
+        "vec_a long, vec_b long, cos double")
+    if salted is not None:
+        raw = raw.unionByName(
             salted.groupBy("band", "key", "lo", "hi")
             .applyInPandas(V.block_probe_pairs_cosine_pandas(tau=0.3),
                            "vec_a long, vec_b long, cos double")
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+    return (
+        raw.dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cos_sim"))
     )
 

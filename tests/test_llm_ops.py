@@ -619,12 +619,21 @@ def test_degenerate_bucket_block_salt_splits_tasks_same_pairs(spark, monkeypatch
                         QUERIES["dedup_embedding_multiprobe"](spark, sf)
                         .collect()))
     assert mp_sal == mp_ref
-    # and the executed plans differ in shape: the salted one carries TWO
-    # FlatMapGroupsInPandas operators (normal path + block path)
-    plan_sal = sal._jdf.queryExecution().executedPlan().toString()
-    # AQE's toString prints initial+final plans, so count >= 2, not == 2
-    assert plan_sal.count("FlatMapGroupsInPandas") >= 2
-    assert plan_ref.count("FlatMapGroupsInPandas") >= 2  # guard always planned
+    # and the plans differ in shape: the salted one carries TWO
+    # FlatMapGroupsInPandas operators (normal path + block path), while
+    # the ref side is FOOTER-GATED (r11): 600 vectors can't fill a
+    # 100k-row bucket, so the detection pass is skipped and the empty
+    # salted branch folds away — exactly ONE kernel operator and no
+    # sampled-count subtree (the logical plan is print-stable; the
+    # executed AQE toString prints initial+final and can't distinguish
+    # operator count from print count)
+    opt_sal = sal._jdf.queryExecution().optimizedPlan().toString()
+    assert opt_sal.count("FlatMapGroupsInPandas") == 2
+    opt_ref = ref._jdf.queryExecution().optimizedPlan().toString()
+    assert opt_ref.count("FlatMapGroupsInPandas") == 1
+    assert "xxhash64" not in opt_ref  # no detection scan below the gate
+    # (opt_sal's detection ran with _DEGEN_SAMPLE_MOD=1 — exact counts,
+    # no hash-sample filter — so xxhash64's absence there proves nothing)
 
 
 def test_split_leakage_safe_keeps_clusters_together(spark):
