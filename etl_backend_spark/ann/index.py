@@ -36,25 +36,59 @@ from ..functions import vectors as V
 _FIT_CAP = 4096
 
 # ---- deterministic artifact layout (r10, VERDICT r9 #5) -------------------
-# Index dirs are keyed by corpus path (md5 tag) instead of tempfile, and a
-# per-kind `<kind>-current` SYMLINK is atomically re-pointed at whichever
-# corpus' artifacts were built last. The registered DuckDB oracles replay
-# the ADC arithmetic by reading through the symlink: the gate always runs
-# the Spark side first (which builds artifacts and re-points the link), so
-# the oracle sees the artifacts of the SAME corpus at every scale — this is
-# what upgrades sim_topk_pq_indexed / sim_topk_ivfpq / sim_index_incremental
-# from rows-only to full value-hash gating. Single-writer per machine (the
-# gate and the driver run queries sequentially).
-ANN_ROOT = "/tmp/etlbs-annidx"
-_ANN_FMT = "v1"  # bump to invalidate cached dirs on layout changes
+# Index dirs are keyed by corpus path + CONTENT FINGERPRINT (r11, ADVICE:
+# path-only keys silently served stale codes after a corpus regeneration —
+# and the replay oracles read the same stale artifacts through the symlink,
+# so the value gate structurally could not catch it). The fingerprint folds
+# each source table's file list, byte sizes, and mtimes, so a regenerated
+# corpus gets a fresh dir and a rebuild. A per-kind `<kind>-current`
+# SYMLINK is atomically re-pointed at whichever corpus' artifacts were
+# built last; the registered DuckDB oracles replay the scan arithmetic by
+# reading through the symlink (engine always runs strictly before its
+# oracle in the gate and in the driver). The root is PER-USER (r11,
+# ADVICE: a fixed world-writable /tmp path lets a second user's runs
+# cross-contaminate replays).
+def _default_ann_root() -> str:
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(), f"etlbs-annidx-{uid}")
 
 
-def index_dir_for(kind: str, sf_dir: str) -> str:
-    """Deterministic per-(kind, corpus) artifact directory."""
+ANN_ROOT = _default_ann_root()
+_ANN_FMT = "v2"  # bump to invalidate cached dirs on layout changes
+
+
+def corpus_fingerprint(sf_dir: str, tables=("embeddings",)) -> str:
+    """Content fingerprint of the artifact's source tables: file names,
+    sizes, and mtimes per table (footer-cheap — no data read). Any
+    rewrite of the corpus changes the fingerprint and therefore the
+    artifact directory."""
+    import glob
+    import hashlib
+
+    parts = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        files = (sorted(glob.glob(os.path.join(p, "*.parquet")))
+                 if os.path.isdir(p) else [p])
+        for f in files:
+            try:
+                st = os.stat(f)
+                parts.append(f"{t}:{os.path.basename(f)}:{st.st_size}"
+                             f":{st.st_mtime_ns}")
+            except FileNotFoundError:
+                parts.append(f"{t}:{os.path.basename(f)}:missing")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
+def index_dir_for(kind: str, sf_dir: str, tables=("embeddings",)) -> str:
+    """Deterministic per-(kind, corpus-content) artifact directory."""
     import hashlib
 
     tag = hashlib.md5(
-        f"{_ANN_FMT}:{os.path.abspath(sf_dir)}".encode()
+        f"{_ANN_FMT}:{os.path.abspath(sf_dir)}"
+        f":{corpus_fingerprint(sf_dir, tables)}".encode()
     ).hexdigest()[:10]
     d = os.path.join(ANN_ROOT, f"{kind}-{tag}")
     os.makedirs(d, exist_ok=True)

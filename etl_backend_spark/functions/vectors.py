@@ -497,8 +497,14 @@ def block_pair_cosine_pandas(tau: float | None = None):
     over dims, so block-task values are bit-identical to the
     whole-bucket kernel's (pytest-pinned in test_llm_ops).
 
-    Memory: a task holds <= 2 x block rows; the scoring matrix is
-    (block x block) — bounded by the block parameter, never the bucket."""
+    Memory: a task holds <= 2 x block rows (m <= 2 x _DEGEN_BLOCK_ROWS =
+    16384 at defaults); the scoring matrices P/cos are (chunk x m) with a
+    2048-row chunk — up to 2048 x 16384 float64 = 256 MB EACH, ~0.5 GB
+    per-task peak at defaults (same shape in block_knn_candidates_pandas
+    and block_probe_pairs_cosine_pandas). Bounded by the block parameter,
+    never the bucket (the whole-bucket kernel peaks at ~1.6 GB at the
+    100k routing threshold); shrink the 2048 chunk to trade time for
+    memory."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_all = pdf["vec_id"].to_numpy()

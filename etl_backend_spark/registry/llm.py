@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..ann.index import ANN_ROOT as _ANN_ROOT
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
@@ -608,16 +609,50 @@ def q_sim_topk_pandas(spark, sf_dir):
 # IVF coarse-quantizer fit contract at scale: KMeans NEVER sees the full
 # corpus. The fit input is a deterministic seeded sample capped at
 # _IVF_FIT_CAP vectors (k-means centroid quality saturates at a few
-# hundred points per centroid; 4096 for k=8 is ~512/centroid), and the
-# fitted model is cached per (sf_dir, n) so repeated invocations in a
-# session reuse the quantizer instead of refitting — the in-process analog
-# of persisting the quantizer artifact next to the index at 100 TB.
+# hundred points per centroid; 4096 for k=8 is ~512/centroid); the fit
+# products persist as the assign/probes artifacts (fingerprint-keyed per
+# corpus), so repeated invocations — in-process or across sessions —
+# skip the fit and read the artifacts.
 _IVF_FIT_CAP = 4096
-_IVF_MODEL_CACHE: dict = {}
 
 
-@register("sim_topk_ivf")  # rows-only: KMeans centroids are seed-stable in
-# Spark but not reproducible in DuckDB SQL
+# Assignment-artifact replay oracle (r11, VERDICT r10 #5): the engine
+# persists the inverted lists (vec_id, centroid) and the probe set
+# (q_id, centroid) — the two data-dependent products of the seeded
+# KMeans fit — and scores candidates FROM the persisted assignment.
+# DuckDB replays the identical candidate join + exact-cosine rerank +
+# top-10 from the same artifacts, so the whole query path is value-
+# gated; only the centroid FIT stays pytest-pinned (k-means floats are
+# not SQL-replicable, same standing as the PQ codebook fit).
+_IVF_REPLAY_ORACLE = f"""
+    WITH a AS (
+      SELECT vec_id, centroid
+      FROM read_parquet('{_ANN_ROOT}/ivf-current/assign/*.parquet')
+    ), p AS (
+      SELECT q_id, centroid
+      FROM read_parquet('{_ANN_ROOT}/ivf-current/probes/*.parquet')
+    ), cand AS (
+      SELECT p.q_id, a.vec_id
+      FROM p JOIN a USING (centroid)
+      WHERE a.vec_id != p.q_id
+    ), rr AS (
+      SELECT c.q_id, c.vec_id,
+             round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          ev.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.q_id
+      JOIN embeddings ev ON ev.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM rr) WHERE rn <= 10
+    ORDER BY q_id, rn
+    """
+
+
+@register("sim_topk_ivf", oracle=_IVF_REPLAY_ORACLE)
 def q_sim_topk_ivf(spark, sf_dir):
     """IVF coarse quantization via pyspark.ml KMeans (fixed seed): corpus
     assigned to centroids once; each query probes the 2 nearest centroids'
@@ -628,23 +663,35 @@ def q_sim_topk_ivf(spark, sf_dir):
 
     At-scale fit contract: the quantizer fits on a seeded sample of at most
     ``_IVF_FIT_CAP`` vectors (never the full corpus — a 100 TB corpus fits
-    its coarse quantizer on a sample once and persists it), and the fitted
-    model is reused across invocations via a per-(sf_dir, n) cache."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    its coarse quantizer on a sample once and persists it). VALUE-GATED
+    since r11: the fitted assignment persists as the inverted-list
+    artifact (vec_id, centroid) plus a probes artifact (q_id, centroid),
+    the engine scores from the persisted assignment, and the DuckDB
+    oracle replays candidate join + rerank + top-10 from the same
+    artifacts (_IVF_REPLAY_ORACLE above). Repeat invocations skip the
+    fit and read the artifacts (fingerprint-keyed per corpus)."""
+    import os
+
+    import numpy as np
+
     from pyspark.sql import Window
 
+    from ..ann import index as ann_index
+    from ..ann.index import _write_small_parquet
+
     e = Catalog(spark, sf_dir).table("embeddings")
-    corpus = e.select(
-        "vec_id",
-        V.as_double(F.col("embedding")).alias("v"),
-        array_to_vector(F.col("embedding")).alias("features"),
-    )
-    n = e.count()  # parquet metadata count — no scan
-    cache_key = (sf_dir, n)
-    model = _IVF_MODEL_CACHE.get(cache_key)
-    if model is None:
-        fit_input = corpus.select("features")
+    corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    d = ann_index.index_dir_for("ivf", sf_dir)
+    if not os.path.exists(os.path.join(d, "_READY")):
+        import pandas as pd
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = e.select(
+            "vec_id", array_to_vector(F.col("embedding")).alias("features"))
+        n = e.count()  # parquet metadata count — no scan
+        fit_input = feat.select("features")
         if n > _IVF_FIT_CAP:
             # seeded Bernoulli sample; 1.1x headroom so the realized draw
             # almost surely reaches the cap's centroid-quality target
@@ -654,35 +701,46 @@ def q_sim_topk_ivf(spark, sf_dir):
         km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features",
                     predictionCol="centroid")
         model = km.fit(fit_input)
-        _IVF_MODEL_CACHE[cache_key] = model
-    assigned = model.transform(corpus).select("vec_id", "v", "centroid")
+        (
+            model.transform(feat).select("vec_id", "centroid")
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "assign"))
+        )
+        centroids = model.clusterCenters()
+        queries = corpus.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        ).collect()
+        rows = []
+        for r in queries:
+            qv = np.array(r.qv)
+            dists = [float(np.linalg.norm(qv - c)) for c in centroids]
+            for cid in np.argsort(dists)[:2]:
+                rows.append((int(r.q_id), int(cid)))
+        _write_small_parquet(
+            os.path.join(d, "probes"),
+            pd.DataFrame(rows, columns=["q_id", "centroid"]),
+        )
+        open(os.path.join(d, "_READY"), "w").close()
+    ann_index.point_current("ivf", d)
 
-    centroids = model.clusterCenters()
-    queries = assigned.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    ).collect()
-
-    import numpy as np
-
-    rows = []
-    for r in queries:
-        qv = np.array(r.qv)
-        dists = [float(np.linalg.norm(qv - c)) for c in centroids]
-        probe2 = np.argsort(dists)[:2]
-        for cid in probe2:
-            rows.append((r.q_id, r.qv, int(cid)))
-    probes = spark.createDataFrame(rows, "q_id long, qv array<double>, centroid int")
-
-    scored = (
-        F.broadcast(probes)
-        .join(assigned, on="centroid")
+    assign = spark.read.parquet(os.path.join(d, "assign"))
+    probes = spark.read.parquet(os.path.join(d, "probes"))
+    qv_df = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    cand = (
+        F.broadcast(probes.join(qv_df, on="q_id"))
+        .join(assign, on="centroid")
         .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    scored = (
+        cand.join(corpus, on="vec_id")
         .select(
             "q_id", "vec_id",
             F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
@@ -2114,15 +2172,18 @@ def _mmr_candidates(spark, sf_dir):
 # recall pytests; this gate value-checks the whole QUERY path — scan,
 # candidate selection, rerank, ordering — the dedup_embedding
 # "oracle replays the approximation" precedent applied to artifacts.
-_PQ_REPLAY_ORACLE = """
+# single source of truth for the artifact root (r11 ADVICE): the oracle
+# paths are f-strings over ann.index.ANN_ROOT, so renaming the root can
+# never desync engine writes from oracle reads
+_PQ_REPLAY_ORACLE = f"""
     WITH wt AS (
       SELECT q_id, sub, code, w
-      FROM read_parquet('/tmp/etlbs-annidx/pq-current/adc_w/*.parquet')
+      FROM read_parquet('{_ANN_ROOT}/pq-current/adc_w/*.parquet')
     ), scored AS (
       SELECT wt.q_id, c.vec_id,
              list_reduce(list_prepend(0.0, list(wt.w ORDER BY wt.sub)),
                          (a, x) -> a + x) AS adc
-      FROM read_parquet('/tmp/etlbs-annidx/pq-current/codes/*.parquet') c
+      FROM read_parquet('{_ANN_ROOT}/pq-current/codes/*.parquet') c
       JOIN wt ON wt.code = c.codes[wt.sub + 1]
       WHERE c.vec_id != wt.q_id
       GROUP BY wt.q_id, c.vec_id
@@ -2150,7 +2211,7 @@ _PQ_REPLAY_ORACLE = """
 
 
 def _ivfpq_replay_oracle(kind: str) -> str:
-    root = f"/tmp/etlbs-annidx/{kind}-current"
+    root = f"{_ANN_ROOT}/{kind}-current"
     return f"""
     WITH wt AS (
       SELECT q_id, sub, code, w
@@ -2641,11 +2702,28 @@ def pagerank_ranks(spark, sf_dir, rounds: int = 15):
     return ranks
 
 
-@register("graph_pagerank")  # rows-only: 15 rounds of damped float
-# power iteration are not SQL-replicable; a pure-Python reference on the
-# same edges is pytest-asserted — top-20 to 1e-5 and the FULL rank
-# vector at 1e-9-scaled-integer exactness at two decades
-# (tests/test_llm_ops.py)
+# Rank-artifact replay oracle (r11, VERDICT r10 #3 — the
+# _PQ_REPLAY_ORACLE precedent): the engine persists the CONVERGED full
+# rank vector (n, r — unrounded doubles) as a parquet artifact and
+# computes its top-20 from that artifact; DuckDB replays the identical
+# selection (order by unrounded r desc, n asc, limit 20, round 6) over
+# the same bits. This value-gates the scoring/selection path end to end;
+# the 15-round damped iteration itself stays pinned by the pure-Python
+# reference pytest (full vector at 1e-9-scaled-integer exactness at two
+# decades, tests/test_llm_ops.py) — float summation ORDER inside a
+# distributed agg is engine-specific, so the iteration is replayed in
+# Python, not SQL.
+_PAGERANK_REPLAY_ORACLE = f"""
+    SELECT custkey, rank FROM (
+      SELECT n AS custkey, round(r, 6) AS rank,
+             row_number() OVER (ORDER BY r DESC, n ASC) AS rn
+      FROM read_parquet('{_ANN_ROOT}/pagerank-current/ranks/*.parquet')
+    ) WHERE rn <= 20
+    ORDER BY rank DESC, custkey ASC
+    """
+
+
+@register("graph_pagerank", oracle=_PAGERANK_REPLAY_ORACLE)
 def q_graph_pagerank(spark, sf_dir):
     """Weighted PageRank over the co-purchase graph — the second
     iterative-graph member next to min_label_components: customers are
@@ -2655,10 +2733,27 @@ def q_graph_pagerank(spark, sf_dir):
     (one shuffle per round, no rank broadcast — the form that survives
     |V| past broadcast range) and ``_pagerank_edges`` for the DF-capped
     sparse edge build. Output: the top-20 customers by rank (rounded
-    1e-6 for display; the pytest compares unrounded)."""
+    1e-6 for display; the pytest compares unrounded).
+
+    VALUE-GATED since r11: the converged rank vector persists as a
+    parquet artifact (the production shape — downstream consumers read
+    ranks, they don't re-iterate) and both the engine's top-20 and the
+    DuckDB oracle select from that artifact (_PAGERANK_REPLAY_ORACLE
+    above)."""
+    import os
+
+    from ..ann import index as ann_index
+    from ..operators.windows import release_plan_checkpoints
+
     ranks = pagerank_ranks(spark, sf_dir)
+    d = ann_index.index_dir_for(
+        "pagerank", sf_dir, tables=("orders", "lineitem"))
+    ranks.write.mode("overwrite").parquet(os.path.join(d, "ranks"))
+    release_plan_checkpoints(ranks)
+    ann_index.point_current("pagerank", d)
+    persisted = spark.read.parquet(os.path.join(d, "ranks"))
     return (
-        ranks.orderBy(F.col("r").desc(), F.col("n").asc())
+        persisted.orderBy(F.col("r").desc(), F.col("n").asc())
         .limit(20)
         .select(F.col("n").alias("custkey"), F.round("r", 6).alias("rank"))
     )
@@ -2845,9 +2940,35 @@ def q_semdedup_kmeans(spark, sf_dir):
     )
 
 
-@register("embedding_pca")  # rows-only: eigendecomposition floats are not
-# SQL-replicable; pinned by a single-pass numpy twin (projections allclose
-# at 1e-9) and a variance-ordering pytest (tests/test_llm_ops.py)
+# Component-artifact replay oracle (r11, VERDICT r10 #5): the engine
+# persists the fitted (mean, components) matrix — 8 x 64 rows of
+# (c, dim, mean, w) — and projects with a LEFT-ASSOCIATED per-dimension
+# accumulation; DuckDB replays proj[c] = fold over dims of
+# (v[dim] - mean[dim]) * w[c][dim] with a 0.0 seed, the same chain, so
+# the projection doubles are bit-identical across engines (the adc_w
+# fold precedent applied to PCA). Only the eigendecomposition stays
+# pytest-pinned (LAPACK floats are not SQL-replicable).
+_PCA_REPLAY_ORACLE = f"""
+    WITH comp AS (
+      SELECT c, dim, mean, w
+      FROM read_parquet('{_ANN_ROOT}/pca-current/components/*.parquet')
+    ), terms AS (
+      SELECT e.vec_id, comp.c,
+             list_reduce(
+               list_prepend(0.0,
+                 list((e.embedding[comp.dim + 1]::DOUBLE - comp.mean)
+                      * comp.w ORDER BY comp.dim)),
+               (a, x) -> a + x) AS p
+      FROM embeddings e CROSS JOIN comp
+      GROUP BY e.vec_id, comp.c
+    )
+    SELECT vec_id, list(p ORDER BY c) AS proj
+    FROM terms GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+@register("embedding_pca", oracle=_PCA_REPLAY_ORACLE)
 def q_embedding_pca(spark, sf_dir):
     """Distributed PCA over the embedding column — the projection/
     whitening substrate embedding pipelines need (OPQ rotations, SemDeDup
@@ -2859,48 +2980,83 @@ def q_embedding_pca(spark, sf_dir):
     ties lowest index — eigenvectors are unique only up to sign), and ONE
     distributed map pass projects every vector onto the top-8 components.
     Corpus rows never reach the driver; the collect is
-    O(partitions * d^2) doubles regardless of corpus size."""
+    O(partitions * d^2) doubles regardless of corpus size.
+
+    VALUE-GATED since r11: the fitted (mean, components) persist as a
+    parameter-bounded artifact, the projection accumulates per-dimension
+    LEFT-ASSOCIATED (bit-identical to the oracle's list_reduce fold —
+    _PCA_REPLAY_ORACLE above), and repeat invocations skip the moments
+    pass by reading the artifact (fingerprint-keyed per corpus)."""
+    import os
+
     import numpy as np
     import pandas as pd
+
+    from ..ann import index as ann_index
+    from ..ann.index import _write_small_parquet
 
     e = Catalog(spark, sf_dir).table("embeddings")
     corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
     d, q = 64, 8
+    idx = ann_index.index_dir_for("pca", sf_dir)
+    comp_path = os.path.join(idx, "components")
+    if os.path.exists(os.path.join(idx, "_READY")):
+        pdf = pd.read_parquet(comp_path)
+        pdf = pdf.sort_values(["c", "dim"])
+        mean = pdf[pdf["c"] == 0]["mean"].to_numpy(dtype=np.float64)
+        comp = pdf["w"].to_numpy(dtype=np.float64).reshape(q, d)
+    else:
+        def moments(batches):
+            from pyspark import TaskContext
+            pid = TaskContext.get().partitionId()
+            for pdf in batches:
+                mat = np.stack(pdf["v"].to_numpy())
+                yield pd.DataFrame({
+                    "pid": [pid], "n": [len(mat)],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "xtx": [(mat.T @ mat).ravel().tolist()],
+                })
 
-    def moments(batches):
-        from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
-        for pdf in batches:
-            mat = np.stack(pdf["v"].to_numpy())
-            yield pd.DataFrame({
-                "pid": [pid], "n": [len(mat)],
-                "s": [mat.sum(axis=0).tolist()],
-                "xtx": [(mat.T @ mat).ravel().tolist()],
-            })
-
-    parts = sorted(
-        corpus.select("v").mapInPandas(
-            moments, schema="pid int, n long, s array<double>, xtx array<double>"
-        ).collect(),
-        key=lambda r: r.pid,
-    )
-    n = sum(r.n for r in parts)
-    s = np.sum([np.array(r.s) for r in parts], axis=0)
-    xtx = np.sum([np.array(r.xtx).reshape(d, d) for r in parts], axis=0)
-    mean = s / n
-    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
-    evals, evecs = np.linalg.eigh(cov)          # ascending
-    comp = evecs[:, ::-1][:, :q].T              # (q, d), descending variance
-    flip = np.sign(comp[np.arange(q), np.abs(comp).argmax(axis=1)])
-    comp = comp * flip[:, None]
+        parts = sorted(
+            corpus.select("v").mapInPandas(
+                moments,
+                schema="pid int, n long, s array<double>, xtx array<double>"
+            ).collect(),
+            key=lambda r: r.pid,
+        )
+        n = sum(r.n for r in parts)
+        s = np.sum([np.array(r.s) for r in parts], axis=0)
+        xtx = np.sum([np.array(r.xtx).reshape(d, d) for r in parts], axis=0)
+        mean = s / n
+        cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+        evals, evecs = np.linalg.eigh(cov)          # ascending
+        comp = evecs[:, ::-1][:, :q].T              # (q, d), desc variance
+        flip = np.sign(comp[np.arange(q), np.abs(comp).argmax(axis=1)])
+        comp = comp * flip[:, None]
+        _write_small_parquet(comp_path, pd.DataFrame({
+            "c": np.repeat(np.arange(q, dtype=np.int32), d),
+            "dim": np.tile(np.arange(d, dtype=np.int32), q),
+            "mean": np.tile(mean, q),
+            "w": comp.reshape(-1),
+        }))
+        open(os.path.join(idx, "_READY"), "w").close()
+    ann_index.point_current("pca", idx)
 
     def project(batches):
         for pdf in batches:
             mat = np.stack(pdf["v"].to_numpy())
-            proj = (mat - mean) @ comp.T
+            # LEFT-ASSOCIATED per-dimension accumulation (0.0 seed), the
+            # oracle's exact fold — not a BLAS matmul, whose pairwise /
+            # blocked summation reassociates and drifts at 1e-16
+            out = np.zeros((len(mat), q))
+            for i in range(q):
+                acc = np.zeros(len(mat))
+                for j in range(d):
+                    acc = acc + (mat[:, j] - mean[j]) * comp[i, j]
+                out[:, i] = acc
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"],
-                "proj": [row.tolist() for row in proj],
+                "proj": [row.tolist() for row in out],
             })
 
     return corpus.mapInPandas(project, schema="vec_id long, proj array<double>")
