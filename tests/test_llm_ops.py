@@ -871,6 +871,50 @@ def test_pq_indexed_equals_adhoc(spark):
     assert sorted(map(tuple, adhoc)) == sorted(map(tuple, indexed))
 
 
+def test_index_dir_rekeys_on_corpus_change(tmp_path):
+    """r11 ADVICE (medium): artifact dirs must be keyed by corpus CONTENT,
+    not path alone — a regenerated corpus at the same path previously kept
+    serving stale codes (and the replay oracles read the same stale
+    artifacts through the symlink, so the value gate could not catch it).
+    The fingerprint folds file sizes and mtimes, so rewriting any source
+    file re-keys the directory and forces a rebuild."""
+    import os
+    import shutil
+
+    from etl_backend_spark.ann import index as ann_index
+
+    sf = tmp_path / "corpus"
+    sf.mkdir()
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, sf / "embeddings.parquet")
+    else:
+        shutil.copy(src, sf / "embeddings.parquet")
+
+    d1 = ann_index.index_dir_for("pq", str(sf))
+    # same content -> same dir (stable cache key)
+    assert ann_index.index_dir_for("pq", str(sf)) == d1
+
+    # rewrite the corpus (size change) -> new dir
+    target = sf / "embeddings.parquet"
+    victim = (sorted(target.glob("*.parquet"))[0]
+              if target.is_dir() else target)
+    with open(victim, "ab") as f:
+        f.write(b"\0")
+    d2 = ann_index.index_dir_for("pq", str(sf))
+    assert d2 != d1
+
+    # mtime-only change (same size, e.g. regenerated identical-size drop)
+    # also re-keys
+    st = os.stat(victim)
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    d3 = ann_index.index_dir_for("pq", str(sf))
+    assert d3 != d2
+
+    # per-user root (r11 ADVICE): no fixed world-writable shared path
+    assert str(os.getuid()) in ann_index.ANN_ROOT
+
+
 def test_min_label_components_long_chain_converges_logarithmically(spark):
     """Planted 100-node chain (diameter 99 — far beyond any near-dup
     fixture): pointer jumping must converge in O(log diameter) rounds,
