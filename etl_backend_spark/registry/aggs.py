@@ -3066,38 +3066,66 @@ def q_orders_item_cf(spark, sf_dir):
     of pure materialization, and broadcast-without-checkpoint
     re-executes join+distinct per broadcast branch — both lose. The
     joined sides are tiny anyway (pairs ≤ C(|p_type|,2) ≈ 11k rows,
-    item_n ≤ |p_type| = 150 rows), so the plain joins cost nothing."""
+    item_n ≤ |p_type| = 150 rows), so the plain joins cost nothing.
+
+    INT-CODED SHUFFLE (r11): the dedup shuffle dominates end-to-end
+    (sf30 stage-split: the distinct alone is ~80% of the query), and its
+    payload was (8 B orderkey + ~25 B type string) per row. The type
+    vocabulary is bounded (≤ |p_type| = 150), so types are dense-coded
+    to ints through a broadcast dim BEFORE the dedup — the 131M-row
+    shuffle carries 12 B rows instead of ~33 B — and decoded only on the
+    ≤ C(150,2) pair rows after aggregation. The dense ids come from the
+    distributed prefix-sum rank ORDERED BY p_type, so tid order ==
+    string order and the a<b pair orientation is unchanged. The r10
+    int-coded arm lost only because it paid a declared-layout checkpoint
+    on top; this form keeps the reuse plan."""
     from pyspark.sql import Window
+
+    from ..operators.windows import distributed_global_rank
 
     cat = Catalog(spark, sf_dir)
     li = cat.table("lineitem")
     p = cat.tbl("part")
+    ranked, _ = distributed_global_rank(
+        p.select("p_type").distinct(), ["p_type"], n_parts=4)
+    tdim = ranked.select(
+        "p_type", F.col("__rank").cast("int").alias("tid"))
+    # part joins the tiny tid dim first, so the fact-side broadcast join
+    # attaches the int code directly and the string never reaches the
+    # wide shuffle
+    pt = p.select("p_partkey", "p_type").join(F.broadcast(tdim), "p_type")
     ot = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .select("l_orderkey", "p_type")
+        li.join(F.broadcast(pt.select("p_partkey", "tid")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .select("l_orderkey", "tid")
         # explicit not-null on BOTH columns (vacuous on TPC-H data): the
         # downstream joins infer asymmetric isnotnull sets per branch
         # (the self-join null-rejects both keys, the item_n join only
-        # p_type), and that asymmetry makes the distinct-exchange
-        # subtrees non-identical, defeating ReuseExchange. With the
-        # filters stated once here, every branch canonicalizes to the
-        # same exchange and the base is scanned exactly once.
-        .filter(F.col("l_orderkey").isNotNull() & F.col("p_type").isNotNull())
+        # tid), and that asymmetry makes the distinct-exchange subtrees
+        # non-identical, defeating ReuseExchange. With the filters
+        # stated once here, every branch canonicalizes to the same
+        # exchange and the base is scanned exactly once.
+        .filter(F.col("l_orderkey").isNotNull() & F.col("tid").isNotNull())
         .distinct()
     )
-    item_n = ot.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
-    a = ot.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_a"))
-    b = ot.select(F.col("l_orderkey").alias("k2"), F.col("p_type").alias("type_b"))
+    item_n = ot.groupBy("tid").agg(F.count(F.lit(1)).alias("n"))
+    a = ot.select(F.col("l_orderkey").alias("k"), F.col("tid").alias("tid_a"))
+    b = ot.select(F.col("l_orderkey").alias("k2"), F.col("tid").alias("tid_b"))
     pairs = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("type_a") < F.col("type_b")))
-        .groupBy("type_a", "type_b")
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("tid_a") < F.col("tid_b")))
+        .groupBy("tid_a", "tid_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 5)
     )
-    na = item_n.select(F.col("p_type").alias("type_a"), F.col("n").alias("n_a"))
-    nb = item_n.select(F.col("p_type").alias("type_b"), F.col("n").alias("n_b"))
+    na = item_n.select(F.col("tid").alias("tid_a"), F.col("n").alias("n_a"))
+    nb = item_n.select(F.col("tid").alias("tid_b"), F.col("n").alias("n_b"))
+    da = F.broadcast(tdim.select(F.col("tid").alias("tid_a"),
+                                 F.col("p_type").alias("type_a")))
+    db = F.broadcast(tdim.select(F.col("tid").alias("tid_b"),
+                                 F.col("p_type").alias("type_b")))
     scored = (
-        pairs.join(na, "type_a").join(nb, "type_b")
+        pairs.join(na, "tid_a").join(nb, "tid_b")
+        .join(da, "tid_a").join(db, "tid_b")
         .select(
             "type_a", "type_b", "n_ab",
             F.round(F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")), 6)
