@@ -61,50 +61,79 @@ _ANN_FMT = "v2"  # bump to invalidate cached dirs on layout changes
 
 def corpus_fingerprint(sf_dir: str, tables=("embeddings",)) -> str:
     """Content fingerprint of the artifact's source tables: file names,
-    sizes, and mtimes per table (footer-cheap — no data read). Any
-    rewrite of the corpus changes the fingerprint and therefore the
-    artifact directory."""
-    import glob
+    sizes, and mtimes per table (footer-cheap — no data read), listed
+    RECURSIVELY so nested/hive-partitioned layouts fingerprint their
+    real parts (a top-level glob would see them as empty and resurrect
+    the stale-artifact bug — r11 code-review finding). Any rewrite of
+    the corpus changes the fingerprint and therefore the artifact
+    directory."""
     import hashlib
+
+    from ..sources.catalog import parquet_part_files
 
     parts = []
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        files = (sorted(glob.glob(os.path.join(p, "*.parquet")))
-                 if os.path.isdir(p) else [p])
-        for f in files:
+        for f in parquet_part_files(p):
             try:
                 st = os.stat(f)
-                parts.append(f"{t}:{os.path.basename(f)}:{st.st_size}"
-                             f":{st.st_mtime_ns}")
+                parts.append(f"{t}:{os.path.relpath(f, sf_dir)}"
+                             f":{st.st_size}:{st.st_mtime_ns}")
             except FileNotFoundError:
-                parts.append(f"{t}:{os.path.basename(f)}:missing")
+                parts.append(f"{t}:{os.path.relpath(f, sf_dir)}:missing")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
-def index_dir_for(kind: str, sf_dir: str, tables=("embeddings",)) -> str:
-    """Deterministic per-(kind, corpus-content) artifact directory."""
+def index_dir_for(kind: str, sf_dir: str, tables=("embeddings",),
+                  root: str | None = None) -> str:
+    """Deterministic per-(kind, corpus-content) artifact directory.
+    ``root`` overrides ANN_ROOT — registry callers pass the SAME
+    import-time constant their static oracle SQL was rendered with, so
+    engine writes and oracle reads can never disagree about the root
+    even if the module global is rebound later."""
     import hashlib
 
     tag = hashlib.md5(
         f"{_ANN_FMT}:{os.path.abspath(sf_dir)}"
         f":{corpus_fingerprint(sf_dir, tables)}".encode()
     ).hexdigest()[:10]
-    d = os.path.join(ANN_ROOT, f"{kind}-{tag}")
+    d = os.path.join(root or ANN_ROOT, f"{kind}-{tag}")
     os.makedirs(d, exist_ok=True)
     return d
 
 
-def point_current(kind: str, d: str) -> None:
-    """Atomically re-point ANN_ROOT/<kind>-current at d."""
-    os.makedirs(ANN_ROOT, exist_ok=True)
-    tmp = os.path.join(ANN_ROOT, f".{kind}-current.tmp")
+def point_current(kind: str, d: str, root: str | None = None) -> None:
+    """Atomically re-point <root>/<kind>-current at d, then garbage-
+    collect same-kind sibling dirs that are no longer referenced —
+    fingerprint-keyed dirs would otherwise accumulate one corpus-sized
+    artifact set per regeneration, forever (r11 code-review finding).
+    Safe under the single-writer protocol (the gate and the driver run
+    queries sequentially)."""
+    import shutil
+
+    root = root or ANN_ROOT
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".{kind}-current.tmp")
     try:
         os.remove(tmp)
     except FileNotFoundError:
         pass
     os.symlink(d, tmp)
-    os.replace(tmp, os.path.join(ANN_ROOT, f"{kind}-current"))
+    os.replace(tmp, os.path.join(root, f"{kind}-current"))
+    keep = os.path.basename(os.path.realpath(d))
+    prefix = f"{kind}-"
+    for name in os.listdir(root):
+        if (name.startswith(prefix) and name != keep
+                and name != f"{kind}-current"
+                and not os.path.islink(os.path.join(root, name))
+                and os.path.isdir(os.path.join(root, name))):
+            # another kind sharing the prefix (e.g. 'ivfpq-incr' under
+            # 'ivfpq-') must survive: tags are fixed-width hex with no
+            # further dashes
+            rest = name[len(prefix):]
+            if "-" in rest:
+                continue
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def _write_small_parquet(dirpath: str, pdf) -> None:

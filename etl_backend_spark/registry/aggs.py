@@ -2911,15 +2911,14 @@ def _footer_profile_stats(sf_dir, table, cols):
     as the scan path's Spark casts do: ints/strings verbatim, doubles
     through DECIMAL(18,2) HALF_UP (Spark's double→decimal goes through
     the shortest decimal repr, which is what Python's repr() gives)."""
-    import glob
     import os
     from decimal import ROUND_HALF_UP, Decimal
 
     import pyarrow.parquet as papq
 
-    p = os.path.join(sf_dir, f"{table}.parquet")
-    files = (sorted(glob.glob(os.path.join(p, "*.parquet")))
-             if os.path.isdir(p) else [p])
+    from ..sources.catalog import parquet_part_files
+
+    files = parquet_part_files(os.path.join(sf_dir, f"{table}.parquet"))
     acc = {c: [0, None, None] for c in cols}
     bad = set()
     for f in files:
@@ -3099,6 +3098,7 @@ def q_data_profile(spark, sf_dir):
     WITH ot AS (
       SELECT DISTINCT l_orderkey, p_type
       FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_orderkey IS NOT NULL AND p_type IS NOT NULL
     ), item_n AS (
       SELECT p_type, count(*) AS n FROM ot GROUP BY p_type
     ), pairs AS (

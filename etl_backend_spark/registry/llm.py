@@ -681,7 +681,7 @@ def q_sim_topk_ivf(spark, sf_dir):
 
     e = Catalog(spark, sf_dir).table("embeddings")
     corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    d = ann_index.index_dir_for("ivf", sf_dir)
+    d = ann_index.index_dir_for("ivf", sf_dir, root=_ANN_ROOT)
     if not os.path.exists(os.path.join(d, "_READY")):
         import pandas as pd
 
@@ -721,7 +721,7 @@ def q_sim_topk_ivf(spark, sf_dir):
             pd.DataFrame(rows, columns=["q_id", "centroid"]),
         )
         open(os.path.join(d, "_READY"), "w").close()
-    ann_index.point_current("ivf", d)
+    ann_index.point_current("ivf", d, root=_ANN_ROOT)
 
     assign = spark.read.parquet(os.path.join(d, "assign"))
     probes = spark.read.parquet(os.path.join(d, "probes"))
@@ -2173,8 +2173,11 @@ def _mmr_candidates(spark, sf_dir):
 # candidate selection, rerank, ordering — the dedup_embedding
 # "oracle replays the approximation" precedent applied to artifacts.
 # single source of truth for the artifact root (r11 ADVICE): the oracle
-# paths are f-strings over ann.index.ANN_ROOT, so renaming the root can
-# never desync engine writes from oracle reads
+# paths are f-strings over ann.index.ANN_ROOT, rendered at IMPORT time —
+# and every engine call site passes the SAME import-time constant
+# (root=_ANN_ROOT) into index_dir_for/point_current, so rebinding
+# ann.index.ANN_ROOT later cannot desync engine writes from oracle
+# reads: both sides are frozen to the value this module imported
 _PQ_REPLAY_ORACLE = f"""
     WITH wt AS (
       SELECT q_id, sub, code, w
@@ -2270,11 +2273,11 @@ def q_sim_topk_pq_indexed(spark, sf_dir):
 
     from ..ann import index as ann_index
 
-    d = ann_index.index_dir_for("pq", sf_dir)
+    d = ann_index.index_dir_for("pq", sf_dir, root=_ANN_ROOT)
     if not os.path.exists(os.path.join(d, "codebooks.json")):
         ann_index.build_pq_index(spark, sf_dir, d)
     out = ann_index.query_pq_index(spark, sf_dir, d)
-    ann_index.point_current("pq", d)
+    ann_index.point_current("pq", d, root=_ANN_ROOT)
     return out
 
 
@@ -2300,11 +2303,11 @@ def q_sim_topk_ivfpq(spark, sf_dir):
 
     from ..ann import index as ann_index
 
-    d = ann_index.index_dir_for("ivfpq", sf_dir)
+    d = ann_index.index_dir_for("ivfpq", sf_dir, root=_ANN_ROOT)
     if not os.path.exists(os.path.join(d, "ivfpq.json")):
         ann_index.build_ivfpq_index(spark, sf_dir, d)
     out = ann_index.query_ivfpq_index(spark, sf_dir, d)
-    ann_index.point_current("ivfpq", d)
+    ann_index.point_current("ivfpq", d, root=_ANN_ROOT)
     return out
 
 
@@ -2330,7 +2333,7 @@ def q_sim_index_incremental(spark, sf_dir):
 
     from ..ann import index as ann_index
 
-    d = ann_index.index_dir_for("ivfpq-incr", sf_dir)
+    d = ann_index.index_dir_for("ivfpq-incr", sf_dir, root=_ANN_ROOT)
     if not os.path.exists(os.path.join(d, "_BATCH_APPLIED")):
         import shutil  # deterministic dir: an interrupted build+append
         # must not double-append on retry — start clean
@@ -2343,7 +2346,7 @@ def q_sim_index_incremental(spark, sf_dir):
         )
         open(os.path.join(d, "_BATCH_APPLIED"), "w").close()
     out = ann_index.query_ivfpq_index(spark, sf_dir, d)
-    ann_index.point_current("ivfpq-incr", d)
+    ann_index.point_current("ivfpq-incr", d, root=_ANN_ROOT)
     return out
 
 
@@ -2747,10 +2750,10 @@ def q_graph_pagerank(spark, sf_dir):
 
     ranks = pagerank_ranks(spark, sf_dir)
     d = ann_index.index_dir_for(
-        "pagerank", sf_dir, tables=("orders", "lineitem"))
+        "pagerank", sf_dir, tables=("orders", "lineitem"), root=_ANN_ROOT)
     ranks.write.mode("overwrite").parquet(os.path.join(d, "ranks"))
     release_plan_checkpoints(ranks)
-    ann_index.point_current("pagerank", d)
+    ann_index.point_current("pagerank", d, root=_ANN_ROOT)
     persisted = spark.read.parquet(os.path.join(d, "ranks"))
     return (
         persisted.orderBy(F.col("r").desc(), F.col("n").asc())
@@ -2998,7 +3001,7 @@ def q_embedding_pca(spark, sf_dir):
     e = Catalog(spark, sf_dir).table("embeddings")
     corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
     d, q = 64, 8
-    idx = ann_index.index_dir_for("pca", sf_dir)
+    idx = ann_index.index_dir_for("pca", sf_dir, root=_ANN_ROOT)
     comp_path = os.path.join(idx, "components")
     if os.path.exists(os.path.join(idx, "_READY")):
         pdf = pd.read_parquet(comp_path)
@@ -3040,19 +3043,22 @@ def q_embedding_pca(spark, sf_dir):
             "w": comp.reshape(-1),
         }))
         open(os.path.join(idx, "_READY"), "w").close()
-    ann_index.point_current("pca", idx)
+    ann_index.point_current("pca", idx, root=_ANN_ROOT)
 
     def project(batches):
         for pdf in batches:
             mat = np.stack(pdf["v"].to_numpy())
             # LEFT-ASSOCIATED per-dimension accumulation (0.0 seed), the
             # oracle's exact fold — not a BLAS matmul, whose pairwise /
-            # blocked summation reassociates and drifts at 1e-16
+            # blocked summation reassociates and drifts at 1e-16. The
+            # centering is hoisted out of the component loop (identical
+            # IEEE subtract, computed once instead of q times)
+            centered = mat - mean
             out = np.zeros((len(mat), q))
             for i in range(q):
                 acc = np.zeros(len(mat))
                 for j in range(d):
-                    acc = acc + (mat[:, j] - mean[j]) * comp[i, j]
+                    acc = acc + centered[:, j] * comp[i, j]
                 out[:, i] = acc
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"],

@@ -371,6 +371,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parquet_part_files(path: str) -> list[str]:
+    """Every .parquet part file behind ``path`` — a single file, or a
+    directory walked RECURSIVELY (Spark part dirs, hive-partitioned
+    layouts, nested rewrites), sorted for stable iteration order. The
+    one shared lister for footer-level metadata passes; top-level-only
+    globs silently miss partitioned layouts (r11 code-review finding)."""
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(root, f)
+            for root, _, files in os.walk(path)
+            for f in files if f.endswith(".parquet")
+        )
+    return [path]
+
+
 def parquet_num_rows(sf_dir: str | None, name: str) -> int:
     """Table row count straight from the parquet footers — driver-side
     pyarrow metadata read (~ms), NO Spark job. Operators that size a
@@ -379,18 +396,13 @@ def parquet_num_rows(sf_dir: str | None, name: str) -> int:
     VM) for a number the footer already holds. Footers are O(files),
     not O(rows), so this stays cheap at 100 TB file counts; falls back
     over directories by summing per-file footers."""
-    import os
-
     import pyarrow.parquet as pq
 
     path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-            for root, _, files in os.walk(path)
-            for f in files if f.endswith(".parquet")
-        )
-    return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in parquet_part_files(path)
+    )
 
 
 def adaptive_bucket_count(spark: SparkSession, *paths: str) -> int:

@@ -879,37 +879,46 @@ def test_index_dir_rekeys_on_corpus_change(tmp_path):
     The fingerprint folds file sizes and mtimes, so rewriting any source
     file re-keys the directory and forces a rebuild."""
     import os
-    import shutil
 
     from etl_backend_spark.ann import index as ann_index
 
+    # the fingerprint stats names/sizes/mtimes — it never opens parquet,
+    # so a dummy part file exercises the rekey logic without fixture
+    # copies; a NESTED layout proves the lister walks recursively (the
+    # r11 code-review finding: a top-level glob saw these as empty)
     sf = tmp_path / "corpus"
-    sf.mkdir()
-    src = "/root/testdata/sf0.001/embeddings.parquet"
-    if os.path.isdir(src):
-        shutil.copytree(src, sf / "embeddings.parquet")
-    else:
-        shutil.copy(src, sf / "embeddings.parquet")
+    (sf / "embeddings.parquet" / "part=0").mkdir(parents=True)
+    victim = sf / "embeddings.parquet" / "part=0" / "part-0.parquet"
+    victim.write_bytes(b"x" * 64)
+    root = str(tmp_path / "annroot")  # isolated artifact root
 
-    d1 = ann_index.index_dir_for("pq", str(sf))
+    d1 = ann_index.index_dir_for("pq", str(sf), root=root)
     # same content -> same dir (stable cache key)
-    assert ann_index.index_dir_for("pq", str(sf)) == d1
+    assert ann_index.index_dir_for("pq", str(sf), root=root) == d1
 
-    # rewrite the corpus (size change) -> new dir
-    target = sf / "embeddings.parquet"
-    victim = (sorted(target.glob("*.parquet"))[0]
-              if target.is_dir() else target)
+    # rewrite the corpus (size change) -> new dir; a top-level-only
+    # lister would fingerprint the nested layout as empty and keep d1
     with open(victim, "ab") as f:
         f.write(b"\0")
-    d2 = ann_index.index_dir_for("pq", str(sf))
+    d2 = ann_index.index_dir_for("pq", str(sf), root=root)
     assert d2 != d1
 
     # mtime-only change (same size, e.g. regenerated identical-size drop)
     # also re-keys
     st = os.stat(victim)
     os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
-    d3 = ann_index.index_dir_for("pq", str(sf))
+    d3 = ann_index.index_dir_for("pq", str(sf), root=root)
     assert d3 != d2
+
+    # point_current garbage-collects unreferenced same-kind siblings
+    # (fingerprint-keyed dirs would otherwise leak one corpus-sized
+    # artifact set per regeneration) without touching other kinds
+    d_other = ann_index.index_dir_for("pqx", str(sf), root=root)
+    ann_index.point_current("pq", d3, root=root)
+    assert os.path.isdir(d3) and os.path.isdir(d_other)
+    assert not os.path.isdir(d1) and not os.path.isdir(d2)
+    assert os.path.realpath(os.path.join(root, "pq-current")) == \
+        os.path.realpath(d3)
 
     # per-user root (r11 ADVICE): no fixed world-writable shared path
     assert str(os.getuid()) in ann_index.ANN_ROOT
