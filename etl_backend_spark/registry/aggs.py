@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..ann.index import ANN_ROOT as _ANN_ROOT
 from ..operators import aggregates, windows
 from ..sources.catalog import Catalog
 from . import register
@@ -3266,28 +3267,102 @@ def als_recommendations(spark, sf_dir, rank=8, iters=5):
     return model, types, ratings
 
 
-@register("recsys_als")  # rows-only: factor floats are solver artifacts
+# Factor-artifact replay oracle (r11, the _PAGERANK_REPLAY_ORACLE
+# precedent): the engine persists the fitted factor tables — the 5
+# requested users' rows and the full (item, p_type, f) table, both cast
+# element-wise float32 -> double (exact) — and serves with the
+# SEQUENTIAL fold dot (functions/vectors.dot); DuckDB replays
+# list_reduce over the same prepended-0.0 chain, so the scores are
+# bit-identical and the full (user, rk, p_type, score) surface
+# hash-gates. The ALS solve itself stays pytest-pinned
+# (planted-block-structure + fixed-seed determinism,
+# tests/test_operators.py) — blocked normal-equation floats are not
+# SQL-replicable. "user" is quoted throughout: it is a reserved word in
+# DuckDB's (PostgreSQL-derived) grammar.
+_ALS_REPLAY_ORACLE = f"""
+    WITH uf AS (
+      SELECT "user", f
+      FROM read_parquet('{_ANN_ROOT}/als-current/user_f/*.parquet')
+    ), itf AS (
+      SELECT item, p_type, f
+      FROM read_parquet('{_ANN_ROOT}/als-current/item_f/*.parquet')
+    ), scored AS (
+      SELECT uf."user", itf.item, itf.p_type,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, len(uf.f)),
+                              i -> uf.f[i] * itf.f[i])),
+               (a, x) -> a + x) AS score
+      FROM uf, itf
+    )
+    SELECT "user", rk, p_type, round(score, 4) AS score FROM (
+      SELECT "user", item, p_type, score,
+             row_number() OVER (PARTITION BY "user"
+                                ORDER BY score DESC, item ASC) AS rk
+      FROM scored) WHERE rk <= 3
+    ORDER BY "user", rk
+    """
+
+
+@register("recsys_als", oracle=_ALS_REPLAY_ORACLE)
 def q_recsys_als(spark, sf_dir):
     """Top-3 ALS recommendations for the 5 lowest-keyed active users —
-    the serving shape of the recommender (recommendForUserSubset runs the
-    factor dot-products distributed and top-ks per user; nothing beyond
-    the 15 result rows reaches the driver). Scores are solver floats, so
-    this is a rows-only key; the planted-block-structure and determinism
-    pins live in tests/test_operators.py."""
+    the serving shape of the recommender. The factor dot-products and
+    per-user top-k run distributed (the bounded 150-item factor table
+    broadcasts over the user partition — at any user-set size this is
+    one map-side pass, no shuffle); nothing beyond the result rows
+    reaches the driver.
+
+    VALUE-GATED since r11: the fitted factors persist as parquet
+    artifacts (the production shape — a feature-store entry the serving
+    job broadcasts) and both the engine and the DuckDB oracle
+    (_ALS_REPLAY_ORACLE above) score from the same bits with the same
+    left-associated fold and the same (score DESC, item ASC) tie-break,
+    replacing MLlib's recommendForUserSubset whose BLAS accumulation
+    order is engine-private. The solve keeps its
+    planted-block-structure and determinism pins in
+    tests/test_operators.py."""
+    import os
+
     from pyspark.sql import Window as W
+
+    from ..ann import index as ann_index
+    from ..functions import vectors as V
 
     model, types, ratings = als_recommendations(spark, sf_dir)
     users = ratings.select("user").distinct().orderBy("user").limit(5)
-    recs = model.recommendForUserSubset(users, 3)
-    flat = recs.select(
-        "user", F.posexplode("recommendations").alias("rk", "rec")
-    ).select(
-        "user", (F.col("rk") + 1).alias("rk"),
-        F.col("rec.item").alias("item"),
-        F.round(F.col("rec.rating"), 4).alias("score"),
+    d = ann_index.index_dir_for(
+        "als", sf_dir, tables=("lineitem", "orders", "part"),
+        root=_ANN_ROOT)
+    uf = (
+        model.userFactors
+        .join(F.broadcast(users.withColumnRenamed("user", "id")), "id")
+        .select(F.col("id").alias("user"),
+                V.as_double(F.col("features")).alias("f"))
     )
+    itf = (
+        model.itemFactors
+        .select(F.col("id").alias("item"),
+                V.as_double(F.col("features")).alias("f"))
+        .join(F.broadcast(types), "item")
+        .select("item", "p_type", "f")
+    )
+    uf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "user_f"))
+    itf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "item_f"))
+    ann_index.point_current("als", d, root=_ANN_ROOT)
+    uf_p = spark.read.parquet(os.path.join(d, "user_f"))
+    itf_p = spark.read.parquet(os.path.join(d, "item_f"))
+    scored = (
+        uf_p.crossJoin(F.broadcast(itf_p))
+        .select("user", "item", "p_type",
+                V.dot(uf_p["f"], itf_p["f"]).alias("score"))
+    )
+    w = W.partitionBy("user").orderBy(F.col("score").desc(),
+                                      F.col("item").asc())
     return (
-        flat.join(F.broadcast(types), "item")
-        .select("user", "rk", "p_type", "score")
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user", "rk", "p_type", F.round("score", 4).alias("score"))
         .orderBy("user", "rk")
     )

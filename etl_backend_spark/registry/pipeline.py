@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..ann.index import ANN_ROOT as _ANN_ROOT
 from ..functions import text as T
 from ..sources.catalog import Catalog
 from . import register
@@ -1565,9 +1566,69 @@ def qlr_features(spark, sf_dir):
     )
 
 
-@register("quality_classifier_lr")  # rows-only: LBFGS weight floats are
-# not cross-engine replicable; accuracy bar + frozen-weight per-doc
-# prediction pin in pytest
+# Weight-artifact replay oracle (r11, the _PAGERANK_REPLAY_ORACLE /
+# _PCA_REPLAY_ORACLE precedent): the engine persists the fitted
+# (w1..w4, b) weight row and scores with an explicit LEFT-ASSOCIATED
+# column chain; DuckDB replays the identical chain over the identical
+# feature values. All four features are exact-integer ratios
+# (counts and count/count divisions — no float summation anywhere), so
+# the margin doubles are bit-identical cross-engine and the per-doc
+# prediction (margin > 0) and the (split, agree) counts hash-gate.
+# Only the LBFGS fit itself stays pytest-pinned (accuracy bar +
+# frozen-weight per-doc prediction set) — solver floats are not
+# SQL-replicable, but the artifact makes the SCORING path a value gate.
+# The split/feature SQL below mirrors the gopher_rules and
+# corpus_pipeline oracles (already hash-green) expression for
+# expression.
+_QLR_REPLAY_ORACLE = f"""
+    WITH wt AS (
+      SELECT w1, w2, w3, w4, b
+      FROM read_parquet('{_ANN_ROOT}/qlr-current/weights/*.parquet')
+    ), t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CASE WHEN list_sum(list_transform(generate_series(1, 8),
+                    i -> (strpos('0123456789abcdef',
+                                 substr(md5('qlr:' || CAST(doc_id AS VARCHAR)),
+                                        i, 1)) - 1)
+                         * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'heldout' END AS split,
+             len(words)::DOUBLE AS f_nwords,
+             CASE WHEN len(words) > 0
+                  THEN list_sum(list_transform(words, w -> len(w)))::DOUBLE
+                       / len(words)
+                  ELSE 0.0 END AS f_wordlen,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS f_symbols,
+             CASE WHEN len(list_filter(words,
+                    w -> list_contains(['the','a','of','and','to','in','is'], w)))
+                    > 0
+                  THEN 1.0 ELSE 0.0 END AS f_stop
+      FROM t
+    ), lbl AS (
+      SELECT split,
+             CASE WHEN f_nwords BETWEEN 10 AND 100000
+                   AND f_wordlen BETWEEN 2.0 AND 12.0
+                   AND f_symbols <= 0.2 AND f_stop = 1.0
+                  THEN 1.0 ELSE 0.0 END AS label,
+             wt.w1 * f_nwords + wt.w2 * f_wordlen + wt.w3 * f_symbols
+               + wt.w4 * f_stop + wt.b AS margin
+      FROM f, wt
+    )
+    SELECT split,
+           (CASE WHEN margin > 0 THEN 1.0 ELSE 0.0 END) = label AS agree,
+           count(*) AS n
+    FROM lbl GROUP BY split, agree
+    ORDER BY split, agree
+    """
+
+
+@register("quality_classifier_lr", oracle=_QLR_REPLAY_ORACLE)
 def q_quality_classifier_lr(spark, sf_dir):
     """LEARNED quality filter — the classifier stage of the CCNet /
     GPT-3-era pipelines (a linear model over cheap doc features scores
@@ -1576,15 +1637,29 @@ def q_quality_classifier_lr(spark, sf_dir):
     stopword hit) computed in pure JVM expressions, labels are the
     rule gate's keep decision on a deterministic md5-bucket TRAIN split,
     pyspark.ml LogisticRegression (fixed maxIter/regParam, no sampling)
-    fits distributed, and the model scores EVERY document. Output:
-    per-(split, label-agreement) counts — at 100 TB the point of the
-    learned form is exactly this shape: fit once on the labeled slice,
-    broadcast KB-scale weights, score the corpus in one map pass with
-    no shuffle. Accuracy vs the rule labels is pytest-bounded (the
+    fits distributed, and the fitted weights score EVERY document.
+    Output: per-(split, label-agreement) counts — at 100 TB the point of
+    the learned form is exactly this shape: fit once on the labeled
+    slice, broadcast KB-scale weights, score the corpus in one map pass
+    with no shuffle. Accuracy vs the rule labels is pytest-bounded (the
     features determine the labels, so a well-fit LR must agree on
-    held-out docs)."""
+    held-out docs).
+
+    VALUE-GATED since r11: the weight row persists as a parquet
+    artifact (the production shape — a model registry entry the serving
+    pass broadcasts) and BOTH the engine's scoring chain and the DuckDB
+    oracle (_QLR_REPLAY_ORACLE above) compute
+    ``w1*f1 + w2*f2 + w3*f3 + w4*f4 + b`` left-to-right over the same
+    bits, so the (split, agree) counts hash-match; MLlib's prediction
+    (probability > 0.5) is exactly (margin > 0), so replacing
+    model.transform with the explicit chain preserves semantics while
+    making the arithmetic order cross-engine-deterministic."""
+    import os
+
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
+
+    from ..ann import index as ann_index
 
     feats = qlr_features(spark, sf_dir)
     asm = VectorAssembler(
@@ -1597,12 +1672,24 @@ def q_quality_classifier_lr(spark, sf_dir):
     # 20 (pytest bar 0.95 holds); 50 bought nothing but fit time
     lr = LogisticRegression(maxIter=20, regParam=0.0, standardization=True)
     model = lr.fit(vec.filter(F.col("split") == "train"))
-    scored = model.transform(vec)
+    w = [float(x) for x in model.coefficients]
+    d = ann_index.index_dir_for(
+        "qlr", sf_dir, tables=("documents",), root=_ANN_ROOT)
+    spark.createDataFrame(
+        [(w[0], w[1], w[2], w[3], float(model.intercept))],
+        "w1 double, w2 double, w3 double, w4 double, b double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "weights"))
+    ann_index.point_current("qlr", d, root=_ANN_ROOT)
+    wt = spark.read.parquet(os.path.join(d, "weights"))
+    margin = (
+        F.col("w1") * F.col("f_nwords") + F.col("w2") * F.col("f_wordlen")
+        + F.col("w3") * F.col("f_symbols") + F.col("w4") * F.col("f_stop")
+        + F.col("b")
+    )
+    pred = F.when(margin > 0, F.lit(1.0)).otherwise(F.lit(0.0))
     return (
-        scored.groupBy(
-            "split",
-            (F.col("prediction") == F.col("label")).alias("agree"),
-        )
+        feats.crossJoin(F.broadcast(wt))
+        .groupBy("split", (pred == F.col("label")).alias("agree"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split", "agree")
     )
