@@ -28,10 +28,14 @@ The 100-TB shape, composed for Spark:
 Everything is deterministic: seeded inits, fixed iteration counts,
 argmin/argmax lowest-index tie-breaks, groups sorted by vec_id before any
 order-dependent step — so output is identical across partition layouts
-(pytest-asserted) and across runs. Like the other k-means family members
-(sim_topk_pq/ivf), float centroid fitting is not SQL-replicable, so the
-registry row is rows-only and a planted-duplicates + independent-greedy
-pytest pins behavior instead.
+(pytest-asserted) and across runs. Float centroid FITTING is not
+SQL-replicable (like the other k-means family members, sim_topk_pq/ivf),
+so the fit/assignment stays pinned by the planted-duplicates +
+independent-greedy pytests; since r11 the registry row is nonetheless a
+full VALUE GATE — the per-vector assignment record (cell, sub, prio)
+persists as a parquet artifact and a DuckDB recursive CTE replays the
+greedy PRUNE from it bit-exactly (fold-order cosines on both sides; see
+registry/llm.py:_SEMDEDUP_REPLAY_ORACLE).
 """
 
 from __future__ import annotations
@@ -43,6 +47,8 @@ K_MAX = 4096             # coarse-fit ceiling (2 MB centroid matrix at d=64)
 FIT_CAP = 32768          # bounded fit sample (8 points/centroid at K_MAX)
 SUBSPLIT = 256           # local re-cluster guard for hot clusters
 EPS = 0.05               # duplicate iff cos > 1 - EPS
+PAIRWISE_PRECOMPUTE_MAX = 2048   # n^2 sim-matrix cap (32 MB doubles);
+#                                  past it greedy_prune folds per visit
 
 
 def k_schedule(n: int, target: int = TARGET_CLUSTER) -> int:
@@ -141,15 +147,44 @@ def greedy_prune(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,
     similar already-kept vector when that cosine > 1 - eps (ties: the
     earlier-kept one, which the running argmax already yields).
 
+    Since r11 the kept-vs-candidate cosines accumulate SEQUENTIALLY over
+    dimensions (a left-associated fold per pair from a 0.0 seed — the
+    same chain as DuckDB's list_reduce with a prepended 0.0), not via
+    BLAS matvec: the _SEMDEDUP_REPLAY_ORACLE (registry/llm.py) replays
+    this greedy bit-for-bit from the persisted assignment artifact, and
+    accumulation ORDER is the only degree of freedom between the two
+    engines. For speed the whole cluster's pairwise matrix is built in
+    ONE fold-ordered pass over dims (S += col x col^T per dim — each
+    pair's accumulator sees the identical add chain; 64 vectorized ops
+    per CLUSTER instead of per visit, 14x less numpy-call overhead,
+    measured) when n^2 doubles stay small; degenerate oversized groups
+    (only near-identical points survive subsplit that large, so the kept
+    set stays tiny) fall back to the per-visit fold — same chain, O(n *
+    kept) memory.
+
     Returns (keep bool array, dup_of int64 array with -1 for keeps),
     aligned with the input order."""
     order = np.lexsort((ids, cdot))          # cdot asc, then vec_id asc
     kept_rows: list[int] = []
     keep = np.zeros(len(ids), dtype=bool)
     dup_of = np.full(len(ids), -1, dtype=np.int64)
+    n = len(ids)
+    S = None
+    if n <= PAIRWISE_PRECOMPUTE_MAX:
+        S = np.zeros((n, n), dtype=np.float64)
+        for d in range(mat.shape[1]):        # sequential over dims = fold
+            col = mat[:, d]
+            S += col[:, None] * col[None, :]
     for i in order:
         if kept_rows:
-            sims = mat[kept_rows] @ mat[i]
+            if S is not None:
+                sims = S[kept_rows, i]
+            else:
+                kmat = mat[kept_rows]
+                v = mat[i]
+                sims = np.zeros(len(kept_rows), dtype=np.float64)
+                for d in range(mat.shape[1]):
+                    sims = sims + kmat[:, d] * v[d]
             j = int(sims.argmax())
             if sims[j] > 1.0 - eps:
                 dup_of[i] = ids[kept_rows[j]]
@@ -164,9 +199,18 @@ def prune_cluster(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,
                   target: int = TARGET_CLUSTER):
     """Prune one cluster; clusters past `subsplit` are locally re-clustered
     (seed derived from the cluster id — layout-independent) into
-    ~target-sized subclusters first, bounding the pairwise pass."""
+    ~target-sized subclusters first, bounding the pairwise pass.
+
+    Returns (keep, dup_of, sub, prio): `sub` is the local subcluster id
+    (0 when the cluster was small enough to prune whole) and `prio` the
+    centroid-cosine the greedy visit order actually used (the
+    sub-centroid's for split clusters) — together with (cell, vec_id)
+    these four columns are the ASSIGNMENT RECORD the registry persists,
+    from which the replay oracle re-runs the greedy decision procedure
+    (registry/llm.py:_SEMDEDUP_REPLAY_ORACLE)."""
     if len(ids) <= subsplit:
-        return greedy_prune(ids, mat, cdot, eps)
+        keep, dup_of = greedy_prune(ids, mat, cdot, eps)
+        return keep, dup_of, np.zeros(len(ids), dtype=np.int32), cdot
     k = max(2, int(np.ceil(len(ids) / target)))
     sub_cents = fit_centroids(mat, k=min(k, len(ids)), iters=5,
                               seed=1_000_003 + int(cell))
@@ -178,4 +222,4 @@ def prune_cluster(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,
         k_m, d_m = greedy_prune(ids[m], mat[m], sub_cdot[m], eps)
         keep[m] = k_m
         dup_of[m] = d_m
-    return keep, dup_of
+    return keep, dup_of, sub.astype(np.int32), sub_cdot

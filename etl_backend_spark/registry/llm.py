@@ -2868,11 +2868,90 @@ def q_graph_reachability(spark, sf_dir):
 _SEMDEDUP_CENT_CACHE: dict = {}
 
 
-@register("semdedup_kmeans")  # rows-only: k-means centroid floats are
-# seed-stable in numpy but not SQL-replicable (same standing as
-# sim_topk_pq/ivf); pinned instead by an independent driver-side greedy
-# twin at two decades, planted near-duplicate recall, and a
-# partition-layout-independence pytest (tests/test_llm_ops.py)
+# Assignment-artifact replay oracle (r11, the _PAGERANK_REPLAY_ORACLE
+# precedent applied to a DECISION PROCEDURE): the engine persists the
+# per-vector assignment record (vec_id, cell, sub, prio) — cell/sub from
+# the seeded k-means (BLAS floats, pytest-pinned, taken as GIVEN bits
+# here) and prio = the centroid-cosine the greedy visit order used — and
+# DuckDB re-runs the greedy prune itself from that record: a recursive
+# CTE steps through each (cell, sub) group in (prio ASC, vec_id ASC)
+# order carrying the kept set, scores each candidate against every kept
+# vector with the SAME left-associated fold the engine's kernel uses
+# (functions/semdedup.greedy_prune — acc = acc + k_d * v_d over dims,
+# seeded 0.0), and marks a duplicate of the first-most-similar kept
+# vector above 1 - eps. Vectors are re-normalized IN SQL with the exact
+# l2_normalize chain (x / sqrt(fold(acc + x*x))), so every float the
+# greedy compares is bit-identical cross-engine and the full
+# (vec_id, cell, keep, dup_of) surface hash-gates — the first
+# iterative/greedy operator with a value gate since graph_reachability's
+# recursive BFS. The engine reads its own output back from the artifact
+# (single execution, pagerank-style); the oracle reads ONLY the four
+# assignment columns and re-derives keep/dup_of, so the gate is a true
+# replay, not a round-trip.
+_SEMDEDUP_REPLAY_ORACLE = f"""
+    WITH RECURSIVE
+    a AS (
+      SELECT vec_id, cell, sub, prio
+      FROM read_parquet('{_ANN_ROOT}/semdedup-current/assign/*.parquet')
+    ), nv AS (
+      SELECT vec_id, list_transform(vd, x -> x / nrm) AS nv
+      FROM (
+        SELECT vec_id, vd,
+               sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(vd, x -> x * x)), (s, t) -> s + t))
+                 AS nrm
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
+      )
+    ), g AS (
+      SELECT a.vec_id, a.cell, a.sub, nv.nv,
+             row_number() OVER (PARTITION BY a.cell, a.sub
+                                ORDER BY a.prio ASC, a.vec_id ASC) AS rn,
+             count(*) OVER (PARTITION BY a.cell, a.sub) AS ng
+      FROM a JOIN nv USING (vec_id)
+    ),
+    walk(cell, sub, i, kept, dec) AS (
+      SELECT cell, sub, 0::BIGINT,
+             CAST([] AS STRUCT(id BIGINT, v DOUBLE[])[]),
+             CAST([] AS STRUCT(vec_id BIGINT, keep BOOLEAN,
+                               dup_of BIGINT)[])
+      FROM (SELECT DISTINCT cell, sub FROM g)
+      UNION ALL
+      SELECT w.cell, w.sub, w.i + 1,
+             CASE WHEN dv.hit THEN w.kept
+                  ELSE list_append(w.kept, {{'id': c.vec_id, 'v': c.nv}})
+             END,
+             list_append(w.dec, {{'vec_id': c.vec_id,
+                                  'keep': NOT dv.hit,
+                                  'dup_of': CASE WHEN dv.hit
+                                    THEN w.kept[dv.bi].id END}})
+      FROM walk w
+      JOIN g c ON c.cell = w.cell AND c.sub = w.sub AND c.rn = w.i + 1
+      CROSS JOIN LATERAL (
+        SELECT list_transform(w.kept, kv ->
+                 list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, len(c.nv)),
+                                  ii -> kv.v[ii] * c.nv[ii])),
+                   (s, t) -> s + t)) AS sims
+      ) sv
+      CROSS JOIN LATERAL (
+        SELECT coalesce(list_aggregate(sv.sims, 'max') > 0.95, FALSE)
+                 AS hit,
+               list_position(sv.sims, list_aggregate(sv.sims, 'max'))
+                 AS bi
+      ) dv
+    ),
+    last AS (
+      SELECT w.cell, w.dec
+      FROM walk w
+      JOIN (SELECT DISTINCT cell, sub, ng FROM g) gg
+        ON gg.cell = w.cell AND gg.sub = w.sub AND w.i = gg.ng
+    )
+    SELECT d.vec_id, last.cell, d.keep, d.dup_of
+    FROM last, unnest(last.dec) AS t(d)
+    """
+
+
+@register("semdedup_kmeans", oracle=_SEMDEDUP_REPLAY_ORACLE)
 def q_semdedup_kmeans(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     k-means clustering + within-cluster cosine pruning, the published
@@ -2887,7 +2966,13 @@ def q_semdedup_kmeans(spark, sf_dir):
     so pairwise work is O(n * 64) at any corpus size — never all-pairs.
 
     Output: every vector labeled (cell, keep, dup_of) — dup_of is the
-    kept vector that shadows it, null for keeps."""
+    kept vector that shadows it, null for keeps.
+
+    VALUE-GATED since r11: the assignment record persists as a parquet
+    artifact and the DuckDB oracle re-runs the greedy prune from it
+    bit-exactly (_SEMDEDUP_REPLAY_ORACLE above); the seeded centroid
+    fit stays pinned by the independent-greedy-twin, planted-duplicate,
+    and layout-independence pytests."""
     import numpy as np
     import pandas as pd
 
@@ -2930,16 +3015,37 @@ def q_semdedup_kmeans(spark, sf_dir):
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy()
         mat = np.stack(pdf["nv"].to_numpy())
-        keep, dup_of = sd.prune_cluster(
+        keep, dup_of, sub, prio = sd.prune_cluster(
             ids, mat, pdf["cdot"].to_numpy(), int(pdf["cell"].iloc[0])
         )
         return pd.DataFrame({
-            "vec_id": ids, "cell": pdf["cell"], "keep": keep,
-            "dup_of": pd.array(dup_of, dtype="Int64"),
+            "vec_id": ids, "cell": pdf["cell"], "sub": sub, "prio": prio,
+            "keep": keep, "dup_of": pd.array(dup_of, dtype="Int64"),
         }).assign(dup_of=lambda d: d["dup_of"].mask(d["dup_of"] < 0))
 
-    return tagged.groupBy("cell").applyInPandas(
-        prune, schema="vec_id long, cell int, keep boolean, dup_of long"
+    pruned = tagged.groupBy("cell").applyInPandas(
+        prune,
+        schema="vec_id long, cell int, sub int, prio double, "
+               "keep boolean, dup_of long",
+    )
+    # Persist the assignment record + decisions ONCE and read the result
+    # back (the pagerank artifact discipline — a single execution of the
+    # prune pass feeds both the gate artifact and the returned frame).
+    # The replay oracle reads ONLY (vec_id, cell, sub, prio) and
+    # re-derives keep/dup_of with its own recursive greedy — the
+    # decision columns in the artifact are the engine's output, never
+    # the oracle's input (see _SEMDEDUP_REPLAY_ORACLE above).
+    import os
+
+    from ..ann import index as ann_index
+
+    d = ann_index.index_dir_for(
+        "semdedup", sf_dir, tables=("embeddings",), root=_ANN_ROOT)
+    pruned.write.mode("overwrite").parquet(os.path.join(d, "assign"))
+    ann_index.point_current("semdedup", d, root=_ANN_ROOT)
+    return (
+        spark.read.parquet(os.path.join(d, "assign"))
+        .select("vec_id", "cell", "keep", "dup_of")
     )
 
 

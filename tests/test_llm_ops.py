@@ -1337,6 +1337,65 @@ def test_semdedup_kmeans_partition_layout_independent(spark):
     assert base == alt and len(base) > 0
 
 
+def test_semdedup_subsplit_path_replays_in_oracle(spark, tmp_path):
+    """Force the hot-cluster SUBSPLIT path (a cell past SUBSPLIT=256
+    rows re-clusters locally before the greedy) and assert the DuckDB
+    replay oracle reproduces the engine's full
+    (vec_id, cell, keep, dup_of) surface exactly — the (sub, prio)
+    columns of the persisted assignment record are precisely what makes
+    this path replayable, and neither the sf0.01 gate corpus nor the
+    other planted tests are guaranteed to exercise it.
+
+    300 BIT-IDENTICAL vectors must land in one k-means cell (equal
+    distance rows -> argmin's first-index tie-break picks the same
+    centroid for all), pushing that cell past SUBSPLIT deterministically
+    regardless of where the seeded fit places centroids."""
+    import duckdb
+    import numpy as np
+
+    from etl_backend_spark.ann.index import ANN_ROOT
+    from etl_backend_spark.functions import semdedup as sd
+    from etl_backend_spark.registry import ORACLES, QUERIES
+
+    rng = np.random.RandomState(3)
+    hot = rng.randn(64)
+    vecs = [(i, hot) for i in range(300)]
+    vecs += [(300 + i, rng.randn(64) * 3.0) for i in range(150)]
+    d = tmp_path / "sfhot"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v], "x") for i, v in vecs],
+        "vec_id long, embedding array<float>, label string",
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    rows = QUERIES["semdedup_kmeans"](spark, str(d)).collect()
+    got = sorted((r.vec_id, r.cell, r.keep, r.dup_of) for r in rows)
+    assert len(got) == 450
+
+    con = duckdb.connect()
+    art = con.execute(
+        f"SELECT max(sub), count(*) FROM read_parquet("
+        f"'{ANN_ROOT}/semdedup-current/assign/*.parquet')"
+    ).fetchone()
+    assert art[1] == 450
+    assert art[0] > 0, "subsplit path not exercised — hot cell too small"
+
+    # the 300 identical vectors collapse to exactly one kept vector
+    hot_rows = [r for r in rows if r.vec_id < 300]
+    kept_hot = [r.vec_id for r in hot_rows if r.keep]
+    assert len(kept_hot) == 1
+    assert all(r.dup_of == kept_hot[0] for r in hot_rows if not r.keep)
+
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        ORACLES["semdedup_kmeans"]).fetchall()))
+    con.close()
+    assert got == want
+
+
 def test_semdedup_planted_near_duplicates_collapse(spark, tmp_path):
     """Behavior pin on planted data: injected near-copies (cos ~ 0.9998)
     collapse to one kept vector with dup_of pointing at it; the base
