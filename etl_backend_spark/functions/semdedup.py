@@ -185,6 +185,14 @@ def greedy_prune(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,
                 sims = np.zeros(len(kept_rows), dtype=np.float64)
                 for d in range(mat.shape[1]):
                     sims = sims + kmat[:, d] * v[d]
+            # zero-norm embeddings normalize to NaN; mask to -inf so a
+            # degenerate vector is simply KEPT and never suppresses a
+            # real duplicate (np.argmax would otherwise return the NaN
+            # position) — and so the replay oracle, whose NaN sorts
+            # ABOVE all values in DuckDB comparisons, decides
+            # identically (r11 code-review finding; the kNN kernel's
+            # r9 NaN-mask precedent)
+            sims = np.where(np.isnan(sims), -np.inf, sims)
             j = int(sims.argmax())
             if sims[j] > 1.0 - eps:
                 dup_of[i] = ids[kept_rows[j]]

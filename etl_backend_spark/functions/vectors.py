@@ -33,7 +33,11 @@ def norm(v: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # same 1e-300 divisor guard as l2_normalize: a zero-norm operand
+    # would raise DIVIDE_BY_ZERO under ANSI mode; guarded, it scores
+    # cosine 0.0 (ranked below any real similarity). Bit-neutral for
+    # nonzero operands.
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-300))
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
@@ -95,7 +99,17 @@ def pair_dot_seq_pandas():
 
 
 def l2_normalize(v: Column) -> Column:
-    n = norm(v)
+    # Divisor guarded to >= 1e-300: an all-zero vector would otherwise
+    # raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode (killing
+    # the whole job on one degenerate row — r11 code-review) — with the
+    # guard it normalizes to the all-zero vector (cosine 0.0 to
+    # everything, so dedup keeps it). Bit-neutral for every nonzero
+    # vector (any representable nonzero norm exceeds 1e-300). A NaN
+    # input element still propagates NaN (greatest picks NaN on both
+    # engines) — consumers mask NaN cosines to -inf (semdedup's greedy,
+    # the kNN kernel's r9 precedent). The semdedup replay oracle
+    # (registry/llm.py) mirrors this exact chain in SQL.
+    n = F.greatest(norm(v), F.lit(1e-300))
     return F.transform(v, lambda x: x / n)
 
 

@@ -3294,7 +3294,7 @@ _ALS_REPLAY_ORACLE = f"""
                (a, x) -> a + x) AS score
       FROM uf, itf
     )
-    SELECT "user", rk, p_type, round(score, 4) AS score FROM (
+    SELECT "user", rk, p_type, score FROM (
       SELECT "user", item, p_type, score,
              row_number() OVER (PARTITION BY "user"
                                 ORDER BY score DESC, item ASC) AS rk
@@ -3360,9 +3360,14 @@ def q_recsys_als(spark, sf_dir):
     )
     w = W.partitionBy("user").orderBy(F.col("score").desc(),
                                       F.col("item").asc())
+    # the score doubles are bit-identical across engines (same persisted
+    # bits, same fold), so they gate RAW — a display round(4) would
+    # reintroduce the Spark-vs-DuckDB decimal-tie divergence this repo
+    # documented on events.py's window family (HALF_UP on the shortest
+    # decimal repr vs rounding the scaled double; r11 code-review)
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("user", "rk", "p_type", F.round("score", 4).alias("score"))
+        .select("user", "rk", "p_type", "score")
         .orderBy("user", "rk")
     )

@@ -17,6 +17,7 @@ from ..ann.index import ANN_ROOT as _ANN_ROOT
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
+from ..functions.semdedup import EPS as _SEMDEDUP_EPS
 from ..sources.catalog import Catalog
 from . import register
 
@@ -2897,9 +2898,9 @@ _SEMDEDUP_REPLAY_ORACLE = f"""
       SELECT vec_id, list_transform(vd, x -> x / nrm) AS nv
       FROM (
         SELECT vec_id, vd,
-               sqrt(list_reduce(list_prepend(0.0,
-                    list_transform(vd, x -> x * x)), (s, t) -> s + t))
-                 AS nrm
+               greatest(sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(vd, x -> x * x)), (s, t) -> s + t)),
+                 1e-300) AS nrm
         FROM (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
       )
     ), g AS (
@@ -2927,15 +2928,22 @@ _SEMDEDUP_REPLAY_ORACLE = f"""
       FROM walk w
       JOIN g c ON c.cell = w.cell AND c.sub = w.sub AND c.rn = w.i + 1
       CROSS JOIN LATERAL (
-        SELECT list_transform(w.kept, kv ->
-                 list_reduce(list_prepend(0.0,
-                   list_transform(generate_series(1, len(c.nv)),
-                                  ii -> kv.v[ii] * c.nv[ii])),
-                   (s, t) -> s + t)) AS sims
+        -- NaN (zero-norm) cosines mask to -inf, mirroring the kernel's
+        -- np.where(isnan, -inf) guard — DuckDB would otherwise sort
+        -- NaN ABOVE the threshold while numpy compares it False
+        SELECT list_transform(
+                 list_transform(w.kept, kv ->
+                   list_reduce(list_prepend(0.0,
+                     list_transform(generate_series(1, len(c.nv)),
+                                    ii -> kv.v[ii] * c.nv[ii])),
+                     (s, t) -> s + t)),
+                 s -> CASE WHEN isnan(s)
+                           THEN CAST('-infinity' AS DOUBLE)
+                           ELSE s END) AS sims
       ) sv
       CROSS JOIN LATERAL (
-        SELECT coalesce(list_aggregate(sv.sims, 'max') > 0.95, FALSE)
-                 AS hit,
+        SELECT coalesce(list_aggregate(sv.sims, 'max')
+                          > {1.0 - _SEMDEDUP_EPS!r}, FALSE) AS hit,
                list_position(sv.sims, list_aggregate(sv.sims, 'max'))
                  AS bi
       ) dv

@@ -19,6 +19,20 @@ from ..sources.catalog import Catalog
 from . import register
 
 
+def _md5_hex64_sql(prefix: str, id_expr: str = "doc_id") -> str:
+    """DuckDB replica of the engine's ``F.conv(substr(md5(prefix || id),
+    1, 8), 16, 10)`` deterministic bucket hash (DuckDB has no base-16
+    conversion, so the 8 hex nibbles fold into a BIGINT). ONE definition
+    for the seven split/sample oracles below — per-oracle verbatim
+    copies were the drift hazard the r11 review flagged (an engine-side
+    change updated in six copies but not the seventh only surfaces as a
+    full-gate hash failure)."""
+    return f"""list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5('{prefix}' || CAST({id_expr} AS VARCHAR)), i, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT"""
+
+
 @register(
     "doc_chunk",
     oracle="""
@@ -98,13 +112,10 @@ def q_pii_scrub(spark, sf_dir):
 
 @register(
     "split_assign",
-    oracle="""
+    oracle=f"""
     WITH h AS (
       SELECT doc_id,
-             list_sum(list_transform(generate_series(1, 8),
-               i -> (strpos('0123456789abcdef',
-                            substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 AS bucket
+             {_md5_hex64_sql('split:')} % 100 AS bucket
       FROM documents
     )
     SELECT doc_id, bucket,
@@ -351,13 +362,10 @@ def q_udtf_sentences(spark, sf_dir):
 
 @register(
     "contamination_check",
-    oracle="""
+    oracle=f"""
     WITH sp AS (
       SELECT doc_id,
-             CASE WHEN list_sum(list_transform(generate_series(1, 8),
-               i -> (strpos('0123456789abcdef',
-                            substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 < 90
+             CASE WHEN {_md5_hex64_sql('split:')} % 100 < 90
              THEN 'train' ELSE 'heldout' END AS split
       FROM documents
     ), sh AS (
@@ -417,13 +425,10 @@ def q_contamination_check(spark, sf_dir):
 
 @register(
     "sample_hash_fraction",
-    oracle="""
+    oracle=f"""
     SELECT doc_id FROM (
       SELECT doc_id,
-             list_sum(list_transform(generate_series(1, 8),
-               i -> (strpos('0123456789abcdef',
-                            substr(md5('sample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 10000 AS bucket
+             {_md5_hex64_sql('sample:')} % 10000 AS bucket
       FROM documents
     ) WHERE bucket < 1500
     """,
@@ -446,7 +451,7 @@ def q_sample_hash_fraction(spark, sf_dir):
 
 @register(
     "source_mix_temperature",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT source, count(*) AS n FROM documents GROUP BY source
     ), packed AS (
@@ -473,10 +478,7 @@ def q_sample_hash_fraction(spark, sf_dir):
     )
     SELECT d.doc_id, d.source, t2.mix_threshold
     FROM documents d JOIN t2 USING (source)
-    WHERE list_sum(list_transform(generate_series(1, 8),
-            i -> (strpos('0123456789abcdef',
-                         substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), i, 1)) - 1)
-                 * (1::BIGINT << (4 * (8 - i)))))::BIGINT < t2.mix_threshold
+    WHERE {_md5_hex64_sql('mix:', 'd.doc_id')} < t2.mix_threshold
     """,
 )
 def q_source_mix_temperature(spark, sf_dir):
@@ -757,7 +759,7 @@ def q_gopher_rules(spark, sf_dir):
 
 @register(
     "corpus_pipeline",
-    oracle="""
+    oracle=f"""
     WITH kept AS (
       SELECT doc_id, text FROM (
         SELECT doc_id, text,
@@ -776,10 +778,7 @@ def q_gopher_rules(spark, sf_dir):
       SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
     ), train AS (
       SELECT u.doc_id, k.text FROM uniq u JOIN kept k ON k.doc_id = u.doc_id
-      WHERE list_sum(list_transform(generate_series(1, 8),
-              i -> (strpos('0123456789abcdef',
-                           substr(md5('split:' || CAST(u.doc_id AS VARCHAR)), i, 1)) - 1)
-                   * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 < 90
+      WHERE {_md5_hex64_sql('split:', 'u.doc_id')} % 100 < 90
     ), t AS (
       SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
              md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
@@ -858,14 +857,10 @@ def q_corpus_pipeline(spark, sf_dir):
 
 @register(
     "sample_stratified",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             list_sum(list_transform(generate_series(1, 8),
-               i -> (strpos('0123456789abcdef',
-                     substr(md5('strat:' || CAST(doc_id AS VARCHAR)), i, 1))
-                     - 1) * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100
-               AS bucket
+             {_md5_hex64_sql('strat:')} % 100 AS bucket
       FROM documents
     )
     SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
@@ -1526,8 +1521,15 @@ def qlr_features(spark, sf_dir):
     by ``quality_classifier_lr`` and the frozen-weight prediction pin
     (tests/test_llm_ops.py), so a drift in ANY feature expression flips
     pinned per-doc predictions instead of hiding inside an accuracy
-    bar (VERDICT r6 #3). All-JVM expressions; one pass over documents."""
-    d = Catalog(spark, sf_dir).table("documents")
+    bar (VERDICT r6 #3). All-JVM expressions; one pass over documents.
+
+    NULL text coalesces to '' up front (both here and in the replay
+    oracle): otherwise a NULL row yields NULL features -> NULL label
+    but a 0.0 prediction (when/otherwise falls through), landing in an
+    agree=NULL group the oracle's CASE arms would count as agree=true
+    (r11 code-review finding)."""
+    d = Catalog(spark, sf_dir).table("documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit("")))
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n_words = F.size(words)
     mean_word_len = F.when(
@@ -1585,16 +1587,13 @@ _QLR_REPLAY_ORACLE = f"""
       SELECT w1, w2, w3, w4, b
       FROM read_parquet('{_ANN_ROOT}/qlr-current/weights/*.parquet')
     ), t AS (
-      SELECT doc_id, text,
-             string_split_regex(lower(trim(text)), '\\s+') AS words
+      SELECT doc_id, coalesce(text, '') AS text,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')
+               AS words
       FROM documents
     ), f AS (
       SELECT doc_id,
-             CASE WHEN list_sum(list_transform(generate_series(1, 8),
-                    i -> (strpos('0123456789abcdef',
-                                 substr(md5('qlr:' || CAST(doc_id AS VARCHAR)),
-                                        i, 1)) - 1)
-                         * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 < 80
+             CASE WHEN {_md5_hex64_sql('qlr:')} % 100 < 80
                   THEN 'train' ELSE 'heldout' END AS split,
              len(words)::DOUBLE AS f_nwords,
              CASE WHEN len(words) > 0

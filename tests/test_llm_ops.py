@@ -1368,6 +1368,12 @@ def test_semdedup_subsplit_path_replays_in_oracle(spark, tmp_path):
         "vec_id long, embedding array<float>, label string",
     ).write.parquet(str(d / "embeddings.parquet"))
 
+    # NOTE: this runs the registry builder against the global ANN_ROOT,
+    # so semdedup-current now points at THIS corpus' artifacts and
+    # point_current's GC reclaims prior dirs — fine under the engine-
+    # runs-strictly-before-its-oracle protocol every consumer follows
+    # (the gate and driver re-run the engine first; an oracle-only
+    # replay after pytest would read this test corpus).
     rows = QUERIES["semdedup_kmeans"](spark, str(d)).collect()
     got = sorted((r.vec_id, r.cell, r.keep, r.dup_of) for r in rows)
     assert len(got) == 450
@@ -1378,6 +1384,11 @@ def test_semdedup_subsplit_path_replays_in_oracle(spark, tmp_path):
         f"'{ANN_ROOT}/semdedup-current/assign/*.parquet')"
     ).fetchone()
     assert art[1] == 450
+    # sub > 0 holds because the hot cell captures ~1/7 of the 150
+    # far-scattered gaussians in expectation (a geometric fact, not a
+    # rounding-sensitive one), and the sub-fit's dead-centroid reseed
+    # then pulls at least one sub-centroid onto a scatter point, which
+    # claims its neighborhood away from sub 0
     assert art[0] > 0, "subsplit path not exercised — hot cell too small"
 
     # the 300 identical vectors collapse to exactly one kept vector
@@ -1393,6 +1404,67 @@ def test_semdedup_subsplit_path_replays_in_oracle(spark, tmp_path):
     want = sorted(map(tuple, con.execute(
         ORACLES["semdedup_kmeans"]).fetchall()))
     con.close()
+    assert got == want
+
+
+def test_semdedup_zero_norm_vectors_kept_and_replay_matches(spark,
+                                                            tmp_path):
+    """Degenerate embeddings must not kill or desync the gate (r11
+    code-review): an ALL-ZERO vector used to raise DIVIDE_BY_ZERO under
+    Spark 4's ANSI mode inside l2_normalize — with the 1e-300 divisor
+    guard (mirrored in the replay oracle's SQL) it normalizes to the
+    zero vector and is KEPT (cosine 0.0 to everything). A NaN-poisoned
+    vector still normalizes to NaN, and the greedy masks NaN cosines to
+    -inf on BOTH engines (numpy's argmax would return the NaN position
+    and compare False while DuckDB sorts NaN ABOVE the threshold —
+    opposite keep/dup decisions without the shared mask). TWO NaN
+    vectors force the all-NaN-sims path: the second one's sims against
+    the kept first are NaN. Pin: all four degenerate vectors are KEPT,
+    planted near-dups still collapse (degenerate rows never suppress a
+    real duplicate), and the oracle replay matches row-for-row."""
+    import duckdb
+    import numpy as np
+
+    from etl_backend_spark.registry import ORACLES, QUERIES
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(150, 64)
+    vecs = [(i, base[i]) for i in range(150)]
+    for p in range(5):  # near-dup twins of the first 5
+        vecs.append((500 + p, base[p] + rng.randn(64) * 0.01))
+    vecs.append((900, np.zeros(64)))
+    vecs.append((901, np.zeros(64)))
+    nanvec = base[20].copy()
+    nanvec[7] = np.nan
+    vecs.append((910, nanvec))
+    vecs.append((911, nanvec))
+    d = tmp_path / "sfzero"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v], "x") for i, v in vecs],
+        "vec_id long, embedding array<float>, label string",
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    rows = QUERIES["semdedup_kmeans"](spark, str(d)).collect()
+    out = {r.vec_id: r for r in rows}
+    assert len(out) == 159
+    for v in (900, 901, 910, 911):  # degenerate vectors survive
+        assert out[v].keep, v
+    for p in range(5):  # degenerates never suppressed real dup detection
+        ra, rb = out[p], out[500 + p]
+        assert ra.keep != rb.keep
+        dup, kept = (ra, rb) if rb.keep else (rb, ra)
+        assert dup.dup_of == kept.vec_id
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        ORACLES["semdedup_kmeans"]).fetchall()))
+    con.close()
+    got = sorted((r.vec_id, r.cell, r.keep, r.dup_of) for r in rows)
     assert got == want
 
 
