@@ -231,3 +231,60 @@ def prune_cluster(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,
         keep[m] = k_m
         dup_of[m] = d_m
     return keep, dup_of, sub.astype(np.int32), sub_cdot
+
+
+def greedy_prune_incremental(ids: np.ndarray, mat: np.ndarray,
+                             prio: np.ndarray, kept_ids: np.ndarray,
+                             kept_mat: np.ndarray, eps: float = EPS):
+    """INCREMENTAL greedy: dedup a NEW batch against an already-pruned
+    base kept set without revisiting (or ever re-deciding) the base.
+    The kept list starts as the base cell's kept vectors in their
+    CANONICAL order (sub ASC, prio ASC, vec_id ASC — the caller
+    pre-orders; the argmax tie-break "earlier kept wins" then prefers
+    base representatives over new arrivals) and grows with accepted new
+    vectors, which are visited farthest-from-centroid first exactly
+    like the batch path.
+
+    Same cross-engine float contract as ``greedy_prune``: cosines
+    accumulate in fold order — precomputed as ONE pass over dims of the
+    (new x (base-kept + new)) matrix when it fits, per-visit fold
+    otherwise (identical add chain either way; pinned by the same
+    bit-equality discipline) — and NaN cosines mask to -inf. The
+    replay oracle (_SEMDEDUP_INCR_REPLAY_ORACLE, registry/llm.py)
+    re-runs THIS procedure from the persisted base + batch assignment
+    records.
+
+    Returns (keep, dup_of) aligned with the input order; dup_of may
+    name a base kept vector or an earlier-accepted new one, -1 for
+    keeps."""
+    order = np.lexsort((ids, prio))
+    n_new = len(ids)
+    kb = len(kept_ids)
+    all_ids = np.concatenate([kept_ids, ids]) if kb else ids
+    all_mat = np.vstack([kept_mat, mat]) if kb else mat
+    keep = np.zeros(n_new, dtype=bool)
+    dup_of = np.full(n_new, -1, dtype=np.int64)
+    kept_rows = list(range(kb))          # positions into all_mat
+    S = None
+    if n_new * (kb + n_new) <= PAIRWISE_PRECOMPUTE_MAX ** 2:
+        S = np.zeros((n_new, kb + n_new), dtype=np.float64)
+        for d in range(mat.shape[1]):    # sequential over dims = fold
+            S += mat[:, d][:, None] * all_mat[:, d][None, :]
+    for i in order:
+        if kept_rows:
+            if S is not None:
+                sims = S[i, kept_rows]
+            else:
+                kmat = all_mat[kept_rows]
+                v = mat[i]
+                sims = np.zeros(len(kept_rows), dtype=np.float64)
+                for d in range(mat.shape[1]):
+                    sims = sims + kmat[:, d] * v[d]
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            j = int(sims.argmax())
+            if sims[j] > 1.0 - eps:
+                dup_of[i] = all_ids[kept_rows[j]]
+                continue
+        keep[i] = True
+        kept_rows.append(kb + i)
+    return keep, dup_of

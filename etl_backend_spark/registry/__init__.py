@@ -28,6 +28,21 @@ ORACLES: dict[str, str] = {}
 ORACLE_GATES: dict[str, Callable[[str], bool]] = {}
 
 
+def _md5_hex64_sql(prefix: str, id_expr: str = "doc_id") -> str:
+    """DuckDB replica of the engine's ``F.conv(substr(md5(prefix || id),
+    1, 8), 16, 10)`` deterministic bucket hash (DuckDB has no base-16
+    conversion, so the 8 hex nibbles fold into a BIGINT). ONE definition
+    for every split/sample oracle — per-oracle verbatim copies were the
+    drift hazard the r11 review flagged (an engine-side change updated
+    in six copies but not the seventh only surfaces as a full-gate hash
+    failure). Lives here, above the submodule imports, so any registry
+    module can use it without perturbing registration order."""
+    return f"""list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5('{prefix}' || CAST({id_expr} AS VARCHAR)), i, 1)) - 1)
+                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT"""
+
+
 def register(name: str, oracle: str | None = None,
              oracle_valid: Callable[[str], bool] | None = None):
     """Decorator: register a query builder and (optionally) its oracle SQL.
@@ -129,6 +144,7 @@ PRIORITY: list[str] = [
     "dsir_importance",
     "embedding_pca",
     "dedup_incremental",
+    "semdedup_incremental",
     "dedup_clusters",
     "split_leakage_safe",
     "sim_topk_lsh",

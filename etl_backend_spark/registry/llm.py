@@ -3057,6 +3057,241 @@ def q_semdedup_kmeans(spark, sf_dir):
     )
 
 
+# Incremental-semdedup replay oracle (late r11): the INGESTION shape of
+# SemDeDup — a new batch (the 10% md5 'sdinc:' bucket) dedups against
+# the already-pruned base kept set with FROZEN centroids (no
+# re-clustering, no base re-decisions; the frozen-codebook
+# sim_index_incremental precedent applied to the greedy family). The
+# engine persists TWO records: base/ (vec_id, cell, sub, prio, keep —
+# the batch-path assignment record plus its decisions, which are
+# INPUTS here: the base is given) and batch/ (vec_id, cell, prio).
+# DuckDB seeds each cell's walk with the base kept vectors in their
+# canonical (sub, prio, vec_id) order and re-runs the SAME fold-order
+# greedy over the batch visit order — so dup_of attribution (base rep
+# vs earlier-accepted new vector, earliest-kept tie-break) is replayed
+# bit-exactly, not read back.
+_SEMDEDUP_INCR_REPLAY_ORACLE = f"""
+    WITH RECURSIVE
+    b AS (
+      SELECT vec_id, cell, sub, prio, keep
+      FROM read_parquet('{_ANN_ROOT}/semdedup-incr-current/base/*.parquet')
+    ), q AS (
+      SELECT vec_id, cell, prio
+      FROM read_parquet('{_ANN_ROOT}/semdedup-incr-current/batch/*.parquet')
+    ), nv AS (
+      SELECT vec_id, list_transform(vd, x -> x / nrm) AS nv
+      FROM (
+        SELECT vec_id, vd,
+               greatest(sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(vd, x -> x * x)), (s, t) -> s + t)),
+                 1e-300) AS nrm
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
+      )
+    ), k0 AS (
+      SELECT b.cell,
+             list({{'id': b.vec_id, 'v': nv.nv}}
+                  ORDER BY b.sub ASC, b.prio ASC, b.vec_id ASC) AS kept0
+      FROM b JOIN nv USING (vec_id) WHERE b.keep
+      GROUP BY b.cell
+    ), g AS (
+      SELECT q.vec_id, q.cell, nv.nv,
+             row_number() OVER (PARTITION BY q.cell
+                                ORDER BY q.prio ASC, q.vec_id ASC) AS rn,
+             count(*) OVER (PARTITION BY q.cell) AS ng
+      FROM q JOIN nv USING (vec_id)
+    ),
+    walk(cell, i, kept, dec) AS (
+      SELECT c.cell, 0::BIGINT,
+             coalesce(k0.kept0,
+                      CAST([] AS STRUCT(id BIGINT, v DOUBLE[])[])),
+             CAST([] AS STRUCT(vec_id BIGINT, keep BOOLEAN,
+                               dup_of BIGINT)[])
+      FROM (SELECT DISTINCT cell FROM g) c
+      LEFT JOIN k0 ON k0.cell = c.cell
+      UNION ALL
+      SELECT w.cell, w.i + 1,
+             CASE WHEN dv.hit THEN w.kept
+                  ELSE list_append(w.kept, {{'id': c.vec_id, 'v': c.nv}})
+             END,
+             list_append(w.dec, {{'vec_id': c.vec_id,
+                                  'keep': NOT dv.hit,
+                                  'dup_of': CASE WHEN dv.hit
+                                    THEN w.kept[dv.bi].id END}})
+      FROM walk w
+      JOIN g c ON c.cell = w.cell AND c.rn = w.i + 1
+      CROSS JOIN LATERAL (
+        SELECT list_transform(
+                 list_transform(w.kept, kv ->
+                   list_reduce(list_prepend(0.0,
+                     list_transform(generate_series(1, len(c.nv)),
+                                    ii -> kv.v[ii] * c.nv[ii])),
+                     (s, t) -> s + t)),
+                 s -> CASE WHEN isnan(s)
+                           THEN CAST('-infinity' AS DOUBLE)
+                           ELSE s END) AS sims
+      ) sv
+      CROSS JOIN LATERAL (
+        SELECT coalesce(list_aggregate(sv.sims, 'max')
+                          > {1.0 - _SEMDEDUP_EPS!r}, FALSE) AS hit,
+               list_position(sv.sims, list_aggregate(sv.sims, 'max'))
+                 AS bi
+      ) dv
+    ),
+    last AS (
+      SELECT w.cell, w.dec
+      FROM walk w
+      JOIN (SELECT DISTINCT cell, ng FROM g) gg
+        ON gg.cell = w.cell AND w.i = gg.ng
+    )
+    SELECT d.vec_id, last.cell, d.keep, d.dup_of
+    FROM last, unnest(last.dec) AS t(d)
+    """
+
+
+@register("semdedup_incremental", oracle=_SEMDEDUP_INCR_REPLAY_ORACLE)
+def q_semdedup_incremental(spark, sf_dir):
+    """INCREMENTAL SemDeDup — the daily-ingest shape: a new batch (the
+    10% md5 'sdinc:' bucket of ``embeddings``) semantically dedups
+    against the EXISTING corpus without re-clustering or re-deciding
+    it. Centroids fit once on the base (frozen — the
+    sim_index_incremental discipline), ONE map pass assigns both sides,
+    the base prunes exactly like ``semdedup_kmeans``, and each cell's
+    new vectors run the greedy against the base's kept set (canonical
+    (sub, prio, vec_id) order, so base representatives win argmax
+    ties) plus earlier-accepted arrivals — a cogrouped per-cell pass,
+    O(new x kept_cell) with E[kept_cell] ~ TARGET_CLUSTER/dup-rate.
+    A batch vector near a base DUPLICATE (not its kept representative)
+    is only collapsed if it is also within eps of the representative —
+    the paper's boundary-miss tradeoff, inherited.
+
+    Output: the batch vectors labeled (cell, keep, dup_of); dup_of may
+    name a base kept vector or an earlier batch arrival.
+
+    VALUE-GATED: base and batch assignment records persist as parquet
+    artifacts and the DuckDB oracle (_SEMDEDUP_INCR_REPLAY_ORACLE
+    above) re-runs the incremental greedy from them bit-exactly."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..ann import index as ann_index
+    from ..functions import semdedup as sd
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    corpus = e.select(
+        "vec_id", V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv")
+    )
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("sdinc:"), F.col("vec_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 100
+    )
+    corpus = corpus.withColumn("is_base", bucket < 90)
+    n = e.count()  # parquet metadata count — no scan
+    n_base = max(1, (n * 9) // 10)  # deterministic k-schedule estimate
+
+    cents = _SEMDEDUP_CENT_CACHE.get((sf_dir, "incr", n))
+    if cents is None:
+        k = sd.k_schedule(n_base)
+        fit_df = corpus.filter(F.col("is_base")).select("nv")
+        cap = min(n_base, max(8 * k, 4096), sd.FIT_CAP)
+        if n_base > cap:
+            fit_df = fit_df.sample(fraction=min(1.0, 1.1 * cap / n_base),
+                                   seed=11).limit(cap)
+        sample = np.array([r.nv for r in fit_df.collect()])
+        cents = sd.fit_centroids(sample, k=min(k, len(sample)), seed=11)
+        _SEMDEDUP_CENT_CACHE[(sf_dir, "incr", n)] = cents
+
+    def tag(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["nv"].to_numpy())
+            cell, cdot = sd.assign_cells(mat, cents)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "cell": cell, "cdot": cdot,
+                "nv": pdf["nv"], "is_base": pdf["is_base"],
+            })
+
+    tagged = corpus.mapInPandas(
+        tag, schema="vec_id long, cell int, cdot double, "
+                    "nv array<double>, is_base boolean"
+    )
+
+    def prune(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["nv"].to_numpy())
+        keep, dup_of, sub, prio = sd.prune_cluster(
+            ids, mat, pdf["cdot"].to_numpy(), int(pdf["cell"].iloc[0])
+        )
+        return pd.DataFrame({
+            "vec_id": ids, "cell": pdf["cell"], "sub": sub, "prio": prio,
+            "keep": keep,
+        })
+
+    base_rec = (
+        tagged.filter(F.col("is_base"))
+        .groupBy("cell")
+        .applyInPandas(prune, schema="vec_id long, cell int, sub int, "
+                                     "prio double, keep boolean")
+    )
+
+    d = ann_index.index_dir_for(
+        "semdedup-incr", sf_dir, tables=("embeddings",), root=_ANN_ROOT)
+    base_rec.write.mode("overwrite").parquet(os.path.join(d, "base"))
+    base_p = spark.read.parquet(os.path.join(d, "base"))
+
+    # kept vectors re-derive nv from the UPSTREAM corpus plan (same
+    # deterministic JVM expression as the tag pass, fresh attribute ids
+    # — joining back through `tagged` would be a self-join with the
+    # batch side), keyed by the persisted record's cell
+    kept = (
+        base_p.filter(F.col("keep"))
+        .select("vec_id", "cell", "sub", "prio")
+        .join(corpus.select("vec_id", "nv"), "vec_id")
+    )
+    batch = (
+        tagged.filter(~F.col("is_base"))
+        .select("vec_id", "cell", F.col("cdot").alias("prio"), "nv")
+    )
+
+    def inc(left, right):
+        # left = the cell's batch rows, right = the cell's base kept
+        if left.empty:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int32"),
+                "prio": pd.Series(dtype="float64"),
+                "keep": pd.Series(dtype="bool"),
+                "dup_of": pd.Series(dtype="Int64"),
+            })
+        left = left.sort_values("vec_id").reset_index(drop=True)
+        right = right.sort_values(["sub", "prio", "vec_id"],
+                                  na_position="last").reset_index(drop=True)
+        ids = left["vec_id"].to_numpy()
+        mat = np.stack(left["nv"].to_numpy())
+        kept_ids = right["vec_id"].to_numpy()
+        kept_mat = (np.stack(right["nv"].to_numpy())
+                    if len(right) else np.empty((0, mat.shape[1])))
+        keep, dup_of = sd.greedy_prune_incremental(
+            ids, mat, left["prio"].to_numpy(), kept_ids, kept_mat)
+        return pd.DataFrame({
+            "vec_id": ids, "cell": left["cell"], "prio": left["prio"],
+            "keep": keep, "dup_of": pd.array(dup_of, dtype="Int64"),
+        }).assign(dup_of=lambda x: x["dup_of"].mask(x["dup_of"] < 0))
+
+    batch_rec = batch.groupBy("cell").cogroup(kept.groupBy("cell")).applyInPandas(
+        inc, schema="vec_id long, cell int, prio double, "
+                    "keep boolean, dup_of long",
+    )
+    batch_rec.write.mode("overwrite").parquet(os.path.join(d, "batch"))
+    ann_index.point_current("semdedup-incr", d, root=_ANN_ROOT)
+    return (
+        spark.read.parquet(os.path.join(d, "batch"))
+        .select("vec_id", "cell", "keep", "dup_of")
+    )
+
+
 # Component-artifact replay oracle (r11, VERDICT r10 #5): the engine
 # persists the fitted (mean, components) matrix — 8 x 64 rows of
 # (c, dim, mean, w) — and projects with a LEFT-ASSOCIATED per-dimension

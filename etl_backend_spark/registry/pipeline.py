@@ -16,21 +16,7 @@ from pyspark.sql import functions as F
 from ..ann.index import ANN_ROOT as _ANN_ROOT
 from ..functions import text as T
 from ..sources.catalog import Catalog
-from . import register
-
-
-def _md5_hex64_sql(prefix: str, id_expr: str = "doc_id") -> str:
-    """DuckDB replica of the engine's ``F.conv(substr(md5(prefix || id),
-    1, 8), 16, 10)`` deterministic bucket hash (DuckDB has no base-16
-    conversion, so the 8 hex nibbles fold into a BIGINT). ONE definition
-    for the seven split/sample oracles below — per-oracle verbatim
-    copies were the drift hazard the r11 review flagged (an engine-side
-    change updated in six copies but not the seventh only surfaces as a
-    full-gate hash failure)."""
-    return f"""list_sum(list_transform(generate_series(1, 8),
-               i -> (strpos('0123456789abcdef',
-                            substr(md5('{prefix}' || CAST({id_expr} AS VARCHAR)), i, 1)) - 1)
-                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT"""
+from . import _md5_hex64_sql, register
 
 
 @register(

@@ -1468,6 +1468,70 @@ def test_semdedup_zero_norm_vectors_kept_and_replay_matches(spark,
     assert got == want
 
 
+def test_semdedup_incremental_planted_and_replay(spark, tmp_path):
+    """Incremental SemDeDup behavior pins on planted data: a batch
+    vector near a BASE KEPT vector collapses onto it (dup_of = the base
+    id), a batch-internal near-dup pair (far from the base) keeps
+    exactly one member, base-only vectors never appear in the output,
+    and the DuckDB replay oracle reproduces the engine's full surface
+    from the persisted base/batch records. The 'sdinc:' md5 split is
+    recomputed here with hashlib to locate base vs batch ids."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from etl_backend_spark.registry import ORACLES, QUERIES
+
+    def is_batch(i):
+        h = hashlib.md5(f"sdinc:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 >= 90
+
+    rng = np.random.RandomState(23)
+    n = 300
+    vecs = {i: rng.randn(64) for i in range(n)}
+    batch_ids = sorted(i for i in vecs if is_batch(i))
+    base_ids = sorted(i for i in vecs if not is_batch(i))
+    assert len(batch_ids) >= 10
+    # plant: first batch id is a near-copy of a base vector
+    b_on_base, a_base = batch_ids[0], base_ids[0]
+    vecs[b_on_base] = vecs[a_base] + rng.randn(64) * 0.01
+    # plant: two batch ids are near-copies of each other, far from base
+    b1, b2 = batch_ids[1], batch_ids[2]
+    shared = rng.randn(64) * 2.0
+    vecs[b1] = shared + rng.randn(64) * 0.01
+    vecs[b2] = shared + rng.randn(64) * 0.01
+
+    d = tmp_path / "sfincr"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v], "x") for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label string",
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    rows = QUERIES["semdedup_incremental"](spark, str(d)).collect()
+    out = {r.vec_id: r for r in rows}
+    assert set(out) == set(batch_ids)  # batch only, every batch row
+
+    assert not out[b_on_base].keep
+    assert out[b_on_base].dup_of == a_base  # collapsed onto the base rep
+    ra, rb = out[b1], out[b2]
+    assert ra.keep != rb.keep  # batch-internal pair: exactly one lives
+    dup, kept = (ra, rb) if rb.keep else (rb, ra)
+    assert dup.dup_of == kept.vec_id
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        ORACLES["semdedup_incremental"]).fetchall()))
+    con.close()
+    got = sorted((r.vec_id, r.cell, r.keep, r.dup_of) for r in rows)
+    assert got == want
+
+
 def test_semdedup_planted_near_duplicates_collapse(spark, tmp_path):
     """Behavior pin on planted data: injected near-copies (cos ~ 0.9998)
     collapse to one kept vector with dup_of pointing at it; the base
