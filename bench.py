@@ -69,6 +69,7 @@ HEADLINE = [
     "multimodal_webp",         # real VP8L decode, pixel-exact oracle
     # round-7 additions
     "semdedup_kmeans",         # SemDeDup: k-means + within-cluster prune
+    "semdedup_incremental",    # ingest shape: batch vs frozen base kept set
     "embedding_pca",           # distributed moments + 64x64 eigh + project
     "dsir_importance",         # DSIR hashed-ngram importance selection
     "knn_graph_lsh",           # full-corpus approximate kNN graph

@@ -136,6 +136,32 @@ def point_current(kind: str, d: str, root: str | None = None) -> None:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
+# Write-side executed plans per artifact directory, keyed by realpath —
+# the CHECKPOINT_SOURCE_PLANS pattern applied to artifact writes
+# (late r11): decision-record queries (pagerank ranks, the semdedup
+# assignment records, ALS factors, LR weights) write their artifact and
+# then RETURN a scan of it, so the measured plan's FileScans see only
+# the KB-scale artifact while the write job scanned the real tables —
+# scripts/shuffle_audit.py resolves artifact scans through this map
+# (transitively: an artifact write may itself scan an earlier artifact)
+# to recover the true scanned-bytes denominator. INDEX builds (pq/ivf)
+# intentionally do NOT record: an indexed query's whole point is that
+# it reads the index, not the corpus, and its amp should say so.
+ARTIFACT_SOURCE_PLANS: dict[str, list[str]] = {}
+
+
+def write_artifact(df: DataFrame, dirpath: str) -> None:
+    """Write a per-query decision-record artifact and record the
+    write-side executed plan for shuffle attribution (see
+    ARTIFACT_SOURCE_PLANS above)."""
+    df.write.mode("overwrite").parquet(dirpath)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        plan = ""
+    ARTIFACT_SOURCE_PLANS[os.path.realpath(dirpath)] = [plan]
+
+
 def _write_small_parquet(dirpath: str, pdf) -> None:
     """Driver-side write of a tiny (parameter-bounded) artifact table —
     no Spark job for a few hundred rows."""

@@ -3346,10 +3346,8 @@ def q_recsys_als(spark, sf_dir):
         .join(F.broadcast(types), "item")
         .select("item", "p_type", "f")
     )
-    uf.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(d, "user_f"))
-    itf.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(d, "item_f"))
+    ann_index.write_artifact(uf.coalesce(1), os.path.join(d, "user_f"))
+    ann_index.write_artifact(itf.coalesce(1), os.path.join(d, "item_f"))
     ann_index.point_current("als", d, root=_ANN_ROOT)
     uf_p = spark.read.parquet(os.path.join(d, "user_f"))
     itf_p = spark.read.parquet(os.path.join(d, "item_f"))

@@ -2752,7 +2752,7 @@ def q_graph_pagerank(spark, sf_dir):
     ranks = pagerank_ranks(spark, sf_dir)
     d = ann_index.index_dir_for(
         "pagerank", sf_dir, tables=("orders", "lineitem"), root=_ANN_ROOT)
-    ranks.write.mode("overwrite").parquet(os.path.join(d, "ranks"))
+    ann_index.write_artifact(ranks, os.path.join(d, "ranks"))
     release_plan_checkpoints(ranks)
     ann_index.point_current("pagerank", d, root=_ANN_ROOT)
     persisted = spark.read.parquet(os.path.join(d, "ranks"))
@@ -3049,7 +3049,7 @@ def q_semdedup_kmeans(spark, sf_dir):
 
     d = ann_index.index_dir_for(
         "semdedup", sf_dir, tables=("embeddings",), root=_ANN_ROOT)
-    pruned.write.mode("overwrite").parquet(os.path.join(d, "assign"))
+    ann_index.write_artifact(pruned, os.path.join(d, "assign"))
     ann_index.point_current("semdedup", d, root=_ANN_ROOT)
     return (
         spark.read.parquet(os.path.join(d, "assign"))
@@ -3238,7 +3238,7 @@ def q_semdedup_incremental(spark, sf_dir):
 
     d = ann_index.index_dir_for(
         "semdedup-incr", sf_dir, tables=("embeddings",), root=_ANN_ROOT)
-    base_rec.write.mode("overwrite").parquet(os.path.join(d, "base"))
+    ann_index.write_artifact(base_rec, os.path.join(d, "base"))
     base_p = spark.read.parquet(os.path.join(d, "base"))
 
     # kept vectors re-derive nv from the UPSTREAM corpus plan (same
@@ -3284,7 +3284,7 @@ def q_semdedup_incremental(spark, sf_dir):
         inc, schema="vec_id long, cell int, prio double, "
                     "keep boolean, dup_of long",
     )
-    batch_rec.write.mode("overwrite").parquet(os.path.join(d, "batch"))
+    ann_index.write_artifact(batch_rec, os.path.join(d, "batch"))
     ann_index.point_current("semdedup-incr", d, root=_ANN_ROOT)
     return (
         spark.read.parquet(os.path.join(d, "batch"))

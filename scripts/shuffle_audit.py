@@ -78,11 +78,23 @@ def _table_root(path: str) -> Path:
     return root or Path(path)
 
 
-def _scanned_bytes(plan: str) -> int:
+def _scanned_bytes(plan: str, _seen: frozenset = frozenset()) -> int:
     """Physical on-disk bytes under every 'Scan parquet' node in the
     plan (each node's truncated location list is normalized to its
     table root). A table scanned by two nodes is read twice and counts
-    twice."""
+    twice.
+
+    Scans of a per-query ARTIFACT (the decision-record pattern: the
+    query writes its record, then returns a scan of it — semdedup's
+    assignment, pagerank's ranks) resolve TRANSITIVELY through
+    ann.index.ARTIFACT_SOURCE_PLANS to the write-side plan's real
+    table scans, the CHECKPOINT_SOURCE_PLANS discipline applied to
+    artifacts: without this the denominator sees only the KB-scale
+    record while the numerator includes the write job's shuffle
+    (late-r11 fix). The artifact's own bytes count too (they are real
+    I/O); a cycle guard caps the recursion."""
+    from etl_backend_spark.ann.index import ARTIFACT_SOURCE_PLANS
+
     total = 0
     sizes: dict[str, int] = {}
     for seg in re.split(r"Scan parquet", plan)[1:]:
@@ -94,6 +106,10 @@ def _scanned_bytes(plan: str) -> int:
         if key not in sizes:
             sizes[key] = _dir_bytes(root)
         total += sizes[key]
+        real = str(Path(key).resolve())
+        if real not in _seen:
+            for src in ARTIFACT_SOURCE_PLANS.get(real, []):
+                total += _scanned_bytes(src, _seen | {real})
     return total
 
 
