@@ -153,8 +153,23 @@ ARTIFACT_SOURCE_PLANS: dict[str, list[str]] = {}
 def write_artifact(df: DataFrame, dirpath: str) -> None:
     """Write a per-query decision-record artifact and record the
     write-side executed plan for shuffle attribution (see
-    ARTIFACT_SOURCE_PLANS above)."""
-    df.write.mode("overwrite").parquet(dirpath)
+    ARTIFACT_SOURCE_PLANS above).
+
+    The write STAGES into a process-private sibling dir and renames
+    into place: a bare ``mode("overwrite")`` on the shared
+    fingerprint-keyed dir deletes a concurrent session's _temporary
+    staging mid-write (observed: two same-user Spark sessions racing on
+    the qlr weights dir — FileNotFoundException on _temporary/0). The
+    single-writer protocol still governs WHICH bits the oracle replays
+    (last rename wins, engine-before-oracle per session); staging just
+    makes a concurrent writer unable to corrupt another's job."""
+    import shutil
+
+    tmp = f"{dirpath}.stage-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(dirpath, ignore_errors=True)
+    os.rename(tmp, dirpath)
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:

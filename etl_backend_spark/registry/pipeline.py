@@ -1660,10 +1660,12 @@ def q_quality_classifier_lr(spark, sf_dir):
     w = [float(x) for x in model.coefficients]
     d = ann_index.index_dir_for(
         "qlr", sf_dir, tables=("documents",), root=_ANN_ROOT)
-    spark.createDataFrame(
-        [(w[0], w[1], w[2], w[3], float(model.intercept))],
-        "w1 double, w2 double, w3 double, w4 double, b double",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "weights"))
+    ann_index.write_artifact(
+        spark.createDataFrame(
+            [(w[0], w[1], w[2], w[3], float(model.intercept))],
+            "w1 double, w2 double, w3 double, w4 double, b double",
+        ).coalesce(1),
+        os.path.join(d, "weights"))
     ann_index.point_current("qlr", d, root=_ANN_ROOT)
     wt = spark.read.parquet(os.path.join(d, "weights"))
     margin = (
