@@ -349,3 +349,83 @@ def minhash_bands_long(sig: Column, bands: int = MINHASH_BANDS,
         ]
         keys.append(F.concat_ws(":", *parts))
     return F.array(*keys)
+
+
+def minhash_incr_oracle_sql(batch_pred: str, threshold: float,
+                            artifact_glob: str, n: int = MINHASH_N,
+                            bands: int = MINHASH_BANDS,
+                            rows: int = MINHASH_ROWS) -> str:
+    """DuckDB replay for INCREMENTAL MinHash-LSH dedup: batch signatures
+    recompute in SQL (the minhash_oracle_sql_v2 machinery restricted to
+    ``batch_pred`` docs) while BASE signatures read from the engine's
+    persisted signature index at ``artifact_glob`` — the production
+    shape (the ingest joins the stored band index; the corpus is never
+    re-shingled) and the PQ-replay gate-honesty rule (the artifact rows
+    are inputs; every pair decision re-derives). Candidates = batch
+    bands vs base bands, plus batch-internal collisions oriented
+    doc_match < doc_new; est = component agreement / n (k/16 dyadics —
+    exact cross-engine)."""
+    hexpoly = (
+        "list_sum(list_transform(generate_series(1, 8), "
+        "i -> (strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1) "
+        "* (1::BIGINT << (4 * (8 - i)))))"
+    )
+    sig_cols = ",\n        ".join(
+        f"min(({MINHASH_A[i]}::BIGINT * base + {MINHASH_B[i]}) % {MINHASH_MOD}) AS s{i}"
+        for i in range(n)
+    )
+    art_cols = ", ".join(f"sig[{i + 1}] AS s{i}" for i in range(n))
+    band_keys = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" || ':' || ".join(
+                f"s{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                              i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents WHERE {batch_pred})
+    ),
+    hashed AS (SELECT doc_id, {hexpoly} AS base FROM sh),
+    sigq AS (
+      SELECT doc_id, {sig_cols}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigb AS (
+      SELECT doc_id, {art_cols} FROM read_parquet('{artifact_glob}')
+    ),
+    bandsq AS (
+      SELECT doc_id, b AS band, CASE b {band_keys} END AS key
+      FROM sigq CROSS JOIN generate_series(0, {bands - 1}) t(b)
+    ),
+    bandsb AS (
+      SELECT doc_id, b AS band, CASE b {band_keys} END AS key
+      FROM sigb CROSS JOIN generate_series(0, {bands - 1}) t(b)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_new, b.doc_id AS doc_match
+      FROM bandsq a JOIN bandsb b ON a.band = b.band AND a.key = b.key
+      UNION
+      SELECT a.doc_id AS doc_new, b.doc_id AS doc_match
+      FROM bandsq a JOIN bandsq b ON a.band = b.band AND a.key = b.key
+        AND b.doc_id < a.doc_id
+    ),
+    allsig AS (
+      SELECT * FROM sigb UNION ALL SELECT * FROM sigq
+    )
+    SELECT doc_new, doc_match,
+           round(({agree}) / {float(n)}, 4) AS est_jaccard
+    FROM cand
+    JOIN sigq sa ON sa.doc_id = doc_new
+    JOIN allsig sb ON sb.doc_id = doc_match
+    WHERE ({agree}) / {float(n)} >= {threshold}
+    """

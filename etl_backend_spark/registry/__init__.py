@@ -145,6 +145,7 @@ PRIORITY: list[str] = [
     "embedding_pca",
     "dedup_incremental",
     "semdedup_incremental",
+    "dedup_minhash_incremental",
     "dedup_clusters",
     "split_leakage_safe",
     "sim_topk_lsh",

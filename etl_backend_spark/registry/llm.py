@@ -19,7 +19,7 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.semdedup import EPS as _SEMDEDUP_EPS
 from ..sources.catalog import Catalog
-from . import register
+from . import _md5_hex64_sql, register
 
 # DuckDB CTE mirroring functions.text.word_shingles(text, 3) row-wise
 _SHINGLE_CTE = """sh AS (
@@ -450,6 +450,98 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         .join(sb, F.col("doc_b") == F.col("__db"))
         .filter(est >= 0.5)
         .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=H.minhash_incr_oracle_sql(
+        f"{_md5_hex64_sql('mhinc:')} % 100 >= 90", 0.5,
+        f"{_ANN_ROOT}/mhlsh-incr-current/sig/*.parquet"),
+)
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """INCREMENTAL MinHash-LSH — the fuzzy member of the incremental
+    family (exact: dedup_incremental; semantic: semdedup_incremental;
+    ANN index: sim_index_incremental): a new batch (the 10% md5
+    'mhinc:' bucket) finds near-duplicates against the EXISTING corpus
+    without re-shingling it. The base corpus' signature table persists
+    as the LSH index artifact (16 longs/doc — at 100 TB this is the
+    stored band index every ingest joins; it is built once and only
+    APPENDED to in production); the batch computes its own signatures,
+    band-bucket equi-joins against the persisted index AND itself
+    (batch-internal pairs oriented doc_match < doc_new), and verifies
+    candidates at estimated Jaccard >= 0.5. Output: (doc_new,
+    doc_match, est_jaccard) — doc_match may be a base doc or an
+    earlier batch doc.
+
+    VALUE-GATED: the oracle (functions/hashing.minhash_incr_oracle_sql)
+    recomputes batch signatures in SQL but reads BASE signatures from
+    the engine's persisted artifact, replaying band keys, candidate
+    generation, and the agreement estimate exactly — component
+    agreement / 16 is a dyadic rational, so the estimate is
+    bit-identical cross-engine."""
+    import os
+
+    from ..ann import index as ann_index
+
+    d = Catalog(spark, sf_dir).table("documents")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("mhinc:"), F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 100
+    )
+    sig_all = d.select(
+        "doc_id", (bucket < 90).alias("is_base"),
+        H.minhash_sig_py(3)(F.col("text")).alias("sig"),
+    )
+    art = ann_index.index_dir_for(
+        "mhlsh-incr", sf_dir, tables=("documents",), root=_ANN_ROOT)
+    ann_index.write_artifact(
+        sig_all.filter(F.col("is_base")).select("doc_id", "sig"),
+        os.path.join(art, "sig"))
+    ann_index.point_current("mhlsh-incr", art, root=_ANN_ROOT)
+    base_p = spark.read.parquet(os.path.join(art, "sig"))
+    batch_sig = (
+        sig_all.filter(~F.col("is_base")).select("doc_id", "sig").persist()
+    )  # shared by band explode + both est-join sides (batch-path pattern)
+
+    bands_new = batch_sig.select(
+        "doc_id",
+        F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
+    )
+    bands_base = base_p.select(
+        "doc_id",
+        F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
+    )
+    cand_nb = (
+        bands_new.alias("a")
+        .join(bands_base.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key")))
+        .select(F.col("a.doc_id").alias("doc_new"),
+                F.col("b.doc_id").alias("doc_match"))
+    )
+    cand_nn = (
+        bands_new.alias("a")
+        .join(bands_new.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("b.doc_id") < F.col("a.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_new"),
+                F.col("b.doc_id").alias("doc_match"))
+    )
+    cand = cand_nb.unionByName(cand_nn).distinct()
+    all_sig = base_p.unionByName(batch_sig)
+    sa = batch_sig.select(F.col("doc_id").alias("__dn"),
+                          F.col("sig").alias("sig_a"))
+    sb = all_sig.select(F.col("doc_id").alias("__dm"),
+                        F.col("sig").alias("sig_b"))
+    est = H.minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"))
+    return (
+        cand.join(sa, F.col("doc_new") == F.col("__dn"))
+        .join(sb, F.col("doc_match") == F.col("__dm"))
+        .filter(est >= 0.5)
+        .select("doc_new", "doc_match", F.round(est, 4).alias("est_jaccard"))
     )
 
 

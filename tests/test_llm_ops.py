@@ -1532,6 +1532,73 @@ def test_semdedup_incremental_planted_and_replay(spark, tmp_path):
     assert got == want
 
 
+def test_dedup_minhash_incremental_planted_and_replay(spark, tmp_path):
+    """Incremental fuzzy dedup pins: a batch doc that is a near-copy of
+    a BASE doc surfaces as (doc_new=batch, doc_match=base) with high
+    estimated Jaccard; a batch-internal near-pair surfaces once,
+    oriented doc_match < doc_new; base-base near-pairs NEVER appear
+    (the corpus is not re-deduped); and the DuckDB oracle — batch
+    signatures recomputed in SQL, base signatures read from the
+    persisted index — matches the engine row-for-row. The 'mhinc:' md5
+    split is recomputed with hashlib to place planted docs."""
+    import hashlib
+
+    import duckdb
+
+    from etl_backend_spark.registry import ORACLES, QUERIES
+
+    def is_batch(i):
+        h = hashlib.md5(f"mhinc:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 >= 90
+
+    ids = list(range(400))
+    batch_ids = [i for i in ids if is_batch(i)]
+    base_ids = [i for i in ids if not is_batch(i)]
+    assert len(batch_ids) >= 4 and len(base_ids) >= 4
+
+    import numpy as np
+    rng = np.random.RandomState(31)
+    vocab = [f"w{j}" for j in range(5000)]
+    docs = {i: " ".join(rng.choice(vocab, 30)) for i in ids}
+    # batch near-copy of a base doc (perturb one word far from the edge)
+    nb, base_t = batch_ids[0], base_ids[0]
+    w = docs[base_t].split(); w[15] = "zzz"
+    docs[nb] = " ".join(w)
+    # batch-internal near-pair
+    p1, p2 = batch_ids[1], batch_ids[2]
+    w = docs[p1].split(); w[20] = "qqq"
+    docs[p2] = " ".join(w)
+    # base-base near-pair — must NOT appear in the output
+    b1, b2 = base_ids[1], base_ids[2]
+    w = docs[b1].split(); w[10] = "xxx"
+    docs[b2] = " ".join(w)
+
+    d = tmp_path / "sfmh"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), t, "en", "web") for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    rows = QUERIES["dedup_minhash_incremental"](spark, str(d)).collect()
+    got = sorted((r.doc_new, r.doc_match, r.est_jaccard) for r in rows)
+    pairs = {(a, b) for a, b, _ in got}
+    assert all(is_batch(a) for a, _, _ in got)  # doc_new is always batch
+    assert (nb, base_t) in pairs                # batch-onto-base found
+    assert (max(p1, p2), min(p1, p2)) in pairs  # batch-internal, oriented
+    assert not any({a, b} == {b1, b2} for a, b in pairs)  # base-base absent
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        ORACLES["dedup_minhash_incremental"]).fetchall()))
+    con.close()
+    assert got == want
+
+
 def test_semdedup_planted_near_duplicates_collapse(spark, tmp_path):
     """Behavior pin on planted data: injected near-copies (cos ~ 0.9998)
     collapse to one kept vector with dup_of pointing at it; the base
