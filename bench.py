@@ -70,6 +70,7 @@ HEADLINE = [
     # round-7 additions
     "semdedup_kmeans",         # SemDeDup: k-means + within-cluster prune
     "semdedup_incremental",    # ingest shape: batch vs frozen base kept set
+    "dedup_minhash_incremental",  # fuzzy ingest: batch vs persisted band index
     "embedding_pca",           # distributed moments + 64x64 eigh + project
     "dsir_importance",         # DSIR hashed-ngram importance selection
     "knn_graph_lsh",           # full-corpus approximate kNN graph
