@@ -148,33 +148,82 @@ def point_current(kind: str, d: str, root: str | None = None) -> None:
 # intentionally do NOT record: an indexed query's whole point is that
 # it reads the index, not the corpus, and its amp should say so.
 ARTIFACT_SOURCE_PLANS: dict[str, list[str]] = {}
+# Artifact dirs whose write-side scans CANNOT be attributed: producers
+# built over chained declared checkpoints (pagerank's 15-round loop)
+# release each round's CHECKPOINT_SOURCE_PLANS entry with its blocks —
+# memory over attribution, by design — so the recorded plan bottoms out
+# in unrecorded LogicalRDDs. The audit reports amp = None for queries
+# scanning these (the same honesty rule plain localCheckpoint leaves
+# get) instead of a nonsense ratio against the KB-scale artifact.
+ARTIFACT_UNATTRIBUTED: set[str] = set()
 
 
-def write_artifact(df: DataFrame, dirpath: str) -> None:
+def write_artifact(df: DataFrame, dirpath: str,
+                   attribute: bool = True) -> None:
     """Write a per-query decision-record artifact and record the
-    write-side executed plan for shuffle attribution (see
+    write-side executed plan(s) for shuffle attribution (see
     ARTIFACT_SOURCE_PLANS above).
 
-    The write STAGES into a process-private sibling dir and renames
-    into place: a bare ``mode("overwrite")`` on the shared
-    fingerprint-keyed dir deletes a concurrent session's _temporary
-    staging mid-write (observed: two same-user Spark sessions racing on
-    the qlr weights dir — FileNotFoundException on _temporary/0). The
+    The write STAGES into a process-private sibling dir and swaps into
+    place: a bare ``mode("overwrite")`` on the shared fingerprint-keyed
+    dir deletes a concurrent session's _temporary staging mid-write
+    (observed: two same-user Spark sessions racing on the qlr weights
+    dir — FileNotFoundException on _temporary/0). The swap is
+    move-old-away + rename-new-in with a bounded retry: a bare
+    rmtree+rename raised ENOTEMPTY for the LOSING racer (rename onto a
+    dir the winner had just re-created) and could delete the winner's
+    live artifact (r11 second review). Last successful rename wins; the
     single-writer protocol still governs WHICH bits the oracle replays
-    (last rename wins, engine-before-oracle per session); staging just
-    makes a concurrent writer unable to corrupt another's job."""
+    (engine-before-oracle per session).
+
+    Recorded plans: the write-side executed plan PLUS the pre-checkpoint
+    source plans of any declared localCheckpoint leaves it bottoms out
+    in (CHECKPOINT_SOURCE_PLANS) — without the latter, a
+    checkpoint-built artifact like pagerank's rank vector records a
+    Scan ExistingRDD-only plan and the shuffle audit's transitive
+    resolution silently finds no table scans (r11 second review)."""
     import shutil
+    import uuid
 
     tmp = f"{dirpath}.stage-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(dirpath, ignore_errors=True)
-    os.rename(tmp, dirpath)
+    for attempt in range(4):
+        trash = f"{dirpath}.old-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        try:
+            os.rename(dirpath, trash)       # atomic move-away if present
+        except FileNotFoundError:
+            trash = None
+        try:
+            os.rename(tmp, dirpath)
+            break
+        except OSError:
+            if attempt == 3:
+                raise
+        finally:
+            if trash is not None:
+                shutil.rmtree(trash, ignore_errors=True)
+
+    real = os.path.realpath(dirpath)
+    if not attribute:
+        ARTIFACT_UNATTRIBUTED.add(real)
+        ARTIFACT_SOURCE_PLANS.pop(real, None)
+        return
+    plans = []
     try:
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
     except Exception:
-        plan = ""
-    ARTIFACT_SOURCE_PLANS[os.path.realpath(dirpath)] = [plan]
+        pass
+    try:
+        from ..operators.windows import (CHECKPOINT_SOURCE_PLANS,
+                                         iter_logicalrdd_rdds)
+
+        for rdd in iter_logicalrdd_rdds(df):
+            plans.extend(CHECKPOINT_SOURCE_PLANS.get(rdd.id(), []))
+    except Exception:
+        pass
+    ARTIFACT_UNATTRIBUTED.discard(real)
+    ARTIFACT_SOURCE_PLANS[real] = plans
 
 
 def _write_small_parquet(dirpath: str, pdf) -> None:

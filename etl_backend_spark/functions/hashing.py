@@ -287,22 +287,27 @@ def minhash_sig_py(k: int = 3, n: int = MINHASH_N):
     return sig
 
 
-def minhash_oracle_sql_v2(shingle_cte: str, threshold: float,
-                          n: int = MINHASH_N, bands: int = MINHASH_BANDS,
-                          rows: int = MINHASH_ROWS) -> str:
-    """DuckDB SQL for the one-hash+permutations MinHash — identical values:
-    base = first-8-hex-of-md5 polynomial, h_i = (A[i]*base + B[i]) mod 2^32
-    (products < 2^63, BIGINT-safe), min per doc."""
-    hexpoly = (
+# Shared SQL fragment builders for the MinHash oracles — ONE definition
+# each (the _md5_hex64_sql lesson applied here by the r11 second review:
+# verbatim copies between the batch and incremental oracles drift
+# silently and only surface as full-gate hash failures).
+def _mh_hexpoly() -> str:
+    return (
         "list_sum(list_transform(generate_series(1, 8), "
         "i -> (strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1) "
         "* (1::BIGINT << (4 * (8 - i)))))"
     )
-    sig_cols = ",\n        ".join(
+
+
+def _mh_sig_cols(n: int) -> str:
+    return ",\n        ".join(
         f"min(({MINHASH_A[i]}::BIGINT * base + {MINHASH_B[i]}) % {MINHASH_MOD}) AS s{i}"
         for i in range(n)
     )
-    band_keys = " ".join(
+
+
+def _mh_band_keys(bands: int, rows: int) -> str:
+    return " ".join(
         "WHEN {b} THEN {expr}".format(
             b=b,
             expr=" || ':' || ".join(
@@ -311,9 +316,24 @@ def minhash_oracle_sql_v2(shingle_cte: str, threshold: float,
         )
         for b in range(bands)
     )
-    agree = " + ".join(
+
+
+def _mh_agree(n: int) -> str:
+    return " + ".join(
         f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(n)
     )
+
+
+def minhash_oracle_sql_v2(shingle_cte: str, threshold: float,
+                          n: int = MINHASH_N, bands: int = MINHASH_BANDS,
+                          rows: int = MINHASH_ROWS) -> str:
+    """DuckDB SQL for the one-hash+permutations MinHash — identical values:
+    base = first-8-hex-of-md5 polynomial, h_i = (A[i]*base + B[i]) mod 2^32
+    (products < 2^63, BIGINT-safe), min per doc."""
+    hexpoly = _mh_hexpoly()
+    sig_cols = _mh_sig_cols(n)
+    band_keys = _mh_band_keys(bands, rows)
+    agree = _mh_agree(n)
     return f"""
     WITH {shingle_cte},
     hashed AS (SELECT doc_id, {hexpoly} AS base FROM sh),
@@ -364,29 +384,13 @@ def minhash_incr_oracle_sql(batch_pred: str, threshold: float,
     are inputs; every pair decision re-derives). Candidates = batch
     bands vs base bands, plus batch-internal collisions oriented
     doc_match < doc_new; est = component agreement / n (k/16 dyadics —
-    exact cross-engine)."""
-    hexpoly = (
-        "list_sum(list_transform(generate_series(1, 8), "
-        "i -> (strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1) "
-        "* (1::BIGINT << (4 * (8 - i)))))"
-    )
-    sig_cols = ",\n        ".join(
-        f"min(({MINHASH_A[i]}::BIGINT * base + {MINHASH_B[i]}) % {MINHASH_MOD}) AS s{i}"
-        for i in range(n)
-    )
+    exact cross-engine). Fragment builders shared with
+    minhash_oracle_sql_v2 (single definitions, no drift)."""
+    hexpoly = _mh_hexpoly()
+    sig_cols = _mh_sig_cols(n)
     art_cols = ", ".join(f"sig[{i + 1}] AS s{i}" for i in range(n))
-    band_keys = " ".join(
-        "WHEN {b} THEN {expr}".format(
-            b=b,
-            expr=" || ':' || ".join(
-                f"s{b * rows + r}::VARCHAR" for r in range(rows)
-            ),
-        )
-        for b in range(bands)
-    )
-    agree = " + ".join(
-        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(n)
-    )
+    band_keys = _mh_band_keys(bands, rows)
+    agree = _mh_agree(n)
     return f"""
     WITH sh AS (
       SELECT DISTINCT doc_id,

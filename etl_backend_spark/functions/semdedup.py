@@ -163,43 +163,21 @@ def greedy_prune(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,
     kept) memory.
 
     Returns (keep bool array, dup_of int64 array with -1 for keeps),
-    aligned with the input order."""
-    order = np.lexsort((ids, cdot))          # cdot asc, then vec_id asc
-    kept_rows: list[int] = []
-    keep = np.zeros(len(ids), dtype=bool)
-    dup_of = np.full(len(ids), -1, dtype=np.int64)
-    n = len(ids)
-    S = None
-    if n <= PAIRWISE_PRECOMPUTE_MAX:
-        S = np.zeros((n, n), dtype=np.float64)
-        for d in range(mat.shape[1]):        # sequential over dims = fold
-            col = mat[:, d]
-            S += col[:, None] * col[None, :]
-    for i in order:
-        if kept_rows:
-            if S is not None:
-                sims = S[kept_rows, i]
-            else:
-                kmat = mat[kept_rows]
-                v = mat[i]
-                sims = np.zeros(len(kept_rows), dtype=np.float64)
-                for d in range(mat.shape[1]):
-                    sims = sims + kmat[:, d] * v[d]
-            # zero-norm embeddings normalize to NaN; mask to -inf so a
-            # degenerate vector is simply KEPT and never suppresses a
-            # real duplicate (np.argmax would otherwise return the NaN
-            # position) — and so the replay oracle, whose NaN sorts
-            # ABOVE all values in DuckDB comparisons, decides
-            # identically (r11 code-review finding; the kNN kernel's
-            # r9 NaN-mask precedent)
-            sims = np.where(np.isnan(sims), -np.inf, sims)
-            j = int(sims.argmax())
-            if sims[j] > 1.0 - eps:
-                dup_of[i] = ids[kept_rows[j]]
-                continue
-        keep[i] = True
-        kept_rows.append(i)
-    return keep, dup_of
+    aligned with the input order.
+
+    ONE kernel: this is exactly the incremental greedy with an empty
+    base kept set, and delegating keeps the two bit-parity-critical
+    code paths (same S-precompute guard, same per-visit fold, same
+    NaN -> -inf mask, same tie-breaks) from ever drifting apart (r11
+    second review). Bit-equivalence of the delegation: with kb = 0 the
+    precompute condition n*(0+n) <= MAX^2 equals n <= MAX, the S pass
+    runs the identical per-dim chain, and S[i, kept] vs S[kept, i]
+    differ only by operand order inside each float multiply —
+    commutative bit-exactly."""
+    empty = np.empty(0, dtype=np.int64)
+    return greedy_prune_incremental(
+        ids, mat, cdot, empty,
+        np.empty((0, mat.shape[1]), dtype=np.float64), eps)
 
 
 def prune_cluster(ids: np.ndarray, mat: np.ndarray, cdot: np.ndarray,

@@ -37,6 +37,16 @@ def cosine(a: Column, b: Column) -> Column:
     # would raise DIVIDE_BY_ZERO under ANSI mode; guarded, it scores
     # cosine 0.0 (ranked below any real similarity). Bit-neutral for
     # nonzero operands.
+    #
+    # Degenerate-corpus contract vs the DuckDB oracles: DuckDB's
+    # list_cosine_similarity CLAMPS a zero-norm operand to -1.0
+    # (measured) while this guard yields 0.0 — both rank degenerates
+    # at/below every real match and below every registered threshold
+    # (>= 0.3), so the 17 list_cosine_similarity gate oracles agree on
+    # all realizable outputs; the values themselves differ only if a
+    # zero vector reaches a top-k on a corpus with fewer than k
+    # positive-cosine candidates. Documented boundary, not mirrored
+    # into 17 green oracle strings.
     return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-300))
 
 

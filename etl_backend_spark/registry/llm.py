@@ -2184,7 +2184,11 @@ def _mmr_greedy_pandas(pdf):
             dot = dot + va[j] * vb[j]
             na = na + va[j] * va[j]
             nb = nb + vb[j] * vb[j]
-        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+        # 1e-300 divisor guard (the V.cosine discipline): a zero-norm
+        # row reaching the bounded MMR frame raised ZeroDivisionError
+        # (r11 second review). Degenerate-corpus cosine contract is
+        # documented on functions/vectors.cosine.
+        return round(dot / max(math.sqrt(na) * math.sqrt(nb), 1e-300), 6)
 
     sel = [max(ids, key=lambda v: (cosq[v], -v))]
     out = [(1, sel[0], cosq[sel[0]], cosq[sel[0]])]
@@ -2844,7 +2848,12 @@ def q_graph_pagerank(spark, sf_dir):
     ranks = pagerank_ranks(spark, sf_dir)
     d = ann_index.index_dir_for(
         "pagerank", sf_dir, tables=("orders", "lineitem"), root=_ANN_ROOT)
-    ann_index.write_artifact(ranks, os.path.join(d, "ranks"))
+    # attribute=False: the 15-round checkpoint chain released its
+    # source-plan entries as it went, so write-side scans cannot be
+    # recovered — the audit reports this artifact's consumers as
+    # honestly unattributed instead of ratioing against the KB artifact
+    ann_index.write_artifact(ranks, os.path.join(d, "ranks"),
+                             attribute=False)
     release_plan_checkpoints(ranks)
     ann_index.point_current("pagerank", d, root=_ANN_ROOT)
     persisted = spark.read.parquet(os.path.join(d, "ranks"))
@@ -3304,10 +3313,14 @@ def q_semdedup_incremental(spark, sf_dir):
                 "nv": pdf["nv"], "is_base": pdf["is_base"],
             })
 
+    # persisted: the centroid-tag pass feeds BOTH the base-record write
+    # job and the batch cogroup job — without the cache it re-runs per
+    # job (r11 second review); released before return (the returned
+    # frame reads only the persisted artifacts)
     tagged = corpus.mapInPandas(
         tag, schema="vec_id long, cell int, cdot double, "
                     "nv array<double>, is_base boolean"
-    )
+    ).persist()
 
     def prune(pdf):
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -3378,6 +3391,7 @@ def q_semdedup_incremental(spark, sf_dir):
     )
     ann_index.write_artifact(batch_rec, os.path.join(d, "batch"))
     ann_index.point_current("semdedup-incr", d, root=_ANN_ROOT)
+    tagged.unpersist()
     return (
         spark.read.parquet(os.path.join(d, "batch"))
         .select("vec_id", "cell", "keep", "dup_of")

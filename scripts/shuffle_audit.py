@@ -93,7 +93,8 @@ def _scanned_bytes(plan: str, _seen: frozenset = frozenset()) -> int:
     record while the numerator includes the write job's shuffle
     (late-r11 fix). The artifact's own bytes count too (they are real
     I/O); a cycle guard caps the recursion."""
-    from etl_backend_spark.ann.index import ARTIFACT_SOURCE_PLANS
+    from etl_backend_spark.ann.index import (ARTIFACT_SOURCE_PLANS,
+                                             ARTIFACT_UNATTRIBUTED)
 
     total = 0
     sizes: dict[str, int] = {}
@@ -107,10 +108,20 @@ def _scanned_bytes(plan: str, _seen: frozenset = frozenset()) -> int:
             sizes[key] = _dir_bytes(root)
         total += sizes[key]
         real = str(Path(key).resolve())
+        if real in ARTIFACT_UNATTRIBUTED:
+            # checkpoint-chained producer (pagerank): write-side scans
+            # unrecoverable by design — poison the denominator so the
+            # query reports amp None, the plain-localCheckpoint honesty
+            # rule
+            raise _UnattributedArtifact(real)
         if real not in _seen:
             for src in ARTIFACT_SOURCE_PLANS.get(real, []):
                 total += _scanned_bytes(src, _seen | {real})
     return total
+
+
+class _UnattributedArtifact(Exception):
+    pass
 
 
 def _checkpoint_scanned_bytes(df) -> int:
@@ -181,7 +192,10 @@ def main() -> None:
         # checkpoint-hidden scans (graph_reachability's declared-layout
         # edge relation) resolve through CHECKPOINT_SOURCE_PLANS — the
         # r8 model's one unattributed row now gets a true denominator
-        scanned = _scanned_bytes(plan) + cp_scanned
+        try:
+            scanned = _scanned_bytes(plan) + cp_scanned
+        except _UnattributedArtifact:
+            scanned = 0  # amp reports None below (honestly unattributed)
         amp = round(sw / scanned, 3) if scanned else (None if sw else 0.0)
         row = {
             "query": name, "sec": round(sec, 2),
