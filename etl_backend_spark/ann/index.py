@@ -188,21 +188,41 @@ def write_artifact(df: DataFrame, dirpath: str,
     tmp = f"{dirpath}.stage-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    for attempt in range(4):
-        trash = f"{dirpath}.old-{os.getpid()}-{uuid.uuid4().hex[:6]}"
-        try:
-            os.rename(dirpath, trash)       # atomic move-away if present
-        except FileNotFoundError:
-            trash = None
-        try:
-            os.rename(tmp, dirpath)
-            break
-        except OSError:
-            if attempt == 3:
-                raise
-        finally:
-            if trash is not None:
-                shutil.rmtree(trash, ignore_errors=True)
+    # Moved-away dirs are deleted ONLY after the new artifact renamed in;
+    # if all attempts fail for a persistent (non-race) reason, the newest
+    # moved-away artifact is restored before raising, so dirpath keeps
+    # serving the previous good bits for later oracle replays (r12,
+    # ADVICE — the old finally-rmtree destroyed the prior artifact even
+    # when the rename-in had failed).
+    trashes: list = []
+    try:
+        for attempt in range(4):
+            trash = f"{dirpath}.old-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+            try:
+                os.rename(dirpath, trash)   # atomic move-away if present
+                trashes.append(trash)
+            except FileNotFoundError:
+                pass
+            try:
+                os.rename(tmp, dirpath)
+                break
+            except OSError:
+                if attempt == 3:
+                    raise
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # our own staged bits
+        if not os.path.exists(dirpath):
+            while trashes:
+                cand = trashes.pop()
+                try:
+                    os.rename(cand, dirpath)
+                    break
+                except OSError:
+                    continue
+        raise
+    finally:
+        for t in trashes:
+            shutil.rmtree(t, ignore_errors=True)
 
     real = os.path.realpath(dirpath)
     if not attribute:

@@ -33,21 +33,20 @@ def norm(v: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    # same 1e-300 divisor guard as l2_normalize: a zero-norm operand
-    # would raise DIVIDE_BY_ZERO under ANSI mode; guarded, it scores
-    # cosine 0.0 (ranked below any real similarity). Bit-neutral for
-    # nonzero operands.
-    #
-    # Degenerate-corpus contract vs the DuckDB oracles: DuckDB's
-    # list_cosine_similarity CLAMPS a zero-norm operand to -1.0
-    # (measured) while this guard yields 0.0 — both rank degenerates
-    # at/below every real match and below every registered threshold
-    # (>= 0.3), so the 17 list_cosine_similarity gate oracles agree on
-    # all realizable outputs; the values themselves differ only if a
-    # zero vector reaches a top-k on a corpus with fewer than k
-    # positive-cosine candidates. Documented boundary, not mirrored
-    # into 17 green oracle strings.
-    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-300))
+    # Zero-norm contract (r12, ADVICE): a zero-norm operand scores
+    # cosine -1.0, MIRRORING DuckDB's list_cosine_similarity clamp
+    # (measured: list_cosine_similarity([0,0],[1,2]) = -1.0), so the 17
+    # list_cosine_similarity gate oracles and the engine rank
+    # degenerates identically even when a top-k has fewer than k
+    # positive-cosine candidates (the previous 0.0 guard ranked a zero
+    # vector ABOVE real negative-cosine candidates — latent gate
+    # divergence). CaseWhen short-circuits, so the divide never sees a
+    # zero divisor under ANSI mode; the greatest() guard stays as
+    # belt-and-braces and is bit-neutral for nonzero operands. NaN
+    # components propagate NaN through both engines unchanged.
+    nn = norm(a) * norm(b)
+    return F.when(nn == F.lit(0.0), F.lit(-1.0)).otherwise(
+        dot(a, b) / F.greatest(nn, F.lit(1e-300)))
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:

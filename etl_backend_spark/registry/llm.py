@@ -499,11 +499,19 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     ann_index.write_artifact(
         sig_all.filter(F.col("is_base")).select("doc_id", "sig"),
         os.path.join(art, "sig"))
+    # batch sigs also land on disk and are read back — computed once,
+    # shared by band explode + both est-join sides, and NOTHING stays
+    # pinned in executor storage after the query (a .persist() here
+    # leaked one cached signature frame per bench/gate pass — r12,
+    # ADVICE; sibling pattern: q_semdedup_incremental's base/batch
+    # artifacts). The batch side is scratch, not index: it is not part
+    # of the oracle contract (the oracle recomputes batch sigs in SQL).
+    ann_index.write_artifact(
+        sig_all.filter(~F.col("is_base")).select("doc_id", "sig"),
+        os.path.join(art, "sig_batch"))
     ann_index.point_current("mhlsh-incr", art, root=_ANN_ROOT)
     base_p = spark.read.parquet(os.path.join(art, "sig"))
-    batch_sig = (
-        sig_all.filter(~F.col("is_base")).select("doc_id", "sig").persist()
-    )  # shared by band explode + both est-join sides (batch-path pattern)
+    batch_sig = spark.read.parquet(os.path.join(art, "sig_batch"))
 
     bands_new = batch_sig.select(
         "doc_id",
@@ -3094,7 +3102,14 @@ def q_semdedup_kmeans(spark, sf_dir):
     n = e.count()  # parquet metadata count — no scan
     k = sd.k_schedule(n)
 
-    cents = _SEMDEDUP_CENT_CACHE.get((sf_dir, n))
+    # cache key is the corpus CONTENT fingerprint, not (path, rowcount):
+    # a corpus regenerated in-process at the same path with the same row
+    # count must refit, matching the artifact dirs' fingerprint
+    # discipline (r12, ADVICE)
+    from ..ann.index import corpus_fingerprint
+
+    _ck = (corpus_fingerprint(sf_dir, ("embeddings",)), n)
+    cents = _SEMDEDUP_CENT_CACHE.get(_ck)
     if cents is None:
         fit_df = corpus.select("nv")
         cap = min(n, max(8 * k, 4096), sd.FIT_CAP)
@@ -3103,7 +3118,7 @@ def q_semdedup_kmeans(spark, sf_dir):
                                    seed=11).limit(cap)
         sample = np.array([r.nv for r in fit_df.collect()])
         cents = sd.fit_centroids(sample, k=min(k, len(sample)), seed=11)
-        _SEMDEDUP_CENT_CACHE[(sf_dir, n)] = cents
+        _SEMDEDUP_CENT_CACHE[_ck] = cents
 
     def tag(batches):
         for pdf in batches:
@@ -3292,7 +3307,9 @@ def q_semdedup_incremental(spark, sf_dir):
     n = e.count()  # parquet metadata count — no scan
     n_base = max(1, (n * 9) // 10)  # deterministic k-schedule estimate
 
-    cents = _SEMDEDUP_CENT_CACHE.get((sf_dir, "incr", n))
+    # content-fingerprint cache key — see q_semdedup_kmeans (r12, ADVICE)
+    _ck = (ann_index.corpus_fingerprint(sf_dir, ("embeddings",)), "incr", n)
+    cents = _SEMDEDUP_CENT_CACHE.get(_ck)
     if cents is None:
         k = sd.k_schedule(n_base)
         fit_df = corpus.filter(F.col("is_base")).select("nv")
@@ -3302,7 +3319,7 @@ def q_semdedup_incremental(spark, sf_dir):
                                    seed=11).limit(cap)
         sample = np.array([r.nv for r in fit_df.collect()])
         cents = sd.fit_centroids(sample, k=min(k, len(sample)), seed=11)
-        _SEMDEDUP_CENT_CACHE[(sf_dir, "incr", n)] = cents
+        _SEMDEDUP_CENT_CACHE[_ck] = cents
 
     def tag(batches):
         for pdf in batches:

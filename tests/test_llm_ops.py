@@ -94,6 +94,80 @@ def test_cosine_self_is_one_and_symmetry(spark):
     assert math.isclose(row.na, math.sqrt(14.0), rel_tol=1e-12)
 
 
+def test_cosine_zero_norm_clamps_to_minus_one_like_duckdb(spark):
+    """r12 ADVICE: a zero-norm operand must score cosine -1.0, mirroring
+    DuckDB's list_cosine_similarity clamp, so degenerate vectors rank
+    BELOW real negative-cosine candidates in BOTH engines (the old 0.0
+    guard ranked them above — a latent top-k gate divergence on corpora
+    with fewer than k positive-cosine candidates). Pinned against a live
+    DuckDB evaluation of the same operand triples."""
+    import duckdb
+
+    triples = [
+        ([0.0, 0.0], [1.0, 2.0]),    # zero left
+        ([1.0, 2.0], [0.0, 0.0]),    # zero right
+        ([0.0, 0.0], [0.0, 0.0]),    # both zero
+        ([1.0, 0.0], [-1.0, 0.1]),   # real negative-cosine candidate
+        ([1.0, 2.0], [2.0, 1.0]),    # real positive-cosine candidate
+    ]
+    df = spark.createDataFrame(triples, ["a", "b"])
+    got = [r.c for r in
+           df.select(V.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    want = [duckdb.sql(
+        f"select list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+    ).fetchone()[0] for a, b in triples]
+    for g, w, t in zip(got, want, triples):
+        assert math.isclose(g, w, rel_tol=1e-12), (t, g, w)
+    # ranking consequence: the zero vector is now BELOW the real
+    # negative-cosine candidate
+    assert got[0] < got[3] < got[4]
+
+
+def test_write_artifact_restores_prior_artifact_on_persistent_failure(
+        spark, tmp_path, monkeypatch):
+    """r12 ADVICE: if every swap attempt fails for a persistent
+    (non-race) reason, write_artifact must leave the PREVIOUS good
+    artifact in place (the old finally-rmtree destroyed it, leaving the
+    -current symlink pointing at a dir missing the artifact for any
+    later oracle replay)."""
+    import os
+
+    from etl_backend_spark.ann import index as ann_index
+
+    dirpath = str(tmp_path / "art" / "sig")
+    os.makedirs(os.path.dirname(dirpath), exist_ok=True)
+    ann_index.write_artifact(
+        spark.createDataFrame([(1, "old")], ["id", "v"]), dirpath,
+        attribute=False)
+    before = sorted(os.listdir(dirpath))
+    assert before  # parquet parts present
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if src.startswith(dirpath + ".stage"):
+            raise OSError("persistent: simulated EACCES on rename-in")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        ann_index.write_artifact(
+            spark.createDataFrame([(2, "new")], ["id", "v"]), dirpath,
+            attribute=False)
+    monkeypatch.undo()
+
+    # prior artifact restored, bit-for-bit same part listing, old row
+    assert os.path.isdir(dirpath)
+    assert sorted(os.listdir(dirpath)) == before
+    assert [tuple(r) for r in
+            spark.read.parquet(dirpath).collect()] == [(1, "old")]
+    # no stray trash/stage dirs leak next to the artifact
+    leftovers = [p for p in os.listdir(os.path.dirname(dirpath))
+                 if p != os.path.basename(dirpath)]
+    assert leftovers == [], leftovers
+
+
 def test_l2_normalize_unit_norm(cat):
     e = cat.table("embeddings").limit(20)
     norms = e.select(
