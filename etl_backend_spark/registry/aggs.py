@@ -3014,10 +3014,12 @@ def _data_profile_oracle_valid(sf_dir: str) -> bool:
     ORDER BY col
     """,
 )
-def q_data_profile(spark, sf_dir):
+def q_data_profile(spark, sf_dir, force_hll=False):
     """Column-level data profiling (the Deequ/Great-Expectations analyzer
     core): per column, null count, distinct count, and min/max in long
-    format.
+    format. ``force_hll`` (bench-only, never set by the registry entry)
+    takes the sketch+footer path regardless of row count so bench.py can
+    regression-watch the >5M-row plan at sf0.1 (r12, VERDICT #3).
 
     EXACT path (n <= DATA_PROFILE_HLL_ROWS): deliberately TWO aggs
     cross-joined (1 row × 1 row), not one — folding the six
@@ -3063,7 +3065,7 @@ def q_data_profile(spark, sf_dir):
             ]
         return out
 
-    if parquet_num_rows(sf_dir, "orders") > DATA_PROFILE_HLL_ROWS:
+    if force_hll or parquet_num_rows(sf_dir, "orders") > DATA_PROFILE_HLL_ROWS:
         stats = _footer_profile_stats(sf_dir, "orders", cols)
         scan_cols = [c for c in cols if c not in stats]
         lits = []

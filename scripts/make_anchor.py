@@ -1,0 +1,138 @@
+"""Anchor protocol, mechanized (r12, VERDICT #1).
+
+Runs bench.py N times (default 3), validates every run's CPU
+calibration probe, and REFUSES to write an anchor unless the window is
+verifiably clean:
+
+  * each run's own before/after probe drift must be <= --max-drift
+    (default 10%) — catches throttling that sets in mid-run;
+  * the cross-run spread of probe readings (worst arm, max/min - 1)
+    must be <= --max-drift — catches a window where successive runs
+    see different CPU speeds (the r11 failure mode: three median-of-3
+    runs of IDENTICAL code totalled 46.4 / 60.8 / 54.2 s).
+
+On success writes the anchor as a FLAT {query: median_sec} JSON (the
+same shape every BENCH_anchor_r*.json has, so existing diff tooling
+keeps working) plus a sibling <out>.meta.json holding the probe
+readings, per-run totals, and the common-key delta vs --baseline.
+
+Usage:
+    python scripts/make_anchor.py --out BENCH_anchor_r12.json \
+        --baseline BENCH_anchor_r10.json [--rounds 3] [--max-drift 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_bench(env_extra: dict | None = None) -> dict:
+    import os
+
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        cwd=str(REPO), env=env, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"bench.py failed rc={proc.returncode}")
+    line = proc.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--baseline", default=None,
+                    help="prior anchor JSON to diff common keys against")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--max-drift", type=float, default=10.0)
+    ap.add_argument("--max-steal", type=float, default=2.0,
+                    help="max hypervisor steal %% over any run's window")
+    args = ap.parse_args()
+
+    runs = []
+    for i in range(args.rounds):
+        r = run_bench()
+        p = r.get("probe") or {}
+        print(f"run {i + 1}/{args.rounds}: total={r['value']}s "
+              f"probe st={p.get('before', {}).get('st_sec')}->"
+              f"{p.get('after', {}).get('st_sec')} "
+              f"mt={p.get('before', {}).get('mt_sec')}->"
+              f"{p.get('after', {}).get('mt_sec')} "
+              f"drift={p.get('drift_pct')}% "
+              f"steal={p.get('window_steal_pct')}%")
+        if not p:
+            raise SystemExit("bench.py output carries no probe readings "
+                             "— refusing to anchor")
+        if p["drift_pct"] > args.max_drift:
+            raise SystemExit(
+                f"REFUSED: run {i + 1} probe drift {p['drift_pct']}% > "
+                f"{args.max_drift}% (host throttling mid-run) — no anchor "
+                "written; retry in a clean window")
+        if p.get("window_steal_pct", 0.0) > args.max_steal:
+            raise SystemExit(
+                f"REFUSED: run {i + 1} hypervisor steal "
+                f"{p['window_steal_pct']}% > {args.max_steal}% over the "
+                "query window — no anchor written; retry in a clean window")
+        runs.append(r)
+
+    # cross-run spread: all probe readings of the window, worst arm
+    for arm in ("st_sec", "mt_sec"):
+        vals = [r["probe"][side][arm]
+                for r in runs for side in ("before", "after")]
+        spread = 100.0 * (max(vals) / min(vals) - 1.0)
+        if spread > args.max_drift:
+            raise SystemExit(
+                f"REFUSED: cross-run probe spread on {arm} is "
+                f"{spread:.1f}% > {args.max_drift}% (unstable window: "
+                f"{vals}) — no anchor written")
+
+    keys = list(runs[0]["queries"].keys())
+    anchor = {k: round(statistics.median(
+        [r["queries"][k] for r in runs]), 3) for k in keys}
+    total = round(sum(anchor.values()), 3)
+
+    meta = {
+        "rounds": args.rounds,
+        "sf": runs[0]["sf"],
+        "total_median_per_query_sec": total,
+        "run_totals": [r["value"] for r in runs],
+        "probes": [r["probe"] for r in runs],
+        "max_drift_pct": args.max_drift,
+    }
+    if args.baseline:
+        base = json.loads(Path(args.baseline).read_text())
+        common = sorted(set(base) & set(anchor))
+        b_sum = round(sum(base[k] for k in common), 3)
+        a_sum = round(sum(anchor[k] for k in common), 3)
+        meta["baseline"] = {
+            "file": args.baseline,
+            "common_keys": len(common),
+            "baseline_common_sec": b_sum,
+            "anchor_common_sec": a_sum,
+            "delta_pct": round(100.0 * (a_sum / b_sum - 1.0), 1),
+        }
+        print(f"common-{len(common)} vs {args.baseline}: "
+              f"{b_sum} -> {a_sum} s ({meta['baseline']['delta_pct']:+}%)")
+
+    Path(args.out).write_text(
+        json.dumps(anchor, indent=1, sort_keys=False) + "\n")
+    Path(args.out + ".meta.json").write_text(
+        json.dumps(meta, indent=1) + "\n")
+    print(f"anchor written: {args.out} (total {total}s, "
+          f"probes clean at <={args.max_drift}%)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
