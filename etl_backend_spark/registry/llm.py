@@ -453,6 +453,97 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# Ingest-path broadcast gates for minhash_incr_pairs (r12): a daily
+# batch far smaller than the corpus broadcasts its band keys so the
+# PERSISTED base band index streams map-side with zero base shuffle;
+# the candidate-set gate is MEASURED (footer count of the materialized
+# candidate scratch), so an adversarial band collision blow-up falls
+# back to the shuffle plan instead of an oversized broadcast.
+MINHASH_INCR_BCAST_DOCS = 250_000
+MINHASH_INCR_BCAST_CAND = 1_000_000
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Footer row count of an arbitrary parquet dir (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.catalog import parquet_part_files
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in parquet_part_files(path))
+
+
+def minhash_incr_pairs(spark, art, batch_sig_path):
+    """The INGEST side of incremental MinHash-LSH, O(batch) by design:
+    near-dup pairs of a signature batch against the persisted index at
+    ``art`` (written by q_dedup_minhash_incremental's base build, or
+    any prior ingest). Per call the only O(corpus) touches are COLUMNAR
+    SCANS of the persisted sig/band tables (16+2 longs per doc, no
+    shuffle, no recompute): under the measured gates the batch's band
+    keys broadcast against the PRE-EXPLODED band artifact (the base
+    side never shuffles), the candidate set materializes to a scratch
+    parquet whose footer count picks the verify strategy, and base
+    signatures reach the estimate join through a broadcast semi-join on
+    candidate ids. Above the gates every join falls back to the
+    shuffle plan — same rows either way. Shared by the registered query
+    and scripts/bench_incr_obatch.py's fixed-batch-growing-base
+    receipt."""
+    import os
+
+    from ..ann import index as ann_index
+
+    base_p = spark.read.parquet(os.path.join(art, "sig"))
+    bands_base = spark.read.parquet(os.path.join(art, "bands"))
+    batch_sig = spark.read.parquet(batch_sig_path)
+    small_batch = _parquet_dir_rows(batch_sig_path) <= MINHASH_INCR_BCAST_DOCS
+
+    bands_new = batch_sig.select(
+        "doc_id",
+        F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
+    )
+    probe = F.broadcast(bands_new) if small_batch else bands_new
+    cand_nb = (
+        probe.alias("a")
+        .join(bands_base.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key")))
+        .select(F.col("a.doc_id").alias("doc_new"),
+                F.col("b.doc_id").alias("doc_match"))
+    )
+    cand_nn = (
+        bands_new.alias("a")
+        .join(probe.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("b.doc_id") < F.col("a.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_new"),
+                F.col("b.doc_id").alias("doc_match"))
+    )
+    cand_path = batch_sig_path.rstrip("/") + ".cand"
+    ann_index.write_artifact(
+        cand_nb.unionByName(cand_nn).distinct(), cand_path)
+    cand = spark.read.parquet(cand_path)
+
+    sa = batch_sig.select(F.col("doc_id").alias("__dn"),
+                          F.col("sig").alias("sig_a"))
+    all_sig = base_p.unionByName(batch_sig)
+    if small_batch and _parquet_dir_rows(cand_path) <= MINHASH_INCR_BCAST_CAND:
+        ids = cand.select(F.col("doc_match").alias("doc_id")).distinct()
+        sb_src = all_sig.join(F.broadcast(ids), "doc_id", "left_semi")
+        sa = F.broadcast(sa)
+    else:
+        sb_src = all_sig
+    sb = sb_src.select(F.col("doc_id").alias("__dm"),
+                       F.col("sig").alias("sig_b"))
+    est = H.minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"))
+    return (
+        cand.join(sa, F.col("doc_new") == F.col("__dn"))
+        .join(sb, F.col("doc_match") == F.col("__dm"))
+        .filter(est >= 0.5)
+        .select("doc_new", "doc_match", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
 @register(
     "dedup_minhash_incremental",
     oracle=H.minhash_incr_oracle_sql(
@@ -464,15 +555,17 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     family (exact: dedup_incremental; semantic: semdedup_incremental;
     ANN index: sim_index_incremental): a new batch (the 10% md5
     'mhinc:' bucket) finds near-duplicates against the EXISTING corpus
-    without re-shingling it. The base corpus' signature table persists
-    as the LSH index artifact (16 longs/doc — at 100 TB this is the
-    stored band index every ingest joins; it is built once and only
-    APPENDED to in production); the batch computes its own signatures,
-    band-bucket equi-joins against the persisted index AND itself
+    without re-shingling it. The base corpus persists as TWO index
+    artifacts — the signature table (16 longs/doc) and its
+    PRE-EXPLODED band table (band, key, doc_id) — built once and only
+    APPENDED to in production; the batch computes its own signatures,
+    band-bucket joins the persisted band index AND itself
     (batch-internal pairs oriented doc_match < doc_new), and verifies
-    candidates at estimated Jaccard >= 0.5. Output: (doc_new,
-    doc_match, est_jaccard) — doc_match may be a base doc or an
-    earlier batch doc.
+    candidates at estimated Jaccard >= 0.5. The join/verify strategy
+    is O(batch) under measured gates — see minhash_incr_pairs above,
+    which this query shares with the fixed-batch receipt script.
+    Output: (doc_new, doc_match, est_jaccard) — doc_match may be a
+    base doc or an earlier batch doc.
 
     VALUE-GATED: the oracle (functions/hashing.minhash_incr_oracle_sql)
     recomputes batch signatures in SQL but reads BASE signatures from
@@ -499,6 +592,19 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     ann_index.write_artifact(
         sig_all.filter(F.col("is_base")).select("doc_id", "sig"),
         os.path.join(art, "sig"))
+    # PRE-EXPLODED band index (r12): written ONCE with the base from
+    # the just-persisted sig parquet (no second minhash pass), so every
+    # later ingest streams it map-side instead of re-exploding and
+    # shuffling the base per batch — the difference between O(batch)
+    # and O(corpus) ingest at 100 TB (receipt:
+    # scripts/bench_incr_obatch.py).
+    base_rb = spark.read.parquet(os.path.join(art, "sig"))
+    ann_index.write_artifact(
+        base_rb.select(
+            "doc_id",
+            F.posexplode(H.minhash_bands_long(F.col("sig")))
+            .alias("band", "key")),
+        os.path.join(art, "bands"))
     # batch sigs also land on disk and are read back — computed once,
     # shared by band explode + both est-join sides, and NOTHING stays
     # pinned in executor storage after the query (a .persist() here
@@ -510,47 +616,7 @@ def q_dedup_minhash_incremental(spark, sf_dir):
         sig_all.filter(~F.col("is_base")).select("doc_id", "sig"),
         os.path.join(art, "sig_batch"))
     ann_index.point_current("mhlsh-incr", art, root=_ANN_ROOT)
-    base_p = spark.read.parquet(os.path.join(art, "sig"))
-    batch_sig = spark.read.parquet(os.path.join(art, "sig_batch"))
-
-    bands_new = batch_sig.select(
-        "doc_id",
-        F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
-    )
-    bands_base = base_p.select(
-        "doc_id",
-        F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
-    )
-    cand_nb = (
-        bands_new.alias("a")
-        .join(bands_base.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.key") == F.col("b.key")))
-        .select(F.col("a.doc_id").alias("doc_new"),
-                F.col("b.doc_id").alias("doc_match"))
-    )
-    cand_nn = (
-        bands_new.alias("a")
-        .join(bands_new.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.key") == F.col("b.key"))
-              & (F.col("b.doc_id") < F.col("a.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_new"),
-                F.col("b.doc_id").alias("doc_match"))
-    )
-    cand = cand_nb.unionByName(cand_nn).distinct()
-    all_sig = base_p.unionByName(batch_sig)
-    sa = batch_sig.select(F.col("doc_id").alias("__dn"),
-                          F.col("sig").alias("sig_a"))
-    sb = all_sig.select(F.col("doc_id").alias("__dm"),
-                        F.col("sig").alias("sig_b"))
-    est = H.minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"))
-    return (
-        cand.join(sa, F.col("doc_new") == F.col("__dn"))
-        .join(sb, F.col("doc_match") == F.col("__dm"))
-        .filter(est >= 0.5)
-        .select("doc_new", "doc_match", F.round(est, 4).alias("est_jaccard"))
-    )
+    return minhash_incr_pairs(spark, art, os.path.join(art, "sig_batch"))
 
 
 @register("dedup_simhash", oracle=H.simhash_oracle_sql(_WORDS_CTE, 3))
@@ -3186,6 +3252,120 @@ def q_semdedup_kmeans(spark, sf_dir):
 # greedy over the batch visit order — so dup_of attribution (base rep
 # vs earlier-accepted new vector, earliest-kept tie-break) is replayed
 # bit-exactly, not read back.
+def semdedup_incr_save_cents(d: str, cents) -> None:
+    """Persist the frozen centroid matrix beside the base record — the
+    third leg of the index (record + kept vectors + centroids), so an
+    ingest session can tag a new batch without refitting or touching
+    the base corpus (r12; loaded by semdedup_incr_load_cents)."""
+    import numpy as np
+    import pandas as pd
+
+    import os
+
+    from ..ann import index as ann_index
+
+    k, dim = cents.shape
+    ann_index._write_small_parquet(
+        os.path.join(d, "cents"),
+        pd.DataFrame({
+            "c": np.repeat(np.arange(k, dtype=np.int64), dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), k),
+            "w": cents.ravel().astype(np.float64),
+        }))
+
+
+def semdedup_incr_load_cents(d: str):
+    """Centroid matrix back from the artifact, bit-exact (float64
+    round-trips through parquet)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from ..sources.catalog import parquet_part_files
+    import pyarrow as pa
+
+    tbl = pa.concat_tables([
+        papq.read_table(f)
+        for f in parquet_part_files(os.path.join(d, "cents"))
+    ]).to_pandas().sort_values(["c", "dim"])
+    k = int(tbl["c"].max()) + 1
+    return tbl["w"].to_numpy(dtype=np.float64).reshape(k, -1)
+
+
+def semdedup_incr_tag(corpus_df, cents):
+    """ONE Arrow map pass tagging rows with their nearest frozen cell
+    (vec_id, cell, cdot, nv) — the batch half of an ingest; shared by
+    the registered query and the fixed-batch receipt script."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import semdedup as sd
+
+    def tag(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["nv"].to_numpy())
+            cell, cdot = sd.assign_cells(mat, cents)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "cell": cell, "cdot": cdot,
+                "nv": pdf["nv"],
+            })
+
+    return corpus_df.select("vec_id", "nv").mapInPandas(
+        tag, schema="vec_id long, cell int, cdot double, nv array<double>")
+
+
+def semdedup_incr_batch_rec(spark, d: str, batch):
+    """The INGEST side of incremental SemDeDup, O(batch) by design:
+    cogroup a tagged batch (vec_id, cell, prio, nv) with the kept
+    vectors PERSISTED in the base artifact at ``d`` and run the
+    frozen-kept greedy per cell. The only O(base) touch is the columnar
+    scan of the index parquet (record + nv payload) — no corpus read,
+    no base greedy recompute, no shuffle of base beyond the cogroup's
+    cell partitioning of index rows. Shared by q_semdedup_incremental
+    and scripts/bench_incr_obatch.py."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import semdedup as sd
+
+    base_p = spark.read.parquet(os.path.join(d, "base"))
+    kept = base_p.filter(F.col("keep")).select(
+        "vec_id", "cell", "sub", "prio", "nv")
+
+    def inc(left, right):
+        # left = the cell's batch rows, right = the cell's base kept
+        if left.empty:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int32"),
+                "prio": pd.Series(dtype="float64"),
+                "keep": pd.Series(dtype="bool"),
+                "dup_of": pd.Series(dtype="Int64"),
+            })
+        left = left.sort_values("vec_id").reset_index(drop=True)
+        right = right.sort_values(["sub", "prio", "vec_id"],
+                                  na_position="last").reset_index(drop=True)
+        ids = left["vec_id"].to_numpy()
+        mat = np.stack(left["nv"].to_numpy())
+        kept_ids = right["vec_id"].to_numpy()
+        kept_mat = (np.stack(right["nv"].to_numpy())
+                    if len(right) else np.empty((0, mat.shape[1])))
+        keep, dup_of = sd.greedy_prune_incremental(
+            ids, mat, left["prio"].to_numpy(), kept_ids, kept_mat)
+        return pd.DataFrame({
+            "vec_id": ids, "cell": left["cell"], "prio": left["prio"],
+            "keep": keep, "dup_of": pd.array(dup_of, dtype="Int64"),
+        }).assign(dup_of=lambda x: x["dup_of"].mask(x["dup_of"] < 0))
+
+    return batch.groupBy("cell").cogroup(kept.groupBy("cell")).applyInPandas(
+        inc, schema="vec_id long, cell int, prio double, "
+                    "keep boolean, dup_of long",
+    )
+
+
 _SEMDEDUP_INCR_REPLAY_ORACLE = f"""
     WITH RECURSIVE
     b AS (
@@ -3348,64 +3528,33 @@ def q_semdedup_incremental(spark, sf_dir):
         )
         return pd.DataFrame({
             "vec_id": ids, "cell": pdf["cell"], "sub": sub, "prio": prio,
-            "keep": keep,
+            "keep": keep, "nv": pdf["nv"],
         })
 
     base_rec = (
         tagged.filter(F.col("is_base"))
         .groupBy("cell")
         .applyInPandas(prune, schema="vec_id long, cell int, sub int, "
-                                     "prio double, keep boolean")
+                                     "prio double, keep boolean, "
+                                     "nv array<double>")
     )
 
     d = ann_index.index_dir_for(
         "semdedup-incr", sf_dir, tables=("embeddings",), root=_ANN_ROOT)
+    # the base artifact IS the dedup index: per row it carries the
+    # greedy record (cell, sub, prio, keep) AND the normalized vector,
+    # so a later ingest never touches a base corpus row (r12 — the
+    # previous layout re-derived kept nv by joining the corpus per
+    # ingest, an O(corpus) join on the batch path). The oracle replay
+    # reads only the named record columns; nv is index payload.
     ann_index.write_artifact(base_rec, os.path.join(d, "base"))
-    base_p = spark.read.parquet(os.path.join(d, "base"))
+    semdedup_incr_save_cents(d, cents)
 
-    # kept vectors re-derive nv from the UPSTREAM corpus plan (same
-    # deterministic JVM expression as the tag pass, fresh attribute ids
-    # — joining back through `tagged` would be a self-join with the
-    # batch side), keyed by the persisted record's cell
-    kept = (
-        base_p.filter(F.col("keep"))
-        .select("vec_id", "cell", "sub", "prio")
-        .join(corpus.select("vec_id", "nv"), "vec_id")
-    )
     batch = (
         tagged.filter(~F.col("is_base"))
         .select("vec_id", "cell", F.col("cdot").alias("prio"), "nv")
     )
-
-    def inc(left, right):
-        # left = the cell's batch rows, right = the cell's base kept
-        if left.empty:
-            return pd.DataFrame({
-                "vec_id": pd.Series(dtype="int64"),
-                "cell": pd.Series(dtype="int32"),
-                "prio": pd.Series(dtype="float64"),
-                "keep": pd.Series(dtype="bool"),
-                "dup_of": pd.Series(dtype="Int64"),
-            })
-        left = left.sort_values("vec_id").reset_index(drop=True)
-        right = right.sort_values(["sub", "prio", "vec_id"],
-                                  na_position="last").reset_index(drop=True)
-        ids = left["vec_id"].to_numpy()
-        mat = np.stack(left["nv"].to_numpy())
-        kept_ids = right["vec_id"].to_numpy()
-        kept_mat = (np.stack(right["nv"].to_numpy())
-                    if len(right) else np.empty((0, mat.shape[1])))
-        keep, dup_of = sd.greedy_prune_incremental(
-            ids, mat, left["prio"].to_numpy(), kept_ids, kept_mat)
-        return pd.DataFrame({
-            "vec_id": ids, "cell": left["cell"], "prio": left["prio"],
-            "keep": keep, "dup_of": pd.array(dup_of, dtype="Int64"),
-        }).assign(dup_of=lambda x: x["dup_of"].mask(x["dup_of"] < 0))
-
-    batch_rec = batch.groupBy("cell").cogroup(kept.groupBy("cell")).applyInPandas(
-        inc, schema="vec_id long, cell int, prio double, "
-                    "keep boolean, dup_of long",
-    )
+    batch_rec = semdedup_incr_batch_rec(spark, d, batch)
     ann_index.write_artifact(batch_rec, os.path.join(d, "batch"))
     ann_index.point_current("semdedup-incr", d, root=_ANN_ROOT)
     tagged.unpersist()
