@@ -1431,10 +1431,74 @@ def q_bm25_search_indexed(spark, sf_dir):
 
 _BPE_MERGES_CACHE: dict = {}
 
+#: symbol separator for the BPE replay oracle's string-encoded
+#: segmentations — chr(31) (unit separator), a control character the
+#: whitespace-split word stream cannot produce from any realistic text
+#: (documented boundary: a corpus whose words CONTAIN chr(31) would
+#: need a different separator)
+_BPE_SEP = "\x1f"
 
-@register("tokenize_bpe")  # rows-only: 32 data-dependent iterative merges
-# are not SQL-expressible; exactness is pinned instead by a pure-Python
-# reference-BPE equality pytest (tests/test_llm_ops.py)
+# Merge-table replay oracle (r12, VERDICT r11 #6): the TRAIN is
+# float-free but iterative/data-dependent (not SQL-expressible); the
+# APPLY is a deterministic function of the persisted merge table, so
+# DuckDB replays it exactly. Key identity: one BPE merge pass over a
+# symbol sequence (leftmost, non-overlapping, as both train and
+# encode_word apply it) IS one SQL replace() over the segmentation
+# encoded as a doubled-separator string — '<s><s>c1<s><s>c2<s><s>...'
+# — replacing '<s>a<s><s>b<s>' with '<s>ab<s>': each match consumes
+# the INNER separator of each boundary only, so adjacent matches stay
+# available and replace()'s leftmost non-overlapping scan reproduces
+# the pass order bit-for-bit. The recursive CTE steps the 32 merges in
+# trained rank order over DISTINCT words (the oracle's own
+# memoization); the final token count per word is the separator count
+# of its fixed point. Verified against the engine's pure-Python
+# encode_word on every sf0.01 document before registration.
+_BPE_REPLAY_ORACLE = f"""
+    WITH RECURSIVE
+    m AS (
+      SELECT rank, a, b
+      FROM read_parquet('{_ANN_ROOT}/bpe-current/merges/*.parquet')
+    ),
+    nm AS (SELECT coalesce(max(rank), 0) AS n FROM m),
+    w0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM w0),
+    dw AS (SELECT DISTINCT w FROM words),
+    enc AS (
+      SELECT w,
+             '{_BPE_SEP}{_BPE_SEP}' || CASE WHEN len(w) = 0 THEN ''
+                ELSE regexp_replace(w, '(.)', '\\1{_BPE_SEP}{_BPE_SEP}', 'g')
+             END || '</w>{_BPE_SEP}{_BPE_SEP}' AS s0
+      FROM dw
+    ),
+    walk(w, i, s) AS (
+      SELECT w, 0, s0 FROM enc
+      UNION ALL
+      SELECT walk.w, walk.i + 1,
+             replace(walk.s,
+                     '{_BPE_SEP}' || m.a || '{_BPE_SEP}{_BPE_SEP}'
+                       || m.b || '{_BPE_SEP}',
+                     '{_BPE_SEP}' || m.a || m.b || '{_BPE_SEP}')
+      FROM walk JOIN m ON m.rank = walk.i + 1
+    ),
+    final AS (
+      SELECT w,
+             len(string_split(s, '{_BPE_SEP}{_BPE_SEP}')) - 2 AS n_tok
+      FROM walk, nm WHERE walk.i = nm.n
+    ),
+    agg AS (
+      SELECT words.doc_id, CAST(sum(f.n_tok) AS BIGINT) AS n_tokens
+      FROM words JOIN final f USING (w) GROUP BY words.doc_id
+    )
+    SELECT w0.doc_id, CAST(len(w0.ws) AS BIGINT) AS n_words, agg.n_tokens
+    FROM w0 JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("tokenize_bpe", oracle=_BPE_REPLAY_ORACLE)
 def q_tokenize_bpe(spark, sf_dir):
     """REAL BPE tokenization (Sennrich et al. 2016 — the GPT-2 tokenizer
     family): train 32 merges on the corpus word-frequency table (the
@@ -1444,7 +1508,16 @@ def q_tokenize_bpe(spark, sf_dir):
     an Arrow-batched UDF whose per-batch memoization tokenizes each
     DISTINCT word once. Output (doc_id, n_words, n_tokens) is
     integer-exact; n_tokens < n_chars and > n_words by construction.
-    functions/bpe.py; merge list cached per corpus fingerprint."""
+    functions/bpe.py; merge list cached per corpus fingerprint.
+
+    VALUE-GATED since r12: the merge table persists as a 32-row
+    artifact and the DuckDB oracle (_BPE_REPLAY_ORACLE above) replays
+    greedy BPE segmentation per distinct word from it — each merge
+    pass as one doubled-separator string replace, stepped in rank
+    order by a recursive CTE — so per-document token counts are
+    integer-exact cross-engine. Only the train (which merges win)
+    stays pinned by the pure-Python reference pytest."""
+    from ..ann import index as ann_index
     from ..functions import bpe
     from ..sources.cache import file_fingerprint
 
@@ -1454,6 +1527,21 @@ def q_tokenize_bpe(spark, sf_dir):
         d = Catalog(spark, sf_dir).table("documents")
         merges = bpe.train_merges(bpe.word_freq_table(d), n_merges=32)
         _BPE_MERGES_CACHE[key] = merges
+
+    import os
+
+    import pandas as pd
+
+    art = ann_index.index_dir_for(
+        "bpe", sf_dir, tables=("documents",), root=_ANN_ROOT)
+    ann_index._write_small_parquet(
+        os.path.join(art, "merges"),
+        pd.DataFrame({
+            "rank": range(1, len(merges) + 1),
+            "a": [a for a, _ in merges],
+            "b": [b for _, b in merges],
+        }))
+    ann_index.point_current("bpe", art, root=_ANN_ROOT)
 
     d = Catalog(spark, sf_dir).table("documents")
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")

@@ -76,24 +76,31 @@ def main() -> None:
     probe0 = cpu_probe()
 
     # ---- untimed: build base indexes for both corpora --------------
-    for sf in (SF1, SF10):
-        run_full(QUERIES["dedup_minhash_incremental"](spark, sf))
-        run_full(QUERIES["semdedup_incremental"](spark, sf))
-
-    # ---- minhash: stage the FIXED batch sigs once ------------------
-    mh_art = {sf: art_for("mhlsh-incr", sf, ("documents",))
-              for sf in (SF1, SF10)}
-    fixed_sig = os.path.join(SCRATCH, "mh-batch-sig")
+    # point_current() garbage-collects same-kind sibling dirs, so the
+    # two bases' live artifacts cannot coexist under the ANN root —
+    # snapshot each base's index to scratch right after its build and
+    # time against the snapshots.
     shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH, exist_ok=True)
+    mh_art, sd_art = {}, {}
+    for sf, tag in ((SF1, "sf1"), (SF10, "sf10")):
+        run_full(QUERIES["dedup_minhash_incremental"](spark, sf))
+        run_full(QUERIES["semdedup_incremental"](spark, sf))
+        mh_art[sf] = os.path.join(SCRATCH, f"mh-{tag}")
+        sd_art[sf] = os.path.join(SCRATCH, f"sd-{tag}")
+        shutil.copytree(art_for("mhlsh-incr", sf, ("documents",)),
+                        mh_art[sf])
+        shutil.copytree(art_for("semdedup-incr", sf, ("embeddings",)),
+                        sd_art[sf])
+
+    # ---- minhash: stage the FIXED batch sigs once ------------------
+    fixed_sig = os.path.join(SCRATCH, "mh-batch-sig")
     shutil.copytree(os.path.join(mh_art[SF1], "sig_batch"), fixed_sig)
 
     def mh_run(sf):
         run_full(L.minhash_incr_pairs(spark, mh_art[sf], fixed_sig))
 
     # ---- semdedup: fixed batch rows from sf1, tagged per-base ------
-    sd_art = {sf: art_for("semdedup-incr", sf, ("embeddings",))
-              for sf in (SF1, SF10)}
     bucket = (
         F.conv(F.substring(
             F.md5(F.concat(F.lit("sdinc:"), F.col("vec_id").cast("string"))),
