@@ -3321,8 +3321,12 @@ def semdedup_incr_batch_rec(spark, d: str, batch):
     vectors PERSISTED in the base artifact at ``d`` and run the
     frozen-kept greedy per cell. The only O(base) touch is the columnar
     scan of the index parquet (record + nv payload) — no corpus read,
-    no base greedy recompute, no shuffle of base beyond the cogroup's
-    cell partitioning of index rows. Shared by q_semdedup_incremental
+    no base greedy recompute; the kept side is semi-joined down to the
+    CELLS THE BATCH TOUCHES (broadcast of the batch's distinct cell
+    ids, bounded by |batch|) before the cogroup, so the cell shuffle
+    moves O(touched kept), not O(base kept) — measured: without the
+    prune a fixed batch against a 10x base cost 2.4x; with it, flat
+    (receipt in BASELINE.md r12). Shared by q_semdedup_incremental
     and scripts/bench_incr_obatch.py."""
     import os
 
@@ -3332,8 +3336,12 @@ def semdedup_incr_batch_rec(spark, d: str, batch):
     from ..functions import semdedup as sd
 
     base_p = spark.read.parquet(os.path.join(d, "base"))
-    kept = base_p.filter(F.col("keep")).select(
-        "vec_id", "cell", "sub", "prio", "nv")
+    kept = (
+        base_p.filter(F.col("keep"))
+        .select("vec_id", "cell", "sub", "prio", "nv")
+        .join(F.broadcast(batch.select("cell").distinct()),
+              "cell", "left_semi")
+    )
 
     def inc(left, right):
         # left = the cell's batch rows, right = the cell's base kept
