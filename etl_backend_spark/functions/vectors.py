@@ -77,6 +77,27 @@ def norm_unrolled(v: Column, dim: int) -> Column:
     return F.sqrt(reduce(lambda acc, x: acc + x, terms, F.lit(0.0)))
 
 
+def l2_normalize_np_seq(X: np.ndarray) -> np.ndarray:
+    """numpy l2-normalize BIT-IDENTICAL to the JVM ``l2_normalize``
+    chain (and the DuckDB replay oracles that mirror it): the squared
+    norm accumulates SEQUENTIALLY over dims — ``acc = acc + X[:,j]**2``
+    in increasing j, float64, 0.0 seed — vectorized over rows, so every
+    row's sum is the same left-associated IEEE chain the JVM fold
+    computes (np.sum's pairwise reordering would differ in the last
+    ulp and could flip greedy threshold decisions). Divisor guarded to
+    >= 1e-300; ``np.maximum`` propagates NaN exactly like
+    ``greatest()``. Lets Arrow map passes take RAW float32 embeddings
+    and normalize in-kernel instead of paying the JVM higher-order
+    expression walk per corpus pass (measured 8.6 s of a 43 s
+    sf10 semdedup_incremental run — r12)."""
+    X = X.astype(np.float64, copy=False)
+    acc = np.zeros(len(X), dtype=np.float64)
+    for j in range(X.shape[1]):
+        acc = acc + X[:, j] * X[:, j]
+    n = np.maximum(np.sqrt(acc), 1e-300)
+    return X / n[:, None]
+
+
 def pair_dot_seq_pandas():
     """Arrow-batched pandas UDF computing the per-pair dot product with
     numpy, BIT-IDENTICAL to the sequential ``dot`` fold: accumulation is

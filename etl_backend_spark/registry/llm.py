@@ -3182,7 +3182,10 @@ def q_semdedup_kmeans(spark, sf_dir):
         if n > cap:
             fit_df = fit_df.sample(fraction=min(1.0, 1.1 * cap / n),
                                    seed=11).limit(cap)
-        sample = np.array([r.nv for r in fit_df.collect()])
+        # Arrow toPandas, not collect(): same rows in the same driver
+        # order, minus the pickled-Row tax (16.8 s for 22k vectors at
+        # sf10 — r12 profile of the incremental sibling)
+        sample = np.stack(fit_df.toPandas()["nv"].to_numpy())
         cents = sd.fit_centroids(sample, k=min(k, len(sample)), seed=11)
         _SEMDEDUP_CENT_CACHE[_ck] = cents
 
@@ -3483,15 +3486,18 @@ def q_semdedup_incremental(spark, sf_dir):
     from ..functions import semdedup as sd
 
     e = Catalog(spark, sf_dir).table("embeddings")
-    corpus = e.select(
-        "vec_id", V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv")
-    )
     bucket = (
         F.conv(F.substring(
             F.md5(F.concat(F.lit("sdinc:"), F.col("vec_id").cast("string"))),
             1, 8), 16, 10).cast("long") % 100
     )
-    corpus = corpus.withColumn("is_base", bucket < 90)
+    # RAW float32 embeddings reach the Arrow tag pass; normalization
+    # happens IN-KERNEL with the sequential fold (bit-identical to the
+    # JVM l2_normalize chain the replay oracle mirrors — see
+    # vectors.l2_normalize_np_seq). The previous JVM higher-order
+    # normalize cost 8.6 s of a 43 s sf10 run and doubled the Arrow
+    # transfer width (r12 profile).
+    raw = e.select("vec_id", "embedding").withColumn("is_base", bucket < 90)
     n = e.count()  # parquet metadata count — no scan
     n_base = max(1, (n * 9) // 10)  # deterministic k-schedule estimate
 
@@ -3500,29 +3506,34 @@ def q_semdedup_incremental(spark, sf_dir):
     cents = _SEMDEDUP_CENT_CACHE.get(_ck)
     if cents is None:
         k = sd.k_schedule(n_base)
-        fit_df = corpus.filter(F.col("is_base")).select("nv")
+        fit_df = raw.filter(F.col("is_base")).select("embedding")
         cap = min(n_base, max(8 * k, 4096), sd.FIT_CAP)
         if n_base > cap:
             fit_df = fit_df.sample(fraction=min(1.0, 1.1 * cap / n_base),
                                    seed=11).limit(cap)
-        sample = np.array([r.nv for r in fit_df.collect()])
+        # Arrow toPandas, not collect(): the pickled-Row path through
+        # the limit's single partition cost 16.8 s for 22k vectors at
+        # sf10 (r12 profile); same rows, same driver order
+        sample = V.l2_normalize_np_seq(
+            np.stack(fit_df.toPandas()["embedding"].to_numpy()))
         cents = sd.fit_centroids(sample, k=min(k, len(sample)), seed=11)
         _SEMDEDUP_CENT_CACHE[_ck] = cents
 
     def tag(batches):
         for pdf in batches:
-            mat = np.stack(pdf["nv"].to_numpy())
+            mat = V.l2_normalize_np_seq(
+                np.stack(pdf["embedding"].to_numpy()))
             cell, cdot = sd.assign_cells(mat, cents)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"], "cell": cell, "cdot": cdot,
-                "nv": pdf["nv"], "is_base": pdf["is_base"],
+                "nv": list(mat), "is_base": pdf["is_base"],
             })
 
     # persisted: the centroid-tag pass feeds BOTH the base-record write
     # job and the batch cogroup job — without the cache it re-runs per
     # job (r11 second review); released before return (the returned
     # frame reads only the persisted artifacts)
-    tagged = corpus.mapInPandas(
+    tagged = raw.mapInPandas(
         tag, schema="vec_id long, cell int, cdot double, "
                     "nv array<double>, is_base boolean"
     ).persist()

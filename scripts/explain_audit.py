@@ -50,9 +50,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     verbose = len(sys.argv) > 2
 
+    from bench import BENCH_EXTRA  # bench-only twins (data_profile_hll)
+
     bad = {}
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
+        df = (BENCH_EXTRA.get(name) or QUERIES[name])(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         problems = audit(name, plan)
         if problems:
