@@ -1554,10 +1554,82 @@ def q_tokenize_bpe(spark, sf_dir):
 
 _UNIGRAM_CACHE: dict = {}
 
+# Viterbi replay oracle (r12, the _BPE_REPLAY_ORACLE's probabilistic
+# sibling): the hard-EM TRAIN is float/iterative (not SQL-expressible);
+# the APPLY — best segmentation under the persisted piece log-probs —
+# is a deterministic DP, so DuckDB replays it exactly. The recursive
+# CTE steps one character position per iteration carrying a 6-slot DP
+# window (MAX_PIECE_LEN=6) of (score, n_pieces) structs; candidate
+# scores accumulate prev.score + lp in the same left-associated double
+# chain as the engine's viterbi(), so float comparisons are
+# bit-identical; the tie rule (max score, then fewer pieces) is the
+# ORDER BY. Only the piece COUNT needs carrying — which piece wins a
+# (score, np) tie never changes the count, and DP state at a position
+# is independent of the tie choice. Out-of-vocab single characters
+# score the same min(lp) - 10.0 floor as the engine. Verified against
+# the engine's pure-Python viterbi on every sf0.01 document before
+# registration.
+_UNIGRAM_REPLAY_ORACLE = f"""
+    WITH RECURSIVE
+    w0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM w0),
+    dw AS (SELECT DISTINCT w FROM words WHERE len(w) > 0),
+    wl AS (SELECT w, len(w) AS n FROM dw),
+    walk(w, i, s6) AS (
+      SELECT w, 0,
+             [NULL, NULL, NULL, NULL, NULL,
+              {{'score': 0.0, 'np': 0::BIGINT}}
+             ]::STRUCT(score DOUBLE, np BIGINT)[]
+      FROM dw
+      UNION ALL
+      SELECT wk.w, wk.i + 1,
+             [wk.s6[2], wk.s6[3], wk.s6[4], wk.s6[5], wk.s6[6], best.b]
+      FROM walk wk
+      JOIN wl ON wl.w = wk.w AND wk.i < wl.n
+      CROSS JOIN LATERAL (
+        SELECT {{'score': c.sc, 'np': c.np}} AS b
+        FROM (
+          SELECT wk.s6[7 - g.l].score + c2.lp AS sc,
+                 wk.s6[7 - g.l].np + 1 AS np
+          FROM (SELECT unnest([1, 2, 3, 4, 5, 6]) AS l) g
+          CROSS JOIN LATERAL (
+            SELECT coalesce(
+              (SELECT v.lp
+               FROM read_parquet(
+                 '{_ANN_ROOT}/unigram-current/vocab/*.parquet') v
+               WHERE v.piece = substring(wk.w, wk.i + 2 - g.l, g.l)),
+              CASE WHEN g.l = 1 THEN
+                (SELECT min(lp) - 10.0
+                 FROM read_parquet(
+                   '{_ANN_ROOT}/unigram-current/vocab/*.parquet'))
+              END) AS lp
+          ) c2
+          WHERE g.l <= wk.i + 1
+            AND wk.s6[7 - g.l] IS NOT NULL AND c2.lp IS NOT NULL
+        ) c
+        ORDER BY c.sc DESC, c.np ASC
+        LIMIT 1
+      ) best
+    ),
+    final AS (
+      SELECT walk.w, walk.s6[6].np AS n_pieces
+      FROM walk JOIN wl ON wl.w = walk.w AND walk.i = wl.n
+    ),
+    agg AS (
+      SELECT words.doc_id, CAST(sum(f.n_pieces) AS BIGINT) AS n_pieces
+      FROM words JOIN final f USING (w) GROUP BY words.doc_id
+    )
+    SELECT w0.doc_id, CAST(len(w0.ws) AS BIGINT) AS n_words,
+           coalesce(agg.n_pieces, 0) AS n_pieces
+    FROM w0 LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """
 
-@register("tokenize_unigram")  # rows-only: the EM-trained piece
-# inventory is not SQL-expressible; exactness is pinned instead by the
-# hand-computable-corpus + reconstruction + determinism pytests
+
+@register("tokenize_unigram", oracle=_UNIGRAM_REPLAY_ORACLE)
 def q_tokenize_unigram(spark, sf_dir):
     """Unigram-LM subword tokenization (Kudo 2018 — the SentencePiece
     default), the probabilistic sibling of tokenize_bpe: a hard-EM
@@ -1568,7 +1640,15 @@ def q_tokenize_unigram(spark, sf_dir):
     Output (doc_id, n_words, n_pieces) is integer-exact; BPE and unigram
     bracket the two families of production subword tokenizers — merges
     built bottom-up vs an inventory pruned top-down.
-    functions/unigram.py; vocab cached per corpus fingerprint."""
+    functions/unigram.py; vocab cached per corpus fingerprint.
+
+    VALUE-GATED since r12: the fitted piece log-probs persist as a
+    ~256-row artifact and the DuckDB oracle (_UNIGRAM_REPLAY_ORACLE
+    above) replays the Viterbi DP per distinct word from it, so
+    per-document piece counts are integer-exact cross-engine. Only the
+    EM fit (which pieces survive, their probabilities) stays pinned by
+    the hand-computable-corpus + reconstruction + determinism
+    pytests."""
     from ..functions import unigram
     from ..sources.cache import file_fingerprint
 
@@ -1580,6 +1660,19 @@ def q_tokenize_unigram(spark, sf_dir):
         d = Catalog(spark, sf_dir).table("documents")
         logp = unigram.train_unigram(bpe.word_freq_table(d))
         _UNIGRAM_CACHE[key] = logp
+
+    import os
+
+    import pandas as pd
+
+    from ..ann import index as ann_index
+
+    art = ann_index.index_dir_for(
+        "unigram", sf_dir, tables=("documents",), root=_ANN_ROOT)
+    ann_index._write_small_parquet(
+        os.path.join(art, "vocab"),
+        pd.DataFrame({"piece": list(logp), "lp": list(logp.values())}))
+    ann_index.point_current("unigram", art, root=_ANN_ROOT)
 
     d = Catalog(spark, sf_dir).table("documents")
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
