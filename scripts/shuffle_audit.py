@@ -36,7 +36,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HEADLINE, run_full  # noqa: E402
+from bench import BENCH_EXTRA, HEADLINE, run_full  # noqa: E402
 from etl_backend_spark.registry import QUERIES  # noqa: E402
 from etl_backend_spark.session import get_spark  # noqa: E402
 
@@ -162,7 +162,7 @@ def main() -> None:
 
     rows = []
     for name in names:
-        q = QUERIES[name]
+        q = BENCH_EXTRA.get(name) or QUERIES[name]
         df = q(spark, sf_dir)
         # run_full, NOT count(): count() lets Catalyst prune non-key
         # columns out of aggregates, under-reporting shuffle bytes

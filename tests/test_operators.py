@@ -366,12 +366,13 @@ def test_headline_plans_have_no_antipatterns(spark):
     test)."""
     import sys
     sys.path.insert(0, "/root/repo")
-    from bench import HEADLINE
+    from bench import BENCH_EXTRA, HEADLINE
     from etl_backend_spark.registry import QUERIES
 
     bad = {}
     for name in HEADLINE:
-        plan = QUERIES[name](spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        fn = BENCH_EXTRA.get(name) or QUERIES[name]
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
         hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
         if hits:
             bad[name] = hits
