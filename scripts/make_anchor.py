@@ -58,13 +58,37 @@ def main() -> int:
     ap.add_argument("--max-drift", type=float, default=10.0)
     ap.add_argument("--max-steal", type=float, default=2.0,
                     help="max hypervisor steal %% over any run's window")
+    ap.add_argument("--max-attempts", type=int, default=12,
+                    help="total bench attempts before giving up — steal "
+                         "oscillates on minute scales, so dirty runs are "
+                         "DISCARDED and retried rather than poisoning the "
+                         "anchor or aborting on the first bad window")
     args = ap.parse_args()
 
-    runs = []
-    for i in range(args.rounds):
+    import time
+
+    from bench import cpu_probe  # noqa: E402 (repo root on sys.path)
+
+    runs, attempts = [], 0
+    while len(runs) < args.rounds:
+        if attempts >= args.max_attempts:
+            raise SystemExit(
+                f"REFUSED: only {len(runs)}/{args.rounds} clean runs in "
+                f"{attempts} attempts — no anchor written; the host never "
+                "offered a clean window")
+        attempts += 1
+        # pre-flight: a ~3 s probe before committing to a ~6 min bench
+        # run; skip the attempt outright if the window is already dirty
+        pre = cpu_probe()
+        if pre["steal_pct"] > args.max_steal:
+            print(f"attempt {attempts}: pre-flight steal "
+                  f"{pre['steal_pct']}% — waiting 90 s")
+            time.sleep(90)
+            continue
         r = run_bench()
         p = r.get("probe") or {}
-        print(f"run {i + 1}/{args.rounds}: total={r['value']}s "
+        print(f"attempt {attempts} (run {len(runs) + 1}/{args.rounds}): "
+              f"total={r['value']}s "
               f"probe st={p.get('before', {}).get('st_sec')}->"
               f"{p.get('after', {}).get('st_sec')} "
               f"mt={p.get('before', {}).get('mt_sec')}->"
@@ -75,15 +99,13 @@ def main() -> int:
             raise SystemExit("bench.py output carries no probe readings "
                              "— refusing to anchor")
         if p["drift_pct"] > args.max_drift:
-            raise SystemExit(
-                f"REFUSED: run {i + 1} probe drift {p['drift_pct']}% > "
-                f"{args.max_drift}% (host throttling mid-run) — no anchor "
-                "written; retry in a clean window")
+            print(f"  DISCARDED: probe drift {p['drift_pct']}% > "
+                  f"{args.max_drift}% (host throttled mid-run)")
+            continue
         if p.get("window_steal_pct", 0.0) > args.max_steal:
-            raise SystemExit(
-                f"REFUSED: run {i + 1} hypervisor steal "
-                f"{p['window_steal_pct']}% > {args.max_steal}% over the "
-                "query window — no anchor written; retry in a clean window")
+            print(f"  DISCARDED: window steal {p['window_steal_pct']}% > "
+                  f"{args.max_steal}%")
+            continue
         runs.append(r)
 
     # cross-run spread: all probe readings of the window, worst arm
