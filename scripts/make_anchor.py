@@ -109,8 +109,9 @@ def main() -> int:
             continue
         runs.append(r)
 
-    # cross-run spread: all probe readings of the window, worst arm
-    for arm in ("st_sec", "mt_sec"):
+    # cross-run spread over the gated (32-thread) arm — the st arm is
+    # diagnostic only (cold-process single-core ramp, see bench.py)
+    for arm in ("mt_sec",):
         vals = [r["probe"][side][arm]
                 for r in runs for side in ("before", "after")]
         spread = 100.0 * (max(vals) / min(vals) - 1.0)
