@@ -273,11 +273,24 @@ def main() -> None:
     drift = round(probe_drift_pct(probe_before, probe_after), 1)
     win_steal = round(steal_pct(win0, win1), 2)
     total = round(sum(timings.values()), 3)
+    # Normalized view (r13, VERDICT #4): per-query median divided by the
+    # window's mt-probe reading (mean of before/after, seconds for the
+    # probe's FIXED all-core work quantum). The probe proved this host's
+    # clean-window clock wanders 12-15%/hour, so even probe-certified
+    # wall-clock anchors carry that band; the normalized column divides
+    # the wander out — it reads "query cost in probe work-quanta", a
+    # host-speed-free number comparable across rounds. Both columns ship;
+    # wall stays the headline metric, normalized is the diffing view.
+    mt_mean = (probe_before["mt_sec"] + probe_after["mt_sec"]) / 2.0
+    norm = {k: round(v / mt_mean, 2) for k, v in timings.items()}
     print(json.dumps({
         "metric": "headline_queries_total_median_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_norm": norm,
+        "value_norm": round(sum(norm.values()), 1),
+        "norm_unit": "probe_mt_quanta",
         "sf": float(sf),
         "probe": {
             "before": probe_before,

@@ -70,6 +70,18 @@ def main() -> int:
                          "mt) — per-query medians then mix slightly "
                          "different clock epochs, bounded by the spread "
                          "RECORDED in the meta artifact")
+    ap.add_argument("--accept-spread", action="store_true",
+                    help="FALLBACK (VERDICT r12 #1): when every run is "
+                         "internally clean (drift + steal gated) but the "
+                         "cross-run spread gate still refuses — the "
+                         "measured failure mode where this host's clock "
+                         "wanders faster than three 6-minute runs "
+                         "complete — write the anchor anyway with "
+                         "wide_window=true and the spread recorded as "
+                         "the uncertainty band. The NORMALIZED medians "
+                         "(per-run wall / that run's own mt quantum) "
+                         "stay comparable across clock epochs and are "
+                         "the intended diffing column for such anchors.")
     ap.add_argument("--max-attempts", type=int, default=12,
                     help="total bench attempts before giving up — steal "
                          "oscillates on minute scales, so dirty runs are "
@@ -129,30 +141,57 @@ def main() -> int:
     # sampling noise while still catching the real failure mode — one
     # run measured on a throttled host, another on a fast one.
     spread = None
+    wide_window = False
     for arm in ("mt_sec",):
         vals = [(r["probe"]["before"][arm] + r["probe"]["after"][arm]) / 2
                 for r in runs]
         spread = round(100.0 * (max(vals) / min(vals) - 1.0), 1)
         if spread > args.max_spread:
-            raise SystemExit(
-                f"REFUSED: cross-run probe spread on {arm} run-means is "
-                f"{spread}% > {args.max_spread}% (unstable window: "
-                f"{vals}) — no anchor written")
+            if not args.accept_spread:
+                raise SystemExit(
+                    f"REFUSED: cross-run probe spread on {arm} run-means "
+                    f"is {spread}% > {args.max_spread}% (unstable window: "
+                    f"{vals}) — no anchor written (pass --accept-spread "
+                    "to take the documented wide-window fallback)")
+            wide_window = True
+            print(f"WIDE WINDOW accepted: cross-run {arm} spread "
+                  f"{spread}% > {args.max_spread}% — wall medians carry "
+                  "that band; diff on the normalized column")
 
     keys = list(runs[0]["queries"].keys())
     anchor = {k: round(statistics.median(
         [r["queries"][k] for r in runs]), 3) for k in keys}
     total = round(sum(anchor.values()), 3)
 
+    # normalized medians (r13, VERDICT #4): per-run queries_norm =
+    # wall / window mt-probe quantum (bench.py emits it; derive from the
+    # probes for runs made by an older bench.py). Host-speed-free, so
+    # cross-round diffs don't carry the measured 12-15%/hour clean-window
+    # clock wander the wall column does.
+    def run_norm(r: dict) -> dict:
+        if "queries_norm" in r:
+            return r["queries_norm"]
+        p = r["probe"]
+        mt = (p["before"]["mt_sec"] + p["after"]["mt_sec"]) / 2.0
+        return {k: v / mt for k, v in r["queries"].items()}
+
+    norms = [run_norm(r) for r in runs]
+    anchor_norm = {k: round(statistics.median(
+        [n[k] for n in norms]), 2) for k in keys}
+
     meta = {
         "rounds": args.rounds,
         "sf": runs[0]["sf"],
         "total_median_per_query_sec": total,
         "run_totals": [r["value"] for r in runs],
+        "run_queries": [r["queries"] for r in runs],
         "probes": [r["probe"] for r in runs],
+        "queries_norm_median": anchor_norm,
+        "norm_unit": "probe_mt_quanta",
         "max_drift_pct": args.max_drift,
         "cross_run_mt_spread_pct": spread,
         "max_spread_pct": args.max_spread,
+        "wide_window": wide_window,
     }
     if args.baseline:
         base = json.loads(Path(args.baseline).read_text())
@@ -168,6 +207,28 @@ def main() -> int:
         }
         print(f"common-{len(common)} vs {args.baseline}: "
               f"{b_sum} -> {a_sum} s ({meta['baseline']['delta_pct']:+}%)")
+        # normalized delta needs the baseline's own normalized medians —
+        # present in anchors made by this script version (sibling meta);
+        # older anchors (r10) predate the probe and get wall-only diffs.
+        base_meta_p = Path(args.baseline + ".meta.json")
+        if base_meta_p.exists():
+            bm = json.loads(base_meta_p.read_text())
+            bnorm = bm.get("queries_norm_median")
+            if bnorm:
+                ncommon = sorted(set(bnorm) & set(anchor_norm))
+                bn = round(sum(bnorm[k] for k in ncommon), 2)
+                an = round(sum(anchor_norm[k] for k in ncommon), 2)
+                meta["baseline"]["norm_common_keys"] = len(ncommon)
+                meta["baseline"]["baseline_common_norm"] = bn
+                meta["baseline"]["anchor_common_norm"] = an
+                meta["baseline"]["norm_delta_pct"] = round(
+                    100.0 * (an / bn - 1.0), 1)
+                print(f"normalized common-{len(ncommon)}: {bn} -> {an} "
+                      f"quanta ({meta['baseline']['norm_delta_pct']:+}%)")
+            else:
+                meta["baseline"]["norm_delta_pct"] = None
+        else:
+            meta["baseline"]["norm_delta_pct"] = None
 
     Path(args.out).write_text(
         json.dumps(anchor, indent=1, sort_keys=False) + "\n")
