@@ -212,13 +212,18 @@ def write_artifact(df: DataFrame, dirpath: str,
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # our own staged bits
         if not os.path.exists(dirpath):
+            # a popped candidate whose restore rename itself fails must
+            # re-enter the sweep list, or it leaks on disk while an older
+            # artifact gets restored in its place (r13, ADVICE)
+            failed: list = []
             while trashes:
                 cand = trashes.pop()
                 try:
                     os.rename(cand, dirpath)
                     break
                 except OSError:
-                    continue
+                    failed.append(cand)
+            trashes.extend(failed)
         raise
     finally:
         for t in trashes:

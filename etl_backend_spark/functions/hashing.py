@@ -386,13 +386,29 @@ def minhash_incr_oracle_sql(batch_pred: str, threshold: float,
     doc_match < doc_new; est = component agreement / n (k/16 dyadics —
     exact cross-engine). Fragment builders shared with
     minhash_oracle_sql_v2 (single definitions, no drift)."""
+    return f"""
+    WITH {minhash_incr_pairs_ctes(batch_pred, threshold, artifact_glob,
+                                  n, bands, rows)}
+    SELECT doc_new, doc_match, est_jaccard FROM pairs
+    """
+
+
+def minhash_incr_pairs_ctes(batch_pred: str, threshold: float,
+                            artifact_glob: str, n: int = MINHASH_N,
+                            bands: int = MINHASH_BANDS,
+                            rows: int = MINHASH_ROWS) -> str:
+    """The CTE chain of ``minhash_incr_oracle_sql`` WITHOUT the WITH
+    keyword or final SELECT, ending in ``pairs(doc_new, doc_match,
+    est_jaccard)`` — so composite oracles (dedup_clusters_incremental's
+    label-merge replay) can append their own CTEs to the same
+    batch-vs-artifact pair derivation instead of copying it (the r11
+    no-verbatim-copies rule)."""
     hexpoly = _mh_hexpoly()
     sig_cols = _mh_sig_cols(n)
     art_cols = ", ".join(f"sig[{i + 1}] AS s{i}" for i in range(n))
     band_keys = _mh_band_keys(bands, rows)
     agree = _mh_agree(n)
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT DISTINCT doc_id,
         unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
                               i -> array_to_string(words[i:i+2], ' '))) AS shingle
@@ -425,11 +441,12 @@ def minhash_incr_oracle_sql(batch_pred: str, threshold: float,
     ),
     allsig AS (
       SELECT * FROM sigb UNION ALL SELECT * FROM sigq
-    )
-    SELECT doc_new, doc_match,
-           round(({agree}) / {float(n)}, 4) AS est_jaccard
-    FROM cand
-    JOIN sigq sa ON sa.doc_id = doc_new
-    JOIN allsig sb ON sb.doc_id = doc_match
-    WHERE ({agree}) / {float(n)} >= {threshold}
-    """
+    ),
+    pairs AS (
+      SELECT doc_new, doc_match,
+             round(({agree}) / {float(n)}, 4) AS est_jaccard
+      FROM cand
+      JOIN sigq sa ON sa.doc_id = doc_new
+      JOIN allsig sb ON sb.doc_id = doc_match
+      WHERE ({agree}) / {float(n)} >= {threshold}
+    )"""

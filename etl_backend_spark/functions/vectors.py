@@ -40,13 +40,19 @@ def cosine(a: Column, b: Column) -> Column:
     # degenerates identically even when a top-k has fewer than k
     # positive-cosine candidates (the previous 0.0 guard ranked a zero
     # vector ABOVE real negative-cosine candidates — latent gate
-    # divergence). CaseWhen short-circuits, so the divide never sees a
-    # zero divisor under ANSI mode; the greatest() guard stays as
-    # belt-and-braces and is bit-neutral for nonzero operands. NaN
-    # components propagate NaN through both engines unchanged.
+    # divergence). The -1.0 branch fires on the norm PRODUCT
+    # underflowing to 0.0 — including tiny-but-nonzero vectors whose
+    # squared norms underflow — because that is exactly when DuckDB
+    # clamps too (measured r13: [1e-170,0] vs itself -> -1.0, but
+    # [2e-162,0] vs itself -> 1.0, its 4e-324 denormal product
+    # surviving). CaseWhen short-circuits, so the divide never sees a
+    # zero divisor under ANSI mode; a greatest(nn, 1e-300) floor here
+    # would DIVERGE for denormal nonzero products (it turned that
+    # measured 1.0 into 4e-24 — removed r13, ADVICE, denormal parity
+    # pytest-pinned). NaN components propagate NaN through both
+    # engines unchanged.
     nn = norm(a) * norm(b)
-    return F.when(nn == F.lit(0.0), F.lit(-1.0)).otherwise(
-        dot(a, b) / F.greatest(nn, F.lit(1e-300)))
+    return F.when(nn == F.lit(0.0), F.lit(-1.0)).otherwise(dot(a, b) / nn)
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:

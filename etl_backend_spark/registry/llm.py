@@ -519,19 +519,29 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
         .select(F.col("a.doc_id").alias("doc_new"),
                 F.col("b.doc_id").alias("doc_match"))
     )
-    cand_path = batch_sig_path.rstrip("/") + ".cand"
-    ann_index.write_artifact(
-        cand_nb.unionByName(cand_nn).distinct(), cand_path)
-    cand = spark.read.parquet(cand_path)
-
     sa = batch_sig.select(F.col("doc_id").alias("__dn"),
                           F.col("sig").alias("sig_a"))
     all_sig = base_p.unionByName(batch_sig)
-    if small_batch and _parquet_dir_rows(cand_path) <= MINHASH_INCR_BCAST_CAND:
-        ids = cand.select(F.col("doc_match").alias("doc_id")).distinct()
-        sb_src = all_sig.join(F.broadcast(ids), "doc_id", "left_semi")
-        sa = F.broadcast(sa)
+    if small_batch:
+        # the candidate scratch parquet exists ONLY to carry the measured
+        # footer-count gate that picks broadcast vs shuffle verify — the
+        # non-small fallback never consults it, so it skips the write
+        # entirely (r13, ADVICE: the write ran unconditionally and the
+        # count short-circuited away). The .cand dir is process-scratch
+        # inside the artifact dir; write_artifact's stage-and-swap
+        # overwrites it on the next build of the same batch path.
+        cand_path = batch_sig_path.rstrip("/") + ".cand"
+        ann_index.write_artifact(
+            cand_nb.unionByName(cand_nn).distinct(), cand_path)
+        cand = spark.read.parquet(cand_path)
+        if _parquet_dir_rows(cand_path) <= MINHASH_INCR_BCAST_CAND:
+            ids = cand.select(F.col("doc_match").alias("doc_id")).distinct()
+            sb_src = all_sig.join(F.broadcast(ids), "doc_id", "left_semi")
+            sa = F.broadcast(sa)
+        else:
+            sb_src = all_sig
     else:
+        cand = cand_nb.unionByName(cand_nn).distinct()
         sb_src = all_sig
     sb = sb_src.select(F.col("doc_id").alias("__dm"),
                        F.col("sig").alias("sig_b"))
@@ -1676,36 +1686,87 @@ def _multiprobe_pairs(spark, e, bits: int, capped: bool,
     )
 
 
+# Ingest-path broadcast gate for exact_incr_new — same discipline and
+# threshold as the minhash twin: a daily batch far smaller than the
+# corpus broadcasts, anything bigger falls back to the shuffle plan.
+EXACT_INCR_BCAST_DOCS = 250_000
+
+
+def exact_incr_new(spark, art, batch_path):
+    """The INGEST side of incremental EXACT dedup, O(batch) by design —
+    the family member a 100 TB pipeline runs most often (r12 VERDICT
+    #2: the previous form re-hashed and anti-joined the whole corpus
+    per call; this applies the r12 minhash discipline to it). The base
+    corpus's sha256 index persists at ``art``/hashes (built once, only
+    appended to in production); per call the only O(corpus) touch is a
+    COLUMNAR SCAN of that one hash column. Under the measured gate
+    (batch footer count <= EXACT_INCR_BCAST_DOCS) the batch's distinct
+    hashes broadcast and the index streams MAP-SIDE through a semi-join
+    — zero base shuffle; the surviving "hits" set (base hashes that
+    occur in the batch, bounded by |batch|) broadcasts back into the
+    anti-join, so every shuffle in the plan is batch-sized. Above the
+    gate every join falls back to the plain shuffle anti-join — same
+    rows either way. Within-batch dedup keeps min doc_id per hash.
+    Shared by the registered query and
+    scripts/bench_incr_obatch.py's fixed-batch-growing-base receipt."""
+    import os
+
+    base = spark.read.parquet(os.path.join(art, "hashes"))
+    batch = spark.read.parquet(batch_path)
+    if _parquet_dir_rows(batch_path) <= EXACT_INCR_BCAST_DOCS:
+        hits = (
+            base.join(F.broadcast(batch.select("h").distinct()),
+                      "h", "left_semi")
+            .select("h").distinct()
+        )
+        fresh = batch.join(F.broadcast(hits), "h", "left_anti")
+    else:
+        fresh = batch.join(base.select("h"), "h", "left_anti")
+    return (
+        fresh.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.col("h").alias("text_hash"))
+    )
+
+
 @register(
     "dedup_incremental",
-    oracle="""
-    WITH tagged AS (
-      SELECT doc_id, sha256(text) AS h,
-             list_sum(list_transform(generate_series(1, 8),
-               i -> (strpos('0123456789abcdef',
-                            substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-                    * (1::BIGINT << (4 * (8 - i)))))::BIGINT % 100 < 90
-               AS is_existing
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id, sha256(text) AS h
       FROM documents
+      WHERE {_md5_hex64_sql('split:')} % 100 >= 90
+    ), base AS (
+      SELECT h
+      FROM read_parquet('{_ANN_ROOT}/exact-incr-current/hashes/*.parquet')
     )
-    SELECT n.doc_id, n.h AS text_hash
-    FROM tagged n
-    WHERE NOT n.is_existing
-      AND NOT EXISTS (SELECT 1 FROM tagged e
-                      WHERE e.is_existing AND e.h = n.h)
-      AND n.doc_id = (SELECT min(m.doc_id) FROM tagged m
-                      WHERE NOT m.is_existing AND m.h = n.h)
+    SELECT min(b.doc_id) AS doc_id, b.h AS text_hash
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM base e WHERE e.h = b.h)
+    GROUP BY b.h
     """,
 )
 def q_dedup_incremental(spark, sf_dir):
     """INCREMENTAL exact dedup — the shape a 100 TB ingestion actually
     runs: a new batch (the 10% md5-bucket split) dedups against the
-    EXISTING corpus (the other 90%) without ever re-deduping the corpus
-    itself. Two steps, both equi-joins on the content hash: (1) drop new
-    docs whose hash exists in the corpus (left_anti against the existing
-    hash set — at production scale that side is a persisted hash index,
-    not a rescan); (2) keep one representative per duplicate group WITHIN
-    the batch (min doc_id via groupBy). Output: the new docs that survive."""
+    EXISTING corpus (the other 90%) without re-hashing the corpus at
+    ingest time. The base corpus's sha256 content hashes persist as an
+    index artifact (built once here, APPENDED to in production — the
+    mhlsh-incr sig-table discipline at the exact layer); the ingest is
+    ``exact_incr_new`` above: batch hashes anti-join the persisted
+    index under measured broadcast gates, then one representative per
+    within-batch duplicate group survives (min doc_id). Output: the
+    new docs that survive.
+
+    VALUE-GATED: the oracle recomputes BATCH hashes in SQL but reads
+    BASE hashes from the engine's persisted artifact — the production
+    shape (the corpus is never re-hashed) and the PQ-replay
+    gate-honesty rule (artifact rows are inputs; every survival
+    decision re-derives)."""
+    import os
+
+    from ..ann import index as ann_index
+
     d = Catalog(spark, sf_dir).table("documents")
     bucket = (
         F.conv(
@@ -1717,16 +1778,19 @@ def q_dedup_incremental(spark, sf_dir):
         "doc_id", F.sha2(F.col("text"), 256).alias("h"),
         (bucket < 90).alias("is_existing"),
     )
-    existing_hashes = tagged.filter(F.col("is_existing")).select("h")
-    fresh = (
-        tagged.filter(~F.col("is_existing"))
-        .join(existing_hashes, on="h", how="left_anti")
-    )
-    return (
-        fresh.groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.col("h").alias("text_hash"))
-    )
+    art = ann_index.index_dir_for(
+        "exact-incr", sf_dir, tables=("documents",), root=_ANN_ROOT)
+    ann_index.write_artifact(
+        tagged.filter(F.col("is_existing")).select("doc_id", "h"),
+        os.path.join(art, "hashes"))
+    # batch hashes are scratch, not index (the oracle recomputes them
+    # in SQL) — staged to parquet so the ingest path is the same code a
+    # production batch-from-disk runs and the footer count gates it
+    ann_index.write_artifact(
+        tagged.filter(~F.col("is_existing")).select("doc_id", "h"),
+        os.path.join(art, "batch"))
+    ann_index.point_current("exact-incr", art, root=_ANN_ROOT)
+    return exact_incr_new(spark, art, os.path.join(art, "batch"))
 
 
 @register(
@@ -1899,6 +1963,224 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id"),
         (F.col("n") == F.col("lbl")).alias("is_keeper"),
     )
+
+
+def _clinc_bucket(col):
+    """The 'clinc:' md5 split bucket — ONE definition shared by the
+    base/batch tag, the ingest's kind column, and tests."""
+    return (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("clinc:"), col.cast("string"))),
+            1, 8), 16, 10).cast("long") % 100
+    )
+
+
+_CLINC_PRED = f"{_md5_hex64_sql('clinc:')} % 100 >= 90"
+
+
+def clusters_incr_update(spark, art, batch_sig_path=None):
+    """The INGEST side of incremental connected components, O(batch) by
+    design — the CLUSTER-level member of the incremental family (r12
+    VERDICT #5), which is what dedup actually serves downstream: a new
+    batch's near-dup pairs update PERSISTED cluster ids without
+    re-converging the full pair graph. Three steps:
+
+    (1) batch pairs against the persisted band index —
+        ``minhash_incr_pairs``, the O(batch) machinery shared with
+        dedup_minhash_incremental (base never re-shingles);
+    (2) CONTRACT base endpoints to their persisted labels: the touched
+        label rows are semi-joined down by the batch pairs' ids
+        (broadcast, bounded by |batch pairs|) so the labels artifact is
+        only ever SCANNED map-side, then each pair endpoint maps to its
+        cluster id (batch docs and base singletons to themselves);
+    (3) min-label propagation over the CONTRACTED graph — at most
+        2x|batch pairs| nodes, so the pointer-jumping loop runs over a
+        batch-sized frame regardless of corpus size; base components
+        enter as single contracted nodes, which is exactly why no
+        full-graph re-convergence is needed.
+
+    Output: (id, kind, cluster_id) — one row per batch doc with its
+    merged cluster id, plus one row per TOUCHED base cluster whose id
+    participates in a merged component (kind='base_cluster'; its
+    cluster_id is the new merged label, which every downstream consumer
+    applies as a remap old->new). Shared by the registered query and
+    scripts/bench_incr_obatch.py's fixed-batch-growing-base receipt."""
+    import os
+
+    from ..operators.windows import release_plan_checkpoints
+
+    if batch_sig_path is None:
+        batch_sig_path = os.path.join(art, "sig_batch")
+    pairs = minhash_incr_pairs(
+        spark, art, batch_sig_path
+    ).select("doc_new", "doc_match")
+    labels = spark.read.parquet(os.path.join(art, "labels"))
+    touched = pairs.select(F.col("doc_match").alias("doc_id")).distinct()
+    lbl_t = labels.join(F.broadcast(touched), "doc_id", "left_semi")
+    ce = (
+        pairs.join(F.broadcast(lbl_t),
+                   pairs["doc_match"] == lbl_t["doc_id"], "left")
+        .select(F.col("doc_new").alias("a"),
+                F.coalesce("cluster_id", "doc_match").alias("b"))
+    )
+    # checkpoint ONCE: every propagation round re-references the edge
+    # frame, and without this each round would re-run the band join
+    edges = (
+        ce.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .union(ce.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp, converged = min_label_components(edges)
+    release_plan_checkpoints(edges)
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters_incremental: contracted-graph propagation "
+            "did not converge in 50 rounds — an invariant broke")
+    batch_docs = spark.read.parquet(batch_sig_path).select("doc_id")
+    # comp is the contracted-graph labels — bounded by 2x|batch pairs|,
+    # so it broadcasts and the batch-docs hydration join stays map-side
+    out_batch = (
+        batch_docs.join(F.broadcast(comp),
+                        batch_docs["doc_id"] == comp["n"], "left")
+        .select(F.col("doc_id").alias("id"),
+                F.lit("batch_doc").alias("kind"),
+                F.coalesce("lbl", "doc_id").alias("cluster_id"))
+    )
+    out_base = comp.filter(_clinc_bucket(F.col("n")) < 90).select(
+        F.col("n").alias("id"), F.lit("base_cluster").alias("kind"),
+        F.col("lbl").alias("cluster_id"))
+    # comp's checkpoint blocks stay live — the returned plan reads them;
+    # run_full/the noop sink releases them via release_plan_checkpoints
+    return out_batch.unionByName(out_base)
+
+
+@register(
+    "dedup_clusters_incremental",
+    oracle=f"""
+    WITH RECURSIVE {H.minhash_incr_pairs_ctes(
+        _CLINC_PRED, 0.5,
+        f"{_ANN_ROOT}/clinc-incr-current/sig/*.parquet")},
+    base_lbl AS (
+      SELECT doc_id, cluster_id
+      FROM read_parquet('{_ANN_ROOT}/clinc-incr-current/labels/*.parquet')
+    ),
+    ce AS (
+      SELECT p.doc_new AS a, coalesce(bl.cluster_id, p.doc_match) AS b
+      FROM pairs p LEFT JOIN base_lbl bl ON bl.doc_id = p.doc_match
+    ),
+    cedges AS (SELECT a AS s, b AS d FROM ce UNION SELECT b, a FROM ce),
+    cnodes AS (SELECT DISTINCT s AS n FROM cedges),
+    reach(n, lbl) AS (
+      SELECT n, n FROM cnodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN cedges e ON e.s = r.n
+    ),
+    comp AS (SELECT n, min(lbl) AS lbl FROM reach GROUP BY n),
+    batch_docs AS (SELECT doc_id FROM documents WHERE {_CLINC_PRED})
+    SELECT d.doc_id AS id, 'batch_doc' AS kind,
+           coalesce(c.lbl, d.doc_id) AS cluster_id
+    FROM batch_docs d LEFT JOIN comp c ON c.n = d.doc_id
+    UNION ALL
+    SELECT c.n AS id, 'base_cluster' AS kind, c.lbl AS cluster_id
+    FROM comp c
+    WHERE NOT EXISTS (SELECT 1 FROM batch_docs bd WHERE bd.doc_id = c.n)
+    """,
+)
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup clustering — connected components maintained
+    under ingest, completing the incremental family at the CLUSTER
+    level: a new batch (the 10% md5 'clinc:' bucket) updates the
+    persisted cluster labels without re-converging the full pair graph.
+
+    Base build (once per corpus, the artifact): minhash signature +
+    pre-exploded band index (the mhlsh-incr layout under its own
+    'clinc:' split), base-vs-base near-dup pairs at est Jaccard >= 0.5,
+    min-label components over them, labels persisted as
+    (doc_id, cluster_id). Ingest (the O(batch) path — shared helper
+    ``clusters_incr_update`` above): batch pairs from the persisted
+    band index, base endpoints CONTRACT to their persisted labels, and
+    the pointer-jumping loop runs over the contracted batch-sized graph
+    only. A batch doc bridging two base clusters merges them (the
+    planted pytest case); the merged id is min over all member ids
+    because each base cluster id is already the min of its members.
+
+    VALUE-GATED: the oracle recomputes batch signatures and pairs in
+    SQL (base sigs from the persisted artifact — the
+    minhash_incr_oracle_sql machinery via its shared CTE chain), reads
+    base labels from the persisted labels artifact, and replays the
+    contraction + label merge with a recursive CTE."""
+    import os
+
+    from ..ann import index as ann_index
+    from ..operators.windows import release_plan_checkpoints
+
+    d = Catalog(spark, sf_dir).table("documents")
+    sig_all = d.select(
+        "doc_id", (_clinc_bucket(F.col("doc_id")) < 90).alias("is_base"),
+        H.minhash_sig_py(3)(F.col("text")).alias("sig"),
+    )
+    art = ann_index.index_dir_for(
+        "clinc-incr", sf_dir, tables=("documents",), root=_ANN_ROOT)
+    ann_index.write_artifact(
+        sig_all.filter(F.col("is_base")).select("doc_id", "sig"),
+        os.path.join(art, "sig"))
+    base_rb = spark.read.parquet(os.path.join(art, "sig"))
+    ann_index.write_artifact(
+        base_rb.select(
+            "doc_id",
+            F.posexplode(H.minhash_bands_long(F.col("sig")))
+            .alias("band", "key")),
+        os.path.join(art, "bands"))
+    ann_index.write_artifact(
+        sig_all.filter(~F.col("is_base")).select("doc_id", "sig"),
+        os.path.join(art, "sig_batch"))
+
+    # base-vs-base pairs from the just-persisted band index (band
+    # equi-join, est verify — the dedup_minhash_lsh shape over the
+    # artifact), then min-label components -> the labels artifact
+    bands_b = spark.read.parquet(os.path.join(art, "bands"))
+    cand = (
+        bands_b.alias("a")
+        .join(bands_b.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = base_rb.select(F.col("doc_id").alias("__da"),
+                        F.col("sig").alias("sig_a"))
+    sb = base_rb.select(F.col("doc_id").alias("__db"),
+                        F.col("sig").alias("sig_b"))
+    est = H.minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"))
+    base_pairs = (
+        cand.join(sa, F.col("doc_a") == F.col("__da"))
+        .join(sb, F.col("doc_b") == F.col("__db"))
+        .filter(est >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    base_edges = (
+        base_pairs.select(F.col("doc_a").alias("s"),
+                          F.col("doc_b").alias("d"))
+        .union(base_pairs.select(F.col("doc_b").alias("s"),
+                                 F.col("doc_a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    base_lbl, converged = min_label_components(base_edges)
+    release_plan_checkpoints(base_edges)
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters_incremental: base label propagation did not "
+            "converge in 50 rounds — an invariant broke")
+    ann_index.write_artifact(
+        base_lbl.select(F.col("n").alias("doc_id"),
+                        F.col("lbl").alias("cluster_id")),
+        os.path.join(art, "labels"))
+    release_plan_checkpoints(base_lbl)
+    ann_index.point_current("clinc-incr", art, root=_ANN_ROOT)
+    return clusters_incr_update(spark, art)
 
 
 @register(

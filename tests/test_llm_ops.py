@@ -109,6 +109,13 @@ def test_cosine_zero_norm_clamps_to_minus_one_like_duckdb(spark):
         ([0.0, 0.0], [0.0, 0.0]),    # both zero
         ([1.0, 0.0], [-1.0, 0.1]),   # real negative-cosine candidate
         ([1.0, 2.0], [2.0, 1.0]),    # real positive-cosine candidate
+        # denormal boundary (r13, ADVICE): the -1.0 branch keys on the
+        # norm PRODUCT underflowing to 0.0 because DuckDB's clamp does
+        # too — tiny-but-nonzero vectors split both ways across it
+        ([1e-170, 0.0], [1e-170, 0.0]),   # norms² underflow -> -1.0
+        ([1e-200, 1e-200], [1e-200, 2e-200]),  # same -> -1.0
+        ([2e-162, 0.0], [2e-162, 0.0]),   # 4e-324 denormal product -> 1.0
+        ([1e-155, 0.0], [1e-155, 0.0]),   # denormal product -> 1.0
     ]
     df = spark.createDataFrame(triples, ["a", "b"])
     got = [r.c for r in
@@ -2173,3 +2180,285 @@ def test_search_rerank_mmr_matches_python_reference(spark):
         for r in QUERIES["search_rerank_mmr"](spark, sf).collect()
     )
     assert got == sorted(expected)
+
+
+def _mh_sig_np(text, k=3):
+    """Pure-python replica of hashing.minhash_sig_py's signature chain —
+    used by planted-construction searches so a test can verify, before
+    writing the corpus, that its planted texts produce the band
+    collisions and estimate thresholds the assertions rely on."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from etl_backend_spark.functions.hashing import (MINHASH_A, MINHASH_B,
+                                                     MINHASH_MOD)
+
+    words = re.split(r"\s+", text.strip().lower())
+    m = max(len(words) - (k - 1), 1)
+    shingles = set(" ".join(words[i:i + k]) for i in range(m))
+    base = np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles],
+        dtype=np.uint64,
+    )
+    a = np.array(MINHASH_A, dtype=np.uint64)[:, None]
+    b = np.array(MINHASH_B, dtype=np.uint64)[:, None]
+    return ((a * base[None, :] + b) % MINHASH_MOD).min(axis=1)
+
+
+def _mh_found(sx, sy, threshold=0.5, bands=8, rows=2):
+    """Would the LSH pipeline surface this pair: at least one full-band
+    collision AND estimated Jaccard >= threshold."""
+    est = float((sx == sy).mean())
+    collide = any(
+        all(sx[b * rows + r] == sy[b * rows + r] for r in range(rows))
+        for b in range(bands)
+    )
+    return collide and est >= threshold
+
+
+def test_dedup_clusters_incremental_merges_base_clusters(spark, tmp_path):
+    """r12 VERDICT #5 planted case: a batch doc that near-dups one
+    member of base cluster A and one member of base cluster B MERGES the
+    two persisted clusters — the ingest emits the batch doc labeled with
+    the merged id plus remap rows for BOTH touched base cluster ids,
+    all other batch docs keep their own ids, and the DuckDB replay
+    (batch pairs recomputed in SQL against the persisted sig artifact,
+    base labels from the persisted labels artifact, recursive-CTE label
+    merge) matches the engine row-for-row."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from etl_backend_spark.registry import ORACLES, QUERIES
+
+    def is_batch(i):
+        h = hashlib.md5(f"clinc:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 >= 90
+
+    ids = list(range(200))
+    batch_ids = sorted(i for i in ids if is_batch(i))
+    base_ids = sorted(i for i in ids if not is_batch(i))
+    assert len(batch_ids) >= 4 and len(base_ids) >= 8
+
+    # search for a planted (A-text, B-text, bridge-text) triple where
+    # the LSH pipeline finds bridge~A and bridge~B but NOT A~B: B
+    # replaces 6 spread-out word positions of A (true Jaccard ~0.2),
+    # the bridge replaces only the first 3 (true Jaccard ~0.5 to each
+    # side) — the 16-slot estimate is then near-threshold, so a short
+    # deterministic search picks a seed where both planted conditions
+    # hold exactly
+    pos = [2, 7, 12, 17, 22, 27]
+    planted = None
+    for seed in range(300):
+        rng = np.random.RandomState(10_000 + seed)
+        words_a = [f"pa{seed}w{j}" for j in rng.randint(0, 10_000, 30)]
+        repl = [f"pb{seed}r{j}" for j in range(6)]
+        wb = list(words_a)
+        wx = list(words_a)
+        for i, p in enumerate(pos):
+            wb[p] = repl[i]
+            if i < 3:
+                wx[p] = repl[i]
+        ta, tb, tx = " ".join(words_a), " ".join(wb), " ".join(wx)
+        sa, sb, sx = _mh_sig_np(ta), _mh_sig_np(tb), _mh_sig_np(tx)
+        if (_mh_found(sx, sa) and _mh_found(sx, sb)
+                and not _mh_found(sa, sb)):
+            planted = (ta, tb, tx)
+            break
+    assert planted is not None, "no planted seed found in 300 tries"
+    ta, tb, tx = planted
+
+    rng = np.random.RandomState(77)
+    vocab = [f"w{j}" for j in range(8000)]
+    docs = {i: " ".join(rng.choice(vocab, 30)) for i in ids}
+    a1, a2, b1, b2 = base_ids[0], base_ids[1], base_ids[2], base_ids[3]
+    x = batch_ids[0]
+    docs[a1] = docs[a2] = ta   # base cluster A (identical pair)
+    docs[b1] = docs[b2] = tb   # base cluster B
+    docs[x] = tx               # batch bridge
+
+    d = tmp_path / "sfcl"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), t, "en", "web") for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    rows = QUERIES["dedup_clusters_incremental"](spark, str(d)).collect()
+    got = {(r.id, r.kind): r.cluster_id for r in rows}
+
+    merged = min(a1, b1, x)  # base cluster ids are min members; a1 < b1
+    assert got[(x, "batch_doc")] == merged
+    assert got[(a1, "base_cluster")] == merged  # cluster A remapped
+    assert got[(b1, "base_cluster")] == merged  # cluster B remapped
+    # non-min base members never appear as cluster nodes
+    assert (a2, "base_cluster") not in got and (b2, "base_cluster") not in got
+    # every batch doc present; non-planted ones keep their own id
+    for i in batch_ids:
+        assert (i, "batch_doc") in got
+        if i != x:
+            assert got[(i, "batch_doc")] == i
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        ORACLES["dedup_clusters_incremental"]).fetchall()))
+    con.close()
+    assert sorted((r.id, r.kind, r.cluster_id) for r in rows) == want
+
+
+def test_dedup_incremental_persisted_index_planted_and_replay(
+        spark, tmp_path):
+    """r12 VERDICT #2: exact dedup's ingest runs against the PERSISTED
+    sha256 index. Planted pins: a batch doc duplicating a BASE doc is
+    dropped; a within-batch duplicate pair keeps min doc_id only; every
+    other batch doc survives with its hash — computed independently
+    with hashlib. The DuckDB oracle (batch hashes recomputed in SQL,
+    base hashes read from the persisted artifact) matches row-for-row,
+    and the artifact exists with one row per base doc."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from etl_backend_spark.ann.index import ANN_ROOT
+    from etl_backend_spark.registry import ORACLES, QUERIES
+
+    def is_batch(i):
+        h = hashlib.md5(f"split:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 >= 90
+
+    ids = list(range(300))
+    batch_ids = sorted(i for i in ids if is_batch(i))
+    base_ids = sorted(i for i in ids if not is_batch(i))
+    assert len(batch_ids) >= 4
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{j}" for j in range(8000)]
+    docs = {i: " ".join(rng.choice(vocab, 12)) for i in ids}
+    dup_on_base, base_t = batch_ids[0], base_ids[0]
+    docs[dup_on_base] = docs[base_t]           # dropped: hash in base
+    w1, w2 = batch_ids[1], batch_ids[2]
+    docs[w2] = docs[w1]                        # within-batch dup pair
+
+    d = tmp_path / "sfex"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), t, "en", "web") for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    rows = QUERIES["dedup_incremental"](spark, str(d)).collect()
+    got = sorted((r.doc_id, r.text_hash) for r in rows)
+
+    expected = {}
+    base_hashes = {hashlib.sha256(docs[i].encode()).hexdigest()
+                   for i in base_ids}
+    for i in batch_ids:
+        h = hashlib.sha256(docs[i].encode()).hexdigest()
+        if h in base_hashes:
+            continue
+        expected[h] = min(expected.get(h, i), i)
+    assert got == sorted((i, h) for h, i in expected.items())
+    assert dup_on_base not in {i for i, _ in got}
+    assert w2 not in {i for i, _ in got} and w1 in {i for i, _ in got}
+
+    # the persisted index: one row per base doc
+    art = os.path.realpath(os.path.join(ANN_ROOT, "exact-incr-current"))
+    import pyarrow.parquet as pq
+    from etl_backend_spark.sources.catalog import parquet_part_files
+    n_idx = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in parquet_part_files(os.path.join(art, "hashes")))
+    assert n_idx == len(base_ids)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        ORACLES["dedup_incremental"]).fetchall()))
+    con.close()
+    assert got == want
+
+
+def test_incremental_ingest_shuffle_fallback_plans(spark, tmp_path,
+                                                   monkeypatch):
+    """r12 VERDICT #6: the measured broadcast gates must DEGRADE to the
+    shuffle plan, not an oversized broadcast — exercised here above the
+    gate (thresholds forced to 0). With auto-broadcast disabled so only
+    EXPLICIT hints can produce broadcast joins: the gated path's plan
+    contains broadcast joins, the fallback's contains none, and both
+    return identical rows. Also pins the r13 ADVICE fix: the fallback
+    never writes the .cand scratch dir."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from etl_backend_spark.ann import index as ann_index
+    from etl_backend_spark.registry import QUERIES
+    from etl_backend_spark.registry import llm as L
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{j}" for j in range(5000)]
+    ids = list(range(300))
+    docs = {i: " ".join(rng.choice(vocab, 30)) for i in ids}
+    d = tmp_path / "sffb"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), t, "en", "web") for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    # builds (gated path): minhash + exact artifacts
+    mh_rows = sorted(map(tuple,
+                         QUERIES["dedup_minhash_incremental"](
+                             spark, str(d)).collect()))
+    ex_rows = sorted(map(tuple,
+                         QUERIES["dedup_incremental"](
+                             spark, str(d)).collect()))
+    mh_art = ann_index.index_dir_for(
+        "mhlsh-incr", str(d), tables=("documents",))
+    ex_art = ann_index.index_dir_for(
+        "exact-incr", str(d), tables=("documents",))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        # gated (broadcast) plans carry explicit hints
+        mh_b = L.minhash_incr_pairs(
+            spark, mh_art, os.path.join(mh_art, "sig_batch"))
+        ex_b = L.exact_incr_new(
+            spark, ex_art, os.path.join(ex_art, "batch"))
+        assert "BroadcastHashJoin" in plan(mh_b)
+        assert "BroadcastHashJoin" in plan(ex_b)
+
+        # force the fallback: thresholds to 0 — shuffle-only plans
+        monkeypatch.setattr(L, "MINHASH_INCR_BCAST_DOCS", 0)
+        monkeypatch.setattr(L, "EXACT_INCR_BCAST_DOCS", 0)
+        cand_scratch = os.path.join(mh_art, "sig_batch.cand")
+        shutil.rmtree(cand_scratch, ignore_errors=True)
+        mh_f = L.minhash_incr_pairs(
+            spark, mh_art, os.path.join(mh_art, "sig_batch"))
+        ex_f = L.exact_incr_new(
+            spark, ex_art, os.path.join(ex_art, "batch"))
+        assert "BroadcastHashJoin" not in plan(mh_f)
+        assert "BroadcastHashJoin" not in plan(ex_f)
+        assert sorted(map(tuple, mh_f.collect())) == mh_rows
+        assert sorted(map(tuple, ex_f.collect())) == ex_rows
+        # ADVICE r13: the fallback skips the candidate scratch write
+        assert not os.path.exists(cand_scratch)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
