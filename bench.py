@@ -71,6 +71,7 @@ HEADLINE = [
     "semdedup_kmeans",         # SemDeDup: k-means + within-cluster prune
     "semdedup_incremental",    # ingest shape: batch vs frozen base kept set
     "dedup_minhash_incremental",  # fuzzy ingest: batch vs persisted band index
+    "dedup_incremental",       # exact ingest: batch vs persisted sha256 index (r13)
     "embedding_pca",           # distributed moments + 64x64 eigh + project
     "dsir_importance",         # DSIR hashed-ngram importance selection
     "knn_graph_lsh",           # full-corpus approximate kNN graph
@@ -281,8 +282,11 @@ def main() -> None:
     # the wander out — it reads "query cost in probe work-quanta", a
     # host-speed-free number comparable across rounds. Both columns ship;
     # wall stays the headline metric, normalized is the diffing view.
+    # 4 decimals: at 2 the quantization step was ~4-5% of the fastest
+    # queries' values — the same order as the wander the column divides
+    # out (r13 second review)
     mt_mean = (probe_before["mt_sec"] + probe_after["mt_sec"]) / 2.0
-    norm = {k: round(v / mt_mean, 2) for k, v in timings.items()}
+    norm = {k: round(v / mt_mean, 4) for k, v in timings.items()}
     print(json.dumps({
         "metric": "headline_queries_total_median_sec",
         "value": total,

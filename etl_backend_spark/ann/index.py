@@ -212,9 +212,13 @@ def write_artifact(df: DataFrame, dirpath: str,
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # our own staged bits
         if not os.path.exists(dirpath):
-            # a popped candidate whose restore rename itself fails must
-            # re-enter the sweep list, or it leaks on disk while an older
-            # artifact gets restored in its place (r13, ADVICE)
+            # a popped candidate whose restore rename itself fails
+            # re-enters the sweep list ONLY if some other candidate was
+            # successfully restored (r13 ADVICE: don't leak moved-away
+            # dirs) — if nothing was restored, sweeping it would destroy
+            # the last surviving copy of the previous artifact, the exact
+            # loss the restore path exists to prevent (r13 second
+            # review); a leaked .old-* dir beats that strictly
             failed: list = []
             while trashes:
                 cand = trashes.pop()
@@ -223,7 +227,8 @@ def write_artifact(df: DataFrame, dirpath: str,
                     break
                 except OSError:
                     failed.append(cand)
-            trashes.extend(failed)
+            if os.path.exists(dirpath):
+                trashes.extend(failed)
         raise
     finally:
         for t in trashes:

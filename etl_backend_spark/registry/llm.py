@@ -2011,9 +2011,14 @@ def clusters_incr_update(spark, art, batch_sig_path=None):
 
     if batch_sig_path is None:
         batch_sig_path = os.path.join(art, "sig_batch")
+    # checkpoint the pair pipeline ONCE: the edge plan references it
+    # three times (both union orientations + the touched-labels
+    # broadcast build), and without this the band join + estimate
+    # verify would re-run per reference — on exactly the hot ingest
+    # path this operator exists to keep O(batch) (r13 second review)
     pairs = minhash_incr_pairs(
         spark, art, batch_sig_path
-    ).select("doc_new", "doc_match")
+    ).select("doc_new", "doc_match").localCheckpoint(eager=True)
     labels = spark.read.parquet(os.path.join(art, "labels"))
     touched = pairs.select(F.col("doc_match").alias("doc_id")).distinct()
     lbl_t = labels.join(F.broadcast(touched), "doc_id", "left_semi")
@@ -2031,6 +2036,7 @@ def clusters_incr_update(spark, art, batch_sig_path=None):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    release_plan_checkpoints(pairs)
     comp, converged = min_label_components(edges)
     release_plan_checkpoints(edges)
     if not converged:
@@ -2155,11 +2161,16 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     sb = base_rb.select(F.col("doc_id").alias("__db"),
                         F.col("sig").alias("sig_b"))
     est = H.minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"))
+    # checkpoint the verified pair frame ONCE — the symmetric-edge
+    # union references it twice, and the band self-join + estimate
+    # verify is the expensive half of the base build (r13 second
+    # review; same discipline as the ingest side)
     base_pairs = (
         cand.join(sa, F.col("doc_a") == F.col("__da"))
         .join(sb, F.col("doc_b") == F.col("__db"))
         .filter(est >= 0.5)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     base_edges = (
         base_pairs.select(F.col("doc_a").alias("s"),
@@ -2168,6 +2179,7 @@ def q_dedup_clusters_incremental(spark, sf_dir):
                                  F.col("doc_a").alias("d")))
         .localCheckpoint(eager=True)
     )
+    release_plan_checkpoints(base_pairs)
     base_lbl, converged = min_label_components(base_edges)
     release_plan_checkpoints(base_edges)
     if not converged:

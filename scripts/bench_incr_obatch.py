@@ -94,7 +94,11 @@ def snapshot(kind: str, sf: str, tag: str, tables) -> str:
 
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    fams = [a for a in sys.argv[2:] if a in ALL_FAMILIES] or list(ALL_FAMILIES)
+    unknown = [a for a in sys.argv[2:] if a not in ALL_FAMILIES]
+    if unknown:
+        raise SystemExit(f"unknown families {unknown}; "
+                         f"choose from {ALL_FAMILIES}")
+    fams = list(dict.fromkeys(sys.argv[2:])) or list(ALL_FAMILIES)
     spark = get_spark(app_name="incr-obatch")
     spark.sparkContext.setLogLevel("ERROR")
     probe0 = cpu_probe()

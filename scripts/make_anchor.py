@@ -177,7 +177,7 @@ def main() -> int:
 
     norms = [run_norm(r) for r in runs]
     anchor_norm = {k: round(statistics.median(
-        [n[k] for n in norms]), 2) for k in keys}
+        [n[k] for n in norms]), 4) for k in keys}
 
     meta = {
         "rounds": args.rounds,
@@ -203,10 +203,16 @@ def main() -> int:
             "common_keys": len(common),
             "baseline_common_sec": b_sum,
             "anchor_common_sec": a_sum,
-            "delta_pct": round(100.0 * (a_sum / b_sum - 1.0), 1),
+            # guard the divide: a disjoint key set (renamed/retired
+            # queries) must not ZeroDivisionError AFTER the gated runs
+            # succeeded and BEFORE the anchor is written (r13 review)
+            "delta_pct": (round(100.0 * (a_sum / b_sum - 1.0), 1)
+                          if b_sum > 0 else None),
         }
         print(f"common-{len(common)} vs {args.baseline}: "
-              f"{b_sum} -> {a_sum} s ({meta['baseline']['delta_pct']:+}%)")
+              f"{b_sum} -> {a_sum} s ({meta['baseline']['delta_pct']:+}%)"
+              if b_sum > 0 else
+              f"no common keys with {args.baseline} — wall delta skipped")
         # normalized delta needs the baseline's own normalized medians —
         # present in anchors made by this script version (sibling meta);
         # older anchors (r10) predate the probe and get wall-only diffs.
@@ -214,8 +220,8 @@ def main() -> int:
         if base_meta_p.exists():
             bm = json.loads(base_meta_p.read_text())
             bnorm = bm.get("queries_norm_median")
-            if bnorm:
-                ncommon = sorted(set(bnorm) & set(anchor_norm))
+            ncommon = sorted(set(bnorm or {}) & set(anchor_norm))
+            if bnorm and ncommon:
                 bn = round(sum(bnorm[k] for k in ncommon), 2)
                 an = round(sum(anchor_norm[k] for k in ncommon), 2)
                 meta["baseline"]["norm_common_keys"] = len(ncommon)
