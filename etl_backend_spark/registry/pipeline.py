@@ -1261,8 +1261,23 @@ def ensure_text_index_positional(spark, sf_dir):
             os.path.exists(os.path.join(len_dir, "_stats.json")):
         return out, False
     d = Catalog(spark, sf_dir).table("documents")
-    postings = (
-        d.select(
+    positional_postings(d).write.mode(
+        "overwrite").partitionBy("tb").parquet(out)
+    dl = doc_lengths(d)
+    dl.write.mode("overwrite").parquet(len_dir)
+    st = dl.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("s")).collect()[0]  # bounded 1-row
+    with open(os.path.join(len_dir, "_stats.json"), "w") as fh:
+        json.dump({"n_docs": int(st.n), "dl_sum": int(st.s)}, fh)
+    return out, True
+
+
+def positional_postings(docs):
+    """(doc_id, pos, term, tb) positional postings of a document frame —
+    shared by the full build and the incremental append (the
+    boolean_postings discipline for the positional superset)."""
+    return (
+        docs.select(
             "doc_id",
             F.posexplode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -1275,17 +1290,75 @@ def ensure_text_index_positional(spark, sf_dir):
              .cast("long") % _TEXT_INDEX_BUCKETS).cast("int"),
         )
     )
-    postings.write.mode("overwrite").partitionBy("tb").parquet(out)
-    dl = d.select(
+
+
+def doc_lengths(docs):
+    """(doc_id, dl) token counts — shared by build and append."""
+    return docs.select(
         "doc_id",
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         .cast("long").alias("dl"),
     )
-    dl.write.mode("overwrite").parquet(len_dir)
-    st = dl.agg(F.count(F.lit(1)).alias("n"),
-                F.sum("dl").alias("s")).collect()[0]  # bounded 1-row
-    with open(os.path.join(len_dir, "_stats.json"), "w") as fh:
-        json.dump({"n_docs": int(st.n), "dl_sum": int(st.s)}, fh)
+
+
+def ensure_text_index_positional_incremental(spark, sf_dir):
+    """INCREMENTAL maintenance for the POSITIONAL index — the last index
+    type without an ingest twin (r13), and the one with a build-time
+    STATS sidecar that a naive append silently corrupts: BM25's idf and
+    length normalization read n_docs/avgdl from `_stats.json`, so
+    appending postings without updating the stats leaves every score
+    computed against the stale corpus size. Base = doc_id % 10 != 0;
+    the batch's postings and (doc_id, dl) rows APPEND into the same
+    partitionBy(tb) / plain layouts (zero base files rewritten —
+    pytest-pinned like the boolean twin), and the stats update is two
+    INTEGER adds (n_docs += batch count, dl_sum += batch sum) — exact
+    and order-independent, so the maintained stats equal a full
+    rebuild's bit-for-bit and every downstream float (avgdl, idf)
+    matches. A `_BATCH_APPLIED` marker makes the append idempotent
+    across reruns. Returns (postings_dir, built)."""
+    import hashlib as _hl
+    import json
+    import os
+    import tempfile
+
+    from ..sources.cache import file_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    key = _hl.md5(f"v1posinc:{file_fingerprint(src)}".encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-txtposinc-{key}"
+    )
+    len_dir = doc_length_dir(out)
+    marker = os.path.join(out, "_BATCH_APPLIED")
+    if os.path.exists(marker):
+        return out, False
+
+    d = Catalog(spark, sf_dir).table("documents")
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    positional_postings(base).write.mode(
+        "overwrite").partitionBy("tb").parquet(out)
+    dl_base = doc_lengths(base)
+    dl_base.write.mode("overwrite").parquet(len_dir)
+    st = dl_base.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("dl").alias("s")).collect()[0]
+    stats = {"n_docs": int(st.n), "dl_sum": int(st.s)}
+
+    # the ingest: O(batch) appended files + two integer adds
+    positional_postings(batch).write.mode(
+        "append").partitionBy("tb").parquet(out)
+    dl_batch = doc_lengths(batch)
+    dl_batch.write.mode("append").parquet(len_dir)
+    bst = dl_batch.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("dl").alias("s")).collect()[0]
+    stats = {"n_docs": stats["n_docs"] + int(bst.n),
+             "dl_sum": stats["dl_sum"] + int(bst.s or 0)}
+    tmp = os.path.join(len_dir, "._stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, os.path.join(len_dir, "_stats.json"))
+    open(marker, "w").close()
     return out, True
 
 
@@ -1348,9 +1421,11 @@ def q_text_phrase_indexed(spark, sf_dir):
     )
 
 
-@register(
-    "bm25_search_indexed",
-    oracle="""
+# ONE definition for both the full-build and incrementally-maintained
+# BM25 rows (the _md5_hex64_sql no-verbatim-copies rule): the oracle is
+# the full-scan semantics, so identical results from the maintained
+# index prove append-completeness AND stats-sidecar correctness.
+_BM25_FULLSCAN_ORACLE = """
     WITH tok AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
       FROM documents
@@ -1375,8 +1450,10 @@ def q_text_phrase_indexed(spark, sf_dir):
     JOIN dfx ON tf.term = dfx.term
     JOIN dl ON tf.doc_id = dl.doc_id
     GROUP BY tf.doc_id
-    """,
-)
+    """
+
+
+@register("bm25_search_indexed", oracle=_BM25_FULLSCAN_ORACLE)
 def q_bm25_search_indexed(spark, sf_dir):
     """RANKED keyword search: Okapi BM25 (k1=1.2, b=0.75, the +1 idf
     variant that keeps scores positive) over the positional inverted
@@ -1398,8 +1475,15 @@ def q_bm25_search_indexed(spark, sf_dir):
     float addition is order-insensitive), and the final score rounds to
     4 decimals — same tie-boundary risk class as the cosine round(6)
     contract established by the embedding family."""
-    terms = ["spark", "merge"]
     idx_dir, _ = ensure_text_index_positional(spark, sf_dir)
+    return _bm25_over_index(spark, idx_dir, ["spark", "merge"])
+
+
+def _bm25_over_index(spark, idx_dir, terms):
+    """The BM25 query path over ANY positional index layout (full build
+    or incrementally maintained) — ONE definition so the incremental
+    twin proves the maintained index + stats serve the identical ranked
+    scores, not a near-copy of the scorer."""
     posts = spark.read.parquet(idx_dir)
     buckets = sorted({_term_bucket_py(t) for t in terms})
     tp = posts.filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
@@ -1427,6 +1511,23 @@ def q_bm25_search_indexed(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.round(F.sum("contrib"), 4).alias("bm25")
     )
+
+
+@register("bm25_incremental", oracle=_BM25_FULLSCAN_ORACLE)
+def q_bm25_incremental(spark, sf_dir):
+    """Okapi BM25 served from the INCREMENTALLY MAINTAINED positional
+    index (ensure_text_index_positional_incremental: base build +
+    appended batch postings/lengths + integer-add stats update). The
+    oracle is the full-corpus scan semantics — identical ranked scores
+    to bm25_search_indexed's from-scratch index prove (1) the appended
+    positional postings are complete and duplicate-free, and (2) the
+    stats sidecar the scores' idf and length normalization read was
+    maintained exactly (a stale n_docs/avgdl shifts EVERY score, so
+    this gate fails loudly on the classic forgot-to-update-the-stats
+    bug). Query path shared verbatim with the full-build row
+    (_bm25_over_index)."""
+    idx_dir, _ = ensure_text_index_positional_incremental(spark, sf_dir)
+    return _bm25_over_index(spark, idx_dir, ["spark", "merge"])
 
 
 _BPE_MERGES_CACHE: dict = {}

@@ -75,7 +75,7 @@ SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/etlbs-sf1")
 SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/etlbs-sf10")
 SCRATCH = "/tmp/etlbs-obatch"
 ALL_FAMILIES = ("minhash", "semdedup", "exact", "clusters",
-                "text_index", "sim_index")
+                "text_index", "sim_index", "pos_index")
 
 
 def art_for(kind: str, sf_dir: str, tables) -> str:
@@ -198,6 +198,49 @@ def main() -> None:
         runners["text_index"] = lambda sf: (
             P.boolean_postings(spark.read.parquet(fixed_docs))
             .write.mode("append").partitionBy("tb").parquet(tix[sf]))
+
+    if "pos_index" in fams:
+        # positional twin (r13): the timed ingest is batch postings +
+        # doc-length append PLUS the integer stats update — the sidecar
+        # maintenance ensure_text_index_positional_incremental runs
+        import json as _json
+
+        pix = {}
+        for sf, tag in ((SF1, "sf1"), (SF10, "sf10")):
+            out = os.path.join(SCRATCH, f"pix-{tag}")
+            base_docs = (Catalog(spark, sf).table("documents")
+                         .filter(F.col("doc_id") % 10 != 0))
+            P.positional_postings(base_docs).write.mode(
+                "overwrite").partitionBy("tb").parquet(out)
+            dl = P.doc_lengths(base_docs)
+            dl.write.mode("overwrite").parquet(out + "-len")
+            st = dl.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("dl").alias("s")).collect()[0]
+            with open(out + "-len/_stats.json", "w") as fh:
+                _json.dump({"n_docs": int(st.n), "dl_sum": int(st.s)}, fh)
+            pix[sf] = out
+        fixed_pdocs = os.path.join(SCRATCH, "pix-batch-docs")
+        (Catalog(spark, SF1).table("documents")
+         .filter(F.col("doc_id") % 10 == 0)
+         .select("doc_id", "text")
+         .write.parquet(fixed_pdocs))
+
+        def pix_run(sf):
+            bd = spark.read.parquet(fixed_pdocs)
+            P.positional_postings(bd).write.mode(
+                "append").partitionBy("tb").parquet(pix[sf])
+            dlb = P.doc_lengths(bd)
+            dlb.write.mode("append").parquet(pix[sf] + "-len")
+            bst = dlb.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("dl").alias("s")).collect()[0]
+            with open(pix[sf] + "-len/_stats.json") as fh:
+                st = _json.load(fh)
+            st = {"n_docs": st["n_docs"] + int(bst.n),
+                  "dl_sum": st["dl_sum"] + int(bst.s or 0)}
+            with open(pix[sf] + "-len/_stats.json", "w") as fh:
+                _json.dump(st, fh)
+
+        runners["pos_index"] = pix_run
 
     if "sim_index" in fams:
         six = {}

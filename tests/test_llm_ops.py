@@ -2462,3 +2462,72 @@ def test_incremental_ingest_shuffle_fallback_plans(spark, tmp_path,
         assert not os.path.exists(cand_scratch)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_positional_incremental_appends_and_maintains_stats(
+        spark, tmp_path, monkeypatch):
+    """Positional-index maintenance contract (r13 — the last index type
+    without an ingest twin, and the one with a build-time stats
+    sidecar): (a) appending a batch's positional postings leaves every
+    base file byte-identical and only adds files; (b) the maintained
+    postings equal a from-scratch rebuild over the union corpus; (c)
+    the integer-add stats update reproduces the full rebuild's
+    n_docs/dl_sum EXACTLY — a stale sidecar shifts every BM25 score;
+    (d) bm25_incremental returns row-identical scores to the
+    from-scratch bm25_search_indexed."""
+    import json
+    import os
+    import tempfile
+
+    from etl_backend_spark.registry import pipeline as P
+    from etl_backend_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    # (a) + (b): drive the shared builders directly, snapshot between
+    out = str(tmp_path / "posidx")
+    P.positional_postings(docs.filter(F.col("doc_id") % 10 != 0)).write \
+        .mode("overwrite").partitionBy("tb").parquet(out)
+
+    def snapshot():
+        files = {}
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    st = os.stat(p)
+                    files[p] = (st.st_size, st.st_mtime_ns)
+        return files
+
+    before = snapshot()
+    P.positional_postings(docs.filter(F.col("doc_id") % 10 == 0)).write \
+        .mode("append").partitionBy("tb").parquet(out)
+    after = snapshot()
+    for p, meta in before.items():
+        assert after.get(p) == meta, p
+    assert len(after) > len(before)
+    merged = spark.read.parquet(out).select("term", "doc_id", "pos")
+    full = P.positional_postings(docs).select("term", "doc_id", "pos")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+    # (c) + (d): the ensure_* path in a fresh tempdir
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    idx_dir, built = P.ensure_text_index_positional_incremental(spark, sf)
+    assert built
+    st = json.load(open(os.path.join(P.doc_length_dir(idx_dir),
+                                     "_stats.json")))
+    want = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+              .cast("long")).alias("s")).collect()[0]
+    assert st == {"n_docs": int(want.n), "dl_sum": int(want.s)}
+    # idempotent: a rerun sees the marker and does not rebuild
+    _, built2 = P.ensure_text_index_positional_incremental(spark, sf)
+    assert not built2
+
+    got = sorted(map(tuple, QUERIES["bm25_incremental"](spark, sf).collect()))
+    ref = sorted(map(tuple,
+                     QUERIES["bm25_search_indexed"](spark, sf).collect()))
+    assert got == ref and got
