@@ -2531,3 +2531,121 @@ def test_positional_incremental_appends_and_maintains_stats(
     ref = sorted(map(tuple,
                      QUERIES["bm25_search_indexed"](spark, sf).collect()))
     assert got == ref and got
+
+
+def test_clusters_incremental_matches_independent_unionfind(
+        spark, tmp_path_factory):
+    """Property-style semantic pin for dedup_clusters_incremental,
+    against a THIRD implementation: pure-python minhash signatures
+    (_mh_sig_np — the engine's exact hash chain) + the engine's exact
+    LSH visibility rule (_mh_found: band collision AND est >= 0.5) +
+    python union-find over base-base plus batch pairs. The contraction
+    identity under test: components of (base pairs ∪ batch pairs)
+    resolved through persisted base labels equal components of the full
+    pair graph, with merged ids = min member id — for arbitrary random
+    dup structure, not just the planted case. Three seeded corpora with
+    grouped near-dup templates spanning base/batch membership."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_backend_spark.registry import QUERIES
+
+    def bucket(i):
+        return int(hashlib.md5(f"clinc:{i}".encode()).hexdigest()[:8],
+                   16) % 100
+
+    for seed in (101, 202, 303):
+        rng = np.random.RandomState(seed)
+        ids = list(range(120))
+        base_ids = [i for i in ids if bucket(i) < 90]
+        batch_ids = [i for i in ids if bucket(i) >= 90]
+        vocab = [f"s{seed}v{j}" for j in range(4000)]
+        docs = {i: " ".join(rng.choice(vocab, 14)) for i in ids}
+        # grouped near-dups: templates with 2-4 members across the
+        # base/batch split, each member mutating 0-2 word positions
+        pool = list(ids)
+        rng.shuffle(pool)
+        p = 0
+        for _g in range(10):
+            k = int(rng.randint(2, 5))
+            if p + k > len(pool):
+                break
+            members, p = pool[p:p + k], p + k
+            tmpl = list(rng.choice(vocab, 14))
+            for m in members:
+                w = list(tmpl)
+                for _ in range(int(rng.randint(0, 3))):
+                    w[int(rng.randint(0, 14))] = str(
+                        rng.choice(vocab))
+                docs[m] = " ".join(w)
+
+        # independent python truth
+        sigs = {i: _mh_sig_np(docs[i]) for i in ids}
+        parent = {i: i for i in ids}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        base_set = set(base_ids)
+        base_parent = {}
+        base_pairs = [(a, b) for ix, a in enumerate(base_ids)
+                      for b in base_ids[ix + 1:]
+                      if _mh_found(sigs[a], sigs[b])]
+        batch_pairs = [(x, d) for x in batch_ids for d in ids
+                       if d != x and not (d in batch_ids and d > x)
+                       and _mh_found(sigs[x], sigs[d])]
+        # persisted base labels = components over base pairs only
+        bp = {i: i for i in base_ids}
+
+        def bfind(a):
+            while bp[a] != a:
+                bp[a] = bp[bp[a]]
+                a = bp[a]
+            return a
+
+        for a, b in base_pairs:
+            ra, rb = bfind(a), bfind(b)
+            if ra != rb:
+                bp[max(ra, rb)] = min(ra, rb)
+        base_lbl = {i: bfind(i) for i in base_ids}
+        # full graph = base pairs ∪ batch pairs
+        for a, b in base_pairs:
+            union(a, b)
+        for a, b in batch_pairs:
+            union(a, b)
+
+        expected = {}
+        touched = set()
+        for x in batch_ids:
+            expected[(x, "batch_doc")] = find(x)
+        for x, d in batch_pairs:
+            if d in base_set:
+                touched.add(base_lbl[d])
+            elif d in batch_ids:
+                pass
+        for lbl in touched:
+            expected[(lbl, "base_cluster")] = find(lbl)
+
+        d = tmp_path_factory.mktemp(f"clprop{seed}")
+        spark.createDataFrame(
+            [(int(i), t, "en", "web") for i, t in docs.items()],
+            "doc_id long, text string, lang string, source string",
+        ).write.parquet(str(d / "documents.parquet"))
+        rows = QUERIES["dedup_clusters_incremental"](
+            spark, str(d)).collect()
+        got = {(r.id, r.kind): r.cluster_id for r in rows}
+        assert got == expected, (
+            seed,
+            {k: (got.get(k), expected.get(k))
+             for k in set(got) ^ set(expected) | {
+                 k for k in got if got.get(k) != expected.get(k)}},
+        )
