@@ -182,57 +182,7 @@ def write_artifact(df: DataFrame, dirpath: str,
     checkpoint-built artifact like pagerank's rank vector records a
     Scan ExistingRDD-only plan and the shuffle audit's transitive
     resolution silently finds no table scans (r11 second review)."""
-    import shutil
-    import uuid
-
-    tmp = f"{dirpath}.stage-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
-    # Moved-away dirs are deleted ONLY after the new artifact renamed in;
-    # if all attempts fail for a persistent (non-race) reason, the newest
-    # moved-away artifact is restored before raising, so dirpath keeps
-    # serving the previous good bits for later oracle replays (r12,
-    # ADVICE — the old finally-rmtree destroyed the prior artifact even
-    # when the rename-in had failed).
-    trashes: list = []
-    try:
-        for attempt in range(4):
-            trash = f"{dirpath}.old-{os.getpid()}-{uuid.uuid4().hex[:6]}"
-            try:
-                os.rename(dirpath, trash)   # atomic move-away if present
-                trashes.append(trash)
-            except FileNotFoundError:
-                pass
-            try:
-                os.rename(tmp, dirpath)
-                break
-            except OSError:
-                if attempt == 3:
-                    raise
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # our own staged bits
-        if not os.path.exists(dirpath):
-            # a popped candidate whose restore rename itself fails
-            # re-enters the sweep list ONLY if some other candidate was
-            # successfully restored (r13 ADVICE: don't leak moved-away
-            # dirs) — if nothing was restored, sweeping it would destroy
-            # the last surviving copy of the previous artifact, the exact
-            # loss the restore path exists to prevent (r13 second
-            # review); a leaked .old-* dir beats that strictly
-            failed: list = []
-            while trashes:
-                cand = trashes.pop()
-                try:
-                    os.rename(cand, dirpath)
-                    break
-                except OSError:
-                    failed.append(cand)
-            if os.path.exists(dirpath):
-                trashes.extend(failed)
-        raise
-    finally:
-        for t in trashes:
-            shutil.rmtree(t, ignore_errors=True)
+    _staged_overwrite(df, dirpath)
 
     real = os.path.realpath(dirpath)
     if not attribute:
@@ -256,14 +206,88 @@ def write_artifact(df: DataFrame, dirpath: str,
     ARTIFACT_SOURCE_PLANS[real] = plans
 
 
+def _staged_overwrite(df: DataFrame, dirpath: str,
+                      partition_by: str | None = None) -> None:
+    """The stage-and-swap write protocol, factored out of write_artifact
+    (r13 review) so the INDEX TABLE writes (build_pq_index /
+    build_ivfpq_index codes) use it too: a bare ``mode("overwrite")`` on
+    a shared fingerprint-keyed dir deletes a concurrent same-user
+    session's ``_temporary`` staging mid-write (observed on the qlr
+    weights dir, r11), and the registry's exists()-gated rebuilds are a
+    TOCTOU window where two sessions both decide to build. Staging is
+    process-private; the swap is move-old-away + rename-new-in with a
+    bounded retry. Moved-away dirs are deleted ONLY after the new
+    artifact renamed in; if all attempts fail for a persistent
+    (non-race) reason, the newest moved-away artifact is restored
+    before raising, so dirpath keeps serving the previous good bits
+    (r12 ADVICE); a restore-failed candidate is swept only when some
+    other candidate was restored — otherwise it stays on disk as the
+    last surviving copy (r13 second review). A write failure cleans up
+    its own stage dir instead of leaking an artifact-sized orphan no
+    later pid would ever match (r13 review)."""
+    import shutil
+    import uuid
+
+    tmp = f"{dirpath}.stage-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    trashes: list = []
+    try:
+        for attempt in range(4):
+            trash = f"{dirpath}.old-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+            try:
+                os.rename(dirpath, trash)   # atomic move-away if present
+                trashes.append(trash)
+            except FileNotFoundError:
+                pass
+            try:
+                os.rename(tmp, dirpath)
+                break
+            except OSError:
+                if attempt == 3:
+                    raise
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # our own staged bits
+        if not os.path.exists(dirpath):
+            failed: list = []
+            while trashes:
+                cand = trashes.pop()
+                try:
+                    os.rename(cand, dirpath)
+                    break
+                except OSError:
+                    failed.append(cand)
+            if os.path.exists(dirpath):
+                trashes.extend(failed)
+        raise
+    finally:
+        for t in trashes:
+            shutil.rmtree(t, ignore_errors=True)
+
+
 def _write_small_parquet(dirpath: str, pdf) -> None:
     """Driver-side write of a tiny (parameter-bounded) artifact table —
-    no Spark job for a few hundred rows."""
+    no Spark job for a few hundred rows. The tmp name is
+    process+uuid-unique: a FIXED name let two same-user sessions
+    interleave truncating writes into the same staging file and
+    os.replace a torn parquet into place (r13 review — the same
+    cross-session race write_artifact's staging already guarded)."""
+    import uuid
+
     import pyarrow as pa
     import pyarrow.parquet as papq
 
     os.makedirs(dirpath, exist_ok=True)
-    tmp = os.path.join(dirpath, "._part-0.parquet.tmp")
+    tmp = os.path.join(
+        dirpath,
+        f"._part-0.parquet.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}")
     papq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
     os.replace(tmp, os.path.join(dirpath, "part-0.parquet"))
 
@@ -283,8 +307,10 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str,
                    m: int = 8, k: int = 16) -> dict:
     """Fit + encode + persist. Returns the manifest dict. Idempotent per
     directory (rebuild overwrites)."""
+    from ..sources.catalog import parquet_num_rows
+
     corpus = _corpus(spark, sf_dir)
-    n = corpus.count()
+    n = parquet_num_rows(sf_dir, "embeddings")  # footer, no Spark job
     fit_df = corpus.select("nv")
     if n > _FIT_CAP:
         fit_df = fit_df.sample(fraction=min(1.0, 1.1 * _FIT_CAP / n),
@@ -292,9 +318,10 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str,
     sample = np.array([r.nv for r in fit_df.collect()])
     books = pq.fit_codebooks(sample, m=m, k=k, iters=10, seed=42)
 
-    corpus.select(
-        "vec_id", pq.encode_pandas(books)(F.col("nv")).alias("codes")
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    _staged_overwrite(
+        corpus.select(
+            "vec_id", pq.encode_pandas(books)(F.col("nv")).alias("codes")
+        ), os.path.join(index_dir, "codes"))
 
     manifest = {"m": m, "k": k, "n": n, "dim": int(sample.shape[1]),
                 "books": books.tolist()}
@@ -328,13 +355,31 @@ def query_pq_index(spark: SparkSession, sf_dir: str, index_dir: str,
     _write_adc_w(index_dir, q_ids, tables)
 
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    id_map = F.array(*[F.lit(q) for q in q_ids])
-    local_topk = codes.mapInPandas(
+    local_topk = _scan_to_qids(codes.mapInPandas(
         pq.topk_scan_pandas(tables, k=shortlist, exclude_ids=q_ids),
         schema="qi int, vec_id long, adc double",
-    ).select(
+    ), q_ids)
+    return _rerank_topk(spark, corpus, qrows, local_topk, shortlist, topk)
+
+
+def _scan_to_qids(scanned: DataFrame, q_ids) -> DataFrame:
+    """Map a scan kernel's positional query index back to vec_ids."""
+    id_map = F.array(*[F.lit(q) for q in q_ids])
+    return scanned.select(
         F.element_at(id_map, F.col("qi") + 1).alias("q_id"), "vec_id", "adc"
     )
+
+
+def _rerank_topk(spark: SparkSession, corpus: DataFrame, qrows,
+                 local_topk: DataFrame, shortlist: int,
+                 topk: int) -> DataFrame:
+    """Shared shortlist → exact-cosine rerank → top-k tail of both
+    persisted-index query paths (r13 review: query_pq_index and
+    query_ivfpq_index carried byte-identical copies, so a tie-break or
+    rounding contract fix had to land twice). ADC shortlist under the
+    (adc desc, vec_id asc) total order, exact rerank on <= shortlist
+    rows per query against the raw vectors, final (cos_sim desc,
+    vec_id asc) top-k — the round(6) contract the oracles replay."""
     w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
                                                F.col("vec_id").asc())
     candidates = (
@@ -414,7 +459,15 @@ def append_ivfpq_batch(spark: SparkSession, sf_dir: str, index_dir: str,
     index's FROZEN manifest codebooks and APPEND the codes into their
     cell partitions — O(batch) files added, zero base files rewritten
     (the text-index append contract at the vector layer). ``id_filter``
-    is a Column predicate selecting the batch rows."""
+    is a Column predicate selecting the batch rows.
+
+    CALLER CONTRACT (r13 review): the append itself is NOT idempotent —
+    a retried batch duplicates vec_ids in the codes table, which makes
+    the engine top-k emit duplicate (q_id, vec_id) rows while the
+    replay oracle's GROUP BY folds them into one doubled ADC score (a
+    guaranteed gate divergence). Callers MUST guard with a sentinel the
+    way q_sim_index_incremental does: rmtree the codes dir on an
+    unmarked retry, append exactly once, then write `_BATCH_APPLIED`."""
     with open(os.path.join(index_dir, "ivfpq.json")) as f:
         manifest = json.load(f)
     cents = np.array(manifest["cents"], dtype=np.float64)
@@ -445,10 +498,14 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
       tests). At 100 TB each cell is further split into many files and
       the scan parallelism stays full.
     """
+    from ..sources.catalog import parquet_num_rows
+
     corpus = _corpus(spark, sf_dir)
     if id_filter is not None:
         corpus = corpus.filter(id_filter)
-    n = corpus.count()
+        n = corpus.count()  # filtered count — the footer can't know it
+    else:
+        n = parquet_num_rows(sf_dir, "embeddings")  # footer, no Spark job
     fit_df = corpus.select("nv")
     if n > _FIT_CAP:
         fit_df = fit_df.sample(fraction=min(1.0, 1.1 * _FIT_CAP / n),
@@ -461,13 +518,11 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
     books = pq.fit_codebooks(sample - cents[assign], m=m, k=k,
                              iters=10, seed=42)
 
-    (
+    _staged_overwrite(
         corpus.select("vec_id", "nv")
         .mapInPandas(_encode_with(cents, books),
-                     schema="vec_id long, cell int, codes array<int>")
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(os.path.join(index_dir, "codes"))
-    )
+                     schema="vec_id long, cell int, codes array<int>"),
+        os.path.join(index_dir, "codes"), partition_by="cell")
     manifest = {"n_cells": n_cells, "m": m, "k": k, "n": n,
                 "dim": int(sample.shape[1]),
                 "cents": cents.tolist(), "books": books.tolist()}
@@ -509,9 +564,15 @@ def query_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
     probed = [np.argsort(dd[qi])[:nprobe].tolist()
               for qi in range(len(q_ids))]
     probe_union = sorted({c for ps in probed for c in ps})
-    probe_mask = {qi: set(ps) for qi, ps in enumerate(probed)}
+    # (n_queries, n_cells) boolean lookup: probe membership per batch row
+    # is one fancy-index instead of a per-row Python generator (the old
+    # np.fromiter ran rows x n_queries interpreter-speed set lookups on
+    # the hot distributed scan — r13 review)
+    probe_bool = np.zeros((len(q_ids), cents.shape[0]), dtype=bool)
+    for qi, ps in enumerate(probed):
+        probe_bool[qi, ps] = True
     _write_adc_w(index_dir, q_ids, tables)
-    import pandas as pd  # probes artifact: which cells each query opens,
+    # probes artifact: which cells each query opens,
     # plus the per-(query, cell) ADC constant q·cent — the oracle replays
     # adc = fold(residual ws) + qcent, the engine's exact association
     _write_small_parquet(
@@ -531,10 +592,8 @@ def query_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
             res_scores = pq.adc_scores(codes, tables)   # (n, nq)
             out = {"qi": [], "vec_id": [], "adc": []}
             for qi in range(len(q_ids)):
-                keep = np.fromiter(
-                    (c in probe_mask[qi] for c in cells), bool, len(cells)
-                )
-                keep &= ids != q_ids[qi]  # self-match never burns a slot
+                keep = probe_bool[qi, cells]
+                keep = keep & (ids != q_ids[qi])  # self-match never burns a slot
                 s = res_scores[keep, qi] + cell_const[qi, cells[keep]]
                 cand = ids[keep]
                 order = np.lexsort((cand, -s))[:shortlist]
@@ -546,34 +605,7 @@ def query_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str,
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cell").isin([int(c) for c in probe_union])
     )
-    id_map = F.array(*[F.lit(q) for q in q_ids])
-    local_topk = codes.mapInPandas(
+    local_topk = _scan_to_qids(codes.mapInPandas(
         scan_run, schema="qi int, vec_id long, adc double",
-    ).select(
-        F.element_at(id_map, F.col("qi") + 1).alias("q_id"), "vec_id", "adc"
-    )
-    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
-                                               F.col("vec_id").asc())
-    candidates = (
-        local_topk.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= shortlist)
-        .select("q_id", "vec_id")
-    )
-    qdf = spark.createDataFrame(
-        [(q, v) for q, v, _ in qrows], "q_id long, qv array<double>",
-    )
-    reranked = (
-        candidates.join(corpus.select("vec_id", "v"), on="vec_id")
-        .join(F.broadcast(qdf), on="q_id")
-        .select(
-            "q_id", "vec_id",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
-                                           F.col("vec_id").asc())
-    return (
-        reranked.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topk)
-        .select("q_id", "vec_id", "cos_sim")
-    )
+    ), q_ids)
+    return _rerank_topk(spark, corpus, qrows, local_topk, shortlist, topk)

@@ -80,14 +80,19 @@ def distributed_global_prefix_sum(df: DataFrame, order_cols: list[str],
         for r in t.groupBy("__pid")
         .agg(F.sum(value_col).alias("__tot")).collect()
     )
+    # an all-NULL partition sums to None (offset contribution 0); the
+    # offset literals keep the value's OWN numeric type — an int() here
+    # silently truncated fractional per-partition totals into cumulative
+    # drift for any non-integer value_col (r13 review; the one current
+    # caller passes ints, but the docstring advertises the general form)
     offsets, acc = {}, 0
     for pid, tot in totals:
         offsets[pid] = acc
-        acc += tot
+        acc += tot if tot is not None else 0
     off = F.element_at(
         F.map_from_arrays(
             F.array(*[F.lit(p) for p in offsets]),
-            F.array(*[F.lit(int(v)) for v in offsets.values()]),
+            F.array(*[F.lit(v) for v in offsets.values()]),
         ),
         F.col("__pid"),
     )
