@@ -106,7 +106,15 @@ def fit_centroids(sample: np.ndarray, k: int, iters: int = 10,
 
     Deterministic end-to-end: seeded coarse init, per-cell seeds derived
     from (seed, cell index), fixed iteration counts, argmin ties lowest
-    index."""
+    index.
+
+    NOTE (r13 review): on the two-level path, ``iters`` drives only the
+    COARSE fit; every per-cell sub-fit runs a FIXED 5 Lloyd iterations
+    by design — the sub-problems are small and near-converged after the
+    coarse partition, and the fixed count keeps persisted centroid
+    artifacts (and every replay oracle reading them) stable across any
+    caller-side iters tuning. Threading ``iters`` through would churn
+    all existing artifacts for no correctness gain."""
     n, d = sample.shape
     if k <= FLAT_FIT_K or n <= 2 * k:
         return _lloyd(sample, k, iters, seed)

@@ -18,7 +18,7 @@ from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.semdedup import EPS as _SEMDEDUP_EPS
-from ..sources.catalog import Catalog
+from ..sources.catalog import Catalog, parquet_num_rows
 from . import _md5_hex64_sql, register
 
 # DuckDB CTE mirroring functions.text.word_shingles(text, 3) row-wise
@@ -867,7 +867,7 @@ def q_sim_topk_ivf(spark, sf_dir):
 
         feat = e.select(
             "vec_id", array_to_vector(F.col("embedding")).alias("features"))
-        n = e.count()  # parquet metadata count — no scan
+        n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no Spark job
         fit_input = feat.select("features")
         if n > _IVF_FIT_CAP:
             # seeded Bernoulli sample; 1.1x headroom so the realized draw
@@ -961,7 +961,7 @@ def q_sim_topk_pq(spark, sf_dir):
         V.as_double(F.col("embedding")).alias("v"),
         V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv"),
     )
-    n = e.count()  # parquet metadata count — no scan
+    n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no Spark job
 
     books = _PQ_CODEBOOK_CACHE.get((sf_dir, n))
     if books is None:
@@ -3459,7 +3459,7 @@ def q_semdedup_kmeans(spark, sf_dir):
     corpus = e.select(
         "vec_id", V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv")
     )
-    n = e.count()  # parquet metadata count — no scan
+    n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no Spark job
     k = sd.k_schedule(n)
 
     # cache key is the corpus CONTENT fingerprint, not (path, rowcount):
@@ -3792,7 +3792,7 @@ def q_semdedup_incremental(spark, sf_dir):
     # normalize cost 8.6 s of a 43 s sf10 run and doubled the Arrow
     # transfer width (r12 profile).
     raw = e.select("vec_id", "embedding").withColumn("is_base", bucket < 90)
-    n = e.count()  # parquet metadata count — no scan
+    n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no Spark job
     n_base = max(1, (n * 9) // 10)  # deterministic k-schedule estimate
 
     # content-fingerprint cache key — see q_semdedup_kmeans (r12, ADVICE)

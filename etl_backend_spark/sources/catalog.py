@@ -150,15 +150,22 @@ DIM_TABLES = {"region", "nation"}
 # Read-side schema for the date-partitioned events layout: ts is a PHYSICAL
 # µs timestamp there (predicates push down to parquet), event_date the
 # partition column (directory pruning).
+def _events_ts_as_timestamp() -> list:
+    """The events schema's fields with ts rebuilt as TimestampType — ONE
+    definition shared by the layout schema and the µs read path (r13
+    review: two copies of the comprehension, one with a dead
+    name-rewrite conditional)."""
+    return [
+        StructField(f.name, TimestampType() if f.name == "ts" else f.dataType)
+        for f in SCHEMAS["events"].fields
+    ]
+
+
 def _events_layout_schema() -> StructType:
     from pyspark.sql.types import DateType
 
-    fields = [
-        StructField("ts" if f.name == "ts" else f.name,
-                    TimestampType() if f.name == "ts" else f.dataType)
-        for f in SCHEMAS["events"].fields
-    ]
-    return StructType(fields + [StructField("event_date", DateType())])
+    return StructType(
+        _events_ts_as_timestamp() + [StructField("event_date", DateType())])
 
 
 def _events_ts_unit(src: str) -> str:
@@ -175,15 +182,19 @@ def _events_ts_unit(src: str) -> str:
       here would read timestamps ~1000x in the future, silently);
     - anything else is a regenerate-your-testdata error, raised loudly.
     """
-    import glob as _glob
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if os.path.isdir(src):
-        parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        # recursive part listing (r13 review): a top-level-only glob on
+        # a nested/partitioned layout found nothing and GUESSED 'us' —
+        # the silent 1000x misread this function's own docstring warns
+        # about. A non-empty dir with no sniffable footer raises.
+        parts = parquet_part_files(src)
         if not parts:
-            return "us"
+            raise FileNotFoundError(
+                f"events source {src} contains no parquet part files to "
+                "sniff a ts unit from")
         src = parts[0]
     pf = pq.ParquetFile(src)
     # INT96 (vanilla OSS Spark's DEFAULT outputTimestampType) presents in
@@ -208,24 +219,30 @@ def _events_ts_unit(src: str) -> str:
 
 def _source_bytes(src: str) -> int:
     """Bytes of parquet data behind ``src`` — a single file, or the sum of
-    part files when src is a Spark-written directory (os.path.getsize on a
-    directory returns the inode size, ~4 KiB, which would make any
-    directory-backed SF look empty to the granularity rule)."""
-    import glob as _glob
-
-    if os.path.isdir(src):
-        return sum(
-            os.path.getsize(p)
-            for p in _glob.glob(os.path.join(src, "*.parquet"))
-        )
-    return os.path.getsize(src)
+    part files when src is a directory (os.path.getsize on a directory
+    returns the inode size, ~4 KiB, which would make any directory-backed
+    SF look empty to the granularity rule). Uses the shared RECURSIVE
+    part lister (r13 review): a top-level-only glob read a nested/
+    partitioned layout as 0 bytes, silently collapsing its granularity
+    to 'month' and its bucket count to defaultParallelism."""
+    return sum(os.path.getsize(p) for p in parquet_part_files(src))
 
 
 def read_events_raw(spark: SparkSession, src: str) -> DataFrame:
     """Read a raw events parquet with ts normalized to a µs TimestampType,
     whatever the file's physical unit. µs sources read ts natively (zero
     conversion, predicates push straight to parquet); ns sources read int64
-    (legacy.parquet.nanosAsLong) and truncate-divide to µs."""
+    (legacy.parquet.nanosAsLong) and truncate-divide to µs.
+
+    The nanosAsLong conf is DELIBERATELY left set for the session (r13
+    review considered save/restore and rejected it): the returned frame
+    is lazy, and executor-side parquet schema conversion consults the
+    conf again at action time — restoring it before the caller's action
+    would fail the read this function just set up. Cost of leaving it:
+    a LATER read of some other nanos-timestamp parquet in this session
+    infers LongType instead of raising Spark's illegal-type error; no
+    such read exists in this engine (every events read routes through
+    here, and no other table carries nanos timestamps)."""
     if _events_ts_unit(src) == "ns":
         # The ns read path REQUIRES this legacy conf; if a future Spark
         # drops it, the int64 read schema below would misread or error in
@@ -245,11 +262,8 @@ def read_events_raw(spark: SparkSession, src: str) -> DataFrame:
             )
         raw = spark.read.schema(SCHEMAS["events"]).parquet(src)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    fields = [
-        StructField(f.name, TimestampType() if f.name == "ts" else f.dataType)
-        for f in SCHEMAS["events"].fields
-    ]
-    return spark.read.schema(StructType(fields)).parquet(src)
+    return spark.read.schema(
+        StructType(_events_ts_as_timestamp())).parquet(src)
 
 
 # Minimum average bytes a partition directory should carry before we commit
@@ -279,9 +293,13 @@ def _events_granularity(path: str) -> str:
     rows at partition edges."""
     try:
         with open(os.path.join(path, "_GRANULARITY")) as fh:
-            return fh.read().strip() or "month"
+            gran = fh.read().strip()
     except OSError:
         return "month"
+    # a present-but-invalid sidecar (truncated, hand-edited) degrades to
+    # the widest granularity like an absent one, instead of leaking an
+    # unknown string into the _GRAN_SLOP_DAYS lookup (r13 review)
+    return gran if gran in _GRAN_SLOP_DAYS else "month"
 
 
 def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
@@ -434,10 +452,6 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str | None = None,
     Returns (lineitem_table_name, orders_table_name) — session-catalog
     names; data dirs are cached per (source fingerprint, n_buckets) so
     rebuilds only happen when the testdata changes."""
-    import hashlib
-    import tempfile
-
-    from .cache import file_fingerprint
     from .layout import ensure_bucketed_table
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
@@ -447,19 +461,35 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str | None = None,
         )
     names = []
     for tbl, col in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        src = f"{sf_dir}/{tbl}.parquet"
-        key = hashlib.md5(
-            f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
-        ).hexdigest()[:12]
-        name = f"etlbs_{tbl}_b{key}"
-        loc = os.path.join(
-            tempfile.gettempdir(), f"etlbs-u{os.getuid()}-bkt-{tbl}-{key}"
-        )
+        name, loc = _bucket_cache_name(
+            "bkt", tbl, f"etlbs_{tbl}_b", n_buckets,
+            f"{sf_dir}/{tbl}.parquet")
         ensure_bucketed_table(
             spark, load_table(spark, tbl, sf_dir), name, loc, col, n_buckets
         )
         names.append(name)
     return names[0], names[1]
+
+
+def _bucket_cache_name(prefix: str, tbl: str, name_prefix: str,
+                       n_buckets: int, src: str) -> tuple[str, str]:
+    """(table name, tempdir location) for a fingerprint-keyed bucketed
+    layout — ONE definition of the md5 cache key + path template (r13
+    review: three verbatim copies meant a version bump or key-scheme
+    change applied to one copy silently left the others serving stale
+    layouts)."""
+    import hashlib
+    import tempfile
+
+    from .cache import file_fingerprint
+
+    key = hashlib.md5(
+        f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
+    ).hexdigest()[:12]
+    loc = os.path.join(
+        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-{prefix}-{tbl}-{key}"
+    )
+    return f"{name_prefix}{key}", loc
 
 
 def bucketed_events_table(spark: SparkSession, sf_dir: str | None = None,
@@ -472,23 +502,14 @@ def bucketed_events_table(spark: SparkSession, sf_dir: str | None = None,
     Same one-time-write amortization argument as bucketed_fact_tables;
     at 100 TB the events table is bucketed at ingest and the whole
     per-user analytics family becomes shuffle-free."""
-    import hashlib
-    import tempfile
-
-    from .cache import file_fingerprint
     from .layout import ensure_bucketed_table
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
     src = f"{sf_dir}/events.parquet"
     if n_buckets is None:
         n_buckets = adaptive_bucket_count(spark, src)
-    key = hashlib.md5(
-        f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
-    ).hexdigest()[:12]
-    name = f"etlbs_events_b{key}"
-    loc = os.path.join(
-        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-bkt-events-{key}"
-    )
+    name, loc = _bucket_cache_name("bkt", "events", "etlbs_events_b",
+                                   n_buckets, src)
     ensure_bucketed_table(
         spark, load_table(spark, "events", sf_dir), name, loc,
         "user_id", n_buckets,
@@ -531,23 +552,14 @@ def partitioned_bucketed_events_table(spark: SparkSession,
     exchanges, which is exactly the dashboard/metrics query shape at
     100 TB: scan two days of directories, aggregate per user without
     moving a row."""
-    import hashlib
-    import tempfile
-
-    from .cache import file_fingerprint
     from .layout import ensure_partitioned_bucketed_table
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
     src = f"{sf_dir}/events.parquet"
     if n_buckets is None:
         n_buckets = adaptive_bucket_count(spark, src)
-    key = hashlib.md5(
-        f"v1:{n_buckets}:{file_fingerprint(src)}".encode()
-    ).hexdigest()[:12]
-    name = f"etlbs_events_pb{key}"
-    loc = os.path.join(
-        tempfile.gettempdir(), f"etlbs-u{os.getuid()}-pbkt-events-{key}"
-    )
+    name, loc = _bucket_cache_name("pbkt", "events", "etlbs_events_pb",
+                                   n_buckets, src)
     ensure_partitioned_bucketed_table(
         spark, events_with_date(spark, sf_dir), name, loc,
         "event_date", "user_id", n_buckets,
