@@ -53,9 +53,12 @@ def q_stream_window_sliding(spark, sf_dir):
     )
 
 
-@register(
-    "stream_sessionize",
-    oracle="""
+# ONE oracle definition per plain/bucketed twin pair (r13 review: the
+# bucketed variants carried verbatim copies of their twins' oracle SQL,
+# so a semantics fix applied to one could silently miss the other and
+# the gates would diverge undetected). Bodies are shared the same way
+# via the _*_over(source_frame) helpers below each plain register.
+_SESSIONIZE_ORACLE = """
     WITH o AS (
       SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
@@ -72,15 +75,41 @@ def q_stream_window_sliding(spark, sf_dir):
     SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events
     FROM s GROUP BY user_id, sid
-    """,
-)
-def q_stream_sessionize(spark, sf_dir):
-    """Session windows (30-min gap) — ``session_window`` in Spark; the oracle
-    replicates the gap semantics with a gaps-and-islands window chain.
-    Spark merges an event into a session iff its ts is strictly within gap of
-    the previous event; the oracle's `>= INTERVAL` new-session test matches.
     """
-    ev = Catalog(spark, sf_dir).table("events")
+
+_ZSCORE_ORACLE = """
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+    FROM events
+    """
+
+_GAPFILL_LOCF_ORACLE = """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(avg(value), 4) AS v
+      FROM events GROUP BY user_id, h
+    ), spans AS (
+      SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    ), j AS (
+      SELECT grid.user_id, grid.h, b.v
+      FROM grid LEFT JOIN b USING (user_id, h)
+    )
+    SELECT user_id, h AS hour_ts, v AS avg_value,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM j
+    """
+
+
+def _sessionize_over(ev):
+    """30-min-gap session windows over any events frame — ONE body for
+    the plain/bucketed twins (r13 review)."""
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
@@ -93,26 +122,20 @@ def q_stream_sessionize(spark, sf_dir):
 
 
 @register(
-    "stream_sessionize_bucketed",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, ts, event_id,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
-      FROM events
-    ), m AS (
-      SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-                     THEN 1 ELSE 0 END AS new_s
-      FROM o
-    ), s AS (
-      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-      FROM m
-    )
-    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events
-    FROM s GROUP BY user_id, sid
-    """,
+    "stream_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
 )
+def q_stream_sessionize(spark, sf_dir):
+    """Session windows (30-min gap) — ``session_window`` in Spark; the oracle
+    replicates the gap semantics with a gaps-and-islands window chain.
+    Spark merges an event into a session iff its ts is strictly within gap of
+    the previous event; the oracle's `>= INTERVAL` new-session test matches.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    return _sessionize_over(ev)
+
+
+@register("stream_sessionize_bucketed", oracle=_SESSIONIZE_ORACLE)
 def q_stream_sessionize_bucketed(spark, sf_dir):
     """stream_sessionize over events BUCKETED ON user_id
     (sources.catalog.bucketed_events_table): the session-window
@@ -123,38 +146,28 @@ def q_stream_sessionize_bucketed(spark, sf_dir):
     from ..sources.catalog import bucketed_events_table
 
     ev = spark.table(bucketed_events_table(spark, sf_dir))
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .select("user_id", "session_start", "session_end", "n_events")
-    )
+    return _sessionize_over(ev)
 
 
-@register(
-    "events_zscore_bucketed",
-    oracle="""
-    SELECT event_id, user_id,
-           round((value - avg(value) OVER (PARTITION BY user_id))
-                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
-    FROM events
-    """,
-)
+def _zscore_over(ev):
+    """Per-user z-score over any events frame — ONE body for the
+    plain/bucketed twins (r13 review)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", "user_id", F.round(z, 4).alias("z"))
+
+
+@register("events_zscore_bucketed", oracle=_ZSCORE_ORACLE)
 def q_events_zscore_bucketed(spark, sf_dir):
     """events_zscore over the user-bucketed layout: the per-key window's
     distribution comes from the scan — zero exchanges (plan-asserted),
     vs one full-table shuffle per query on the plain path."""
-    from pyspark.sql import Window
-
     from ..sources.catalog import bucketed_events_table
 
     ev = spark.table(bucketed_events_table(spark, sf_dir))
-    w = Window.partitionBy("user_id")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
-    return ev.select("event_id", "user_id", F.round(z, 4).alias("z"))
+    return _zscore_over(ev)
 
 
 @register(
@@ -305,26 +318,14 @@ def q_join_range_count(spark, sf_dir):
     )
 
 
-@register(
-    "events_zscore",
-    oracle="""
-    SELECT event_id, user_id,
-           round((value - avg(value) OVER (PARTITION BY user_id))
-                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
-    FROM events
-    """,
-)
+@register("events_zscore", oracle=_ZSCORE_ORACLE)
 def q_events_zscore(spark, sf_dir):
     """Per-key normalization (z-score of value within each user) via window
     aggregates — one shuffle on the key. The grouped-map ``applyInPandas``
     form of the same computation is pytest-asserted equal (the pandas path
     is for per-group logic Spark expressions can't say; this one they can)."""
-    from pyspark.sql import Window
-
     ev = Catalog(spark, sf_dir).table("events")
-    w = Window.partitionBy("user_id")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
-    return ev.select("event_id", "user_id", F.round(z, 4).alias("z"))
+    return _zscore_over(ev)
 
 
 @register(
@@ -548,51 +549,12 @@ def q_events_retention_cohort(spark, sf_dir):
     )
 
 
-@register(
-    "events_gapfill_locf",
-    oracle="""
-    WITH b AS (
-      SELECT user_id, date_trunc('hour', ts) AS h,
-             round(avg(value), 4) AS v
-      FROM events GROUP BY user_id, h
-    ), spans AS (
-      SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY user_id
-    ), grid AS (
-      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
-      FROM spans
-    ), j AS (
-      SELECT grid.user_id, grid.h, b.v
-      FROM grid LEFT JOIN b USING (user_id, h)
-    )
-    SELECT user_id, h AS hour_ts, v AS avg_value,
-           last_value(v IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY h
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS filled_value
-    FROM j
-    """,
-)
-def q_events_gapfill_locf(spark, sf_dir):
-    """Time-bucket gap-fill + last-observation-carried-forward — the
-    TimescaleDB ``time_bucket_gapfill``/``locf`` analog a sensor/metrics
-    pipeline needs: hourly per-user averages, a complete hour grid over
-    EACH USER'S OWN [first, last] active span (so silent interior hours
-    EXIST as rows), and forward-fill of the last observed value.
-
-    Scale shape — gap-local generation, no grid join: each observed
-    bucket emits its own gap rows (lead(h) + sequence-explode), carrying
-    its value forward directly — ONE exchange (the bucket aggregate),
-    one window pass, no join, grid size O(sum of active-span hours)
-    distributed on the aggregation's own partitioning. Two rejected
-    designs, both caught by the decade sweep: a global users x hours
-    cross join (112M rows from one task at sf1 — 105 s) and a span-grid
-    LEFT JOIN + LOCF window (5.8 s; the join and second pass are pure
-    overhead once you notice the carried value is just the emitting
-    bucket's own v). Gapfill over a caller-chosen fixed window composes
-    by filtering events first."""
+def _gapfill_locf_over(ev):
+    """Hourly gap-fill + LOCF over any events frame — ONE body for the
+    plain/bucketed twins (r13 review); the gap-local explode design is
+    documented on q_events_gapfill_locf."""
     from pyspark.sql import Window
 
-    ev = Catalog(spark, sf_dir).table("events")
     b = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.round(F.avg("value"), 4).alias("v"))
@@ -620,6 +582,29 @@ def q_events_gapfill_locf(spark, sf_dir):
         .alias("avg_value"),
         F.col("v").alias("filled_value"),
     )
+
+
+@register("events_gapfill_locf", oracle=_GAPFILL_LOCF_ORACLE)
+def q_events_gapfill_locf(spark, sf_dir):
+    """Time-bucket gap-fill + last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill``/``locf`` analog a sensor/metrics
+    pipeline needs: hourly per-user averages, a complete hour grid over
+    EACH USER'S OWN [first, last] active span (so silent interior hours
+    EXIST as rows), and forward-fill of the last observed value.
+
+    Scale shape — gap-local generation, no grid join: each observed
+    bucket emits its own gap rows (lead(h) + sequence-explode), carrying
+    its value forward directly — ONE exchange (the bucket aggregate),
+    one window pass, no join, grid size O(sum of active-span hours)
+    distributed on the aggregation's own partitioning. Two rejected
+    designs, both caught by the decade sweep: a global users x hours
+    cross join (112M rows from one task at sf1 — 105 s) and a span-grid
+    LEFT JOIN + LOCF window (5.8 s; the join and second pass are pure
+    overhead once you notice the carried value is just the emitting
+    bucket's own v). Gapfill over a caller-chosen fixed window composes
+    by filtering events first."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return _gapfill_locf_over(ev)
 
 
 @register(
@@ -791,30 +776,7 @@ def q_events_rollup_cascade(spark, sf_dir):
     )
 
 
-@register(
-    "events_gapfill_locf_bucketed",
-    oracle="""
-    WITH b AS (
-      SELECT user_id, date_trunc('hour', ts) AS h,
-             round(avg(value), 4) AS v
-      FROM events GROUP BY user_id, h
-    ), spans AS (
-      SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY user_id
-    ), grid AS (
-      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
-      FROM spans
-    ), j AS (
-      SELECT grid.user_id, grid.h, b.v
-      FROM grid LEFT JOIN b USING (user_id, h)
-    )
-    SELECT user_id, h AS hour_ts, v AS avg_value,
-           last_value(v IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY h
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS filled_value
-    FROM j
-    """,
-)
+@register("events_gapfill_locf_bucketed", oracle=_GAPFILL_LOCF_ORACLE)
 def q_events_gapfill_locf_bucketed(spark, sf_dir):
     """Gap-fill + LOCF over the user-bucketed layout — ZERO exchanges
     end to end (plan-asserted in tests/test_events_layout.py): the scan's
@@ -824,35 +786,10 @@ def q_events_gapfill_locf_bucketed(spark, sf_dir):
     per-bucket computation; at 100 TB the one-time bucketed write
     amortizes across every grid/window/sessionize query this family
     runs."""
-    from pyspark.sql import Window
-
     from ..sources.catalog import bucketed_events_table
 
     ev = spark.table(bucketed_events_table(spark, sf_dir))
-    b = ev.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
-    w = Window.partitionBy("user_id").orderBy("h")
-    b2 = b.withColumn("next_h", F.lead("h").over(w))
-    exploded = b2.select(
-        "user_id", "v", "h",
-        F.explode(
-            F.sequence(
-                F.col("h"),
-                F.coalesce(
-                    F.col("next_h") - F.expr("interval 1 hour"),
-                    F.col("h"),
-                ),
-                F.expr("interval 1 hour"),
-            )
-        ).alias("hour_ts"),
-    )
-    return exploded.select(
-        "user_id", "hour_ts",
-        F.when(F.col("hour_ts") == F.col("h"), F.col("v"))
-        .alias("avg_value"),
-        F.col("v").alias("filled_value"),
-    )
+    return _gapfill_locf_over(ev)
 
 
 @register(
@@ -1762,39 +1699,18 @@ def q_events_discord_topk(spark, sf_dir):
     exact z-distance among its same-word, non-overlapping peers. A
     candidate with NO peer at all (unique word) is the strongest discord
     and ranks first (null nn_dist, NULLS FIRST on both engines). One
-    bucket join + one keyed min — never all-pairs; raw-double oracle."""
+    bucket join + one keyed min — never all-pairs; raw-double oracle.
+    The SAX-window subtree comes from the SHARED _motif_zx helper (r13
+    review: this body carried a verbatim copy, so a breakpoint or
+    window-length change could silently desynchronize the motif/discord
+    duals); unpacking z components from the packed array is
+    bit-neutral."""
     from functools import reduce
 
-    from pyspark.sql import Window
-
-    ev = Catalog(spark, sf_dir).table("events").select(
-        "user_id", "event_id", "ts", "value")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    vcols = [F.col("value").alias("v0")] + [
-        F.lead("value", k).over(w).alias(f"v{k}") for k in range(1, 8)
-    ]
-    win = (ev.select("user_id", "event_id",
-                     F.row_number().over(w).alias("wpos"), *vcols)
-           .filter(F.col("v7").isNotNull()))
-    v = [F.col(f"v{k}") for k in range(8)]
-    win = win.withColumn("m", reduce(lambda a, b: a + b, v) / F.lit(8.0))
-    m = F.col("m")
-    win = win.withColumn(
-        "sd",
-        F.sqrt(reduce(lambda a, b: a + b,
-                      [(x - m) * (x - m) for x in v]) / F.lit(8.0)),
-    ).filter(F.col("sd") > 0)
-    sd = F.col("sd")
-    zcols = [((x - m) / sd).alias(f"z{k}") for k, x in enumerate(v)]
-    sym = [
-        F.when(F.col(f"z{k}") < F.lit(-0.6745), F.lit("0"))
-        .when(F.col(f"z{k}") < F.lit(0.0), F.lit("1"))
-        .when(F.col(f"z{k}") < F.lit(0.6745), F.lit("2"))
-        .otherwise(F.lit("3"))
-        for k in range(8)
-    ]
-    zx = win.select("user_id", "event_id", "wpos", *zcols) \
-            .withColumn("w", F.concat(*sym))
+    zx = _motif_zx(spark, sf_dir).select(
+        "w", "user_id", "event_id", "wpos",
+        *[F.col("z")[k].alias(f"z{k}") for k in range(8)],
+    )
     rare = zx.groupBy("w").agg(F.count(F.lit(1)).alias("nw")) \
              .filter(F.col("nw") <= 64).select("w")
     sx = zx.join(rare, "w", "left_semi")

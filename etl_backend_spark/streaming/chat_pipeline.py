@@ -70,7 +70,9 @@ def read_json_stream(spark: SparkSession, source_dir: str,
     schema (never inferred — reference parses into a fixed shape,
     src/websocket.ts:40-43)."""
     reader = spark.readStream.schema(EVENT_WIRE_SCHEMA)
-    if max_files_per_trigger:
+    # `is not None`, not truthiness: an explicit 0 must reach Spark's own
+    # loud rejection instead of silently unthrottling the stream (r13)
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(source_dir)
 
@@ -100,7 +102,15 @@ def append_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str):
 def conversation_touch(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Running max(ts) + message count per key — `Conversation.updatedAt`
     maintenance (reference src/websocket.ts:65-68) as an update-mode
-    streaming agg; the watermark bounds late data and state size."""
+    streaming agg. The watermark bounds LATE DATA only: a non-windowed
+    groupBy(key) aggregation keeps one state row per key FOREVER
+    (watermarks evict aggregation state only when the grouping key
+    contains an event-time window — r13 review corrected the earlier
+    claim here). That is the right contract for this operator — the
+    reference's Conversation table is itself one row per conversation,
+    so state size tracks the entity population, not the event stream;
+    pipelines needing key eviction use idle_session_close's
+    timeout-based state removal instead."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -120,6 +130,25 @@ def windowed_counts(stream: DataFrame, window: str = "5 minutes",
     )
 
 
+def _ordered_batch(pdfs: Iterable[pd.DataFrame]):
+    """Concatenate a group's Arrow chunks and order by event time with
+    the event_id tiebreak, adding an int64 ``__us`` column —
+    applyInPandasWithState delivers a group's batch as MULTIPLE chunks
+    in arbitrary relative order, and six stateful handlers each
+    re-implemented this ordering with drifting variants (r13 review).
+    Returns None for an empty batch; handlers that fold only ``__us``
+    are insensitive to the tiebreak."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    batch = pd.concat(chunks, ignore_index=True)
+    us = (
+        pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+        // 1000
+    )
+    return batch.assign(__us=us).sort_values(["__us", "event_id"])
+
+
 def _route_messages(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     """Stateful presence routing for one user key.
 
@@ -131,13 +160,10 @@ def _route_messages(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         online, delivered, queued = state.get
     else:
         online, delivered, queued = False, 0, 0
-    # applyInPandasWithState delivers a group's batch as MULTIPLE Arrow
-    # chunks in arbitrary relative order — concatenate first and sort ONCE
-    # so presence flips replay in global event order, not per-chunk order
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        batch = pd.concat(chunks, ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
+    # concatenate + sort ONCE so presence flips replay in global event
+    # order, not per-chunk order (_ordered_batch)
+    batch = _ordered_batch(pdfs)
+    if batch is not None:
         for et in batch["event_type"]:
             if et == "login":
                 online = True
@@ -203,16 +229,10 @@ def _rolling_counter(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     that horizon undercounts by the pruned stamps — the batch twin
     (window_rolling_range) is the exact restatement tool."""
     stamps: list[int] = list(state.get[0]) if state.exists else []
-    chunks = [p for p in pdfs if len(p)]
+    batch = _ordered_batch(pdfs)
     out_eid: list[int] = []
     out_n: list[int] = []
-    if chunks:
-        batch = pd.concat(chunks, ignore_index=True)
-        us = (
-            pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
-            // 1000
-        )
-        batch = batch.assign(__us=us).sort_values(["__us", "event_id"])
+    if batch is not None:
         # tie groups processed atomically: RANGE-frame peers (identical ts)
         # count each other, whichever replay order they arrive in
         for t, grp in batch.groupby("__us", sort=True):
@@ -284,8 +304,6 @@ def stream_into_store(stream: DataFrame, store, table: str,
     duplicating it. The marker file only short-circuits the recompute (and
     the parent-touch) for batches known complete; correctness never depends
     on the marker's write ordering."""
-    import os
-
     from ..etl import writes as W
 
     markers = os.path.join(checkpoint_dir, "applied")
@@ -454,14 +472,8 @@ def _funnel_tracker(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     trade-off; run the batch form for exact restatement."""
     t = list(state.get) if state.exists else [-1, -1, -1]
     done_before = t[2] >= 0
-    chunks = [p for p in pdfs if len(p)]
-    if chunks:
-        batch = pd.concat(chunks, ignore_index=True)
-        us = (
-            pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
-            // 1000
-        )
-        batch = batch.assign(__us=us).sort_values(["__us", "event_id"])
+    batch = _ordered_batch(pdfs)
+    if batch is not None:
         for typ, ts in zip(batch["event_type"], batch["__us"]):
             ts = int(ts)
             if typ == "view" and t[0] < 0:
@@ -541,14 +553,9 @@ def _idle_session_closer(key, pdfs: Iterable[pd.DataFrame],
     start_us, last_us, n = state.get if state.exists else (None, None, 0)
     out = {"user_id": [], "session_start": [], "session_end": [],
            "n_events": []}
-    chunks = [p for p in pdfs if len(p)]
-    if chunks:
-        batch = pd.concat(chunks, ignore_index=True)
-        us = (
-            pd.to_datetime(batch["ts"]).astype("datetime64[ns]")
-            .astype("int64") // 1000
-        )
-        for t in sorted(int(x) for x in us):
+    batch = _ordered_batch(pdfs)
+    if batch is not None:
+        for t in (int(x) for x in batch["__us"]):
             if start_us is None:
                 start_us, last_us, n = t, t, 1
             elif t - last_us > _IDLE_GAP_MIN * 60_000_000:
@@ -562,8 +569,21 @@ def _idle_session_closer(key, pdfs: Iterable[pd.DataFrame],
             else:
                 last_us, n = max(last_us, t), n + 1
     state.update((start_us, last_us, n))
-    # evict when the WATERMARK passes the idle gap after the last event
-    state.setTimeoutTimestamp(last_us // 1000 + _IDLE_GAP_MIN * 60_000)
+    # evict when the WATERMARK passes the idle gap after the last event.
+    # CLAMPED above the current watermark (r13 review):
+    # setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP — killing
+    # the whole streaming query — if handed a value at or below the
+    # watermark. Measured on PySpark 4.1.2 the operator DROPS
+    # below-watermark input rows before the handler (pytest-pinned:
+    # test_idle_session_close_drops_late_events_and_survives), which
+    # makes last >= watermark and the raw target unreachable-below-wm
+    # through the data path; the clamp is deliberate defense-in-depth
+    # for the boundary row (ts == watermark) and for any future change
+    # to the operator's late-row semantics, and costs nothing when it
+    # doesn't bind.
+    target = last_us // 1000 + _IDLE_GAP_MIN * 60_000
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(target, wm + 1))
     yield pd.DataFrame(out)
 
 
@@ -572,7 +592,21 @@ def idle_session_close(stream: DataFrame,
     """Sessionize with state eviction: sessions emit when closed (by an
     in-batch gap or by event-time timeout) and their state is REMOVED.
     The streaming twin of ``stream_sessionize``'s session_window, built
-    on the raw state API to make the eviction contract explicit."""
+    on the raw state API to make the eviction contract explicit.
+
+    Requires a UTC session timezone (the engine's get_spark pins it):
+    Arrow hands the state handler tz-NAIVE timestamps rendered in the
+    session zone, while setTimeoutTimestamp compares epoch-UTC ms
+    against the watermark — under any other zone the timeout lands a
+    tz-offset away from the advertised gap (r13 review). Guarded here,
+    at assembly time where the conf is visible, instead of silently
+    skewing."""
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"idle_session_close requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the event-time timeout arithmetic treats the "
+            "Arrow-delivered naive timestamps as epoch-UTC")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -608,14 +642,8 @@ def _ewma_fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         n = int(n)
     else:
         n, ew = 0, None
-    chunks = [p for p in pdfs if len(p)]
-    if chunks:
-        batch = pd.concat(chunks, ignore_index=True)
-        us = (
-            pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
-            // 1000
-        )
-        batch = batch.assign(__us=us).sort_values(["__us", "event_id"])
+    batch = _ordered_batch(pdfs)
+    if batch is not None:
         for v in batch["value"]:
             v = float(v)
             ew = v if ew is None else (ew + v) / 2.0
@@ -663,14 +691,8 @@ def _holt_fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         n = int(n)
     else:
         n, lv, tr = 0, None, 0.0
-    chunks = [p for p in pdfs if len(p)]
-    if chunks:
-        batch = pd.concat(chunks, ignore_index=True)
-        us = (
-            pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
-            // 1000
-        )
-        batch = batch.assign(__us=us).sort_values(["__us", "event_id"])
+    batch = _ordered_batch(pdfs)
+    if batch is not None:
         for v in batch["value"]:
             v = float(v)
             if n == 0:

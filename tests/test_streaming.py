@@ -511,3 +511,77 @@ def test_stream_holt_equals_batch_fold(spark, tmp_path, event_json_dir):
         assert have[0] == want[0], u
         if n_batches == 1:
             assert have == want, u  # single-batch replay: bit-identical
+
+
+def test_idle_session_close_drops_late_events_and_survives(
+        spark, tmp_path):
+    """r13 review pin of the operator's MEASURED late-data contract on
+    PySpark 4.1.2: a below-watermark event for a new key is DROPPED by
+    applyInPandasWithState's watermark filter before the handler (so
+    the raw last+gap timeout can never compute below the watermark
+    through the data path — the handler's wm+1 clamp is defense-in-
+    depth for the boundary row and future semantics changes), the
+    query SURVIVES the late arrival, and on-time keys' sessions flush
+    normally. If a Spark upgrade changes the late-row semantics, this
+    test fails loudly and the clamp comment must be revisited."""
+    import time
+
+    src = tmp_path / "late_json"
+    src.mkdir()
+    out_dir, ckpt = str(tmp_path / "sess"), str(tmp_path / "ck")
+
+    def write(part, rows):
+        with open(src / f"part-{part}.json", "w") as f:
+            for eid, ts, uid in rows:
+                f.write(json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": uid,
+                    "event_type": "msg", "value": 1.0, "props": "{}",
+                }) + "\n")
+
+    # one file per micro-batch so the watermark advances BETWEEN the
+    # on-time and late arrivals
+    stream = cp.validate_events(
+        cp.read_json_stream(spark, str(src), max_files_per_trigger=1))
+    write(0, [(1, "2024-01-01T10:00:00Z", 1),
+              (2, "2024-01-01T18:00:00Z", 1)])
+    q = (
+        cp.idle_session_close(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark -> ~17:50
+        # LATE: user 2 at 10:30, hours below the watermark; its
+        # last + 30min gap (11:00) is also below -> needs the clamp
+        write(1, [(3, "2024-01-01T10:30:00Z", 2)])
+        q.processAllAvailable()
+        assert q.isActive, q.exception()
+        # advance the watermark past the clamped timeout -> flush
+        write(2, [(4, "2024-01-01T22:00:00Z", 1),
+                  (5, "2024-01-01T23:00:00Z", 1)])
+        q.processAllAvailable()
+        # one more nudge: timeouts fire on the NEXT trigger after the
+        # watermark passes them
+        write(3, [(6, "2024-01-02T03:00:00Z", 1)])
+        q.processAllAvailable()
+        assert q.isActive, q.exception()
+    finally:
+        q.stop()
+        for _ in range(50):
+            if not q.isActive:
+                break
+            time.sleep(0.2)
+    got = {(r.user_id, r.session_start.isoformat(),
+            r.session_end.isoformat(), r.n_events)
+           for r in spark.read.parquet(out_dir).collect()}
+    # the late event was dropped: no user-2 session, and the on-time
+    # user-1 sessions all flushed (each event >30min apart = own session)
+    assert not [g for g in got if g[0] == 2], got
+    assert {g for g in got if g[0] == 1} == {
+        (1, "2024-01-01T10:00:00", "2024-01-01T10:00:00", 1),
+        (1, "2024-01-01T18:00:00", "2024-01-01T18:00:00", 1),
+        (1, "2024-01-01T22:00:00", "2024-01-01T22:00:00", 1),
+        (1, "2024-01-01T23:00:00", "2024-01-01T23:00:00", 1),
+    }, got
