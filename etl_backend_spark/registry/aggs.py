@@ -16,6 +16,57 @@ from ..sources.catalog import Catalog
 from . import register
 
 
+# ONE oracle definition per twin pair (r13 review —
+# the _md5_hex64_sql no-verbatim-copies rule): an oracle
+# edit applied to one twin but not the other only
+# surfaces as a full-gate hash failure later.
+_TPCH_Q3_ORACLE = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2001-06-01'
+      AND l_shipdate > TIMESTAMP '2001-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """
+
+_TPCH_Q5_ORACLE = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o_orderdate < TIMESTAMP '2001-01-01'
+    GROUP BY n_name
+    """
+
+_LATEST_PER_GROUP_ORACLE = """
+    SELECT event_id, user_id, ts, event_type FROM (
+      SELECT event_id, user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+
+_ROLLING_RANGE_ORACLE = """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """
+
+
 @register(
     "agg_count_filtered",
     oracle="""
@@ -273,16 +324,7 @@ def q_agg_theta_setops(spark, sf_dir):
 
 # ---------------------------------------------------------------- §2.5 windows
 
-@register(
-    "window_latest_per_group",
-    oracle="""
-    SELECT event_id, user_id, ts, event_type FROM (
-      SELECT event_id, user_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
+@register("window_latest_per_group", oracle=_LATEST_PER_GROUP_ORACLE)
 def q_window_latest_per_group(spark, sf_dir):
     """Top-1 per group by recency — last message per conversation
     (reference src/routes/chat.ts:43-47,108-111); tie-break on event_id."""
@@ -293,16 +335,7 @@ def q_window_latest_per_group(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", "event_type")
 
 
-@register(
-    "window_latest_per_group_bucketed",
-    oracle="""
-    SELECT event_id, user_id, ts, event_type FROM (
-      SELECT event_id, user_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
+@register("window_latest_per_group_bucketed", oracle=_LATEST_PER_GROUP_ORACLE)
 def q_window_latest_per_group_bucketed(spark, sf_dir):
     """window_latest_per_group over events BUCKETED ON user_id
     (sources.catalog.bucketed_events_table): the window's required
@@ -537,22 +570,7 @@ def q_agg_skew_salted(spark, sf_dir):
     )
 
 
-@register(
-    "tpch_q3_shape",
-    oracle="""
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           o_orderdate, o_orderpriority
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '2001-06-01'
-      AND l_shipdate > TIMESTAMP '2001-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
-    LIMIT 10
-    """,
-)
+@register("tpch_q3_shape", oracle=_TPCH_Q3_ORACLE)
 def q_tpch_q3_shape(spark, sf_dir):
     """TPC-H Q3 shape (shipping-priority): selective dim filter → two-hop
     join → grouped revenue → top-10. The customer filter prunes before the
@@ -578,22 +596,7 @@ def q_tpch_q3_shape(spark, sf_dir):
     )
 
 
-@register(
-    "tpch_q3_bucketed",
-    oracle="""
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           o_orderdate, o_orderpriority
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '2001-06-01'
-      AND l_shipdate > TIMESTAMP '2001-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
-    LIMIT 10
-    """,
-)
+@register("tpch_q3_bucketed", oracle=_TPCH_Q3_ORACLE)
 def q_tpch_q3_bucketed(spark, sf_dir):
     """Q3 over the co-located layout — ZERO exchanges end to end: customer
     (filtered, broadcast) joins orders without moving the fact; the o⋈li
@@ -628,23 +631,7 @@ def q_tpch_q3_bucketed(spark, sf_dir):
     )
 
 
-@register(
-    "tpch_q5_shape",
-    oracle="""
-    SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '2000-01-01'
-      AND o_orderdate < TIMESTAMP '2001-01-01'
-    GROUP BY n_name
-    """,
-)
+@register("tpch_q5_shape", oracle=_TPCH_Q5_ORACLE)
 def q_tpch_q5_shape(spark, sf_dir):
     """TPC-H Q5 shape (local-supplier revenue): 6-table star join with the
     region/nation dims broadcast (never shuffling the fact side), plus the
@@ -671,23 +658,7 @@ def q_tpch_q5_shape(spark, sf_dir):
     )
 
 
-@register(
-    "tpch_q5_bucketed",
-    oracle="""
-    SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '2000-01-01'
-      AND o_orderdate < TIMESTAMP '2001-01-01'
-    GROUP BY n_name
-    """,
-)
+@register("tpch_q5_bucketed", oracle=_TPCH_Q5_ORACLE)
 def q_tpch_q5_bucketed(spark, sf_dir):
     """Q5 shape restructured around the co-located fact layout: the li⋈o
     join (the only fact-fact edge, 1.82×/decade when shuffled) runs
@@ -1097,17 +1068,7 @@ def q_agg_approx_quantile(spark, sf_dir):
     )
 
 
-@register(
-    "window_rolling_range",
-    oracle="""
-    SELECT event_id, user_id,
-           count(*) OVER w AS n_1h,
-           round(sum(value) OVER w, 4) AS sum_1h
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-    """,
-)
+@register("window_rolling_range", oracle=_ROLLING_RANGE_ORACLE)
 def q_window_rolling_range(spark, sf_dir):
     """Per-key rolling aggregate over a TIME interval frame (RANGE BETWEEN
     INTERVAL 1 HOUR PRECEDING) — the per-row trailing-window shape
@@ -1135,17 +1096,7 @@ def q_window_rolling_range(spark, sf_dir):
     )
 
 
-@register(
-    "window_rolling_range_salted",
-    oracle="""
-    SELECT event_id, user_id,
-           count(*) OVER w AS n_1h,
-           round(sum(value) OVER w, 4) AS sum_1h
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-    """,
-)
+@register("window_rolling_range_salted", oracle=_ROLLING_RANGE_ORACLE)
 def q_window_rolling_range_salted(spark, sf_dir):
     """window_rolling_range with the partition key SALTED BY TIME BLOCK —
     the skew-safe twin (VERDICT r3 task 6): a keyed window puts one user's
@@ -2165,9 +2116,7 @@ def q_partsupp_synth(spark, sf_dir):
     return _partsupp_synth(Catalog(spark, sf_dir))
 
 
-@register(
-    "tpch_q9",
-    oracle=f"""
+_TPCH_Q9_ORACLE = f"""
     WITH partsupp AS ({_PARTSUPP_SQL})
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
            round(sum(l_extendedprice * (1 - l_discount)
@@ -2181,8 +2130,9 @@ def q_partsupp_synth(spark, sf_dir):
     WHERE p_name LIKE '%red%'
     GROUP BY n_name, o_year
     ORDER BY nation, o_year DESC
-    """,
-)
+    """
+
+@register("tpch_q9", oracle=_TPCH_Q9_ORACLE)
 def q_tpch_q9(spark, sf_dir):
     """TPC-H Q9 with the REAL profit expression — revenue minus
     ps_supplycost * l_quantity over the derived partsupp (the r7
@@ -2240,24 +2190,7 @@ def q_tpch_q9(spark, sf_dir):
     )
 
 
-@register(
-    "tpch_q9_partsupp_join",
-    oracle=f"""
-    WITH partsupp AS ({_PARTSUPP_SQL})
-    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - ps_supplycost * l_quantity), 2) AS sum_profit
-    FROM lineitem
-    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-    JOIN part ON l_partkey = p_partkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN orders ON l_orderkey = o_orderkey
-    WHERE p_name LIKE '%red%'
-    GROUP BY n_name, o_year
-    ORDER BY nation, o_year DESC
-    """,
-)
+@register("tpch_q9_partsupp_join", oracle=_TPCH_Q9_ORACLE)
 def q_tpch_q9_partsupp_join(spark, sf_dir):
     """Q9 with the partsupp JOIN materialized — the general-case plan a
     REAL partsupp (attributes not derivable from the keys) requires:
@@ -2650,7 +2583,7 @@ def q_orders_cohort_revenue(spark, sf_dir):
              date_diff('day', max(o_orderdate),
                        TIMESTAMP '2002-01-01') AS recency,
              count(*) AS frequency,
-             sum(o_totalprice) AS monetary
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
       FROM orders GROUP BY o_custkey
     ), b AS (
       SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rb,
@@ -2676,15 +2609,23 @@ def q_orders_rfm(spark, sf_dir):
     (never a global-order window), so the whole query is two passes:
     per-customer rollup, then bucket-by-comparison. At 100 TB the exact
     percentile boundaries become approxQuantile with the same compare —
-    the plan shape is unchanged. (Interpolated boundaries vs 2-decimal
-    money/integer counts make cross-engine boundary ties a measure-zero
-    event; the gate hash confirms.)"""
+    the plan shape is unchanged. All three metrics are exact integers
+    (days, counts, CENTS — r13), so the interpolated boundaries are
+    bit-identical cross-engine and bucket compares can never flip on an
+    accumulation-order ulp."""
     o = Catalog(spark, sf_dir).table("orders")
     base = o.groupBy("o_custkey").agg(
         F.datediff(F.to_timestamp(F.lit("2002-01-01")),
                    F.max("o_orderdate")).alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
+        # BIGINT cents, not a float-blend sum (r13 review; the tpch_q11
+        # never-round-a-blend rule): double partial sums accumulate in
+        # different orders per engine, and an ulp at a quantile boundary
+        # flips a bucket on one engine only. Cent-scaled sums are exact
+        # integers — order-independent — and the interpolated boundaries
+        # derived from identical integers match to the bit.
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("monetary"),
     )
     bounds = base.agg(
         F.expr("percentile(recency, array(0.25D, 0.5D, 0.75D))").alias("rb"),
@@ -2872,19 +2813,21 @@ def q_agg_cms_heavy_hitters(spark, sf_dir):
     Estimates are deterministic (fixed seed) and obey the CMS contract:
     estimate >= true count, overshoot <= eps * N (pytest-bounded)."""
     o = Catalog(spark, sf_dir).table("orders")
+    # probe keys ride the SAME pass as the sketch (r13 review: a
+    # separate distinct().collect() re-scanned the fact table just to
+    # learn ~5 keys); collect_set is algebraic like the sketch, bounded
+    # by the low-cardinality key domain
     row = o.agg(
         F.count_min_sketch(
             "o_orderpriority", F.lit(0.01), F.lit(0.99), F.lit(42)
         ).alias("sk"),
         F.count(F.lit(1)).alias("n"),
+        F.collect_set("o_orderpriority").alias("ks"),
     ).collect()[0]
     jvm = spark.sparkContext._jvm
     bais = jvm.java.io.ByteArrayInputStream(bytes(row.sk))
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
-    keys = sorted(
-        r.o_orderpriority
-        for r in o.select("o_orderpriority").distinct().collect()
-    )
+    keys = sorted(row.ks)
     return spark.createDataFrame(
         [(k, int(cms.estimateCount(k)), int(row.n)) for k in keys],
         "o_orderpriority STRING, est LONG, n LONG",
@@ -2907,8 +2850,14 @@ def _footer_profile_stats(sf_dir, table, cols):
     row-group footers — metadata only, no data read, no Spark job. A
     column qualifies only if EVERY chunk carries complete statistics
     (has_min_max + null_count); anything else is excluded and the caller
-    keeps it in the scan agg, so a writer that omits or truncates stats
-    can only cost time, never correctness. Values are rendered exactly
+    keeps it in the scan agg, so a writer that OMITS stats can only cost
+    time, never correctness. TRUNCATED stats are the one shape the
+    footer cannot self-report (parquet-mr truncates binary min/max at
+    64 bytes and bumps the max's last byte; pyarrow exposes no
+    is-exact flag — r13 review), so string/bytes stats at or beyond
+    that length are rejected as untrusted and the column falls back to
+    the exact scan path — a 64-byte genuine value costs a scan, never
+    a wrong profile row. Values are rendered exactly
     as the scan path's Spark casts do: ints/strings verbatim, doubles
     through DECIMAL(18,2) HALF_UP (Spark's double→decimal goes through
     the shortest decimal repr, which is what Python's repr() gives)."""
@@ -2937,9 +2886,13 @@ def _footer_profile_stats(sf_dir, table, cols):
                         or st.null_count is None):
                     bad.add(c)
                     continue
+                mn, mx = st.min, st.max
+                if any(isinstance(v, (str, bytes)) and len(v) >= 64
+                       for v in (mn, mx)):
+                    bad.add(c)  # possibly truncated — see docstring
+                    continue
                 cur = acc[c]
                 cur[0] += st.null_count
-                mn, mx = st.min, st.max
                 cur[1] = mn if cur[1] is None or mn < cur[1] else cur[1]
                 cur[2] = mx if cur[2] is None or mx > cur[2] else cur[2]
 

@@ -20,6 +20,18 @@ _FLAGSHIP = SearchParams(
 )
 
 
+# ONE oracle definition per twin pair (r13 review —
+# the _md5_hex64_sql no-verbatim-copies rule): an oracle
+# edit applied to one twin but not the other only
+# surfaces as a full-gate hash failure later.
+_TWO_HOP_ORACLE = """
+    SELECT l_orderkey, l_linenumber, o_orderdate, c_name
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """
+
+
 @register(
     "ads_search",
     oracle="""
@@ -361,15 +373,7 @@ def q_join_lookup_n1(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "p_name", "p_brand")
 
 
-@register(
-    "join_two_hop",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, o_orderdate, c_name
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    """,
-)
+@register("join_two_hop", oracle=_TWO_HOP_ORACLE)
 def q_join_two_hop(spark, sf_dir):
     """Join through a junction — Favorite→Ad→User
     (reference src/routes/favorites.ts:74-92)."""
@@ -382,15 +386,7 @@ def q_join_two_hop(spark, sf_dir):
     )
 
 
-@register(
-    "join_two_hop_bucketed",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, o_orderdate, c_name
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    """,
-)
+@register("join_two_hop_bucketed", oracle=_TWO_HOP_ORACLE)
 def q_join_two_hop_bucketed(spark, sf_dir):
     """join_two_hop over the CO-LOCATED layout: lineitem and orders are
     bucketed+sorted on the orderkey (sources.catalog.bucketed_fact_tables),
@@ -486,20 +482,22 @@ def q_join_1n_nested(spark, sf_dir):
     collect) only when the bucketed layout cannot be materialized
     (read-only scratch dir, unknown source). Both paths are value- and
     oracle-identical."""
+    import sys
+
     try:
         from ..sources.catalog import bucketed_fact_tables
 
-        li_t, o_t = bucketed_fact_tables(spark, sf_dir)
-        li, o = spark.table(li_t), spark.table(o_t)
-    except Exception:
+        bucketed_fact_tables(spark, sf_dir)
+    # environmental failures only (read-only scratch, missing source) —
+    # a bare Exception also swallowed genuine regressions in the layout
+    # builder, silently downgrading the registered default to the plain
+    # plan with a green gate (r13 review); the downgrade now at least
+    # says so on stderr, and programming errors propagate
+    except (OSError, IOError) as e:
+        print(f"join_1n_nested: bucketed layout unavailable ({e!r}) — "
+              "falling back to the plain-parquet plan", file=sys.stderr)
         return q_join_1n_nested_plain(spark, sf_dir)
-    nested = li.groupBy(F.col("l_orderkey")).agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("items_arr")
-    )
-    return (
-        o.join(nested, o["o_orderkey"] == nested["l_orderkey"])
-        .select("o_orderkey", _nested_items_csv(F.col("items_arr")))
-    )
+    return q_join_1n_nested_bucketed(spark, sf_dir)
 
 
 @register("join_1n_nested_plain", oracle=_NESTED_1N_ORACLE)
@@ -585,7 +583,16 @@ def q_join_1n_nested_salted(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     o, li = cat.table("orders"), cat.table("lineitem")
     partial = (
-        li.withColumn("__salt", (F.col("l_linenumber") % S).cast("int"))
+        # pmod(hash) spreads evenly over ALL S buckets — l_linenumber % S
+        # never produced salt 0 and is heavily skewed toward low line
+        # numbers (every order has line 1, few have line 7), so the hot
+        # key's "S bounded partials" were at most 7 uneven ones with
+        # bucket 1 the straggler (r13 review). Values are unaffected:
+        # the salt only shapes partials, the second phase merges them.
+        li.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(S))
+            .cast("int"))
         # repartition-first, same rationale as nested_1n: collect_list
         # partials can't combine, so ship raw rows once
         .repartition(F.col("l_orderkey"), F.col("__salt"))
@@ -1235,9 +1242,13 @@ def q_join_salted(spark, sf_dir):
     hot = joins.detect_heavy_hitters(
         li, "l_orderkey", fraction=0.05, min_count=2, top=64, seed=7
     )
+    # the helper's default xxhash64 salt spreads a hot key evenly over
+    # all S buckets; the previous explicit l_linenumber % S override
+    # never produced salt 0 and was skewed toward low line numbers, so
+    # bucket 1 stayed the straggler (r13 review). Values unaffected —
+    # salting only shapes partials.
     j = joins.salted_join(
         li, o, "l_orderkey", "o_orderkey", hot, n_salts=S,
-        salt=F.col("l_linenumber") % S,
     )
     return j.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
@@ -1523,7 +1534,11 @@ def q_fn_sql_udf(spark, sf_dir):
     Python UDF it keeps whole-stage codegen, pushdown, and vectorization
     (it IS the expression; there is no function-call boundary at run
     time). The oracle states the expanded expression — semantics must
-    match exactly. Integer division stays BIGINT on both engines."""
+    match exactly. The /100 is DOUBLE division on BOTH engines
+    (BIGINT/INT promotes to DOUBLE in Spark and DuckDB alike —
+    r13 review corrected this comment, which claimed the
+    opposite; "restoring" integer division on either side
+    would truncate dollars and break the hash)."""
     Catalog(spark, sf_dir).register_views()
     spark.sql("""
         CREATE OR REPLACE TEMPORARY FUNCTION cents(p DOUBLE)
