@@ -159,7 +159,8 @@ ARTIFACT_UNATTRIBUTED: set[str] = set()
 
 
 def write_artifact(df: DataFrame, dirpath: str,
-                   attribute: bool = True) -> None:
+                   attribute: bool = True,
+                   partition_by: str | None = None) -> None:
     """Write a per-query decision-record artifact and record the
     write-side executed plan(s) for shuffle attribution (see
     ARTIFACT_SOURCE_PLANS above).
@@ -182,7 +183,7 @@ def write_artifact(df: DataFrame, dirpath: str,
     checkpoint-built artifact like pagerank's rank vector records a
     Scan ExistingRDD-only plan and the shuffle audit's transitive
     resolution silently finds no table scans (r11 second review)."""
-    _staged_overwrite(df, dirpath)
+    _staged_overwrite(df, dirpath, partition_by=partition_by)
 
     real = os.path.realpath(dirpath)
     if not attribute:

@@ -2887,7 +2887,14 @@ def _footer_profile_stats(sf_dir, table, cols):
                     bad.add(c)
                     continue
                 mn, mx = st.min, st.max
-                if any(isinstance(v, (str, bytes)) and len(v) >= 64
+                # parquet-mr truncates string stats at 64 BYTES; pyarrow
+                # hands back decoded str, so a multibyte UTF-8 value cut
+                # at 64 bytes decodes to <64 CHARS and would slip a
+                # len(v) guard (r13 ADVICE) — compare encoded byte length
+                if any(isinstance(v, (str, bytes))
+                       and (len(v) if isinstance(v, bytes)
+                            else len(v.encode("utf-8", "surrogatepass"))
+                            ) >= 64
                        for v in (mn, mx)):
                     bad.add(c)  # possibly truncated — see docstring
                     continue

@@ -462,6 +462,29 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 MINHASH_INCR_BCAST_DOCS = 250_000
 MINHASH_INCR_BCAST_CAND = 1_000_000
 
+# The persisted band index is PARTITIONED by a band-key bucket (r13
+# VERDICT #1 — the text_index md5-bucket discipline applied to the
+# minhash/clusters family): kb = md5(key) % 64 becomes a hive partition
+# directory, so an ingest whose batch touches few distinct band keys
+# opens ONLY those directories instead of scanning the whole index.
+# Honest scale note (SCALE.md r14): a batch of K distinct uniform band
+# keys touches min(K, 64) buckets, so pruning saturates once K >~ 64·ln64
+# (~270 keys ≈ 35 docs); the receipt's fixed sf1 batch (~8 keys/doc over
+# thousands of docs) touches all 64 buckets and its residual stays the
+# columnar scan — the pruning pays off on the SMALL-batch ingest shape
+# (trickle/streaming micro-batches), which is plan-pinned in pytest.
+MINHASH_BAND_KB_BUCKETS = 64
+
+
+def _band_kb(key):
+    """Partition bucket of a band key — md5-derived so it is stable
+    across sessions/engines (same formula family as the text index's
+    _term_bucket)."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % MINHASH_BAND_KB_BUCKETS
+    ).cast("int")
+
 
 def _parquet_dir_rows(path: str) -> int:
     """Footer row count of an arbitrary parquet dir (no Spark job)."""
@@ -501,6 +524,18 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
         "doc_id",
         F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
     )
+    if "kb" in bands_base.columns:
+        # kb-bucket partition pruning (r13 VERDICT #1): the batch's
+        # distinct kb set is bounded by MINHASH_BAND_KB_BUCKETS (64), so
+        # the collect is a ≤64-row O(batch) job, and the isin on the
+        # partition column prunes base DIRECTORIES — a small batch opens
+        # only the buckets its band keys hash to. Every base row that
+        # can equi-join a batch key satisfies the filter by construction
+        # (kb is a pure function of key), so rows are unchanged.
+        kbs = [r[0] for r in bands_new
+               .select(_band_kb(F.col("key")).alias("kb"))
+               .distinct().collect()]
+        bands_base = bands_base.filter(F.col("kb").isin(kbs))
     probe = F.broadcast(bands_new) if small_batch else bands_new
     cand_nb = (
         probe.alias("a")
@@ -613,8 +648,10 @@ def q_dedup_minhash_incremental(spark, sf_dir):
         base_rb.select(
             "doc_id",
             F.posexplode(H.minhash_bands_long(F.col("sig")))
-            .alias("band", "key")),
-        os.path.join(art, "bands"))
+            .alias("band", "key"))
+        .withColumn("kb", _band_kb(F.col("key")))
+        .repartition(MINHASH_BAND_KB_BUCKETS, F.col("kb")),
+        os.path.join(art, "bands"), partition_by="kb")
     # batch sigs also land on disk and are read back — computed once,
     # shared by band explode + both est-join sides, and NOTHING stays
     # pinned in executor storage after the query (a .persist() here
@@ -2136,8 +2173,10 @@ def q_dedup_clusters_incremental(spark, sf_dir):
         base_rb.select(
             "doc_id",
             F.posexplode(H.minhash_bands_long(F.col("sig")))
-            .alias("band", "key")),
-        os.path.join(art, "bands"))
+            .alias("band", "key"))
+        .withColumn("kb", _band_kb(F.col("key")))
+        .repartition(MINHASH_BAND_KB_BUCKETS, F.col("kb")),
+        os.path.join(art, "bands"), partition_by="kb")
     ann_index.write_artifact(
         sig_all.filter(~F.col("is_base")).select("doc_id", "sig"),
         os.path.join(art, "sig_batch"))
@@ -2813,6 +2852,98 @@ def q_sim_index_incremental(spark, sf_dir):
     out = ann_index.query_ivfpq_index(spark, sf_dir, d)
     ann_index.point_current("ivfpq-incr", d, root=_ANN_ROOT)
     return out
+
+
+_RECALL_METHODS = ("lsh", "ivf", "pq", "ivfpq")
+
+
+def _recall_report_oracle() -> str:
+    """Compose the recall report's oracle FROM the registered per-method
+    replay oracles (r13 VERDICT #6): exact top-10 = sim_topk_brute's SQL,
+    each approximate method = its own registered oracle verbatim as a CTE
+    subquery (nested WITH — DuckDB scopes them), hits = the inner join of
+    the two id sets per query. Reusing the registered strings means this
+    oracle can never drift from the per-method gates: any change to a
+    method's replay automatically flows into its recall row."""
+    from . import ORACLES
+
+    bodies = {
+        "lsh": ORACLES["sim_topk_lsh"],
+        "ivf": ORACLES["sim_topk_ivf"],
+        "pq": ORACLES["sim_topk_pq_indexed"],
+        "ivfpq": ORACLES["sim_topk_ivfpq"],
+    }
+    ctes = ",\n".join(
+        f"m_{m} AS ({sql})" for m, sql in bodies.items())
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT '{m}' AS method, q.q_id,
+               (SELECT count(*) FROM exact_r e JOIN m_{m} a
+                  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+                WHERE e.q_id = q.q_id) AS hits
+           FROM qs q""" for m in _RECALL_METHODS)
+    return f"""
+    WITH exact_r AS ({ORACLES["sim_topk_brute"]}),
+    {ctes},
+    qs AS (SELECT DISTINCT q_id FROM exact_r),
+    hits AS ({unions})
+    SELECT method, count(*) AS n_q,
+           round(sum(hits) / (10.0 * count(*)), 6) AS mean_recall,
+           round(min(hits) / 10.0, 6) AS min_recall
+    FROM hits GROUP BY method
+    """
+
+
+@register("sim_recall_report", oracle=_recall_report_oracle())
+def q_sim_recall_report(spark, sf_dir):
+    """Recall@10 readout for the ANN family (r13 VERDICT #6) — the tuning
+    instrument a production index operator reads before turning nprobe/
+    band knobs: exact brute-force top-10 on the deterministic query
+    sample (vec_id < 5, the family's shared query set) vs each
+    approximate path, one row per method with (n_q, mean_recall,
+    min_recall). Deterministic end to end — every constituent is one of
+    the value-gated registered queries — so the report itself is
+    VALUE-GATED via the composed replay oracle above, not a pytest-only
+    number at the random-gaussian floor. Recall floors on a
+    planted-structure corpus are pytest-pinned
+    (tests/test_llm_ops.py::test_sim_recall_report_planted_structure).
+
+    Scale shape: the exact baseline runs on the bounded query sample
+    only (|Q| x corpus scored map-side, top-10 per query — the
+    sim_topk_brute contract), each approximate path keeps its own
+    bucket/partition pruning, and the joins that compute hits are on
+    <= 10|Q|-row frames. The exact frame is localCheckpointed once so
+    the per-method hit joins reuse it instead of re-scoring the corpus
+    per method."""
+    from functools import reduce
+
+    exact = (
+        q_sim_topk_brute(spark, sf_dir)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    qids = exact.select("q_id").distinct()
+    fns = {"lsh": q_sim_topk_lsh, "ivf": q_sim_topk_ivf,
+           "pq": q_sim_topk_pq_indexed, "ivfpq": q_sim_topk_ivfpq}
+    frames = []
+    for m in _RECALL_METHODS:
+        ap = fns[m](spark, sf_dir).select("q_id", "vec_id")
+        h = (
+            exact.join(ap, ["q_id", "vec_id"], "inner")
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("hits"))
+        )
+        frames.append(
+            qids.join(h, "q_id", "left")
+            .select(F.lit(m).alias("method"), "q_id",
+                    F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
+        )
+    allf = reduce(lambda a, b: a.unionByName(b), frames)
+    return (
+        allf.groupBy("method")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_q"),
+             F.round(F.sum("hits") / (F.lit(10.0) * F.count(F.lit(1))), 6)
+             .alias("mean_recall"),
+             F.round(F.min("hits") / F.lit(10.0), 6).alias("min_recall"))
+    )
 
 
 @register(

@@ -1333,32 +1333,75 @@ def ensure_text_index_positional_incremental(spark, sf_dir):
     if os.path.exists(marker):
         return out, False
 
-    d = Catalog(spark, sf_dir).table("documents")
-    base = d.filter(F.col("doc_id") % 10 != 0)
-    batch = d.filter(F.col("doc_id") % 10 == 0)
+    # The build+append+marker sequence below is NOT safe to interleave:
+    # two sessions that both miss the marker (TOCTOU) would race a bare
+    # overwrite against a bare append on the shared fingerprint-keyed
+    # dir — duplicated batch postings plus a stats sidecar that no
+    # longer matches the files (r13 ADVICE; the same race
+    # _staged_overwrite closed for the other artifacts). An O_EXCL lock
+    # file serializes builders; the loser waits (bounded) for the
+    # winner's marker instead of writing.
+    import shutil
+    import time
 
-    positional_postings(base).write.mode(
-        "overwrite").partitionBy("tb").parquet(out)
-    dl_base = doc_lengths(base)
-    dl_base.write.mode("overwrite").parquet(len_dir)
-    st = dl_base.agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("dl").alias("s")).collect()[0]
-    stats = {"n_docs": int(st.n), "dl_sum": int(st.s)}
+    lock = f"{out}.lock"
+    fd = None
+    deadline = time.monotonic() + 600
+    while fd is None:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+        except FileExistsError:
+            if os.path.exists(marker):
+                return out, False
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"positional-index build lock {lock} held past the "
+                    "600s bound with no _BATCH_APPLIED marker — a peer "
+                    "builder crashed without cleanup; remove the lock "
+                    "file to retry"
+                )
+            time.sleep(0.5)
+    try:
+        if os.path.exists(marker):  # peer finished between check & lock
+            return out, False
+        # a previous builder that died mid-sequence leaves a partial
+        # dir with no marker — start clean under the lock
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(len_dir, ignore_errors=True)
 
-    # the ingest: O(batch) appended files + two integer adds
-    positional_postings(batch).write.mode(
-        "append").partitionBy("tb").parquet(out)
-    dl_batch = doc_lengths(batch)
-    dl_batch.write.mode("append").parquet(len_dir)
-    bst = dl_batch.agg(F.count(F.lit(1)).alias("n"),
-                       F.sum("dl").alias("s")).collect()[0]
-    stats = {"n_docs": stats["n_docs"] + int(bst.n),
-             "dl_sum": stats["dl_sum"] + int(bst.s or 0)}
-    tmp = os.path.join(len_dir, "._stats.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(stats, fh)
-    os.replace(tmp, os.path.join(len_dir, "_stats.json"))
-    open(marker, "w").close()
+        d = Catalog(spark, sf_dir).table("documents")
+        base = d.filter(F.col("doc_id") % 10 != 0)
+        batch = d.filter(F.col("doc_id") % 10 == 0)
+
+        positional_postings(base).write.mode(
+            "overwrite").partitionBy("tb").parquet(out)
+        dl_base = doc_lengths(base)
+        dl_base.write.mode("overwrite").parquet(len_dir)
+        st = dl_base.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("dl").alias("s")).collect()[0]
+        stats = {"n_docs": int(st.n), "dl_sum": int(st.s)}
+
+        # the ingest: O(batch) appended files + two integer adds
+        positional_postings(batch).write.mode(
+            "append").partitionBy("tb").parquet(out)
+        dl_batch = doc_lengths(batch)
+        dl_batch.write.mode("append").parquet(len_dir)
+        bst = dl_batch.agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("dl").alias("s")).collect()[0]
+        stats = {"n_docs": stats["n_docs"] + int(bst.n),
+                 "dl_sum": stats["dl_sum"] + int(bst.s or 0)}
+        tmp = os.path.join(len_dir, "._stats.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, os.path.join(len_dir, "_stats.json"))
+        open(marker, "w").close()
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     return out, True
 
 

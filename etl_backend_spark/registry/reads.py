@@ -465,6 +465,37 @@ def _nested_items_csv(arr_col):
     ).alias("items")
 
 
+def _is_environmental_error(e: BaseException) -> bool:
+    """True when an exception from the bucketed-layout builder is an
+    ENVIRONMENTAL failure (read-only scratch dir, missing source, fs
+    permissions) rather than a programming error. Python-side fs errors
+    arrive as OSError; the same condition raised JVM-side by
+    saveAsTable/spark.sql arrives as AnalysisException or Py4JJavaError
+    wrapping an IOException/AccessControlException (r13 ADVICE) — those
+    carry the cause only in their message/cause chain, so classify by
+    content. Anything unrecognized is NOT environmental and propagates."""
+    if isinstance(e, (OSError, IOError)):
+        return True
+    # walk the message plus the Java cause chain (Py4JJavaError stringifies
+    # its java_exception; AnalysisException keeps the text in str(e))
+    texts = [str(e)]
+    jexc = getattr(e, "java_exception", None)
+    if jexc is not None:
+        try:
+            texts.append(jexc.toString())
+        except Exception:
+            pass
+    blob = " ".join(texts).lower()
+    fs_tokens = (
+        "permission denied", "read-only file system", "readonly",
+        "access denied", "accesscontrolexception", "ioexception",
+        "filenotfoundexception", "no such file", "mkdirs failed",
+        "unable to create", "failed to create", "unsupported_insert",
+        "path does not exist", "is not writable",
+    )
+    return any(tok in blob for tok in fs_tokens)
+
+
 @register("join_1n_nested", oracle=_NESTED_1N_ORACLE)
 def q_join_1n_nested(spark, sf_dir):
     """1:N nested collect — `include:{messages:[...]}`
@@ -492,8 +523,14 @@ def q_join_1n_nested(spark, sf_dir):
     # a bare Exception also swallowed genuine regressions in the layout
     # builder, silently downgrading the registered default to the plain
     # plan with a green gate (r13 review); the downgrade now at least
-    # says so on stderr, and programming errors propagate
-    except (OSError, IOError) as e:
+    # says so on stderr, and programming errors propagate. The catch must
+    # include the JVM-side shapes: saveAsTable/spark.sql surface a
+    # read-only scratch dir as AnalysisException/Py4JJavaError, not
+    # OSError (r13 ADVICE) — so environmental-ness is decided by the
+    # error's CONTENT, not its Python class.
+    except Exception as e:
+        if not _is_environmental_error(e):
+            raise
         print(f"join_1n_nested: bucketed layout unavailable ({e!r}) — "
               "falling back to the plain-parquet plan", file=sys.stderr)
         return q_join_1n_nested_plain(spark, sf_dir)

@@ -192,9 +192,21 @@ def _events_ts_unit(src: str) -> str:
         # about. A non-empty dir with no sniffable footer raises.
         parts = parquet_part_files(src)
         if not parts:
+            # an empty-but-VALID events dir (only _SUCCESS / metadata /
+            # _spark_metadata entries — e.g. a streaming sink before its
+            # first committed batch) reads as an empty frame; the unit is
+            # immaterial, so default 'us' instead of crashing at plan
+            # time (r13 ADVICE). A dir holding real non-metadata files
+            # with no sniffable parquet part still raises.
+            leftovers = [
+                n for n in os.listdir(src)
+                if not (n.startswith("_") or n.startswith("."))
+            ]
+            if not leftovers:
+                return "us"
             raise FileNotFoundError(
                 f"events source {src} contains no parquet part files to "
-                "sniff a ts unit from")
+                f"sniff a ts unit from (found {leftovers[:5]})")
         src = parts[0]
     pf = pq.ParquetFile(src)
     # INT96 (vanilla OSS Spark's DEFAULT outputTimestampType) presents in

@@ -1,0 +1,219 @@
+"""Streaming dedup ingest — the incremental exact + minhash family wired
+into Structured Streaming (r13 VERDICT #3).
+
+The six incremental ingest paths (registry/llm.py) are batch functions; a
+production 100 TB ingest is a Structured Streaming loop that runs them per
+micro-batch with EXACTLY-ONCE table effects on an at-least-once engine.
+This module provides that loop for the two families a trickle ingest runs
+on every batch — exact (sha256) and fuzzy (MinHash-LSH) dedup — with the
+txn-token idempotence of ``ManifestTable.append_once`` (etl/manifest.py:
+the dedup token and the file list land in the same atomic pointer swap,
+the pattern ``stream_into_manifest`` established; reference parity:
+src/websocket.ts's at-least-once message ingest, re-expressed as
+idempotent commits instead of client acks).
+
+State = four manifest tables under one root:
+
+* ``survivors``   (doc_id, text, h)       — docs that cleared both stages
+* ``hash_index``  (doc_id, h)             — sha256 of EVERY ingested doc
+* ``sig_index``   (doc_id, sig)           — minhash signature of every doc
+* ``band_index``  (doc_id, band, key)     — pre-exploded LSH band keys
+
+DEDUP POLICY (batch-boundary invariant): a document is dropped iff its
+content hash matches, or an estimated-Jaccard >= ``threshold`` near-pair
+links it to, ANY EARLIER document — earlier means already indexed (a
+prior micro-batch) or a lower doc_id within the same batch. The indexes
+receive ALL incoming docs (survivors and drops alike), so "matches the
+index" ≡ "matches any earlier doc" regardless of where batch boundaries
+fall. That makes the final (survivors, index) state a pure function of
+the doc stream in doc_id order — N micro-batches and a one-shot ingest
+produce bit-identical state (pinned in tests/test_streaming_ingest.py).
+The contract this rests on: doc_ids are ARRIVAL-MONOTONE (a later batch
+never carries a lower id than an earlier one), which is how ingest ids
+are minted in production; violating it re-orders "earlier" and the
+one-shot equivalence no longer holds.
+
+Crash/replay posture: the handler commits survivors FIRST, then the
+three index tables, each under the same ``(app, batch_id)`` txn token.
+Survivor computation reads only state from batches < N (the indexes gain
+batch N only after its survivors committed), so a replay at ANY crash
+point recomputes the same survivor set; per-table ``append_once``
+membership checks turn already-applied commits into no-ops. A full
+replay of a committed batch is a zero-table-effect no-op (pinned,
+including the crash-between-commits window).
+
+Scale: every per-batch join is batch-sized — the batch's hashes/band
+keys broadcast (micro-batches are broadcast-sized by construction; the
+``broadcast_batch=False`` escape hatch plans the plain shuffle instead),
+the indexes stream map-side through semi-joins, and the only O(corpus)
+touch per batch is the columnar scan of the joined index columns — the
+same measured shape as exact_incr_new / minhash_incr_pairs
+(scripts/bench_incr_obatch.py receipts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..etl.manifest import CommitConflict, ManifestTable
+from ..functions import hashing as H
+
+_SURV_SCHEMA = "doc_id long, text string, h string"
+_HASH_SCHEMA = "doc_id long, h string"
+_SIG_SCHEMA = "doc_id long, sig array<long>"
+_BAND_SCHEMA = "doc_id long, band int, key string"
+
+
+class StreamingDedupIngest:
+    """foreachBatch pipeline running exact + minhash dedup per micro-batch
+    against manifest-table state (module docstring has the contract)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 txn_app_id: str = "dedup-ingest",
+                 threshold: float = 0.5, broadcast_batch: bool = True):
+        self.spark = spark
+        self.app = txn_app_id
+        self.threshold = threshold
+        self.broadcast_batch = broadcast_batch
+        mk = ManifestTable
+        self.survivors = mk(spark, root, "survivors", ["doc_id"])
+        self.hash_index = mk(spark, root, "hash_index", ["doc_id"])
+        self.sig_index = mk(spark, root, "sig_index", ["doc_id"])
+        self.band_index = mk(spark, root, "band_index", ["doc_id"])
+        for t, schema in ((self.survivors, _SURV_SCHEMA),
+                          (self.hash_index, _HASH_SCHEMA),
+                          (self.sig_index, _SIG_SCHEMA),
+                          (self.band_index, _BAND_SCHEMA)):
+            if not os.path.exists(t._pointer()):
+                t.create(spark.createDataFrame([], schema))
+
+    # ------------------------------------------------------------ batch body
+
+    def _maybe_bcast(self, df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if self.broadcast_batch else df
+
+    def _exact_survivors(self, hashed: DataFrame) -> DataFrame:
+        """Drop rows whose hash appears in the index or on a lower-id row
+        of the same batch — the exact_incr_new gated-broadcast shape over
+        manifest state."""
+        in_batch_first = (
+            hashed.groupBy("h").agg(F.min("doc_id").alias("__first"))
+        )
+        firsts = hashed.join(
+            self._maybe_bcast(in_batch_first), "h"
+        ).filter(F.col("doc_id") == F.col("__first")).drop("__first")
+        idx = self.hash_index.read().select("h")
+        hits = (
+            idx.join(self._maybe_bcast(firsts.select("h").distinct()),
+                     "h", "left_semi")
+            .distinct()
+        )
+        return firsts.join(self._maybe_bcast(hits), "h", "left_anti")
+
+    def _fuzzy_survivors(self, sigged: DataFrame) -> DataFrame:
+        """Drop rows with an est-Jaccard >= threshold near-pair onto the
+        band index or onto a lower-id row of the same batch — the
+        minhash_incr_pairs candidate/verify shape over manifest state."""
+        bands_new = sigged.select(
+            "doc_id",
+            F.posexplode(H.minhash_bands_long(F.col("sig")))
+            .alias("band", "key"),
+        )
+        probe = self._maybe_bcast(bands_new)
+        cand_vs_index = (
+            self.band_index.read().alias("b")
+            .join(probe.alias("a"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key")))
+            .select(F.col("a.doc_id").alias("doc_new"),
+                    F.col("b.doc_id").alias("doc_match"))
+        )
+        cand_in_batch = (
+            bands_new.alias("a")
+            .join(probe.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("b.doc_id") < F.col("a.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_new"),
+                    F.col("b.doc_id").alias("doc_match"))
+        )
+        cand = cand_vs_index.unionByName(cand_in_batch).distinct()
+        sa = sigged.select(F.col("doc_id").alias("__dn"),
+                           F.col("sig").alias("sig_a"))
+        # base signatures reach the verify join semi-joined down to the
+        # candidate ids (bounded by |candidates|), batch sigs broadcast
+        ids = cand.select(F.col("doc_match").alias("doc_id")).distinct()
+        all_sig = self.sig_index.read().join(
+            self._maybe_bcast(ids), "doc_id", "left_semi"
+        ).unionByName(sigged.select("doc_id", "sig"))
+        sb = all_sig.select(F.col("doc_id").alias("__dm"),
+                            F.col("sig").alias("sig_b"))
+        est = H.minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"))
+        dropped = (
+            cand.join(self._maybe_bcast(sa), F.col("doc_new") == F.col("__dn"))
+            .join(sb, F.col("doc_match") == F.col("__dm"))
+            .filter(est >= self.threshold)
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        return sigged.join(self._maybe_bcast(dropped), "doc_id", "left_anti")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch handler body: compute survivors against state
+        as of batches < batch_id, then commit survivors + the three index
+        appends, each idempotent under the ``(app, batch_id)`` token."""
+        txn = f"{self.app}:{batch_id}"
+        batch = batch_df.select("doc_id", "text")
+        hashed = batch.withColumn("h", F.sha2(F.col("text"), 256))
+        sigged = hashed.withColumn(
+            "sig", H.minhash_sig_py(3)(F.col("text")))
+        # localCheckpoint ONCE: the survivor frame feeds the survivors
+        # commit and both stages re-reference the batch; without it the
+        # stream source's batch plan would re-run per commit
+        sigged = sigged.localCheckpoint(eager=True)
+        surv = self._fuzzy_survivors(self._exact_survivors(sigged))
+
+        def once(table: ManifestTable, df: DataFrame) -> None:
+            for attempt in range(5):
+                try:
+                    table.append_once(df, txn=txn)
+                    return
+                except CommitConflict:
+                    if attempt == 4:
+                        raise
+
+        # survivors FIRST: recomputation on replay must see indexes
+        # without this batch (see module docstring crash posture)
+        once(self.survivors, surv.select("doc_id", "text", "h"))
+        once(self.hash_index, sigged.select("doc_id", "h"))
+        once(self.sig_index, sigged.select("doc_id", "sig"))
+        once(self.band_index, sigged.select(
+            "doc_id",
+            F.posexplode(H.minhash_bands_long(F.col("sig")))
+            .alias("band", "key")))
+        from ..operators.windows import release_plan_checkpoints
+
+        release_plan_checkpoints(sigged)
+
+    # ------------------------------------------------------------- streaming
+
+    def writer(self, stream: DataFrame, checkpoint_dir: str):
+        """writeStream wiring: caller picks the trigger and starts it.
+        The checkpoint dir is the query identity — reusing it resumes the
+        batch-id sequence, which is what makes the txn tokens line up
+        with genuine replays (stream_into_manifest's contract)."""
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+
+    def state(self) -> dict[str, DataFrame]:
+        return {
+            "survivors": self.survivors.read(),
+            "hash_index": self.hash_index.read(),
+            "sig_index": self.sig_index.read(),
+            "band_index": self.band_index.read(),
+        }

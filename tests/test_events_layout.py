@@ -47,6 +47,23 @@ def test_ts_unit_unsupported_type_raises(tmp_path):
         _events_ts_unit(p)
 
 
+def test_ts_unit_empty_valid_dir_defaults_us(tmp_path):
+    """A dir with only _SUCCESS/metadata entries (a streaming sink before
+    its first committed batch) is a legitimately EMPTY events source — it
+    must default to 'us' and read as an empty frame, not crash at plan
+    time (r13 ADVICE). A dir with real non-metadata files but no
+    sniffable parquet part still raises."""
+    d = tmp_path / "empty.parquet"
+    d.mkdir()
+    assert _events_ts_unit(str(d)) == "us"  # truly empty
+    (d / "_SUCCESS").touch()
+    (d / "_spark_metadata").mkdir()
+    assert _events_ts_unit(str(d)) == "us"  # metadata-only
+    (d / "garbage.txt").touch()
+    with pytest.raises(FileNotFoundError, match="garbage"):
+        _events_ts_unit(str(d))
+
+
 def test_ts_unit_directory_source(tmp_path):
     d = tmp_path / "events.parquet"
     d.mkdir()

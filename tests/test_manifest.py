@@ -367,6 +367,53 @@ def test_manifest_concurrent_appends_lose_nothing(spark, tmp_path):
     assert t.append_once(df, txn="w1-b0") is False
 
 
+def test_manifest_concurrent_upserts_lose_nothing(spark, tmp_path):
+    """r13 VERDICT #5 (merge half): two writers UPSERTING concurrently —
+    including keys that land in the SAME data file, so both writers
+    rewrite the same entries — must converge with no silent lost update:
+    the CAS turns the race into a retry, and the retry re-derives its
+    rewrite from the WINNER's snapshot. Final state = both writers'
+    rows, each key exactly once with its writer's value."""
+    import threading
+
+    from etl_backend_spark.etl.manifest import CommitConflict
+
+    base = spark.createDataFrame(
+        [(k, 0.0) for k in range(20)], "k LONG, v DOUBLE")
+    t = ManifestTable(spark, str(tmp_path), "merge-race", ["k"])
+    t.create(base.coalesce(1))  # one file => every upsert rewrites it
+    errors = []
+
+    def writer(tag):
+        try:
+            for i in range(3):
+                # writer 1 owns even keys, writer 2 odd — disjoint keys,
+                # same physical file
+                keys = [k for k in range(20) if k % 2 == (tag % 2)][i::3]
+                batch = spark.createDataFrame(
+                    [(k, float(tag)) for k in keys], "k LONG, v DOUBLE")
+                for attempt in range(30):
+                    try:
+                        t.upsert(batch, "k")
+                        break
+                    except CommitConflict:
+                        if attempt == 29:
+                            raise
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(tag,))
+               for tag in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert len(rows) == 20  # no duplicated or vanished keys
+    assert rows == {k: float(1 if k % 2 == 1 else 2) for k in range(20)}
+
+
 def test_commit_conflict_discards_loser_batch(mtable, spark):
     """A losing CAS must not leak its data files or manifest: the retry
     rewrites from the caller's df, so the orphaned batch would accumulate
