@@ -2313,6 +2313,91 @@ def test_dedup_clusters_incremental_merges_base_clusters(spark, tmp_path):
     assert sorted((r.id, r.kind, r.cluster_id) for r in rows) == want
 
 
+def test_clusters_incremental_skewed_mega_cluster(spark, tmp_path):
+    """r13 VERDICT #4: planted SKEW — one label owns ~half the base (a
+    mega-cluster of identical docs), and a batch doc bridges into it.
+    The stress points: candidate generation fans one batch doc out to
+    |mega| pairs, and the contraction join hits one hot label. Pins:
+    (a) the bridge doc takes the mega label and every untouched batch
+    doc keeps its own id; (b) the contracted graph stays tiny — the
+    |mega| pair endpoints contract to ONE label node, so the hot label
+    costs one edge, not |mega| propagation work; (c) the ingest's pair
+    plan still streams the base band index map-side (BroadcastHashJoin,
+    no base shuffle); (d) the DuckDB recursive-CTE replay matches
+    row-for-row under skew."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from etl_backend_spark.ann import index as ann_index
+    from etl_backend_spark.registry import ORACLES, QUERIES
+    from etl_backend_spark.registry import llm as L
+
+    def is_batch(i):
+        h = hashlib.md5(f"clinc:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 >= 90
+
+    ids = list(range(400))
+    batch_ids = sorted(i for i in ids if is_batch(i))
+    base_ids = sorted(i for i in ids if not is_batch(i))
+    mega = base_ids[:len(base_ids) // 2]   # ~half the base, one cluster
+    assert len(mega) >= 150
+
+    rng = np.random.RandomState(99)
+    vocab = [f"w{j}" for j in range(8000)]
+    docs = {i: " ".join(rng.choice(vocab, 30)) for i in ids}
+    mega_text = " ".join(rng.choice(vocab, 30))
+    for i in mega:
+        docs[i] = mega_text                # identical => pairwise est 1.0
+    bridge = batch_ids[0]
+    w = mega_text.split()
+    w[12] = "bridgetoken"
+    docs[bridge] = " ".join(w)             # near-dups EVERY mega member
+
+    d = tmp_path / "sfskew"
+    d.mkdir()
+    spark.createDataFrame(
+        [(int(i), t, "en", "web") for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    rows = QUERIES["dedup_clusters_incremental"](spark, str(d)).collect()
+    got = {(r.id, r.kind): r.cluster_id for r in rows}
+    mega_label = min(mega)
+    assert got[(bridge, "batch_doc")] == mega_label       # (a) bridged
+    assert got[(mega_label, "base_cluster")] == mega_label
+    for i in batch_ids:
+        if i != bridge:
+            assert got[(i, "batch_doc")] == i
+    # (b) hot label contracted to ONE node: the only base_cluster rows
+    # are labels touched by batch pairs — the mega label, not |mega| rows
+    base_rows = [k for k in got if k[1] == "base_cluster"]
+    assert len(base_rows) <= 2
+
+    # (c) the ingest pair plan under skew: base band index streams
+    # map-side through the broadcast gate, never shuffled
+    art = ann_index.index_dir_for(
+        "clinc-incr", str(d), tables=("documents",))
+    pairs = L.minhash_incr_pairs(
+        spark, art, os.path.join(art, "sig_batch"))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert pairs.filter(F.col("doc_new") == bridge).count() == len(mega)
+
+    # (d) replay under skew
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        ORACLES["dedup_clusters_incremental"]).fetchall()))
+    con.close()
+    assert sorted((r.id, r.kind, r.cluster_id) for r in rows) == want
+
+
 def test_dedup_incremental_persisted_index_planted_and_replay(
         spark, tmp_path):
     """r12 VERDICT #2: exact dedup's ingest runs against the PERSISTED
