@@ -371,6 +371,29 @@ def minhash_bands_long(sig: Column, bands: int = MINHASH_BANDS,
     return F.array(*keys)
 
 
+def minhash_band_pairs(sig: Column, bands: int = MINHASH_BANDS,
+                       rows: int = MINHASH_ROWS) -> Column:
+    """Band keys over a long-valued signature as RAW COMPONENT PAIRS —
+    array of (k1, k2) structs, posexplode -> (band, struct) — for the
+    PERSISTED band index (r14): joining on two longs instead of the
+    ':'-joined decimal string both shrinks the artifact (~16 B vs ~40 B
+    per key) and replaces per-row string hashing with long hashing in
+    the ingest's probe — a pure wire-format cut on the one measured
+    O(batch)-residual (the base band-index columnar scan). Bijective
+    with the string form (the string IS str(k1)+':'+str(k2)), so the
+    candidate set — and therefore every oracle-replayed decision — is
+    identical; rows=2 is asserted because the pair schema hard-codes
+    two components."""
+    assert rows == 2, "band-pair schema hard-codes rows=2"
+    pairs = []
+    for b in range(bands):
+        pairs.append(F.struct(
+            F.element_at(sig, b * rows + 1).alias("k1"),
+            F.element_at(sig, b * rows + 2).alias("k2"),
+        ))
+    return F.array(*pairs)
+
+
 def minhash_incr_oracle_sql(batch_pred: str, threshold: float,
                             artifact_glob: str, n: int = MINHASH_N,
                             bands: int = MINHASH_BANDS,

@@ -427,9 +427,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     sig = d.select(
         "doc_id", H.minhash_sig_py(3)(F.col("text")).alias("sig")
     ).persist()  # shared by band explode + both est-join sides
+    # band keys as (k1, k2) long-pair structs (r14): the candidate
+    # shuffle moves two longs per key instead of a ~40-byte decimal
+    # string — same pairs (bijective), thinner exchange
     bands = sig.select(
         "doc_id",
-        F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
+        F.posexplode(H.minhash_band_pairs(F.col("sig"))).alias("band", "key"),
     )
     pairs = (
         bands.alias("a")
@@ -477,13 +480,34 @@ MINHASH_BAND_KB_BUCKETS = 64
 
 
 def _band_kb(key):
-    """Partition bucket of a band key — md5-derived so it is stable
-    across sessions/engines (same formula family as the text index's
-    _term_bucket)."""
+    """Partition bucket of a legacy STRING band key — md5-derived (same
+    formula family as the text index's _term_bucket). Kept for reading
+    pre-r14 artifacts; new artifacts use the long-pair form below."""
     return (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
         % MINHASH_BAND_KB_BUCKETS
     ).cast("int")
+
+
+def _band_kb_longs(k1, k2):
+    """Partition bucket of a LONG-PAIR band key (r14 artifact format —
+    see functions/hashing.minhash_band_pairs): xxhash64 is deterministic
+    (fixed seed 42) and engine-internal — no oracle ever replays kb, so
+    it only has to agree between the artifact writer and the ingest
+    probe, both of which call this."""
+    return F.pmod(F.xxhash64(k1, k2),
+                  F.lit(MINHASH_BAND_KB_BUCKETS)).cast("int")
+
+
+def _band_explode(sig_df):
+    """(doc_id, band, k1, k2) band rows of a signature frame — the r14
+    long-pair band schema shared by the artifact writers and the ingest
+    probe side."""
+    return sig_df.select(
+        "doc_id",
+        F.posexplode(H.minhash_band_pairs(F.col("sig"))).alias("band", "bk"),
+    ).select("doc_id", "band", F.col("bk.k1").alias("k1"),
+             F.col("bk.k2").alias("k2"))
 
 
 def _parquet_dir_rows(path: str) -> int:
@@ -520,10 +544,24 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
     batch_sig = spark.read.parquet(batch_sig_path)
     small_batch = _parquet_dir_rows(batch_sig_path) <= MINHASH_INCR_BCAST_DOCS
 
-    bands_new = batch_sig.select(
-        "doc_id",
-        F.posexplode(H.minhash_bands_long(F.col("sig"))).alias("band", "key"),
-    )
+    # r14 artifact format: band keys as raw long PAIRS (k1, k2) instead
+    # of the ':'-joined decimal string — same candidate set (bijective),
+    # ~2.5x less band-index bytes scanned per ingest and long hashing
+    # instead of string hashing in the probe. Legacy string artifacts
+    # still read through the "key" branch.
+    legacy = "key" in bands_base.columns
+    if legacy:
+        bands_new = batch_sig.select(
+            "doc_id",
+            F.posexplode(H.minhash_bands_long(F.col("sig")))
+            .alias("band", "key"),
+        )
+        jk = ("band", "key")
+        kb_expr = _band_kb(F.col("key"))
+    else:
+        bands_new = _band_explode(batch_sig)
+        jk = ("band", "k1", "k2")
+        kb_expr = _band_kb_longs(F.col("k1"), F.col("k2"))
     if "kb" in bands_base.columns:
         # kb-bucket partition pruning (r13 VERDICT #1): the batch's
         # distinct kb set is bounded by MINHASH_BAND_KB_BUCKETS (64), so
@@ -531,26 +569,31 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
         # partition column prunes base DIRECTORIES — a small batch opens
         # only the buckets its band keys hash to. Every base row that
         # can equi-join a batch key satisfies the filter by construction
-        # (kb is a pure function of key), so rows are unchanged.
+        # (kb is a pure function of the key), so rows are unchanged.
         kbs = [r[0] for r in bands_new
-               .select(_band_kb(F.col("key")).alias("kb"))
-               .distinct().collect()]
+               .select(kb_expr.alias("kb")).distinct().collect()]
         bands_base = bands_base.filter(F.col("kb").isin(kbs))
+
+    def on(a, b, *extra):
+        cond = None
+        for c in jk:
+            eq = F.col(f"{a}.{c}") == F.col(f"{b}.{c}")
+            cond = eq if cond is None else (cond & eq)
+        for e in extra:
+            cond = cond & e
+        return cond
+
     probe = F.broadcast(bands_new) if small_batch else bands_new
     cand_nb = (
         probe.alias("a")
-        .join(bands_base.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.key") == F.col("b.key")))
+        .join(bands_base.alias("b"), on("a", "b"))
         .select(F.col("a.doc_id").alias("doc_new"),
                 F.col("b.doc_id").alias("doc_match"))
     )
     cand_nn = (
         bands_new.alias("a")
         .join(probe.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.key") == F.col("b.key"))
-              & (F.col("b.doc_id") < F.col("a.doc_id")))
+              on("a", "b", F.col("b.doc_id") < F.col("a.doc_id")))
         .select(F.col("a.doc_id").alias("doc_new"),
                 F.col("b.doc_id").alias("doc_match"))
     )
@@ -645,11 +688,8 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     # scripts/bench_incr_obatch.py).
     base_rb = spark.read.parquet(os.path.join(art, "sig"))
     ann_index.write_artifact(
-        base_rb.select(
-            "doc_id",
-            F.posexplode(H.minhash_bands_long(F.col("sig")))
-            .alias("band", "key"))
-        .withColumn("kb", _band_kb(F.col("key")))
+        _band_explode(base_rb)
+        .withColumn("kb", _band_kb_longs(F.col("k1"), F.col("k2")))
         .repartition(MINHASH_BAND_KB_BUCKETS, F.col("kb")),
         os.path.join(art, "bands"), partition_by="kb")
     # batch sigs also land on disk and are read back — computed once,
@@ -2170,11 +2210,8 @@ def q_dedup_clusters_incremental(spark, sf_dir):
         os.path.join(art, "sig"))
     base_rb = spark.read.parquet(os.path.join(art, "sig"))
     ann_index.write_artifact(
-        base_rb.select(
-            "doc_id",
-            F.posexplode(H.minhash_bands_long(F.col("sig")))
-            .alias("band", "key"))
-        .withColumn("kb", _band_kb(F.col("key")))
+        _band_explode(base_rb)
+        .withColumn("kb", _band_kb_longs(F.col("k1"), F.col("k2")))
         .repartition(MINHASH_BAND_KB_BUCKETS, F.col("kb")),
         os.path.join(art, "bands"), partition_by="kb")
     ann_index.write_artifact(
@@ -2189,7 +2226,8 @@ def q_dedup_clusters_incremental(spark, sf_dir):
         bands_b.alias("a")
         .join(bands_b.alias("b"),
               (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.k1") == F.col("b.k1"))
+              & (F.col("a.k2") == F.col("b.k2"))
               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))

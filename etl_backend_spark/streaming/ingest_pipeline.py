@@ -17,7 +17,8 @@ State = four manifest tables under one root:
 * ``survivors``   (doc_id, text, h)       — docs that cleared both stages
 * ``hash_index``  (doc_id, h)             — sha256 of EVERY ingested doc
 * ``sig_index``   (doc_id, sig)           — minhash signature of every doc
-* ``band_index``  (doc_id, band, key)     — pre-exploded LSH band keys
+* ``band_index``  (doc_id, band, k1, k2)  — pre-exploded LSH band keys
+  (long-pair form, functions/hashing.minhash_band_pairs)
 
 DEDUP POLICY (batch-boundary invariant): a document is dropped iff its
 content hash matches, or an estimated-Jaccard >= ``threshold`` near-pair
@@ -64,7 +65,7 @@ from ..functions import hashing as H
 _SURV_SCHEMA = "doc_id long, text string, h string"
 _HASH_SCHEMA = "doc_id long, h string"
 _SIG_SCHEMA = "doc_id long, sig array<long>"
-_BAND_SCHEMA = "doc_id long, band int, key string"
+_BAND_SCHEMA = "doc_id long, band int, k1 long, k2 long"
 
 
 class StreamingDedupIngest:
@@ -119,24 +120,30 @@ class StreamingDedupIngest:
         minhash_incr_pairs candidate/verify shape over manifest state."""
         bands_new = sigged.select(
             "doc_id",
-            F.posexplode(H.minhash_bands_long(F.col("sig")))
-            .alias("band", "key"),
-        )
+            F.posexplode(H.minhash_band_pairs(F.col("sig")))
+            .alias("band", "bk"),
+        ).select("doc_id", "band", F.col("bk.k1").alias("k1"),
+                 F.col("bk.k2").alias("k2"))
+
+        def on(a, b, *extra):
+            cond = ((F.col(f"{a}.band") == F.col(f"{b}.band"))
+                    & (F.col(f"{a}.k1") == F.col(f"{b}.k1"))
+                    & (F.col(f"{a}.k2") == F.col(f"{b}.k2")))
+            for e in extra:
+                cond = cond & e
+            return cond
+
         probe = self._maybe_bcast(bands_new)
         cand_vs_index = (
             self.band_index.read().alias("b")
-            .join(probe.alias("a"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.key") == F.col("b.key")))
+            .join(probe.alias("a"), on("a", "b"))
             .select(F.col("a.doc_id").alias("doc_new"),
                     F.col("b.doc_id").alias("doc_match"))
         )
         cand_in_batch = (
             bands_new.alias("a")
             .join(probe.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.key") == F.col("b.key"))
-                  & (F.col("b.doc_id") < F.col("a.doc_id")))
+                  on("a", "b", F.col("b.doc_id") < F.col("a.doc_id")))
             .select(F.col("a.doc_id").alias("doc_new"),
                     F.col("b.doc_id").alias("doc_match"))
         )
@@ -192,8 +199,10 @@ class StreamingDedupIngest:
         once(self.sig_index, sigged.select("doc_id", "sig"))
         once(self.band_index, sigged.select(
             "doc_id",
-            F.posexplode(H.minhash_bands_long(F.col("sig")))
-            .alias("band", "key")))
+            F.posexplode(H.minhash_band_pairs(F.col("sig")))
+            .alias("band", "bk"))
+            .select("doc_id", "band", F.col("bk.k1").alias("k1"),
+                    F.col("bk.k2").alias("k2")))
         from ..operators.windows import release_plan_checkpoints
 
         release_plan_checkpoints(sigged)
