@@ -853,6 +853,87 @@ def bucket_motif_pairs_pandas(cap: int = 64, wlen: int = 8, topk: int = 20):
     return run
 
 
+def bucket_discord_nn_pandas(cap: int = 64, wlen: int = 8, topk: int = 10):
+    """applyInPandas worker for SAX-word DISCORD search
+    (events_discord_topk's r14 one-pass plan) — the motif kernel's dual:
+    input is a coarse hash-group of whole SAX-word buckets
+    (w, user_id, event_id, wpos, z array<double>); per word holding
+    1..cap windows, emit EVERY window with its nearest-neighbor
+    z-distance among same-word non-overlapping peers (NaN -> NULL when
+    it has no valid peer — the strongest discord, unique word or
+    all-overlapping holders).
+
+    Why kernel-local: the r8-r13 join form evaluated the
+    events-scan + user-window + z-norm subtree (_motif_zx) FOUR times —
+    rare-word count, semi-join, and both SHUFFLE_HASH join sides;
+    per-branch pruning defeats ReuseExchange (the dsir/motif diagnosis,
+    plan-counted). The HAVING count(*) <= cap filter is subsumed by the
+    kernel's cap (oversized words emit nothing, exactly the oracle's
+    rare-word set), so the whole query is ONE subtree evaluation and
+    ONE exchange.
+
+    VALUE-EXACT: zdist2 uses the identical sequential fold as
+    bucket_motif_pairs_pandas (s = s + d_k * d_k, zero seed, increasing
+    k — the left-assoc IEEE chain of the JVM expressions and DuckDB's
+    list_reduce); the per-window min over peers is order-free. NaN
+    crosses the Arrow boundary as NULL (pandas NaN-as-null), matching
+    the oracle's LEFT JOIN miss.
+
+    TOP-K pushdown: selection under the total order (nn_dist DESC NULLS
+    FIRST, user_id asc, event_id asc) is associative, so each kernel
+    call emits only ITS top-k rows (NULL ranks strongest -> sorted as
+    +inf); the global TakeOrdered re-ranks <= topk x n_groups rows."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid_all = pdf["user_id"].to_numpy()
+        eid_all = pdf["event_id"].to_numpy()
+        wpos_all = pdf["wpos"].to_numpy()
+        Z_all = np.stack(pdf["z"].to_numpy()).astype(np.float64, copy=False)
+        out_u, out_e, out_d = [], [], []
+        for ix in pdf.groupby("w", sort=False).indices.values():
+            m = len(ix)
+            if m > cap:
+                continue  # not a rare word: dropped entirely (oracle sx)
+            uid, eid, wpos = uid_all[ix], eid_all[ix], wpos_all[ix]
+            nn = np.full(m, np.inf)
+            if m >= 2:
+                Z = Z_all[ix]
+                iu, jv = np.triu_indices(m, k=1)
+                keep = ~((uid[iu] == uid[jv])
+                         & (np.abs(wpos[iu] - wpos[jv]) < wlen))
+                iu, jv = iu[keep], jv[keep]
+                if len(iu):
+                    s = np.zeros(len(iu), dtype=np.float64)
+                    for k in range(Z.shape[1]):  # sequential dims = fold
+                        d = Z[iu, k] - Z[jv, k]
+                        s = s + d * d
+                    np.minimum.at(nn, iu, s)
+                    np.minimum.at(nn, jv, s)
+            out_u.append(uid)
+            out_e.append(eid)
+            out_d.append(nn)
+        if not out_u:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "nn_dist": pd.Series([], dtype="float64"),
+            })
+        u = np.concatenate(out_u).astype(np.int64)
+        e = np.concatenate(out_e).astype(np.int64)
+        d = np.concatenate(out_d)
+        # inf = no valid peer = NULL nn_dist; it sorts exactly where
+        # NULLS FIRST puts it under DESC, so the pushdown order is the
+        # global order
+        sel = np.lexsort((e, u, -d))[:topk]
+        d = d[sel]
+        return pd.DataFrame({
+            "user_id": u[sel], "event_id": e[sel],
+            "nn_dist": np.where(np.isinf(d), np.nan, d),
+        })
+
+    return run
+
+
 def cosine_topk_scan_pandas(query_vecs: list[list[float]], k: int,
                             exclude_ids=None):
     """mapInPandas worker factory over (vec_id, v): score every corpus

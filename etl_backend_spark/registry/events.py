@@ -1703,48 +1703,50 @@ def q_events_discord_topk(spark, sf_dir):
     The SAX-window subtree comes from the SHARED _motif_zx helper (r13
     review: this body carried a verbatim copy, so a breakpoint or
     window-length change could silently desynchronize the motif/discord
-    duals); unpacking z components from the packed array is
-    bit-neutral."""
-    from functools import reduce
+    duals).
 
-    zx = _motif_zx(spark, sf_dir).select(
-        "w", "user_id", "event_id", "wpos",
-        *[F.col("z")[k].alias(f"z{k}") for k in range(8)],
-    )
-    rare = zx.groupBy("w").agg(F.count(F.lit(1)).alias("nw")) \
-             .filter(F.col("nw") <= 64).select("w")
-    sx = zx.join(rare, "w", "left_semi")
-    a = sx.select(
-        F.col("w"),
-        F.col("user_id").alias("user_a"), F.col("event_id").alias("event_a"),
-        F.col("wpos").alias("wpos_a"),
-        *[F.col(f"z{k}").alias(f"za{k}") for k in range(8)],
-    )
-    b = sx.select(
-        F.col("w").alias("wb"),
-        F.col("user_id").alias("user_b"), F.col("event_id").alias("event_b"),
-        F.col("wpos").alias("wpos_b"),
-        *[F.col(f"z{k}").alias(f"zb{k}") for k in range(8)],
-    )
-    zdist2 = reduce(
-        lambda p, q: p + q,
-        [(F.col(f"za{k}") - F.col(f"zb{k}"))
-         * (F.col(f"za{k}") - F.col(f"zb{k}")) for k in range(8)],
-    )
-    nn = (
-        a.join(
-            b.hint("SHUFFLE_HASH"),
-            (F.col("w") == F.col("wb"))
-            & ~((F.col("user_a") == F.col("user_b"))
-                & (F.abs(F.col("wpos_a") - F.col("wpos_b")) < 8)),
+    ONE-PASS bucket-local plan (r14 optimization round): the r8-r13
+    join form evaluated the _motif_zx subtree FOUR times (rare-word
+    count, semi-join, both SHUFFLE_HASH join sides — per-branch pruning
+    defeats ReuseExchange, the same plan-counted diagnosis that moved
+    events_motif_pairs to its kernel in r9) and paid three exchanges.
+    Now the SAME kernel pattern as the motif dual: whole SAX-word
+    buckets hash into coarse groups, ONE numpy kernel
+    (functions/vectors.bucket_discord_nn_pandas) applies the rare cap,
+    computes each window's min non-overlapping same-word z-distance
+    with the identical IEEE fold, emits NULL for peerless windows, and
+    pushes per-group top-10 selection down — one subtree evaluation,
+    one exchange, and the global TakeOrdered re-ranks <= 10 x n_groups
+    skinny rows. Above _MOTIF_SLIM_MIN_ROWS events the slim-exchange
+    discipline applies unchanged: a skinny second pass counts words,
+    the parameter-bounded (<= 4^8) rare set broadcasts, and the
+    z-payload exchange carries only rare-word windows."""
+    from ..functions import vectors as V
+    from ..sources.catalog import parquet_num_rows
+    from .llm import _coarse_groups
+
+    zx = _motif_zx(spark, sf_dir)
+    n_rows = parquet_num_rows(sf_dir, "events")
+    if n_rows >= _MOTIF_SLIM_MIN_ROWS:
+        rare = (
+            zx.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= 64)
+            .select("w")
         )
-        .groupBy(F.col("user_a").alias("user_id"),
-                 F.col("event_a").alias("event_id"))
-        .agg(F.min(zdist2).alias("nn_dist"))
+        zx = zx.join(F.broadcast(rare), "w", "left_semi")
+    grouped = zx.withColumn(
+        "g", F.pmod(F.hash("w"), F.lit(_coarse_groups(n_rows)))
+    ).groupBy("g").applyInPandas(
+        V.bucket_discord_nn_pandas(cap=64, wlen=8, topk=10),
+        "user_id long, event_id long, nn_dist double",
     )
+    # belt-and-braces: pandas NaN crosses Arrow as NULL already; if a
+    # serializer ever preserved NaN instead, Spark would rank it LAST
+    # under DESC NULLS FIRST instead of first — normalize explicitly
+    nn_dist = F.when(F.isnan("nn_dist"), F.lit(None).cast("double")) \
+               .otherwise(F.col("nn_dist"))
     return (
-        sx.select("user_id", "event_id")
-        .join(nn, ["user_id", "event_id"], "left")
+        grouped.select("user_id", "event_id", nn_dist.alias("nn_dist"))
         .orderBy(F.col("nn_dist").desc_nulls_first(),
                  F.col("user_id").asc(), F.col("event_id").asc())
         .limit(10)

@@ -501,6 +501,87 @@ def test_bucket_motif_pairs_kernel_matches_python_reference(spark):
     assert got == expected, (got, expected)  # bit-exact, order included
 
 
+def test_bucket_discord_nn_kernel_matches_python_reference(spark):
+    """bucket_discord_nn_pandas (r14, events_discord_topk's one-pass
+    plan): per SAX-word bucket of 1..cap windows, every window's
+    nn_dist is the min bit-exact fold distance over same-word
+    NON-overlapping peers; a peerless window (unique word, or all
+    peers same-user-overlapping) emits NaN (-> NULL in Spark, ranking
+    first under DESC NULLS FIRST); oversized words emit nothing (the
+    rare cap); per-call output is exactly the top-k under
+    (nn_dist desc nulls-as-inf, user_id, event_id)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_backend_spark.functions import vectors as VV
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    # aa: unique word (NULL nn). bb: 2 same-user overlapping windows
+    # (both NULL: peer excluded). cc: 3 cross-user windows (real nn).
+    # dd: over-cap word (drops entirely).
+    for word, size, same_user, step in [
+        ("aa", 1, False, 9), ("bb", 2, True, 3),
+        ("cc", 3, False, 9), ("dd", 5, False, 9),
+    ]:
+        for i in range(size):
+            rows.append({
+                "w": word,
+                "user_id": 1 if same_user else vid,
+                "event_id": vid,
+                "wpos": i * step,
+                "z": rng.randn(8),
+            })
+            vid += 1
+    pdf = pd.DataFrame(rows)
+    out = VV.bucket_discord_nn_pandas(cap=4, wlen=8, topk=10)(pdf)
+
+    def fold(a, b):
+        s = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            d = float(x) - float(y)
+            s = s + d * d
+        return s
+
+    byw: dict = {}
+    for r in rows:
+        byw.setdefault(r["w"], []).append(r)
+    expected = []
+    for word, members in byw.items():
+        if len(members) > 4:
+            continue
+        for a in members:
+            dists = [
+                fold(a["z"], b["z"]) for b in members
+                if b is not a and not (a["user_id"] == b["user_id"]
+                                       and abs(a["wpos"] - b["wpos"]) < 8)
+            ]
+            expected.append((min(dists) if dists else float("inf"),
+                             a["user_id"], a["event_id"]))
+    expected.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = [(None if d == float("inf") else d, u, e)
+                for d, u, e in expected[:10]]
+    got = [(None if pd.isna(r.nn_dist) else r.nn_dist, r.user_id, r.event_id)
+           for r in out.itertuples()]
+    assert got == expected, (got, expected)  # bit-exact, order included
+
+
+def test_events_discord_one_pass_plan_single_subtree(spark):
+    """The r14 one-pass discord plan evaluates the _motif_zx subtree
+    ONCE below _MOTIF_SLIM_MIN_ROWS: exactly one events scan and one
+    Window node in the optimized plan (the r8-r13 join form carried
+    four of each — the ReuseExchange-defeat diagnosis), and no join at
+    all."""
+    from etl_backend_spark.registry import QUERIES
+
+    df = QUERIES["events_discord_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_dot_unrolled_bit_equals_fold(spark):
     """dot_unrolled / norm_unrolled are bit-identical to the sequential
     aggregate fold (same seed, same left-assoc order) — pinned so the
