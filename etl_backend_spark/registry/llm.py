@@ -3467,20 +3467,42 @@ def q_graph_reachability(spark, sf_dir):
     # a fixed session count OOMed the ride-along dedup hash-agg at sf10
     # (240M pairs / 32 tasks competing with the checkpoint blocks —
     # AGGREGATE_OUT_OF_MEMORY, sweep-caught; BASELINE.md r7). The row
-    # count is parquet-metadata-only, no scan.
+    # count comes straight from the parquet footers — li is a bare scan
+    # of the lineitem parquet, so footer rows == count() and the r13
+    # form's one-job count() action disappears (r14 optimization).
+    from ..sources.catalog import parquet_num_rows
+
+    n_li = parquet_num_rows(sf_dir, "lineitem")
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    p_edges = max(p, (3 * li.count()) // 2_000_000 + 1)
+    pairs_est = 3 * n_li
+    p_edges = max(p, pairs_est // 2_000_000 + 1)
+    # SHUFFLE_HASH on the pair self-join (r14, guide §3.1): sort-merge
+    # sorted both 2-long-column sides for a join whose output is
+    # immediately re-hashed by s anyway — the sorts buy nothing
+    # downstream. Build side per partition is n_li/p rows of two longs
+    # (~30 MB at sf10/32 parts), and l_orderkey is uniform, so the
+    # hash build is bounded; interleaved A/B at sf0.1: 5.05 -> 3.70 s
+    # median (-27%).
     raw = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("s") != F.col("d")))
+        a.join(b.hint("SHUFFLE_HASH"),
+               (F.col("k") == F.col("k2")) & (F.col("s") != F.col("d")))
         .select("s", "d")
     )
     # the (s,d) dedup rides the s-repartition — hash(s) co-locates equal
     # (s,d) pairs, so the dropDuplicates agg inserts NO exchange of its
-    # own, and the sorted layout is declared to the planner as-is
+    # own, and the sorted layout is declared to the planner as-is.
+    # Checkpoint storage is SCALE-GATED (r14): the recursion decodes the
+    # whole edge table once per BFS level, and serialized blocks charge
+    # that decode 4x per query — deserialized blocks measured 3.57 ->
+    # 3.15 s (-12%) at sf0.1. Serialized stays the big-corpus choice
+    # (240M-row deserialized blocks ate a 24g heap at sf10, BASELINE.md
+    # r7); the flip at ~24M estimated pairs (~2.4 GB deserialized) keeps
+    # sf1 and up on the memory-safe path.
     edges = localcheckpoint_declared(
         raw.repartition(p_edges, "s").dropDuplicates(["s", "d"])
         .sortWithinPartitions("s"),
-        ["s"], p_edges, sort=True, assume_layout=True, serialized=True,
+        ["s"], p_edges, sort=True, assume_layout=True,
+        serialized=pairs_est > 24_000_000,
     )
     import hashlib
 
