@@ -1373,12 +1373,19 @@ def q_dedup_embedding(spark, sf_dir):
     # past 16; derivation at q_dedup_embedding_multiprobe)
     bits = min(21, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
     nbands = 64 // bits
-    v = V.as_double(F.col("embedding"))
+    # materialize the float32->double cast ONCE per row (r14): inline,
+    # every element_at over the cast re-evaluates the whole array
+    # transform (no CSE across the 64 per-band sign terms) — measured
+    # 2.3x on the multiprobe twin's expression stage. vd is projected
+    # away before the exchange, so shuffle bytes are unchanged.
+    ed = e.select("vec_id", "embedding",
+                  V.as_double(F.col("embedding")).alias("vd"))
+    v = F.col("vd")
     band_keys = F.array(*[
         H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
         for b in range(nbands)
     ])
-    bands = e.select(
+    bands = ed.select(
         "vec_id", "embedding",
         F.posexplode(band_keys).alias("band", "key"),
     )
@@ -1525,14 +1532,17 @@ def q_knn_graph_lsh(spark, sf_dir):
     n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no job
     bits = min(21, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
     nbands = 64 // bits
-    v = V.as_double(F.col("embedding"))
+    # one materialized cast per row — see q_dedup_embedding (r14)
+    ed = e.select("vec_id", "embedding",
+                  V.as_double(F.col("embedding")).alias("vd"))
+    v = F.col("vd")
     band_keys = F.array(*[
         H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
         for b in range(nbands)
     ])
     # coarse groups of whole buckets: same (band, key) -> same group, so
     # bucket-local pair semantics are intact; sizing in _coarse_groups
-    bands = e.select(
+    bands = ed.select(
         "vec_id", "embedding",
         F.posexplode(band_keys).alias("band", "key"),
     )
@@ -1667,7 +1677,13 @@ _MULTIPROBE_FLIPS = 5
 def _multiprobe_pairs(spark, e, bits: int, capped: bool,
                       n_rows: int | None = None):
     nbands = 64 // bits
-    v = V.as_double(F.col("embedding"))
+    # one materialized cast per row — see q_dedup_embedding (r14); the
+    # flip sort keys re-read the array bits*nbands times per vector, so
+    # the inline-transform re-evaluation cost is worst here (measured
+    # 0.668 -> 0.291 s on the expression stage at sf0.1, identical rows)
+    e = e.select("vec_id", "embedding",
+                 V.as_double(F.col("embedding")).alias("vd"))
+    v = F.col("vd")
     pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(22)])
 
     def band_entry(b):
