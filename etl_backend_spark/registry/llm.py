@@ -570,9 +570,16 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
         # only the buckets its band keys hash to. Every base row that
         # can equi-join a batch key satisfies the filter by construction
         # (kb is a pure function of the key), so rows are unchanged.
-        kbs = [r[0] for r in bands_new
-               .select(kb_expr.alias("kb")).distinct().collect()]
-        bands_base = bands_base.filter(F.col("kb").isin(kbs))
+        # SATURATION GATE (r14): with K uniform band keys over B buckets
+        # the chance any bucket stays untouched is B*(1-1/B)^K — under
+        # 3% once K >= 8B — so a batch that big pays the collect job for
+        # an isin that prunes nothing; skip it (the filter is a pure
+        # optimization, rows identical either way) and scan all buckets.
+        k_est = _parquet_dir_rows(batch_sig_path) * H.MINHASH_BANDS
+        if k_est < 8 * MINHASH_BAND_KB_BUCKETS:
+            kbs = [r[0] for r in bands_new
+                   .select(kb_expr.alias("kb")).distinct().collect()]
+            bands_base = bands_base.filter(F.col("kb").isin(kbs))
 
     def on(a, b, *extra):
         cond = None
@@ -584,16 +591,24 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
         return cond
 
     probe = F.broadcast(bands_new) if small_batch else bands_new
-    cand_nb = (
+    # ONE candidate join (r14; was two — base-vs-batch plus
+    # batch-internal): the streamed side is base bands ∪ batch bands
+    # with an is_base marker, the batch side probes it once, and the
+    # orientation condition (any base row, else b.doc_id < a.doc_id)
+    # reproduces both former joins' pairs exactly. Halves the probe
+    # broadcasts/scans in the candidate job; plan class (broadcast vs
+    # shuffle) still follows the measured gate via ``probe``.
+    both = bands_base.select(
+        *[F.col(c) for c in ("doc_id", *jk)], F.lit(True).alias("is_base")
+    ).unionByName(bands_new.select(
+        *[F.col(c) for c in ("doc_id", *jk)], F.lit(False).alias("is_base")
+    ))
+    cand_all = (
         probe.alias("a")
-        .join(bands_base.alias("b"), on("a", "b"))
-        .select(F.col("a.doc_id").alias("doc_new"),
-                F.col("b.doc_id").alias("doc_match"))
-    )
-    cand_nn = (
-        bands_new.alias("a")
-        .join(probe.alias("b"),
-              on("a", "b", F.col("b.doc_id") < F.col("a.doc_id")))
+        .join(both.alias("b"),
+              on("a", "b",
+                 F.col("b.is_base")
+                 | (F.col("b.doc_id") < F.col("a.doc_id"))))
         .select(F.col("a.doc_id").alias("doc_new"),
                 F.col("b.doc_id").alias("doc_match"))
     )
@@ -609,8 +624,7 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
         # inside the artifact dir; write_artifact's stage-and-swap
         # overwrites it on the next build of the same batch path.
         cand_path = batch_sig_path.rstrip("/") + ".cand"
-        ann_index.write_artifact(
-            cand_nb.unionByName(cand_nn).distinct(), cand_path)
+        ann_index.write_artifact(cand_all.distinct(), cand_path)
         cand = spark.read.parquet(cand_path)
         if _parquet_dir_rows(cand_path) <= MINHASH_INCR_BCAST_CAND:
             ids = cand.select(F.col("doc_match").alias("doc_id")).distinct()
@@ -619,7 +633,7 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
         else:
             sb_src = all_sig
     else:
-        cand = cand_nb.unionByName(cand_nn).distinct()
+        cand = cand_all.distinct()
         sb_src = all_sig
     sb = sb_src.select(F.col("doc_id").alias("__dm"),
                        F.col("sig").alias("sig_b"))
