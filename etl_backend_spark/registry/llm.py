@@ -2560,11 +2560,14 @@ def q_hybrid_search_rrf(spark, sf_dir):
         V.as_double(F.col("embedding")).alias("qv"))
     vs = (
         e.filter(F.col("vec_id") != 0)
+        # one materialized cast per row (r14): cosine's three folds each
+        # re-evaluate an INLINE as_double transform — see
+        # q_dedup_embedding
+        .select("vec_id", V.as_double(F.col("embedding")).alias("vd"))
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(V.cosine(F.col("qv"), V.as_double(F.col("embedding"))),
-                    6).alias("cos"),
+            F.round(V.cosine(F.col("qv"), F.col("vd")), 6).alias("cos"),
         )
     )
     rv = ranked(vs, "cos", "r_v", k=50)
@@ -2720,11 +2723,13 @@ def _mmr_candidates(spark, sf_dir):
         V.as_double(F.col("embedding")).alias("qv"))
     return (
         e.filter(F.col("vec_id") != 0)
+        # one materialized cast per row (r14) — see q_dedup_embedding
+        .select("vec_id", "embedding",
+                V.as_double(F.col("embedding")).alias("vd"))
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            F.round(V.cosine(F.col("qv"), V.as_double(F.col("embedding"))),
-                    6).alias("cosq"),
+            F.round(V.cosine(F.col("qv"), F.col("vd")), 6).alias("cosq"),
             "embedding",
         )
         .orderBy(F.col("cosq").desc(), "vec_id").limit(20)
