@@ -1047,11 +1047,13 @@ def q_sim_topk_pq(spark, sf_dir):
     from ..functions import pq
 
     e = Catalog(spark, sf_dir).table("embeddings")
+    # two-step projection (r14): l2_normalize folds over its operand
+    # several times, and an INLINE as_double re-evaluates the whole
+    # array transform per element access — materialize the cast first
+    # (see q_dedup_embedding; values bit-identical)
     corpus = e.select(
-        "vec_id",
-        V.as_double(F.col("embedding")).alias("v"),
-        V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv"),
-    )
+        "vec_id", V.as_double(F.col("embedding")).alias("v"),
+    ).select("vec_id", "v", V.l2_normalize(F.col("v")).alias("nv"))
     n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no Spark job
 
     books = _PQ_CODEBOOK_CACHE.get((sf_dir, n))
@@ -3682,9 +3684,11 @@ def q_semdedup_kmeans(spark, sf_dir):
     from ..functions import semdedup as sd
 
     e = Catalog(spark, sf_dir).table("embeddings")
+    # two-step projection — materialize the cast once (r14, see
+    # q_sim_topk_pq); values bit-identical
     corpus = e.select(
-        "vec_id", V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv")
-    )
+        "vec_id", V.as_double(F.col("embedding")).alias("v"),
+    ).select("vec_id", V.l2_normalize(F.col("v")).alias("nv"))
     n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no Spark job
     k = sd.k_schedule(n)
 
