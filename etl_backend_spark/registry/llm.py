@@ -807,11 +807,11 @@ def q_sim_topk_lsh(spark, sf_dir):
     from pyspark.sql import Window
 
     e = Catalog(spark, sf_dir).table("embeddings")
+    # two-step projection — materialize the cast once (r14, see
+    # q_dedup_embedding); values bit-identical
     bkt = e.select(
-        "vec_id",
-        V.as_double(F.col("embedding")).alias("v"),
-        H.sign_bucket(V.as_double(F.col("embedding"))).alias("bucket"),
-    )
+        "vec_id", V.as_double(F.col("embedding")).alias("v"),
+    ).select("vec_id", "v", H.sign_bucket(F.col("v")).alias("bucket"))
     queries = (
         bkt.filter(F.col("vec_id") < 5)
         .select(
