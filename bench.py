@@ -287,14 +287,28 @@ def main() -> None:
     # out (r13 second review)
     mt_mean = (probe_before["mt_sec"] + probe_after["mt_sec"]) / 2.0
     norm = {k: round(v / mt_mean, 4) for k, v in timings.items()}
+    # The normalized column goes to a SIDECAR file, not the stdout line:
+    # r14's driver captured only the tail of stdout and BENCH_r13's line
+    # out-grew it (truncated at the front, parsed: null, round-over-round
+    # comparison lost). The contract line must stay small enough that the
+    # last ~4 KB of output always contains the complete JSON.
+    sidecar = {
+        "queries_norm": norm,
+        "value_norm": round(sum(norm.values()), 1),
+        "norm_unit": "probe_mt_quanta",
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_norm_sidecar.json"), "w") as f:
+            json.dump(sidecar, f)
+    except OSError as e:  # never let the sidecar kill the contract line
+        print(f"# norm sidecar write failed: {e}", file=sys.stderr)
+    print(f"# norm: {json.dumps(sidecar)}", file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_median_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_norm": norm,
-        "value_norm": round(sum(norm.values()), 1),
-        "norm_unit": "probe_mt_quanta",
         "sf": float(sf),
         "probe": {
             "before": probe_before,

@@ -739,17 +739,24 @@ def test_release_plan_checkpoints_frees_prefix_sum_blocks(spark):
     from etl_backend_spark.operators.windows import (
         distributed_global_rank, release_plan_checkpoints)
 
-    def n_persistent():
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def persistent_ids():
+        # Track RDD ids, not counts: the ContextCleaner may GC-unpersist a
+        # PRIOR test's RDD at any point, so a count-based assertion races it.
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
-    base = n_persistent()
+    base = persistent_ids()
     df = spark.range(10_000).withColumn("k", F.col("id") % 100)
     ranked, total = distributed_global_rank(df, ["k", "id"], n_parts=8)
     rows = ranked.count()
     assert rows == total == 10_000
-    assert n_persistent() > base            # checkpoint is live
+    new_ids = persistent_ids() - base
+    assert new_ids                           # checkpoint is live
     assert release_plan_checkpoints(ranked) >= 1
-    assert n_persistent() == base           # and now it is gone
+    assert not (persistent_ids() & new_ids)  # and now it is gone
 
 
 def test_localcheckpoint_declared_partitioning_reaches_planner(spark):
