@@ -160,7 +160,8 @@ ARTIFACT_UNATTRIBUTED: set[str] = set()
 
 def write_artifact(df: DataFrame, dirpath: str,
                    attribute: bool = True,
-                   partition_by: str | None = None) -> None:
+                   partition_by: str | None = None,
+                   extra_files: dict[str, str] | None = None) -> None:
     """Write a per-query decision-record artifact and record the
     write-side executed plan(s) for shuffle attribution (see
     ARTIFACT_SOURCE_PLANS above).
@@ -182,8 +183,16 @@ def write_artifact(df: DataFrame, dirpath: str,
     in (CHECKPOINT_SOURCE_PLANS) — without the latter, a
     checkpoint-built artifact like pagerank's rank vector records a
     Scan ExistingRDD-only plan and the shuffle audit's transitive
-    resolution silently finds no table scans (r11 second review)."""
-    _staged_overwrite(df, dirpath, partition_by=partition_by)
+    resolution silently finds no table scans (r11 second review).
+
+    ``extra_files`` (r15): small sidecar files (name -> text content)
+    staged INTO the artifact dir before the swap, so layout metadata
+    (e.g. the minhash band index's adaptive bucket count) lands
+    atomically with the data it describes — a post-swap sidecar write
+    would leave a crash window where data and meta disagree. Use
+    underscore-prefixed names so Spark's parquet reader ignores them."""
+    _staged_overwrite(df, dirpath, partition_by=partition_by,
+                      extra_files=extra_files)
 
     real = os.path.realpath(dirpath)
     if not attribute:
@@ -208,7 +217,8 @@ def write_artifact(df: DataFrame, dirpath: str,
 
 
 def _staged_overwrite(df: DataFrame, dirpath: str,
-                      partition_by: str | None = None) -> None:
+                      partition_by: str | None = None,
+                      extra_files: dict[str, str] | None = None) -> None:
     """The stage-and-swap write protocol, factored out of write_artifact
     (r13 review) so the INDEX TABLE writes (build_pq_index /
     build_ivfpq_index codes) use it too: a bare ``mode("overwrite")`` on
@@ -236,6 +246,9 @@ def _staged_overwrite(df: DataFrame, dirpath: str,
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(tmp)
+        for name, content in (extra_files or {}).items():
+            with open(os.path.join(tmp, name), "w") as fh:
+                fh.write(content)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

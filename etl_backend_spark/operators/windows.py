@@ -315,6 +315,30 @@ def localcheckpoint_declared(
         return cp
 
 
+def localcheckpoint_recorded(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager)`` that records the pre-checkpoint
+    executed plan in CHECKPOINT_SOURCE_PLANS (chaining through input
+    checkpoints, same as ``localcheckpoint_declared``) WITHOUT
+    declaring any layout — for materializations whose partitioning is
+    irrelevant downstream (scratch frames like the minhash ingest's
+    candidate set, r15). A plain ``localCheckpoint`` here would turn
+    every consumer honestly-unattributed in the shuffle audit
+    (amp None); this keeps the FileScan denominators while skipping
+    the declared-layout rewrap. Release with
+    ``release_plan_checkpoints`` as usual."""
+    cp = df.localCheckpoint(eager=True)
+    try:
+        chained: list[str] = []
+        for rdd in iter_logicalrdd_rdds(df):
+            chained.extend(CHECKPOINT_SOURCE_PLANS.get(rdd.id(), []))
+        CHECKPOINT_SOURCE_PLANS[
+            cp._jdf.queryExecution().logical().rdd().id()
+        ] = chained + [df._jdf.queryExecution().executedPlan().toString()]
+    except Exception:
+        pass
+    return cp
+
+
 def distributed_global_rank(df: DataFrame, order_cols: list[str],
                             n_parts: int = 16) -> tuple[DataFrame, int]:
     """Exact GLOBAL rank over a unique total order WITHOUT a single-

