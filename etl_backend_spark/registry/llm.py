@@ -3625,13 +3625,15 @@ def q_graph_reachability(spark, sf_dir):
     # that decode 4x per query — deserialized blocks measured 3.57 ->
     # 3.15 s (-12%) at sf0.1. Serialized stays the big-corpus choice
     # (240M-row deserialized blocks ate a 24g heap at sf10, BASELINE.md
-    # r7); the flip at ~24M estimated pairs (~2.4 GB deserialized) keeps
-    # sf1 and up on the memory-safe path.
+    # r7); the flip at 16M estimated pairs (~1.6 GB deserialized) puts
+    # sf1 (pairs_est ~18M) and up on the memory-safe path — the prior
+    # 24M flip left sf1 deserialized, contradicting its own intent
+    # (r14 ADVICE).
     edges = localcheckpoint_declared(
         raw.repartition(p_edges, "s").dropDuplicates(["s", "d"])
         .sortWithinPartitions("s"),
         ["s"], p_edges, sort=True, assume_layout=True,
-        serialized=pairs_est > 24_000_000,
+        serialized=pairs_est > 16_000_000,
     )
     import hashlib
 
