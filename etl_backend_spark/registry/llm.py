@@ -1473,21 +1473,16 @@ def q_dedup_embedding(spark, sf_dir):
     # past 16; derivation at q_dedup_embedding_multiprobe)
     bits = min(21, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
     nbands = 64 // bits
-    # materialize the float32->double cast ONCE per row (r14): inline,
-    # every element_at over the cast re-evaluates the whole array
-    # transform (no CSE across the 64 per-band sign terms) — measured
-    # 2.3x on the multiprobe twin's expression stage. vd is projected
-    # away before the exchange, so shuffle bytes are unchanged.
-    ed = e.select("vec_id", "embedding",
-                  V.as_double(F.col("embedding")).alias("vd"))
-    v = F.col("vd")
-    band_keys = F.array(*[
-        H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
-        for b in range(nbands)
-    ])
-    bands = ed.select(
+    # band keys in ONE Arrow kernel per batch (r15 — supersedes the r14
+    # cast-once fix, which still left bits*nbands sign expressions per
+    # row in codegen; the multiprobe twin measured -51% from the same
+    # change, see V.band_keys_pandas for the IEEE-identity argument)
+    bands = e.select("vec_id", "embedding").mapInPandas(
+        V.band_keys_pandas(bits, nbands),
+        schema="vec_id long, embedding array<float>, keys array<long>",
+    ).select(
         "vec_id", "embedding",
-        F.posexplode(band_keys).alias("band", "key"),
+        F.posexplode("keys").alias("band", "key"),
     )
     # r10: degenerate-bucket guard — oversized (band, key) buckets split
     # into block-pair tasks instead of stalling one applyInPandas task
@@ -1632,19 +1627,16 @@ def q_knn_graph_lsh(spark, sf_dir):
     n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no job
     bits = min(21, max(8, math.ceil(math.log2(max(n, 2) / 32.0))))
     nbands = 64 // bits
-    # one materialized cast per row — see q_dedup_embedding (r14)
-    ed = e.select("vec_id", "embedding",
-                  V.as_double(F.col("embedding")).alias("vd"))
-    v = F.col("vd")
-    band_keys = F.array(*[
-        H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
-        for b in range(nbands)
-    ])
-    # coarse groups of whole buckets: same (band, key) -> same group, so
-    # bucket-local pair semantics are intact; sizing in _coarse_groups
-    bands = ed.select(
+    # band keys in ONE Arrow kernel per batch (r15 — see
+    # q_dedup_embedding / V.band_keys_pandas); coarse groups of whole
+    # buckets: same (band, key) -> same group, so bucket-local pair
+    # semantics are intact; sizing in _coarse_groups
+    bands = e.select("vec_id", "embedding").mapInPandas(
+        V.band_keys_pandas(bits, nbands),
+        schema="vec_id long, embedding array<float>, keys array<long>",
+    ).select(
         "vec_id", "embedding",
-        F.posexplode(band_keys).alias("band", "key"),
+        F.posexplode("keys").alias("band", "key"),
     )
     # r10: degenerate-bucket guard — block-pair local top-(k+eps) is a
     # superset of the whole-bucket emission (subset k-th best only
@@ -1777,45 +1769,53 @@ _MULTIPROBE_FLIPS = 5
 def _multiprobe_pairs(spark, e, bits: int, capped: bool,
                       n_rows: int | None = None):
     nbands = 64 // bits
-    # one materialized cast per row — see q_dedup_embedding (r14); the
-    # flip sort keys re-read the array bits*nbands times per vector, so
-    # the inline-transform re-evaluation cost is worst here (measured
-    # 0.668 -> 0.291 s on the expression stage at sf0.1, identical rows)
-    e = e.select("vec_id", "embedding",
-                 V.as_double(F.col("embedding")).alias("vd"))
-    v = F.col("vd")
     pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(22)])
+    p_flips = min(_MULTIPROBE_FLIPS, bits)
 
-    def band_entry(b):
-        key = H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
-        if capped:
-            sort_keys = F.array(*[
-                (
-                    F.floor(
-                        F.abs(F.element_at(v, b * bits + j + 1)) * F.lit(1e9)
-                    ).cast("long") * 64 + F.lit(j)
-                )
-                for j in range(bits)
-            ])
-            flips = F.transform(
-                F.slice(F.array_sort(sort_keys), 1, min(_MULTIPROBE_FLIPS, bits)),
-                lambda k: (k % 64).cast("int"),
-            )
-        else:
-            flips = F.array(*[F.lit(j) for j in range(bits)])
-        return F.struct(
-            F.lit(b).alias("band"), key.alias("key"), flips.alias("fl")
+    if capped:
+        # keys + flip schedule in ONE Arrow kernel (r15, VERDICT #5):
+        # the expression form evaluated bits*nbands sign terms plus
+        # bits*nbands integer sort keys per row even after the r14
+        # cast-once fix; the vectorized batch kernel replaced the whole
+        # chain — interleaved A/B 2.00 -> 0.99 s (-51%), identical rows
+        # (the sort key and sign test are IEEE-identical, see
+        # V.band_keys_pandas).
+        entries = e.select("vec_id", "embedding").mapInPandas(
+            V.band_keys_pandas(bits, nbands, flips=p_flips),
+            schema="vec_id long, embedding array<float>, "
+                   "keys array<long>, fl array<int>",
+        ).select(
+            "vec_id", "embedding", "fl",
+            F.posexplode("keys").alias("band", "key"),
+        ).select(
+            "vec_id", "embedding", "band", "key",
+            F.slice(F.col("fl"), F.col("band") * p_flips + 1,
+                    p_flips).alias("fl"),
         )
+    else:
+        # full hamming-1 probing — pytest recall baseline only; keeps
+        # the expression form (one shape to maintain per variant)
+        ev = e.select("vec_id", "embedding",
+                      V.as_double(F.col("embedding")).alias("vd"))
+        v = F.col("vd")
 
-    entries = e.select(
-        "vec_id", "embedding",
-        F.explode(F.array(*[band_entry(b) for b in range(nbands)])).alias("e"),
-    ).select(
-        "vec_id", "embedding",
-        F.col("e.band").alias("band"),
-        F.col("e.key").alias("key"),
-        F.col("e.fl").alias("fl"),
-    )
+        def band_entry(b):
+            key = H.sign_bucket(F.slice(v, b * bits + 1, bits), bits=bits)
+            flips = F.array(*[F.lit(j) for j in range(bits)])
+            return F.struct(
+                F.lit(b).alias("band"), key.alias("key"), flips.alias("fl")
+            )
+
+        entries = ev.select(
+            "vec_id", "embedding",
+            F.explode(
+                F.array(*[band_entry(b) for b in range(nbands)])).alias("e"),
+        ).select(
+            "vec_id", "embedding",
+            F.col("e.band").alias("band"),
+            F.col("e.key").alias("key"),
+            F.col("e.fl").alias("fl"),
+        )
     # SYMMETRIC probing (a.vec_id != b.vec_id + least/greatest
     # normalization, not one-sided a < b): a pair is a candidate if the
     # disagreeing bit is in EITHER endpoint's flip set — union coverage
