@@ -1591,15 +1591,22 @@ def q_events_motif_pairs_slim(spark, sf_dir):
       the shuffle. Measured shuffle amplification 6.2 (SCALE.md cost
       table): right on this VM where exchange bytes are memcpy, wrong
       when the exchange crosses a real network.
-    * THIS plan spends a second, SKINNY subtree evaluation (pruned to
-      the word column only — no z payload) counting windows per word,
-      broadcasts the rare-word set — bounded by the SAX parameter
-      space, |alphabet|^wlen = 4^8 = 65536 words max, a few hundred KB,
-      NEVER corpus-sized — and semi-joins it map-side BEFORE the
-      exchange, so the z-payload shuffle carries ONLY rare-word
-      windows (the over-cap words that dominate bytes in a periodic/
-      flat-heavy corpus never ship). The kernel's own cap stays as a
-      no-op guard, so kernel contract and output are unchanged.
+    * THIS plan materializes the window table ONCE as a plan-recorded
+      localCheckpoint (r15 — column pruning made the two zx subtrees
+      non-identical, defeating exchange reuse, so the r10 form paid
+      the events scan AND the per-user window sort twice; interleaved
+      A/Bs: −6.6% / −7.9%, identical rows), counts windows per word
+      from the checkpoint, broadcasts the rare-word set — bounded by
+      the SAX parameter space, |alphabet|^wlen = 4^8 = 65536 words
+      max, a few hundred KB, NEVER corpus-sized — and semi-joins it
+      map-side BEFORE the exchange, so the z-payload shuffle carries
+      ONLY rare-word windows (the over-cap words that dominate bytes
+      in a periodic/flat-heavy corpus never ship). The kernel's own
+      cap stays as a no-op guard, so kernel contract and output are
+      unchanged. The checkpoint trades O(windows) LOCAL executor
+      storage for the second scan+sort pass — on the network-bound
+      cluster this variant targets, local disk is exactly the resource
+      that is NOT binding.
 
     Selection rule (SCALE.md cost-model table): pick slim when
     exchange bytes are the binding resource (network-bound cluster,
@@ -1607,10 +1614,11 @@ def q_events_motif_pairs_slim(spark, sf_dir):
     one subtree evaluation beats the saved bytes — sf10 receipts in
     BASELINE.md r9/r10)."""
     from ..functions import vectors as V
+    from ..operators.windows import localcheckpoint_recorded
     from ..sources.catalog import parquet_num_rows
     from .llm import _coarse_groups
 
-    zx = _motif_zx(spark, sf_dir)
+    zx = localcheckpoint_recorded(_motif_zx(spark, sf_dir))
     rare = (
         zx.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") <= 64)
