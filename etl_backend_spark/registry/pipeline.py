@@ -2136,10 +2136,21 @@ def q_dsir_importance(spark, sf_dir):
     (raw-only) / 12.9 s (all-docs) vs 10.1 s for this plan,
     interleaved sf10 (BASELINE.md r10) — write+re-read of a ~37M-row
     barely-compressible stream costs more than the tokenize pass it
-    saves. All three mechanisms now carry measured rejections.
-    DuckDB gets its single pass from automatic CTE materialization;
-    Spark's equivalent (persist) is measurably wrong HERE because
-    the materialized stream is as big as the work that produced it."""
+    saves. All three rejected mechanisms materialized the EXPLODED
+    occurrence stream; DuckDB gets its single pass from automatic CTE
+    materialization.
+
+    r15 (VERDICT #7): the FOURTH mechanism finally wins — checkpoint
+    the PRE-EXPLODE tokenized column (one ngram-array row per doc,
+    ~text-sized, not the 7x-wider occurrence stream the three
+    rejections materialized). Both passes explode from the checkpoint:
+    the regex split + bigram zip runs ONCE over all docs instead of
+    all + raw, and the store is O(corpus text), not O(occurrences).
+    Interleaved A/Bs at sf0.1: −21.3% / −14.7%, identical rows. The
+    raw-side scan-filter pushdown is traded for a filter on the
+    checkpoint — strictly less tokenize work, same explode work."""
+    from ..operators.windows import localcheckpoint_recorded
+
     d = Catalog(spark, sf_dir).table("documents")
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     bigrams = F.when(
@@ -2151,13 +2162,13 @@ def q_dsir_importance(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     ngrams = F.concat(w, bigrams)
+    toks = localcheckpoint_recorded(d.select(
+        "doc_id", (F.col("lang") == "en").alias("is_t"),
+        ngrams.alias("ngs")))
 
     # pass 1: bucket model, no doc_id — combines to <= 8192 rows map-side
     model = (
-        d.select(
-            (F.col("lang") == "en").alias("is_t"),
-            F.explode(ngrams).alias("ng"),
-        )
+        toks.select("is_t", F.explode("ngs").alias("ng"))
         .select("is_t", F.substring(F.md5("ng"), 1, 3).alias("b"))
         .groupBy("b")
         .agg(
@@ -2185,12 +2196,13 @@ def q_dsir_importance(spark, sf_dir):
         .filter(F.col("rb") >= 1)
         .select("b", lr.alias("lr"))
     )
-    # pass 2: raw pool only (filter pushed to the scan); summing lr per
-    # ngram OCCURRENCE equals sum(c * lr) exactly (integer lr), so the
-    # (doc, b) pre-group is dropped and groupBy(doc_id) combines map-side
+    # pass 2: raw pool only (filter on the tokenized checkpoint); summing
+    # lr per ngram OCCURRENCE equals sum(c * lr) exactly (integer lr), so
+    # the (doc, b) pre-group is dropped and groupBy(doc_id) combines
+    # map-side
     score = (
-        d.filter(~(F.col("lang") == "en"))
-        .select("doc_id", F.explode(ngrams).alias("ng"))
+        toks.filter(~F.col("is_t"))
+        .select("doc_id", F.explode("ngs").alias("ng"))
         .select("doc_id", F.substring(F.md5("ng"), 1, 3).alias("b"))
         .join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
