@@ -310,11 +310,12 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import Catalog
 
     e = Catalog(spark, sf_dir).table("embeddings")
+    # two-step projection (r15 — the r14 cast-once discipline): an
+    # inline as_double re-evaluates the whole array transform per
+    # element access inside l2_normalize's folds
     return e.select(
-        "vec_id",
-        V.as_double(F.col("embedding")).alias("v"),
-        V.l2_normalize(V.as_double(F.col("embedding"))).alias("nv"),
-    )
+        "vec_id", V.as_double(F.col("embedding")).alias("v"),
+    ).select("vec_id", "v", V.l2_normalize(F.col("v")).alias("nv"))
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str,

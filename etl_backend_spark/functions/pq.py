@@ -155,7 +155,7 @@ def adc_scores(codes: np.ndarray, tables: np.ndarray) -> np.ndarray:
 
 
 def encode_topk_scan_pandas(books: np.ndarray, tables: np.ndarray, k: int,
-                            exclude_ids=None):
+                            exclude_ids=None, normalize: bool = False):
     """Fused query-time worker: encode + ADC-score + local top-k in ONE
     mapInPandas pass over (vec_id, nv). The two-step form (encode_pandas
     then topk_scan_pandas) crosses the Arrow boundary twice and ships the
@@ -164,11 +164,24 @@ def encode_topk_scan_pandas(books: np.ndarray, tables: np.ndarray, k: int,
     INDEX-BUILD path — at scale you materialize codes once and amortize
     them across queries; this fused form is the ad-hoc query path where
     codes are not persisted. Output and total order are bit-identical to
-    the two-step form (same encode, same lexsort)."""
+    the two-step form (same encode, same lexsort).
+
+    ``normalize`` (r15): take the RAW float32 ``embedding`` column and
+    l2-normalize IN-KERNEL with the sequential fold
+    (vectors.l2_normalize_np_seq — bit-identical to the JVM
+    ``l2_normalize`` chain), instead of receiving a pre-normalized
+    float64 ``nv``: the JVM higher-order normalize per corpus row
+    disappears and the Arrow transfer width halves."""
 
     def run(batches):
+        from .vectors import l2_normalize_np_seq
+
         for pdf in batches:
-            mat = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            if normalize:
+                mat = l2_normalize_np_seq(
+                    np.stack(pdf["embedding"].to_numpy()))
+            else:
+                mat = np.array(pdf["nv"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             codes = encode(mat, books).astype(np.int32)
             scores = adc_scores(codes, tables)

@@ -933,7 +933,10 @@ def q_sim_topk_pandas(spark, sf_dir):
     from pyspark.sql import Window
 
     e = Catalog(spark, sf_dir).table("embeddings")
-    corpus = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    # RAW float32 column into the Arrow scan (r15): the kernel widens to
+    # float64 itself (exact), so the JVM cast pass disappears and the
+    # Arrow transfer width halves
+    corpus = e.select("vec_id", F.col("embedding").alias("v"))
     qrows = sorted(
         (r.vec_id, [float(x) for x in r.embedding])
         for r in e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
@@ -1131,33 +1134,40 @@ def q_sim_topk_pq(spark, sf_dir):
     from ..functions import pq
 
     e = Catalog(spark, sf_dir).table("embeddings")
-    # two-step projection (r14): l2_normalize folds over its operand
-    # several times, and an INLINE as_double re-evaluates the whole
-    # array transform per element access — materialize the cast first
-    # (see q_dedup_embedding; values bit-identical)
-    corpus = e.select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v"),
-    ).select("vec_id", "v", V.l2_normalize(F.col("v")).alias("nv"))
+    # RAW float32 embeddings reach the fused Arrow scan; normalization
+    # happens IN-KERNEL with the sequential fold (r15 — bit-identical
+    # to the JVM l2_normalize chain, see vectors.l2_normalize_np_seq
+    # and the semdedup_incremental precedent): the per-row JVM
+    # higher-order normalize disappears and the Arrow transfer width
+    # halves (float32 embedding vs float64 nv).
     n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no Spark job
 
     books = _PQ_CODEBOOK_CACHE.get((sf_dir, n))
     if books is None:
-        fit_df = corpus.select("nv")
+        fit_df = e.select("embedding")
         if n > _PQ_FIT_CAP:
             fit_df = fit_df.sample(fraction=min(1.0, 1.1 * _PQ_FIT_CAP / n),
                                    seed=42).limit(_PQ_FIT_CAP)
-        sample = np.array([r.nv for r in fit_df.collect()])
+        # Arrow toPandas + in-driver normalize: same rows, same driver
+        # order, same doubles as the collected JVM-normalized form
+        sample = V.l2_normalize_np_seq(
+            np.stack(fit_df.toPandas()["embedding"].to_numpy()))
         books = pq.fit_codebooks(sample, m=8, k=16, iters=10, seed=42)
         _PQ_CODEBOOK_CACHE[(sf_dir, n)] = books
 
     # one bounded collect serves both the ADC tables (normalized) and the
-    # exact-rerank query vectors (raw)
-    qrows = sorted(
-        (r.vec_id, [float(x) for x in r.v], np.array(r.nv))
-        for r in corpus.filter(F.col("vec_id") < 5)
-        .select("vec_id", "v", "nv").collect()
+    # exact-rerank query vectors (raw); both derived driver-side from the
+    # raw float32 rows (exact widening + the np_seq fold)
+    qraw = sorted(
+        (r.vec_id, r.embedding)
+        for r in e.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
     )
-    q_ids = [q for q, _, _ in qrows]
+    q_ids = [q for q, _ in qraw]
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in qraw])
+    qnv = V.l2_normalize_np_seq(qmat)
+    qrows = [(q_ids[i], [float(x) for x in qmat[i]], qnv[i])
+             for i in range(len(q_ids))]
     tables = pq.adc_tables(np.stack([nv for _, _, nv in qrows]), books)
 
     # ADC scan with IN-OPERATOR top-64 pruning: each Arrow batch emits only
@@ -1166,10 +1176,13 @@ def q_sim_topk_pq(spark, sf_dir):
     # n_batches skinny rows and is bit-identical to a full-corpus window
     # (total-order selection is associative).
     # encode + score + local-prune FUSED in one Python pass (functions/
-    # pq.encode_topk_scan_pandas): one Arrow corpus transfer instead of two
+    # pq.encode_topk_scan_pandas): one Arrow corpus transfer instead of
+    # two — and the transfer is the RAW float32 column, normalized
+    # in-kernel (r15)
     id_map = F.array(*[F.lit(q) for q in q_ids])
-    local_topk = corpus.select("vec_id", "nv").mapInPandas(
-        pq.encode_topk_scan_pandas(books, tables, k=64, exclude_ids=q_ids),
+    local_topk = e.select("vec_id", "embedding").mapInPandas(
+        pq.encode_topk_scan_pandas(books, tables, k=64, exclude_ids=q_ids,
+                                   normalize=True),
         schema="qi int, vec_id long, adc double",
     ).select(
         F.element_at(id_map, F.col("qi") + 1).alias("q_id"), "vec_id", "adc"
@@ -1186,7 +1199,10 @@ def q_sim_topk_pq(spark, sf_dir):
         [(q, v) for q, v, _ in qrows], "q_id long, qv array<double>",
     )
     reranked = (
-        candidates.join(corpus.select("vec_id", "v"), on="vec_id")
+        candidates.join(
+            e.select("vec_id",
+                     V.as_double(F.col("embedding")).alias("v")),
+            on="vec_id")
         .join(F.broadcast(qdf), on="q_id")
         .select(
             "q_id", "vec_id",
@@ -3778,11 +3794,12 @@ def q_semdedup_kmeans(spark, sf_dir):
     from ..functions import semdedup as sd
 
     e = Catalog(spark, sf_dir).table("embeddings")
-    # two-step projection — materialize the cast once (r14, see
-    # q_sim_topk_pq); values bit-identical
-    corpus = e.select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v"),
-    ).select("vec_id", V.l2_normalize(F.col("v")).alias("nv"))
+    # RAW float32 embeddings reach the Arrow tag pass; normalization
+    # happens IN-KERNEL with the sequential fold (r15 — the
+    # semdedup_incremental discipline applied to the batch variant: the
+    # JVM higher-order normalize per corpus row disappears and the
+    # Arrow transfer width halves; bit-identical doubles, see
+    # vectors.l2_normalize_np_seq)
     n = parquet_num_rows(sf_dir, "embeddings")  # footer read, no Spark job
     k = sd.k_schedule(n)
 
@@ -3795,7 +3812,7 @@ def q_semdedup_kmeans(spark, sf_dir):
     _ck = (corpus_fingerprint(sf_dir, ("embeddings",)), n)
     cents = _SEMDEDUP_CENT_CACHE.get(_ck)
     if cents is None:
-        fit_df = corpus.select("nv")
+        fit_df = e.select("embedding")
         cap = min(n, max(8 * k, 4096), sd.FIT_CAP)
         if n > cap:
             fit_df = fit_df.sample(fraction=min(1.0, 1.1 * cap / n),
@@ -3803,20 +3820,22 @@ def q_semdedup_kmeans(spark, sf_dir):
         # Arrow toPandas, not collect(): same rows in the same driver
         # order, minus the pickled-Row tax (16.8 s for 22k vectors at
         # sf10 — r12 profile of the incremental sibling)
-        sample = np.stack(fit_df.toPandas()["nv"].to_numpy())
+        sample = V.l2_normalize_np_seq(
+            np.stack(fit_df.toPandas()["embedding"].to_numpy()))
         cents = sd.fit_centroids(sample, k=min(k, len(sample)), seed=11)
         _SEMDEDUP_CENT_CACHE[_ck] = cents
 
     def tag(batches):
         for pdf in batches:
-            mat = np.stack(pdf["nv"].to_numpy())
+            mat = V.l2_normalize_np_seq(
+                np.stack(pdf["embedding"].to_numpy()))
             cell, cdot = sd.assign_cells(mat, cents)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"], "cell": cell, "cdot": cdot,
-                "nv": pdf["nv"],
+                "nv": list(mat),
             })
 
-    tagged = corpus.mapInPandas(
+    tagged = e.select("vec_id", "embedding").mapInPandas(
         tag, schema="vec_id long, cell int, cdot double, nv array<double>"
     )
 
